@@ -1,0 +1,33 @@
+"""epgpy_tpu -- TPU-native Extended Phase Graph simulation framework.
+
+A from-scratch JAX/XLA re-design of the EPG formalism with the capabilities
+of the reference `epgpy` package: operator algebra (T/E/S/D/X/...), batched
+parameter sweeps, autodiff-powered Jacobians/Hessians and CRLB sequence
+optimization, n-D and float gradient shifts, exchange/MT, imaging readouts.
+
+Usage mirrors the reference (``import epgpy_tpu as epg``):
+
+>>> import epgpy_tpu as epg
+>>> seq = [epg.T(90, 90)] + [epg.S(1), epg.T(150, 0), epg.S(1), epg.ADC] * 20
+>>> signal = epg.simulate(epg.modify(seq, T2=[30, 40, 50]))
+"""
+
+from .statematrix import StateMatrix
+from .ops import (
+    Operator, EmptyOperator, MultiOperator, CombinableOperator,
+    Wait, Offset, Spoiler, Reset, PD, System, NULL, SPOILER, RESET,
+    ScalarOp, MatrixOp,
+    T, Tx, Ty, Phi, E, P, R, S, G, C,
+    Probe, Adc, ADC, DFT, Imaging,
+)
+from .engine import (
+    simulate, modify, flatten_sequence,
+    getshape, getnshift, getkdim, get_adc_times,
+)
+from .utils import (
+    gamma_1H, gamma_23Na, Axes, get_norm, get_wavenumber,
+    spatial_range, space_to_freq, freq_to_space,
+)
+from . import config, stats
+
+__version__ = "0.1.0"

@@ -1,0 +1,364 @@
+"""Simulation engine: compile an operator sequence to an XLA program.
+
+The reference applies operators in a Python hot loop, one NumPy kernel
+dispatch per operator (reference epgpy/functions.py:173-192).  Here the
+whole sequence compiles to a single XLA program:
+
+* the sequence is *planned*: runs of structurally-identical operator blocks
+  (same classes, static configs and parameter shapes -- detected via
+  ``Operator.signature``) are converted into one ``lax.scan`` over their
+  stacked parameters.  A 1000-TR MRF train [T, E, S, ADC] x 1000 traces as
+  ONE scan step, not 4000 ops;
+* remaining operators are unrolled inline (they still fuse under jit);
+* probe outputs become scan outputs / jit results -- no per-ADC host copy
+  (the reference copies device->host at every ADC, epgpy/probe.py:63-66).
+
+The ladder capacity is fixed up-front from the sequence's total shift count
+(``getnshift``) or the ``max_nstate`` option, making every shape static.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common
+from .statematrix import StateMatrix
+from .ops import base, probe as probe_mod
+
+LOGGER = logging.getLogger(__name__)
+
+__all__ = [
+    "simulate", "modify", "flatten_sequence",
+    "getshape", "getnshift", "getkdim", "get_adc_times",
+]
+
+
+# -- sequence introspection (host-side) --
+
+
+def flatten_sequence(seq, flatten_multi: bool = True) -> List[base.Operator]:
+    """Flatten nested lists / MultiOperators into a flat operator list."""
+    seq = [seq] if isinstance(seq, base.Operator) else seq
+    out = []
+    for item in seq:
+        if isinstance(item, (list, tuple)):
+            out.extend(flatten_sequence(item, flatten_multi))
+        elif flatten_multi and isinstance(item, base.MultiOperator):
+            out.extend(flatten_sequence(item.operators, flatten_multi))
+        elif isinstance(item, base.Operator):
+            out.append(item)
+        else:
+            raise ValueError(f"Invalid operator: {item!r}")
+    return out
+
+
+def getshape(sequence) -> tuple:
+    """Broadcast batch shape of the whole sequence (append rule)."""
+    ops = flatten_sequence(sequence)
+    return common.broadcast_shapes(*[op.shape for op in ops])
+
+
+def getnshift(sequence) -> int:
+    """Total ladder growth over the sequence."""
+    return sum(op.nshift for op in flatten_sequence(sequence))
+
+
+def getkdim(sequence) -> int:
+    """Number of gradient axes used by the sequence."""
+    return max([getattr(op, "kdim", 1) for op in flatten_sequence(sequence)], default=1)
+
+
+def get_adc_times(sequence):
+    """ADC opening times from operator durations (host-side metadata)."""
+    tic, times = 0, []
+    for op in flatten_sequence(sequence):
+        tic = tic + np.asarray(op.duration)
+        if isinstance(op, probe_mod.Probe):
+            times.append(tic)
+    return times
+
+
+# -- plan construction --
+
+
+class _ScanBlock:
+    """`reps` repetitions of a `period`-operator block, scanned."""
+
+    __slots__ = ("ops", "period", "reps")
+
+    def __init__(self, ops, period, reps):
+        self.ops = ops
+        self.period = period
+        self.reps = reps
+
+
+def _build_plan(ops, *, min_reps=3, min_ops=6, max_period=64, scan=True):
+    """Split the op list into unrolled runs and scannable blocks."""
+    if not scan:
+        return [list(ops)]
+    sigs = [op.signature() for op in ops]
+    plan, buf, i, n = [], [], 0, len(ops)
+    while i < n:
+        best = None
+        limit = min(max_period, (n - i) // 2)
+        for p in range(1, limit + 1):
+            if sigs[i:i + p] != sigs[i + p:i + 2 * p]:
+                continue
+            r = 2
+            while i + (r + 1) * p <= n and sigs[i + r * p:i + (r + 1) * p] == sigs[i:i + p]:
+                r += 1
+            if r >= min_reps and r * p >= min_ops:
+                best = (p, r)
+                break  # smallest period wins
+        if best:
+            if buf:
+                plan.append(buf)
+                buf = []
+            p, r = best
+            plan.append(_ScanBlock(ops[i:i + p * r], p, r))
+            i += p * r
+        else:
+            buf.append(ops[i])
+            i += 1
+    if buf:
+        plan.append(buf)
+    return plan
+
+
+def _stack_ops(ops):
+    """Stack structurally-identical ops' parameters along a new leading axis."""
+    stripped = [op.strip_meta() for op in ops]
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stripped)
+
+
+def _stack_block(block: _ScanBlock):
+    """Stack a scan block: list over period slots of stacked op pytrees."""
+    p, r = block.period, block.reps
+    return [_stack_ops([block.ops[j + k * p] for k in range(r)]) for j in range(p)]
+
+
+# -- execution --
+# Probe outputs are handled as pytrees with a leading ADC axis ("chunks"):
+# each chunk is a tuple over probes; final outputs concatenate all chunks.
+
+
+def _acquire(op, probes, sm):
+    """Acquire all probe outputs at a probe position (tuple over probes)."""
+    return tuple((pb if pb is not None else op).acquire(sm, post=op.post)
+                 for pb in (probes if probes is not None else [None]))
+
+
+def _add_adc_axis(vals):
+    return jax.tree.map(lambda a: jnp.asarray(a)[None], vals)
+
+
+def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None):
+    """Run the planned program; returns (sm, chunks)."""
+    chunks = []
+    for kind, payload in zip(plan_kinds, plan_payload):
+        if kind == "unroll":
+            for op in payload:
+                sm = op(sm)
+                if isinstance(op, probe_mod.Probe):
+                    chunks.append(_add_adc_axis(_acquire(op, probes, sm)))
+                elif callback is not None:
+                    callback(sm)
+        else:  # scan block: payload = (template_ops, list of stacked op pytrees)
+            template, stacked = payload
+            probe_slots = [j for j, op in enumerate(template)
+                           if isinstance(op, probe_mod.Probe)]
+
+            def body(carry, step_ops, template=template, probe_slots=probe_slots):
+                outs = []
+                for j, (op_t, op) in enumerate(zip(template, step_ops)):
+                    carry = op(carry)
+                    if j in probe_slots:
+                        outs.append(_acquire(op_t, probes, carry))
+                return carry, tuple(outs)
+
+            sm, ys = jax.lax.scan(body, sm, stacked)
+            if len(ys) == 1:
+                chunks.append(ys[0])
+            elif len(ys) > 1:
+                # interleave probe slots rep-major along the ADC axis
+                merged = jax.tree.map(
+                    lambda *slots: jnp.stack(slots, axis=1).reshape(
+                        (-1,) + slots[0].shape[1:]),
+                    *ys,
+                )
+                chunks.append(merged)
+    return sm, chunks
+
+
+def _concat_chunks(chunks):
+    """Concatenate chunk pytrees along the leading ADC axis."""
+    if len(chunks) == 1:
+        return chunks[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _run_compiled(plan_kinds, plan_payload, probes, sm):
+    sm, chunks = _execute_plan(plan_kinds, plan_payload, probes, sm)
+    return sm, _concat_chunks(chunks)
+
+
+def simulate(
+    sequence,
+    *,
+    adc_time: bool = False,
+    init=None,
+    squeeze: bool = False,
+    probe=None,
+    callback=None,
+    asarray: bool = True,
+    disp: bool = False,
+    jit: bool = True,
+    scan: bool = True,
+    **options,
+):
+    """Simulate an operator sequence; returns probe values at each ADC.
+
+    API parity with reference epgpy/functions.py:50-170.  Extra controls:
+    ``jit=False`` runs eagerly (required for `callback`), ``scan=False``
+    disables scan compilation (full unroll under jit).
+    """
+    sequence = flatten_sequence(sequence)
+    nshift = getnshift(sequence)
+    shape = getshape(sequence)
+    LOGGER.info("simulate: %d ops, nshift=%d, shape=%s", len(sequence), nshift, shape)
+
+    if not any(isinstance(op, probe_mod.Probe) for op in sequence):
+        raise ValueError("Cannot simulate sequence without at least one Probe/ADC")
+
+    # custom probes
+    probes = None
+    if probe is not None:
+        probe_list = probe if isinstance(probe, (tuple, list)) else [probe]
+        probes = tuple(
+            pb if isinstance(pb, (probe_mod.Probe, type(None))) else probe_mod.Probe(pb)
+            for pb in probe_list
+        )
+
+    # ladder capacity: static, from sequence analysis + user cap
+    max_nstate = options.get("max_nstate")
+    ncap = int(nshift)
+    if max_nstate:
+        ncap = min(ncap, int(max_nstate))
+
+    if not isinstance(init, StateMatrix):
+        sm = StateMatrix(
+            [0, 0, 1] if init is None else init,
+            nstate=ncap, shape=shape, **options,
+        )
+    else:
+        sm = init.update(options={**init.options, **options})
+        sm = sm.resize(max(ncap, sm.nstate)).broadcast(shape)
+
+    use_jit = jit and callback is None
+    plan = _build_plan(sequence, scan=scan and callback is None)
+    plan_kinds = tuple("unroll" if isinstance(p, list) else "scan" for p in plan)
+    payload = [
+        p if isinstance(p, list) else (p.ops[:p.period], _stack_block(p))
+        for p in plan
+    ]
+
+    if use_jit:
+        sm, values = _run_compiled(plan_kinds, payload, probes, sm)
+    else:
+        sm, chunks = _execute_plan(plan_kinds, payload, probes, sm, callback=callback)
+        values = _concat_chunks(chunks)
+
+    times = get_adc_times(sequence)
+
+    if asarray:
+        values = tuple(_to_numpy_probe(v) for v in values)
+        times = np.asarray(times)
+    if len(values) == 1:
+        values = values[0]
+
+    if adc_time:
+        return times, values
+    return values
+
+
+def _to_numpy_probe(v):
+    """Convert one probe's output pytree to a host numpy array.
+
+    Tuple-valued probes (e.g. ``Probe("(real(F0), imag(F0))")``) stack their
+    components on axis 1, matching the reference's per-ADC tuple layout.
+    """
+    if isinstance(v, (tuple, list)):
+        return np.stack([np.asarray(x) for x in v], axis=1)
+    return np.asarray(v)
+
+
+# -- modify (reference epgpy/functions.py:251-347) --
+
+
+def modify(sequence, modifier=None, *, expand: bool = True, **params):
+    """Rewrite a sequence, combining ops with duration-matched E/P."""
+    shape = getshape(sequence)
+    values = common.expand_arrays(*params.values(), append=True)
+    if expand and (len(shape) > 1 or shape[0] > 1):
+        dims = len(shape)
+        values = tuple(
+            None if v is None else
+            (jnp.reshape(jnp.asarray(v), (1,) * dims + common.get_shape(v))
+             if common.get_shape(v) else v)
+            for v in values
+        )
+    params = dict(zip(params, values))
+
+    if modifier is None:
+        modifier = default_modifier
+        if not params:
+            return sequence
+    elif not callable(modifier):
+        raise TypeError("`modifier` must be a callable")
+
+    newseq, opdict = [], {}
+    for op in flatten_sequence(sequence):
+        if id(op) in opdict:
+            newseq.append(opdict[id(op)])
+            continue
+        newop = modifier(op, **params)
+        opdict[id(op)] = newop
+        newseq.append(newop)
+    if isinstance(sequence, base.MultiOperator):
+        return base.MultiOperator(newseq, name=sequence.name)
+    return newseq
+
+
+def default_modifier(op, **kwargs):
+    """Default modifier: B1 attenuation of T, relaxation over durations."""
+    from .ops import transition, evolution
+
+    if isinstance(op, transition.T):
+        att = kwargs.get("att")
+        if att is not None and not (
+            common.get_shape(att) == () and np.allclose(np.asarray(att), 1)
+        ):
+            op = transition.T(op.alpha * jnp.asarray(att), op.phi,
+                              name=op.name + "#", duration=op.duration)
+
+    if np.any(np.asarray(op.duration) > 0):
+        T1, T2, g = kwargs.get("T1"), kwargs.get("T2"), kwargs.get("g")
+        if T1 is None and T2 is None and g is None:
+            pass
+        elif T1 is None and T2 is None:
+            op = op * evolution.P(op.duration, g, duration=0)
+            op.name = op[0].name + "*"
+        else:
+            T1 = 1e10 if T1 is None else T1
+            T2 = 1e10 if T2 is None else T2
+            g = 0 if g is None else g
+            op = op * evolution.E(op.duration, T1, T2, g, duration=0)
+            op.name = op[0].name + "*"
+    return op

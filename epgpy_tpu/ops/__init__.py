@@ -1,0 +1,21 @@
+"""Operator namespace: physics kernels and utilities (flat re-exports)."""
+
+from .base import (
+    Operator, EmptyOperator, MultiOperator, CombinableOperator,
+    Wait, Offset, Spoiler, Reset, PD, System, NULL, SPOILER, RESET,
+)
+from .scalarop import ScalarOp
+from .matrixop import MatrixOp
+from .transition import T, Tx, Ty, Phi
+from .evolution import E, P, R
+from .shift import S, G, C
+from .probe import Probe, Adc, ADC, DFT, Imaging
+
+__all__ = [
+    "Operator", "EmptyOperator", "MultiOperator", "CombinableOperator",
+    "Wait", "Offset", "Spoiler", "Reset", "PD", "System",
+    "NULL", "SPOILER", "RESET",
+    "ScalarOp", "MatrixOp",
+    "T", "Tx", "Ty", "Phi", "E", "P", "R", "S", "G", "C",
+    "Probe", "Adc", "ADC", "DFT", "Imaging",
+]

@@ -1,0 +1,118 @@
+"""Relaxation / precession operators.
+
+Physics (parity target: reference epgpy/evolution.py:220-256):
+
+* ``R(rT, rL, r0)``  -- generic diagonal evolution with complex rates:
+  ``diag(conj(e^{-rT}), e^{-rT}, e^{-rL})`` plus recovery ``(0,0,1-e^{-r0})``.
+* ``E(tau, T1, T2, g)`` -- relaxation + precession:
+  ``rT = tau (1/T2 + 2 i pi g)``, ``rL = r0 = tau / T1``.
+* ``P(tau, g)``     -- pure precession: ``rT = 2 i pi g tau``.
+
+Derivatives come from JAX autodiff of these closed forms (replacing the
+hand-derived kernels of reference epgpy/evolution.py:360-488).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import common, config
+from . import base
+from .scalarop import ScalarOp
+
+__all__ = ["R", "E", "P", "evolution_operator", "relaxation_operator", "precession_operator"]
+
+
+def evolution_operator(rT, rL, r0=None):
+    """Diagonal evolution coefficients (arr, arr0) from complex rates."""
+    cdtype = config.complex_dtype()
+    rT, rL, r0 = common.expand_arrays(rT, rL, r0, append=True)
+    rT = jnp.asarray(rT, dtype=cdtype)
+    rL = jnp.asarray(rL, dtype=cdtype)
+    eT = jnp.exp(-rT)
+    eL = jnp.exp(-rL)
+    arr = jnp.stack(jnp.broadcast_arrays(jnp.conj(eT), eT, eL), axis=-1)
+    if arr.ndim == 1:
+        arr = arr[None]
+    if r0 is None:
+        return arr, None
+    r0 = jnp.asarray(r0, dtype=cdtype)
+    z = jnp.zeros_like(r0)
+    arr0 = jnp.stack(jnp.broadcast_arrays(z, z, 1 - jnp.exp(-r0)), axis=-1)
+    if arr0.ndim == 1:
+        arr0 = arr0[None]
+    arr, arr0 = jnp.broadcast_arrays(arr, arr0)
+    return arr, arr0
+
+
+def relaxation_operator(tau, T1, T2, g):
+    """E coefficients: transverse decay+precession, longitudinal recovery."""
+    tau, T1, T2, g = common.expand_arrays(tau, T1, T2, g, append=True)
+    tau = jnp.asarray(tau, dtype=config.real_dtype())
+    rT = tau * (1.0 / jnp.asarray(T2) + 2j * jnp.pi * jnp.asarray(g))
+    rL = tau / jnp.asarray(T1)
+    return evolution_operator(rT, rL, rL)
+
+
+def precession_operator(tau, g):
+    tau, g = common.expand_arrays(tau, g, append=True)
+    rT = 2j * jnp.pi * jnp.asarray(g) * jnp.asarray(tau)
+    return evolution_operator(rT, 0.0, None)
+
+
+@base.register_op
+class R(ScalarOp):
+    """Generic evolution operator with raw complex rates."""
+
+    PARAMS = ("arr", "arr0", "rT", "rL", "r0")
+
+    def __init__(self, rT=0, rL=0, *, r0=None, axes=None, name=None, duration=None,
+                 **kwargs):
+        self.rT, self.rL, self.r0 = (jnp.asarray(v) if v is not None else None
+                                     for v in (rT, rL, r0))
+        if not name:
+            name = common.repr_operator("R", ["rT", "rL", "r0"], [rT, rL, r0],
+                                        [".1f", ".1f", ".1f"])
+        arr, arr0 = evolution_operator(rT, rL, r0)
+        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
+                          check=False, **kwargs)
+
+
+@base.register_op
+class E(ScalarOp):
+    """Relaxation + precession: tau (ms), T1/T2 (ms), g (kHz)."""
+
+    PARAMS = ("arr", "arr0", "tau", "T1", "T2", "g")
+
+    def __init__(self, tau, T1, T2, g=0, *, axes=None, name=None, duration=None,
+                 **kwargs):
+        self.tau = jnp.asarray(tau)
+        self.T1 = jnp.asarray(T1)
+        self.T2 = jnp.asarray(T2)
+        self.g = jnp.asarray(g)
+        if not name:
+            name = common.repr_operator("E", ["tau", "T1", "T2", "g"],
+                                        [tau, T1, T2, g], [".1f", ".1f", ".1f", ".3f"])
+        if duration is True:
+            duration = tau
+        arr, arr0 = relaxation_operator(self.tau, self.T1, self.T2, self.g)
+        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
+                          check=False, **kwargs)
+
+
+@base.register_op
+class P(ScalarOp):
+    """Pure precession: tau (ms), g (kHz)."""
+
+    PARAMS = ("arr", "arr0", "tau", "g")
+
+    def __init__(self, tau, g, *, axes=None, name=None, duration=None, **kwargs):
+        self.tau = jnp.asarray(tau)
+        self.g = jnp.asarray(g)
+        if not name:
+            name = common.repr_operator("P", ["tau", "g"], [tau, g], [".1f", ".3f"])
+        if duration is True:
+            duration = tau
+        arr, arr0 = precession_operator(self.tau, self.g)
+        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
+                          check=False, **kwargs)

@@ -1,0 +1,108 @@
+"""RF-pulse (transition) operators.
+
+Physics: an instantaneous RF pulse of flip angle ``alpha`` and phase ``phi``
+(both in degrees) mixes each k-state's ``(F+, F-, Z)`` components by the
+Weigel EPG rotation matrix ``Rz(phi) . Rx(alpha) . Rz(-phi)`` expressed in
+the configuration basis (parity target: reference epgpy/transition.py:7-151).
+
+Everything is a pure jnp function of traced parameters, so ``jax.jacfwd``
+provides the alpha/phi derivatives the reference hand-derives
+(reference epgpy/transition.py:160-247).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import common, config
+from . import base
+from .matrixop import MatrixOp
+
+__all__ = ["T", "Tx", "Ty", "Phi", "rotation_operator", "rotation_phi"]
+
+
+def rotation_alpha(alpha):
+    """EPG rotation about x by `alpha` degrees, configuration basis."""
+    cdtype = config.complex_dtype()
+    a = jnp.deg2rad(jnp.asarray(alpha, dtype=config.real_dtype()))
+    cos2, sin2 = jnp.cos(a / 2) ** 2, jnp.sin(a / 2) ** 2
+    sin, cos = jnp.sin(a), jnp.cos(a)
+    zero = jnp.zeros_like(a)
+    mat = jnp.stack([
+        jnp.stack([cos2, sin2, -sin], axis=-1),          # imag parts handled below
+        jnp.stack([sin2, cos2, sin], axis=-1),
+        jnp.stack([-0.5 * sin, 0.5 * sin, cos], axis=-1),
+    ], axis=-2).astype(cdtype)
+    # multiply the off-diagonal sin terms by +/- i
+    imag_mask = jnp.asarray(
+        [[1, 1, 1j], [1, 1, 1j], [1j, 1j, 1]], dtype=cdtype
+    )
+    del zero
+    return mat * imag_mask
+
+
+def rotation_phi(phi):
+    """z-rotation by `phi` degrees: diag(e^{i phi}, e^{-i phi}, 1)."""
+    cdtype = config.complex_dtype()
+    p = jnp.deg2rad(jnp.asarray(phi, dtype=config.real_dtype()))
+    e = jnp.exp(1j * p).astype(cdtype)
+    zero = jnp.zeros_like(e)
+    one = jnp.ones_like(e)
+    return jnp.stack([
+        jnp.stack([e, zero, zero], axis=-1),
+        jnp.stack([zero, jnp.conj(e), zero], axis=-1),
+        jnp.stack([zero, zero, one], axis=-1),
+    ], axis=-2)
+
+
+def rotation_operator(alpha, phi):
+    """Full RF rotation ``Rz(phi) Rx(alpha) Rz(-phi)`` (degrees)."""
+    alpha, phi = common.expand_arrays(alpha, phi, append=True)
+    ra = rotation_alpha(alpha)
+    rp = rotation_phi(phi)
+    rm = rotation_phi(jnp.asarray(phi) * (-1))
+    ra, rp, rm = common.extend_operators(2, ra, rp, rm)
+    return jnp.einsum("...ij,...jk,...kl->...il", rp, ra, rm)
+
+
+@base.register_op
+class T(MatrixOp):
+    """Instantaneous RF pulse: flip `alpha`, phase `phi` (degrees)."""
+
+    PARAMS = ("mat", "mat0", "alpha", "phi")
+
+    def __init__(self, alpha, phi, *, axes=None, name=None, duration=None, **kwargs):
+        self.alpha = jnp.asarray(alpha, dtype=config.real_dtype())
+        self.phi = jnp.asarray(phi, dtype=config.real_dtype())
+        if not name:
+            name = common.repr_operator("T", ["alpha", "phi"], [alpha, phi], [".1f", ".1f"])
+        mat = rotation_operator(self.alpha, self.phi)
+        MatrixOp.__init__(self, mat, None, axes=axes, name=name, duration=duration,
+                          check=False, **kwargs)
+
+
+def Tx(alpha, **kwargs):
+    """RF pulse about x (phi = 0)."""
+    return T(alpha, 0, **kwargs)
+
+
+def Ty(alpha, **kwargs):
+    """RF pulse about y (phi = 90)."""
+    return T(alpha, 90, **kwargs)
+
+
+@base.register_op
+class Phi(MatrixOp):
+    """Pure phase offset (z-rotation by `phi` degrees)."""
+
+    PARAMS = ("mat", "mat0", "phi")
+
+    def __init__(self, phi, *, axes=None, name=None, duration=0, **kwargs):
+        self.phi = jnp.asarray(phi, dtype=config.real_dtype())
+        if not name:
+            name = common.repr_operator("Phi", ["phi"], [phi], [".1f"])
+        mat = rotation_phi(self.phi)
+        if mat.ndim == 2:
+            mat = mat[None]
+        MatrixOp.__init__(self, mat, None, axes=axes, name=name, duration=duration,
+                          check=False, **kwargs)

@@ -1,0 +1,388 @@
+"""Fixed-capacity EPG state matrix as a JAX pytree.
+
+Design (TPU-first, cf. SURVEY.md §7):
+
+* The reference grows/shrinks its state ladder dynamically
+  (reference epgpy/statematrix.py:293-297, epgpy/shift.py:82-152).  XLA
+  requires static shapes, so here the ladder capacity ``K = 2*ncap + 1`` is
+  fixed at construction -- chosen by the simulation driver from the
+  sequence's total shift count or the user's ``max_nstate`` option.  Unused
+  rows hold exact zeros: every operator (diagonal decay, 3x3 per-state
+  rotation, ladder shift) maps zero rows to zero rows, so no validity mask
+  is needed.
+
+* The state array layout is ``(*batch, K, 3)`` complex, storing the full
+  symmetric ladder with components ``(F+, F-, Z)`` per k-state and the k=0
+  row at index ``ncap`` (same convention as reference
+  epgpy/statematrix.py:9-81, docs/basics.md:13).  The conjugate symmetry
+  ``states[..., i, 1] == conj(states[..., K-1-i, 0])`` is preserved exactly
+  by all operators (complex conjugation is exact in IEEE arithmetic).
+
+* Batch ("parameter sweep") axes broadcast with the *append* rule: new
+  parameter axes are appended after existing ones (see common.py).  There
+  is no ArrayCollection: broadcasting is resolved functionally at operator
+  application time and ``vmap``/``pjit`` own the batch axes.
+
+* The object is an immutable pytree; operators return updated copies via
+  :meth:`update`.  ``options`` and structural metadata are static aux data
+  so ``jit`` caches compile per structure, not per value.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common, config
+
+__all__ = ["StateMatrix"]
+
+
+def _freeze(obj):
+    """Recursively convert dicts/lists to hashable static structures."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+class StateMatrix:
+    """n-dimensional phase-state matrix with static ladder capacity."""
+
+    __slots__ = ("states", "equilibrium", "coords", "kvalue", "tvalue", "system", "options")
+
+    def __init__(
+        self,
+        init=None,
+        *,
+        density=1.0,
+        equilibrium=None,
+        coords=None,
+        kvalue=1.0,
+        tvalue=1.0,
+        nstate: Optional[int] = None,
+        shape: Optional[tuple] = None,
+        check: bool = True,
+        system: Optional[dict] = None,
+        **options,
+    ):
+        cdtype = config.complex_dtype()
+
+        if equilibrium is None:
+            dens = jnp.asarray(density, dtype=cdtype)
+            dens = dens.reshape(dens.shape + (1, 1))
+            equilibrium = dens * jnp.asarray([[0, 0, 1]], dtype=cdtype)
+        equilibrium = _format_states(equilibrium, check=check)
+
+        if init is None:
+            states = equilibrium
+        else:
+            states = _format_states(init, check=check)
+
+        # common ladder size
+        K = max(states.shape[-2], equilibrium.shape[-2])
+        if nstate is not None:
+            K = max(K, 2 * int(nstate) + 1)
+        states = _pad_ladder(states, K)
+        equilibrium = _pad_ladder(equilibrium, K)
+
+        if shape:
+            bshape = common.broadcast_shapes(states.shape[:-2], tuple(shape))
+            nb = states.ndim - 2
+            expanded = states.reshape(
+                states.shape[:nb] + (1,) * (len(bshape) - nb) + states.shape[nb:]
+            )
+            states = jnp.broadcast_to(expanded, bshape + states.shape[-2:])
+
+        self.states = states
+        self.equilibrium = equilibrium
+        self.coords = None if coords is None else jnp.asarray(coords)
+        self.kvalue = kvalue
+        self.tvalue = tvalue
+        self.system = dict(system) if system else {}
+        self.options = dict(options)
+
+    # -- construction helpers ------------------------------------------------
+
+    @classmethod
+    def _from_fields(cls, states, equilibrium, coords, kvalue, tvalue, system, options):
+        sm = object.__new__(cls)
+        sm.states = states
+        sm.equilibrium = equilibrium
+        sm.coords = coords
+        sm.kvalue = kvalue
+        sm.tvalue = tvalue
+        sm.system = system
+        sm.options = options
+        return sm
+
+    def update(self, **fields) -> "StateMatrix":
+        """Functional update: return a copy with replaced fields."""
+        vals = {name: getattr(self, name) for name in self.__slots__}
+        vals.update(fields)
+        return StateMatrix._from_fields(
+            vals["states"], vals["equilibrium"], vals["coords"],
+            vals["kvalue"], vals["tvalue"], vals["system"], vals["options"],
+        )
+
+    copy = update  # parity alias (reference epgpy/statematrix.py:276)
+
+    # -- structural properties -----------------------------------------------
+
+    @property
+    def shape(self) -> tuple:
+        """Batch shape (parameter-sweep axes)."""
+        return self.states.shape[:-2]
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return math.prod(self.shape)
+
+    @property
+    def nstate(self) -> int:
+        """Ladder half-size: states.shape[-2] == 2*nstate + 1."""
+        return (self.states.shape[-2] - 1) // 2
+
+    @property
+    def kdim(self) -> int:
+        return 1 if self.coords is None else self.coords.shape[-1]
+
+    # -- physics views ---------------------------------------------------------
+
+    @property
+    def F(self):
+        """Transverse states F+ ladder."""
+        return self.states[..., 0]
+
+    @property
+    def i0(self):
+        """Center index (k == 0) or mask of k==0 rows for kdim == 4."""
+        if self.kdim < 4:
+            return self.nstate
+        return jnp.all(jnp.abs(self.coords[..., :3]) < 1e-12, axis=-1)
+
+    @property
+    def F0(self):
+        """Echo amplitude: F+ at k=0 (T2'-weighted sum over times if kdim==4)."""
+        if self.kdim < 4:
+            return self.states[..., self.nstate, 0]
+        evol = jnp.exp(-jnp.abs(self.t))
+        return jnp.sum(self.states[..., 0] * self.i0 * evol, axis=-1)
+
+    @property
+    def F0t(self):
+        """Separate F0 per accumulated time (kdim == 4)."""
+        if self.kdim < 4:
+            return self.states[..., self.nstate, 0]
+        return self.states[..., 0] * self.i0
+
+    @property
+    def Z(self):
+        return self.states[..., 2]
+
+    @property
+    def Z0(self):
+        if self.kdim < 4:
+            return self.states[..., self.nstate, 2]
+        return self.states[..., 2] * self.i0
+
+    @property
+    def k(self):
+        """Physical wavenumbers (rad/m): coords[..., :3] * kvalue."""
+        coords = self.coords
+        if coords is None:
+            n = self.nstate
+            coords = jnp.arange(-n, n + 1, dtype=config.real_dtype())[:, None]
+            coords = coords.reshape((1,) * self.ndim + coords.shape)
+        kvalue = self.kvalue
+        if not jnp.isscalar(kvalue) and common.get_shape(kvalue):
+            kvalue = jnp.asarray(kvalue)[: coords.shape[-1]]
+        return coords[..., :3] * kvalue
+
+    @property
+    def t(self):
+        """Accumulated dephasing time (4th coordinate)."""
+        if self.kdim < 4:
+            return jnp.zeros(())
+        return self.coords[..., 3] * self.tvalue
+
+    @property
+    def t0(self):
+        if self.kdim < 4:
+            return jnp.zeros(())
+        return self.coords[..., 3] * self.i0 * self.tvalue
+
+    @property
+    def ktvalue(self):
+        """Per-coordinate scaling [kvalue...(<=3), tvalue (if kdim==4)]."""
+        kdim = self.kdim
+        kvalue, tvalue = self.kvalue, self.tvalue
+        if not common.get_shape(kvalue):
+            coeff = [kvalue] * min(kdim, 3) + [tvalue] * (kdim == 4)
+        else:
+            coeff = list(np.asarray(kvalue).ravel())[:3] + [tvalue] * (kdim == 4)
+        return jnp.asarray(coeff, dtype=config.real_dtype())
+
+    @property
+    def density(self):
+        return self.equilibrium[..., (self.equilibrium.shape[-2] - 1) // 2, 2].real
+
+    @property
+    def norm(self):
+        """State-matrix norm over (F-, Z) components (reference utils.py:152)."""
+        return jnp.sqrt(jnp.sum(jnp.abs(self.states[..., 1:]) ** 2, axis=(-2, -1)))
+
+    # -- shape manipulation ------------------------------------------------------
+
+    def expand(self, ndim: int) -> "StateMatrix":
+        """Append trailing batch axes until batch rank is `ndim`."""
+        diff = ndim - self.ndim
+        if diff <= 0:
+            return self
+        def _ex(arr, core):
+            if arr is None:
+                return None
+            nbatch = arr.ndim - core
+            return arr.reshape(arr.shape[:nbatch] + (1,) * diff + arr.shape[nbatch:])
+        return self.update(
+            states=_ex(self.states, 2),
+            equilibrium=_ex(self.equilibrium, 2),
+            coords=_ex(self.coords, 2),
+        )
+
+    def broadcast(self, shape: tuple) -> "StateMatrix":
+        """Broadcast batch axes to `shape` (append rule), materializing states."""
+        shape = tuple(shape)
+        sm = self.expand(len(shape))
+        target = common.broadcast_shapes(sm.shape, shape)
+        states = jnp.broadcast_to(sm.states, target + sm.states.shape[-2:])
+        return sm.update(states=states)
+
+    def resize(self, nstate: int) -> "StateMatrix":
+        """Pad/crop the ladder symmetrically to half-size `nstate` (static)."""
+        K = 2 * int(nstate) + 1
+        return self.update(
+            states=_pad_ladder(self.states, K),
+            equilibrium=_pad_ladder(self.equilibrium, K),
+            coords=None if self.coords is None else _pad_ladder(self.coords, K),
+        )
+
+    def setup_coords(self, kdim: int) -> "StateMatrix":
+        """Attach (or widen) explicit k-coordinates of dimension `kdim`."""
+        n = self.nstate
+        if self.coords is not None:
+            diff = kdim - self.kdim
+            if diff < 0:
+                raise RuntimeError("Cannot remove existing k-dimensions")
+            if diff == 0:
+                return self
+            zeros = jnp.zeros(self.coords.shape[:-1] + (diff,), self.coords.dtype)
+            return self.update(coords=jnp.concatenate([self.coords, zeros], axis=-1))
+        ladder = jnp.arange(-n, n + 1, dtype=config.real_dtype())
+        coords = jnp.stack(
+            [ladder] + [jnp.zeros_like(ladder)] * (kdim - 1), axis=-1
+        )
+        coords = coords.reshape((1,) * self.ndim + coords.shape)
+        return self.update(coords=coords)
+
+    def stack(self, others, *, axis: int = 0) -> "StateMatrix":
+        """Stack state matrices along a new batch axis."""
+        sms = [self] + list(others)
+        states = jnp.stack([s.states for s in sms], axis=axis)
+        equib = jnp.stack([jnp.broadcast_to(s.equilibrium, s.states.shape) for s in sms], axis=axis)
+        coords = None
+        if sms[0].coords is not None:
+            coords = jnp.stack([s.coords for s in sms], axis=axis)
+        return self.update(states=states, equilibrium=equib, coords=coords)
+
+    def unstack(self, *, axis: int = 0):
+        """Split along a batch axis into a list of state matrices."""
+        states = jnp.moveaxis(self.states, axis, 0)
+        eq = jnp.broadcast_to(self.equilibrium, self.states.shape)
+        eq = jnp.moveaxis(eq, axis, 0)
+        coords = None if self.coords is None else jnp.moveaxis(self.coords, axis, 0)
+        out = []
+        for i in range(states.shape[0]):
+            out.append(self.update(
+                states=states[i], equilibrium=eq[i],
+                coords=None if coords is None else coords[i]))
+        return out
+
+    def check(self) -> bool:
+        """Verify conjugate ladder symmetry (reference utils.py:118-121)."""
+        s = self.states
+        return bool(jnp.allclose(s, jnp.conj(s[..., ::-1, :][..., (1, 0, 2)])))
+
+    def __repr__(self):
+        return f"StateMatrix({self.shape}, nstate={self.nstate})"
+
+
+def _pad_ladder(arr, K: int):
+    """Pad or crop the (second-to-last) ladder axis symmetrically to size K."""
+    cur = arr.shape[-2]
+    if cur == K:
+        return arr
+    diff = (K - cur) // 2
+    if (K - cur) % 2 != 0:
+        raise ValueError(f"Ladder sizes must share parity: {cur} -> {K}")
+    if diff > 0:
+        pad = [(0, 0)] * (arr.ndim - 2) + [(diff, diff), (0, 0)]
+        return jnp.pad(arr, pad)
+    return arr[..., -diff:cur + diff, :]
+
+
+def _format_states(states, check: bool = True):
+    """Normalize an init spec to a (..., 2n+1, 3) complex ladder array."""
+    cdtype = config.complex_dtype()
+    states = jnp.asarray(states, dtype=cdtype)
+    if states.ndim == 1:
+        if check and states.size != 3:
+            raise ValueError("The number of state components must be 3")
+        states = states.reshape((1, 3))
+    if check:
+        if states.shape[-1] != 3:
+            raise ValueError("The number of state components must be 3")
+        if states.shape[-2] % 2 != 1:
+            raise ValueError("The number of states must be odd")
+        if not isinstance(states, jax.core.Tracer):
+            if not jnp.allclose(states[..., 1], jnp.conj(states[..., ::-1, 0])):
+                raise ValueError("The F-state columns do not match")
+            if not jnp.allclose(states[..., 2], jnp.conj(states[..., ::-1, 2])):
+                raise ValueError("The Z-state column is not symmetrical")
+    if states.ndim == 2:
+        states = states[None]
+    return states
+
+
+# -- pytree registration ---------------------------------------------------------
+
+def _sm_flatten(sm: StateMatrix):
+    syskeys = tuple(sorted(sm.system))
+    children = (
+        sm.states, sm.equilibrium, sm.coords, sm.kvalue, sm.tvalue,
+        tuple(sm.system[k] for k in syskeys),
+    )
+    aux = (syskeys, _freeze(sm.options), tuple(sorted(sm.options)))
+    return children, aux
+
+
+def _sm_unflatten(aux, children):
+    syskeys, frozen_opts, _ = aux
+    states, equilibrium, coords, kvalue, tvalue, sysvals = children
+    options = {k: v for k, v in frozen_opts}
+    system = dict(zip(syskeys, sysvals))
+    return StateMatrix._from_fields(
+        states, equilibrium, coords, kvalue, tvalue, system, options
+    )
+
+
+jax.tree_util.register_pytree_node(StateMatrix, _sm_flatten, _sm_unflatten)

@@ -1,0 +1,29 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64 parity mode.
+
+Must run before jax initializes a backend: forces an 8-device virtual CPU
+mesh (for sharding tests) and 64-bit mode (for parity with the reference's
+complex128 semantics).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+# the axon TPU plugin force-registers even under JAX_PLATFORMS=cpu;
+# steer all test computation to the host CPU devices explicitly.
+try:
+    _cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except RuntimeError:
+    pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def cpu_devices():
+    return jax.devices("cpu")

@@ -1,0 +1,141 @@
+"""End-to-end invariants + golden parity vs the reference implementation.
+
+Golden .npz files are produced by tools/make_golden.py (runs the reference
+epgpy on NumPy); the tests here never import the reference.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def load_golden(name):
+    path = os.path.join(GOLDEN, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden file missing: {name}")
+    return np.load(path)
+
+
+def test_hyperecho():
+    """After a +a... 180 ...-a train the echo returns to exactly 1."""
+    alphas = [10, 25, 40, 55, 70]
+    seq = [epg.T(90, 90)]
+    for a in alphas:
+        seq += [epg.S(1), epg.T(a, 0)]
+    seq += [epg.S(1), epg.T(180, 0)]
+    for a in reversed(alphas):
+        seq += [epg.S(1), epg.T(-a, 0)]
+    seq += [epg.S(1), epg.ADC]
+    sig = np.asarray(epg.simulate(seq))
+    assert np.allclose(np.abs(sig), 1.0, atol=1e-9)
+
+
+def test_cpmg_golden():
+    g = load_golden("cpmg")
+    T2s = list(g["T2s"])
+    necho = g["signal"].shape[0]
+    seq = [epg.T(90, 90)] + [
+        epg.E(4.5, 1400, T2s), epg.S(1), epg.T(150, 0),
+        epg.E(4.5, 1400, T2s), epg.S(1), epg.ADC,
+    ] * necho
+    sig = np.asarray(epg.simulate(seq))
+    assert sig.shape == g["signal"].shape
+    assert np.abs(sig - g["signal"]).max() < 1e-12
+
+
+def test_spgr_golden():
+    g = load_golden("spgr")
+    n, TR, TE = 50, 10.0, 3.0
+    phases = np.cumsum(np.arange(n) * 117.0)
+    seq = []
+    for i in range(n):
+        seq += [
+            epg.T(15, phases[i] % 360),
+            epg.E(TE, 1000, 80), epg.Adc(phase=-(phases[i] % 360)),
+            epg.E(TR - TE, 1000, 80), epg.S(1),
+        ]
+    sig = np.asarray(epg.simulate(seq, max_nstate=20))
+    assert np.abs(sig - g["signal"]).max() < 1e-12
+
+
+def test_mse_b1_golden():
+    g = load_golden("mse_b1")
+    T2s, B1s = g["T2s"], g["B1s"]
+    seq = [epg.T(90, 90)]
+    for _ in range(g["signal"].shape[0]):
+        seq += [
+            epg.E(4.5, 1400, T2s), epg.S(1),
+            epg.T(150 * B1s[None, :], 0),
+            epg.E(4.5, 1400, T2s), epg.S(1), epg.ADC,
+        ]
+    sig = np.asarray(epg.simulate(seq))
+    assert sig.shape == g["signal"].shape
+    assert np.abs(sig - g["signal"]).max() < 1e-12
+
+
+def test_fisp_mrf_golden():
+    g = load_golden("fisp_mrf")
+    FAs, T1s, T2s = g["FAs"], list(g["T1s"]), list(g["T2s"])
+    TR, TE = 12.0, 5.0
+    seq = []
+    for i in range(len(FAs)):
+        seq += [
+            epg.T(FAs[i], 90),
+            epg.E(TE, T1s, T2s), epg.ADC,
+            epg.E(TR - TE, T1s, T2s), epg.S(1),
+        ]
+    sig = np.asarray(epg.simulate(seq, max_nstate=10))
+    assert sig.shape == g["signal"].shape
+    assert np.abs(sig - g["signal"]).max() < 1e-12
+
+
+def test_scan_vs_unrolled():
+    """Scan compilation and full unroll produce identical results."""
+    T2s = [30.0, 60.0]
+    seq = [epg.T(90, 90)] + [
+        epg.E(5, 1000, T2s), epg.S(1), epg.T(120, 0),
+        epg.E(5, 1000, T2s), epg.S(1), epg.ADC,
+    ] * 12
+    a = np.asarray(epg.simulate(seq, scan=True))
+    b = np.asarray(epg.simulate(seq, scan=False))
+    c = np.asarray(epg.simulate(seq, jit=False))
+    assert np.abs(a - b).max() < 1e-12
+    assert np.abs(a - c).max() < 1e-12
+
+
+def test_spoiler_reset():
+    sm = epg.T(90, 90)(epg.StateMatrix(nstate=2))
+    spoiled = epg.SPOILER(sm)
+    assert np.allclose(np.asarray(spoiled.F), 0)
+    assert np.allclose(np.asarray(spoiled.Z0), np.asarray(sm.Z0))
+    reset = epg.RESET(sm)
+    assert np.allclose(np.asarray(reset.Z0), 1.0)
+    assert np.allclose(np.asarray(reset.F0), 0.0)
+
+
+def test_norm_conservation_under_T_S():
+    """T and S conserve total state norm (reference test_statematrix.py:251)."""
+    sm = epg.StateMatrix(nstate=4)
+    sm = epg.T(90, 0)(sm)
+    norm0 = np.asarray(sm.norm)
+    for _ in range(3):
+        sm = epg.S(1)(sm)
+        sm = epg.T(35, 45)(sm)
+        assert np.allclose(np.asarray(sm.norm), norm0)
+
+
+def test_shift_truncation_cap():
+    """max_nstate truncation: capped ladder == full ladder when cap suffices;
+    truncation parity with the reference is covered by test_fisp_mrf_golden
+    (the golden was generated with max_nstate=10 over 64 shifts)."""
+    seq = [epg.T(90, 90)] + [
+        epg.S(1), epg.T(150, 0), epg.S(1), epg.ADC,
+    ] * 6
+    full = np.asarray(epg.simulate(seq))
+    roomy = np.asarray(epg.simulate(seq, max_nstate=50))
+    assert np.abs(full - roomy).max() < 1e-12

@@ -1,0 +1,148 @@
+"""Engine tests: planning, probes, modify, combine (strategy: reference
+test/test_functions.py)."""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import engine
+
+
+def _cpmg(necho=10, T2s=(30.0, 60.0)):
+    return [epg.T(90, 90)] + [
+        epg.E(4.5, 1400, list(T2s)), epg.S(1), epg.T(150, 0),
+        epg.E(4.5, 1400, list(T2s)), epg.S(1), epg.ADC,
+    ] * necho
+
+
+def test_plan_detects_period():
+    seq = engine.flatten_sequence(_cpmg(10))
+    plan = engine._build_plan(seq)
+    kinds = ["scan" if isinstance(p, engine._ScanBlock) else "unroll" for p in plan]
+    assert "scan" in kinds
+    block = [p for p in plan if isinstance(p, engine._ScanBlock)][0]
+    assert block.period == 6
+    assert block.reps == 10
+
+
+def test_plan_no_false_positive():
+    seq = [epg.T(90, 90), epg.S(1), epg.ADC]
+    plan = engine._build_plan(engine.flatten_sequence(seq))
+    assert all(isinstance(p, list) for p in plan)
+
+
+def test_getshape_getnshift():
+    seq = _cpmg(4)
+    assert engine.getnshift(seq) == 8
+    assert engine.getshape(seq) == (2,)
+
+
+def test_adc_times():
+    seq = [epg.T(90, 90), epg.Wait(5.0), epg.ADC, epg.Wait(3.0), epg.ADC]
+    times, values = epg.simulate(seq, adc_time=True)
+    assert np.allclose(times, [5.0, 8.0])
+
+
+def test_probe_strings():
+    seq = [epg.T(90, 90), epg.ADC]
+    z = epg.simulate(seq, probe="Z0")
+    f = epg.simulate(seq, probe="F0")
+    assert np.allclose(z, 0.0)
+    assert np.allclose(f, 1.0)
+
+
+def test_multiple_probes():
+    seq = [epg.T(30, 90), epg.ADC]
+    f0, z0 = epg.simulate(seq, probe=["F0", "Z0"])
+    assert np.allclose(f0, np.sin(np.pi / 6))
+    assert np.allclose(z0, np.cos(np.pi / 6))
+
+
+def test_probe_tuple_expression():
+    seq = [epg.T(90, 0), epg.ADC]
+    out = epg.simulate(seq, probe="(real(F0), imag(F0))")
+    assert out.shape[:2] == (1, 2)
+    assert np.allclose(out[0, 0], 0.0)
+    assert np.allclose(out[0, 1], -1.0)
+
+
+def test_adc_attr_weights_reduce():
+    T2s = [30.0, 60.0]
+    seq = [epg.T(90, 90), epg.E(10, 1000, T2s),
+           epg.Adc(weights=[0.25, 0.75], reduce=0)]
+    out = epg.simulate(seq)
+    expected = 0.25 * np.exp(-10 / 30) + 0.75 * np.exp(-10 / 60)
+    assert np.allclose(out, expected)
+
+
+def test_adc_phase():
+    seq = [epg.T(90, 0), epg.Adc(phase=90)]
+    out = epg.simulate(seq)
+    # F0 = -i, phase +90 multiplies by i -> 1
+    assert np.allclose(out, 1.0)
+
+
+def test_callback_eager():
+    norms = []
+    seq = [epg.T(90, 90), epg.S(1), epg.T(120, 0), epg.S(1), epg.ADC]
+    epg.simulate(seq, callback=lambda sm: norms.append(float(np.asarray(sm.norm)[0])),
+                 jit=False)
+    assert len(norms) == 4  # every non-probe op
+    assert np.allclose(norms, 1.0)
+
+
+def test_modify():
+    seq = [epg.T(90, 90), epg.S(1, duration=2.0), epg.T(180, 0),
+           epg.S(1, duration=2.0), epg.ADC]
+    seq2 = epg.modify(seq, T1=1000.0, T2=50.0)
+    sig = np.asarray(epg.simulate(seq2))
+    assert np.allclose(np.abs(sig), np.exp(-4.0 / 50.0))
+
+
+def test_modify_att():
+    seq = [epg.T(90, 0, duration=0.0), epg.ADC]
+    seq2 = epg.modify(seq, att=0.5)
+    sig = np.asarray(epg.simulate(seq2))
+    assert np.allclose(np.abs(sig), np.sin(np.pi / 4))
+
+
+def test_modify_B1_sweep_expands():
+    B1 = np.linspace(0.5, 1.0, 4)
+    seq = [epg.T(90, 0, duration=0.0), epg.ADC]
+    seq2 = epg.modify(seq, att=B1)
+    sig = np.asarray(epg.simulate(seq2))
+    assert sig.shape[-1] == 4
+
+
+def test_combined_matches_sequential():
+    """op1 @ op2 equals applying op1 then op2 (reference test_diff.py:504)."""
+    sm0 = epg.T(90, 90)(epg.StateMatrix(nstate=1))
+    e = epg.E(5, 800, 40, g=0.05)
+    t = epg.T(35, 20)
+    seq_out = t(e(sm0))
+    comb_out = (e @ t)(sm0)
+    assert np.allclose(np.asarray(seq_out.states), np.asarray(comb_out.states))
+
+
+def test_scalar_scalar_combine():
+    sm0 = epg.T(90, 90)(epg.StateMatrix())
+    e1 = epg.E(5, 800, 40)
+    e2 = epg.E(3, 600, 30)
+    a = e2(e1(sm0))
+    b = (e1 @ e2)(sm0)
+    assert np.allclose(np.asarray(a.states), np.asarray(b.states))
+
+
+def test_multioperator():
+    T2s = [30.0, 60.0]
+    block = epg.E(4.5, 1400, T2s) * epg.S(1) * epg.T(150, 0)
+    assert isinstance(block, epg.MultiOperator)
+    assert block.nshift == 1
+    seq = [epg.T(90, 90)] + [block, epg.E(4.5, 1400, T2s), epg.S(1), epg.ADC] * 3
+    out = np.asarray(epg.simulate(seq))
+    assert out.shape == (3, 2)
+
+
+def test_no_probe_raises():
+    with pytest.raises(ValueError):
+        epg.simulate([epg.T(90, 90)])
