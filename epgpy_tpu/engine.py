@@ -203,10 +203,37 @@ def _concat_chunks(chunks):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
 
+# -- real program boundaries --
+# The TPU backend only supports complex values strictly inside a compiled
+# program (see statematrix.py).  Compiled outputs therefore encode complex
+# leaves as {"__c_re", "__c_im"} dicts of real arrays; the host decodes.
+
+
+def _encode_complex(tree):
+    return jax.tree.map(
+        lambda x: {"__c_re": x.real, "__c_im": x.imag}
+        if jnp.iscomplexobj(x) else x,
+        tree,
+    )
+
+
+def _is_cnode(n):
+    return isinstance(n, dict) and "__c_re" in n
+
+
+def _decode_complex_np(tree):
+    """Decode to host numpy (complex where encoded)."""
+    return jax.tree.map(
+        lambda n: np.asarray(n["__c_re"]) + 1j * np.asarray(n["__c_im"])
+        if _is_cnode(n) else np.asarray(n),
+        tree, is_leaf=_is_cnode,
+    )
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _run_compiled(plan_kinds, plan_payload, probes, sm):
     sm, chunks = _execute_plan(plan_kinds, plan_payload, probes, sm)
-    return sm, _concat_chunks(chunks)
+    return sm, _encode_complex(_concat_chunks(chunks))
 
 
 def simulate(
@@ -271,6 +298,10 @@ def simulate(
 
     if use_jit:
         sm, values = _run_compiled(plan_kinds, payload, probes, sm)
+        if asarray:
+            values = _decode_complex_np(values)
+        # else: leave encoded ({"__c_re","__c_im"} real device arrays) --
+        # complex cannot cross the program boundary on TPU
     else:
         sm, chunks = _execute_plan(plan_kinds, payload, probes, sm, callback=callback)
         values = _concat_chunks(chunks)

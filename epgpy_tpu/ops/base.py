@@ -245,8 +245,10 @@ class Spoiler(Operator):
     """Perfect spoiler: destroys all transverse magnetization."""
 
     def apply(self, sm):
-        states = sm.states.at[..., 0:2].set(0)
-        return sm.update(states=states)
+        return sm.update(
+            states_re=sm.states_re.at[..., 0:2].set(0),
+            states_im=sm.states_im.at[..., 0:2].set(0),
+        )
 
 
 @register_op
@@ -254,10 +256,13 @@ class Reset(Operator):
     """Reset magnetization to equilibrium."""
 
     def apply(self, sm):
-        states = jnp.broadcast_to(
-            jnp.asarray(sm.equilibrium, dtype=sm.states.dtype), sm.states.shape
+        shape = sm.states_re.shape
+        return sm.update(
+            states_re=jnp.broadcast_to(
+                jnp.asarray(sm.equilibrium_re, sm.states_re.dtype), shape),
+            states_im=jnp.broadcast_to(
+                jnp.asarray(sm.equilibrium_im, sm.states_im.dtype), shape),
         )
-        return sm.update(states=states)
 
 
 @register_op
@@ -276,16 +281,19 @@ class PD(Operator):
         return common.get_shape(self.pd) or (1,)
 
     def apply(self, sm):
-        K = sm.states.shape[-2]
+        K = sm.states_re.shape[-2]
         n = (K - 1) // 2
-        pd = common.expand_dims_after(jnp.asarray(self.pd, dtype=sm.states.dtype), sm.ndim)
-        eq = jnp.zeros(pd.shape + (K, 3), dtype=sm.states.dtype)
-        eq = eq.at[..., n, 2].set(pd)
-        sm = sm.update(equilibrium=eq)
+        rdtype = sm.states_re.dtype
+        pd = common.expand_dims_after(jnp.asarray(self.pd, dtype=rdtype), sm.ndim)
+        eq_re = jnp.zeros(pd.shape + (K, 3), dtype=rdtype).at[..., n, 2].set(pd)
+        eq_im = jnp.zeros_like(eq_re)
+        sm = sm.update(equilibrium_re=eq_re, equilibrium_im=eq_im)
         if self.reset:
-            states = jnp.broadcast_to(
-                eq, common.broadcast_shapes(sm.shape, pd.shape) + (K, 3))
-            sm = sm.update(states=states)
+            shape = common.broadcast_shapes(sm.shape, tuple(pd.shape)) + (K, 3)
+            sm = sm.update(
+                states_re=jnp.broadcast_to(eq_re, shape),
+                states_im=jnp.broadcast_to(eq_im, shape),
+            )
         return sm
 
 

@@ -8,19 +8,24 @@ Physics (parity target: reference epgpy/evolution.py:220-256):
   ``rT = tau (1/T2 + 2 i pi g)``, ``rL = r0 = tau / T1``.
 * ``P(tau, g)``     -- pure precession: ``rT = 2 i pi g tau``.
 
-Derivatives come from JAX autodiff of these closed forms (replacing the
-hand-derived kernels of reference epgpy/evolution.py:360-488).
+Operators store only their physical parameters (real leaves; complex rates
+split re/im) and build the diagonal coefficients at trace time, so JAX
+autodiff replaces the hand-derived kernels of reference
+epgpy/evolution.py:360-488.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import common, config
 from . import base
-from .scalarop import ScalarOp
+from .scalarop import ScalarOp, apply_coefficients, split_complex, join_complex
 
-__all__ = ["R", "E", "P", "evolution_operator", "relaxation_operator", "precession_operator"]
+__all__ = ["R", "E", "P", "evolution_operator", "relaxation_operator",
+           "precession_operator"]
 
 
 def evolution_operator(rT, rL, r0=None):
@@ -60,59 +65,107 @@ def precession_operator(tau, g):
     return evolution_operator(rT, 0.0, None)
 
 
+def _as_real(value):
+    if value is None:
+        return None
+    if isinstance(value, (jax.core.Tracer, jnp.ndarray)):
+        return jnp.asarray(value)
+    return np.asarray(value, dtype=float)
+
+
 @base.register_op
 class R(ScalarOp):
     """Generic evolution operator with raw complex rates."""
 
-    PARAMS = ("arr", "arr0", "rT", "rL", "r0")
+    PARAMS = ("rT_re", "rT_im", "rL_re", "rL_im", "r0_re", "r0_im")
 
-    def __init__(self, rT=0, rL=0, *, r0=None, axes=None, name=None, duration=None,
-                 **kwargs):
-        self.rT, self.rL, self.r0 = (jnp.asarray(v) if v is not None else None
-                                     for v in (rT, rL, r0))
+    def __init__(self, rT=0, rL=0, *, r0=None, axes=None, name=None,
+                 duration=None, **kwargs):
+        self.rT_re, self.rT_im = split_complex(rT)
+        self.rL_re, self.rL_im = split_complex(rL)
+        self.r0_re, self.r0_im = split_complex(r0)
+        self.axes = axes
         if not name:
             name = common.repr_operator("R", ["rT", "rL", "r0"], [rT, rL, r0],
                                         [".1f", ".1f", ".1f"])
-        arr, arr0 = evolution_operator(rT, rL, r0)
-        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
-                          check=False, **kwargs)
+        base.Operator.__init__(self, name=name, duration=duration)
+
+    rT = property(lambda self: join_complex(self.rT_re, self.rT_im))
+    rL = property(lambda self: join_complex(self.rL_re, self.rL_im))
+    r0 = property(lambda self: join_complex(self.r0_re, self.r0_im))
+
+    @property
+    def shape(self):
+        return common.broadcast_shapes(
+            common.get_shape(self.rT_re), common.get_shape(self.rL_re),
+            common.get_shape(self.r0_re), (1,))
+
+    def coefficients(self):
+        r0 = None if self.r0_re is None else self.r0
+        arr, arr0 = evolution_operator(self.rT, self.rL, r0)
+        if self.axes is not None:
+            arr = common.set_axes(1, arr, self.axes)
+            arr0 = None if arr0 is None else common.set_axes(1, arr0, self.axes)
+        return arr, arr0
 
 
 @base.register_op
 class E(ScalarOp):
     """Relaxation + precession: tau (ms), T1/T2 (ms), g (kHz)."""
 
-    PARAMS = ("arr", "arr0", "tau", "T1", "T2", "g")
+    PARAMS = ("tau", "T1", "T2", "g")
 
     def __init__(self, tau, T1, T2, g=0, *, axes=None, name=None, duration=None,
                  **kwargs):
-        self.tau = jnp.asarray(tau)
-        self.T1 = jnp.asarray(T1)
-        self.T2 = jnp.asarray(T2)
-        self.g = jnp.asarray(g)
+        self.tau = _as_real(tau)
+        self.T1 = _as_real(T1)
+        self.T2 = _as_real(T2)
+        self.g = _as_real(g)
+        self.axes = axes
         if not name:
             name = common.repr_operator("E", ["tau", "T1", "T2", "g"],
                                         [tau, T1, T2, g], [".1f", ".1f", ".1f", ".3f"])
         if duration is True:
             duration = tau
+        base.Operator.__init__(self, name=name, duration=duration)
+
+    @property
+    def shape(self):
+        return common.broadcast_shapes(
+            common.get_shape(self.tau), common.get_shape(self.T1),
+            common.get_shape(self.T2), common.get_shape(self.g), (1,))
+
+    def coefficients(self):
         arr, arr0 = relaxation_operator(self.tau, self.T1, self.T2, self.g)
-        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
-                          check=False, **kwargs)
+        if self.axes is not None:
+            arr = common.set_axes(1, arr, self.axes)
+            arr0 = common.set_axes(1, arr0, self.axes)
+        return arr, arr0
 
 
 @base.register_op
 class P(ScalarOp):
     """Pure precession: tau (ms), g (kHz)."""
 
-    PARAMS = ("arr", "arr0", "tau", "g")
+    PARAMS = ("tau", "g")
 
     def __init__(self, tau, g, *, axes=None, name=None, duration=None, **kwargs):
-        self.tau = jnp.asarray(tau)
-        self.g = jnp.asarray(g)
+        self.tau = _as_real(tau)
+        self.g = _as_real(g)
+        self.axes = axes
         if not name:
             name = common.repr_operator("P", ["tau", "g"], [tau, g], [".1f", ".3f"])
         if duration is True:
             duration = tau
+        base.Operator.__init__(self, name=name, duration=duration)
+
+    @property
+    def shape(self):
+        return common.broadcast_shapes(
+            common.get_shape(self.tau), common.get_shape(self.g), (1,))
+
+    def coefficients(self):
         arr, arr0 = precession_operator(self.tau, self.g)
-        ScalarOp.__init__(self, arr, arr0, axes=axes, name=name, duration=duration,
-                          check=False, **kwargs)
+        if self.axes is not None:
+            arr = common.set_axes(1, arr, self.axes)
+        return arr, arr0

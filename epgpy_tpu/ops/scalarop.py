@@ -6,19 +6,27 @@ coefficient triplet ``arr`` and adds a recovery term ``arr0 * equilibrium``
 the ladder symmetry ``arr == arr[..., (1, 0, 2)].conj()`` so that the state
 matrix's conjugate symmetry is preserved.
 
+Real-boundary design: coefficients are stored as (re, im) real leaves and
+the complex view is assembled at trace time (``coefficients()``); physics
+subclasses (E/P/R) store only their physical parameters and *build* the
+coefficients at trace time -- which also makes them transparently
+differentiable with ``jax.jacfwd`` w.r.t. the parameter leaves.
+
 On TPU this is a pure VPU elementwise op; XLA fuses chains of ScalarOps and
-adjacent rotations into a single kernel.
+adjacent rotations into a single kernel, and constant-folds coefficient
+construction when parameters are static.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import common, config
 from . import base
 
-__all__ = ["ScalarOp", "scalar_combine", "align_batch"]
+__all__ = ["ScalarOp", "scalar_combine", "align_batch", "split_complex", "join_complex"]
 
 
 def align_batch(arr, sm_batch_ndim: int, core_ndim: int):
@@ -34,48 +42,101 @@ def align_batch(arr, sm_batch_ndim: int, core_ndim: int):
     return arr.reshape(arr.shape[:nbatch] + (1,) * missing + arr.shape[nbatch:])
 
 
-def _format_triplet(arr, check=True):
-    arr = jnp.asarray(arr, dtype=config.complex_dtype())
+def split_complex(value, none_ok=True):
+    """Split a (possibly traced) complex array into real (re, im) leaves."""
+    if value is None:
+        if not none_ok:
+            raise ValueError("Expected a value")
+        return None, None
+    if isinstance(value, jax.core.Tracer) or isinstance(value, jnp.ndarray):
+        value = jnp.asarray(value)
+        if jnp.iscomplexobj(value):
+            return value.real, value.imag
+        return value, jnp.zeros_like(value)
+    arr = np.asarray(value)
+    if np.iscomplexobj(arr):
+        return (np.ascontiguousarray(arr.real), np.ascontiguousarray(arr.imag))
+    return arr, np.zeros_like(arr)
+
+
+def join_complex(re, im):
+    """Assemble complex from (re, im); trace-time / CPU-eager only."""
+    if re is None:
+        return None
+    re = jnp.asarray(re, config.real_dtype())
+    if im is None:
+        return jax.lax.complex(re, jnp.zeros_like(re))
+    return jax.lax.complex(re, jnp.asarray(im, config.real_dtype()))
+
+
+def _format_triplet_np(arr, check=True):
+    """Host-side validation of a (..., 3) coefficient array."""
+    arr = np.asarray(arr)
     if arr.ndim == 1:
         arr = arr[None]
     if arr.ndim < 2 or arr.shape[-1] != 3:
         raise ValueError(f"Expected (..., 3) coefficient array, got {arr.shape}")
-    if check and not isinstance(arr, jax.core.Tracer):
-        if not jnp.allclose(arr, jnp.conj(arr[..., (1, 0, 2)])):
-            raise ValueError("Coefficients break ladder conjugate symmetry")
+    if check and not np.allclose(arr, np.conj(arr[..., (1, 0, 2)])):
+        raise ValueError("Coefficients break ladder conjugate symmetry")
     return arr
+
+
+def apply_coefficients(sm, arr, arr0):
+    """states = arr * states [+ arr0 * equilibrium] with append-broadcast."""
+    arr = align_batch(arr, sm.ndim, 1)[..., None, :]
+    states = sm.states * arr
+    if arr0 is not None:
+        arr0 = align_batch(arr0, sm.ndim, 1)[..., None, :]
+        states = states + arr0 * jnp.asarray(sm.equilibrium, dtype=states.dtype)
+    return sm.update(states=states)
 
 
 @base.register_op
 class ScalarOp(base.CombinableOperator):
     """Diagonal operator: ``states = arr * states [+ arr0 * equilibrium]``."""
 
-    PARAMS = ("arr", "arr0")
+    PARAMS = ("arr_re", "arr_im", "arr0_re", "arr0_im")
+    diagonal = True
 
     def __init__(self, arr, arr0=None, *, axes=None, name=None, duration=None,
                  check=True, **kwargs):
-        arr = _format_triplet(arr, check=check)
-        if arr0 is not None:
-            arr0 = _format_triplet(arr0, check=check)
-            arr, arr0 = jnp.broadcast_arrays(arr, arr0)
-        if axes is not None:
-            arr = common.set_axes(1, arr, axes)
-            arr0 = None if arr0 is None else common.set_axes(1, arr0, axes)
-        self.arr = arr
-        self.arr0 = arr0
+        if isinstance(arr, (jax.core.Tracer, jnp.ndarray)):
+            arr = jnp.asarray(arr)
+            if arr.ndim == 1:
+                arr = arr[None]
+            arr0 = None if arr0 is None else jnp.asarray(arr0)
+        else:
+            arr = _format_triplet_np(arr, check=check)
+            if arr0 is not None:
+                arr0 = _format_triplet_np(arr0, check=check)
+                arr, arr0 = np.broadcast_arrays(arr, arr0)
+        self.arr_re, self.arr_im = split_complex(arr)
+        self.arr0_re, self.arr0_im = split_complex(arr0)
+        self.axes = axes
         super().__init__(name=name or "ScalarOp", duration=duration)
 
     @property
     def shape(self):
-        return self.arr.shape[:-1]
+        return tuple(self.arr_re.shape[:-1])
+
+    def coefficients(self):
+        """(arr, arr0) complex coefficient triplets, trace-time."""
+        arr = join_complex(self.arr_re, self.arr_im)
+        arr0 = join_complex(self.arr0_re, self.arr0_im)
+        if self.axes is not None:
+            arr = common.set_axes(1, arr, self.axes)
+            arr0 = None if arr0 is None else common.set_axes(1, arr0, self.axes)
+        return arr, arr0
+
+    def matrices(self):
+        """Promote the diagonal to (mat, mat0) 3x3 matrices, trace-time."""
+        arr, arr0 = self.coefficients()
+        eye = jnp.eye(3, dtype=arr.dtype)
+        return arr[..., None] * eye, None if arr0 is None else arr0[..., None] * eye
 
     def apply(self, sm):
-        arr = align_batch(self.arr, sm.ndim, 1)[..., None, :]
-        states = sm.states * arr
-        if self.arr0 is not None:
-            arr0 = align_batch(self.arr0, sm.ndim, 1)[..., None, :]
-            states = states + arr0 * jnp.asarray(sm.equilibrium, dtype=states.dtype)
-        return sm.update(states=states)
+        arr, arr0 = self.coefficients()
+        return apply_coefficients(sm, arr, arr0)
 
     # -- combination (reference epgpy/opscalar.py:101-147) --
 
@@ -83,18 +144,8 @@ class ScalarOp(base.CombinableOperator):
         return isinstance(other, base.CombinableOperator)
 
     def combine(self, other, *, name=None, duration=None, **kwargs):
-        if isinstance(other, ScalarOp):
-            arr, arr0 = scalar_combine(self.arr, other.arr, self.arr0, other.arr0)
-            return ScalarOp(
-                arr, arr0, check=False,
-                name=name or f"{self.name}|{other.name}",
-                duration=duration if duration is not None
-                else _add_durations(self.duration, other.duration),
-            )
-        # promote self to a matrix op and defer
-        from . import matrixop
-        return matrixop.MatrixOp.from_scalar(self).combine(
-            other, name=name, duration=duration, **kwargs)
+        from .combined import CombinedOp
+        return CombinedOp.of(self, other, name=name, duration=duration)
 
 
 def scalar_combine(arr1, arr2, arr01=None, arr02=None):
@@ -110,10 +161,3 @@ def scalar_combine(arr1, arr2, arr01=None, arr02=None):
         if arr02 is not None:
             arr0 = arr0 + arr02
     return arr, arr0
-
-
-def _add_durations(d1, d2):
-    try:
-        return (d1 or 0.0) + (d2 or 0.0)
-    except TypeError:
-        return 0.0

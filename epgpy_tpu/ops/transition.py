@@ -5,8 +5,11 @@ Physics: an instantaneous RF pulse of flip angle ``alpha`` and phase ``phi``
 Weigel EPG rotation matrix ``Rz(phi) . Rx(alpha) . Rz(-phi)`` expressed in
 the configuration basis (parity target: reference epgpy/transition.py:7-151).
 
-Everything is a pure jnp function of traced parameters, so ``jax.jacfwd``
-provides the alpha/phi derivatives the reference hand-derives
+TPU-first: operators store only the physical angles (real leaves); the
+complex rotation matrix is built *at trace time* inside the compiled
+program.  This keeps program boundaries real (TPU constraint), lets XLA
+constant-fold static pulses, and makes ``jax.jacfwd`` w.r.t. alpha/phi
+replace the reference's hand-derived derivative matrices
 (reference epgpy/transition.py:160-247).
 """
 
@@ -16,7 +19,7 @@ import jax.numpy as jnp
 
 from .. import common, config
 from . import base
-from .matrixop import MatrixOp
+from .matrixop import MatrixOp, apply_matrices
 
 __all__ = ["T", "Tx", "Ty", "Phi", "rotation_operator", "rotation_phi"]
 
@@ -27,9 +30,8 @@ def rotation_alpha(alpha):
     a = jnp.deg2rad(jnp.asarray(alpha, dtype=config.real_dtype()))
     cos2, sin2 = jnp.cos(a / 2) ** 2, jnp.sin(a / 2) ** 2
     sin, cos = jnp.sin(a), jnp.cos(a)
-    zero = jnp.zeros_like(a)
     mat = jnp.stack([
-        jnp.stack([cos2, sin2, -sin], axis=-1),          # imag parts handled below
+        jnp.stack([cos2, sin2, -sin], axis=-1),
         jnp.stack([sin2, cos2, sin], axis=-1),
         jnp.stack([-0.5 * sin, 0.5 * sin, cos], axis=-1),
     ], axis=-2).astype(cdtype)
@@ -37,7 +39,6 @@ def rotation_alpha(alpha):
     imag_mask = jnp.asarray(
         [[1, 1, 1j], [1, 1, 1j], [1j, 1j, 1]], dtype=cdtype
     )
-    del zero
     return mat * imag_mask
 
 
@@ -62,23 +63,37 @@ def rotation_operator(alpha, phi):
     rp = rotation_phi(phi)
     rm = rotation_phi(jnp.asarray(phi) * (-1))
     ra, rp, rm = common.extend_operators(2, ra, rp, rm)
-    return jnp.einsum("...ij,...jk,...kl->...il", rp, ra, rm)
+    mat = jnp.einsum("...ij,...jk,...kl->...il", rp, ra, rm)
+    if mat.ndim == 2:
+        mat = mat[None]
+    return mat
 
 
 @base.register_op
 class T(MatrixOp):
     """Instantaneous RF pulse: flip `alpha`, phase `phi` (degrees)."""
 
-    PARAMS = ("mat", "mat0", "alpha", "phi")
+    PARAMS = ("alpha", "phi")
 
     def __init__(self, alpha, phi, *, axes=None, name=None, duration=None, **kwargs):
-        self.alpha = jnp.asarray(alpha, dtype=config.real_dtype())
-        self.phi = jnp.asarray(phi, dtype=config.real_dtype())
+        self.alpha = _as_real(alpha)
+        self.phi = _as_real(phi)
+        self.axes = axes
         if not name:
-            name = common.repr_operator("T", ["alpha", "phi"], [alpha, phi], [".1f", ".1f"])
+            name = common.repr_operator("T", ["alpha", "phi"], [alpha, phi],
+                                        [".1f", ".1f"])
+        base.Operator.__init__(self, name=name, duration=duration)
+
+    @property
+    def shape(self):
+        return common.broadcast_shapes(
+            common.get_shape(self.alpha), common.get_shape(self.phi), (1,))
+
+    def matrices(self):
         mat = rotation_operator(self.alpha, self.phi)
-        MatrixOp.__init__(self, mat, None, axes=axes, name=name, duration=duration,
-                          check=False, **kwargs)
+        if self.axes is not None:
+            mat = common.set_axes(2, mat, self.axes)
+        return mat, None
 
 
 def Tx(alpha, **kwargs):
@@ -95,14 +110,44 @@ def Ty(alpha, **kwargs):
 class Phi(MatrixOp):
     """Pure phase offset (z-rotation by `phi` degrees)."""
 
-    PARAMS = ("mat", "mat0", "phi")
+    PARAMS = ("phi",)
+    diagonal = True
 
     def __init__(self, phi, *, axes=None, name=None, duration=0, **kwargs):
-        self.phi = jnp.asarray(phi, dtype=config.real_dtype())
+        self.phi = _as_real(phi)
+        self.axes = axes
         if not name:
             name = common.repr_operator("Phi", ["phi"], [phi], [".1f"])
-        mat = rotation_phi(self.phi)
-        if mat.ndim == 2:
-            mat = mat[None]
-        MatrixOp.__init__(self, mat, None, axes=axes, name=name, duration=duration,
-                          check=False, **kwargs)
+        base.Operator.__init__(self, name=name, duration=duration)
+
+    @property
+    def shape(self):
+        return common.get_shape(self.phi) or (1,)
+
+    def coefficients(self):
+        p = jnp.deg2rad(jnp.asarray(self.phi, dtype=config.real_dtype()))
+        e = jnp.exp(1j * p).astype(config.complex_dtype())
+        arr = jnp.stack([e, jnp.conj(e), jnp.ones_like(e)], axis=-1)
+        if arr.ndim == 1:
+            arr = arr[None]
+        if self.axes is not None:
+            arr = common.set_axes(1, arr, self.axes)
+        return arr, None
+
+    def matrices(self):
+        arr, _ = self.coefficients()
+        return arr[..., None] * jnp.eye(3, dtype=arr.dtype), None
+
+    def apply(self, sm):
+        from .scalarop import apply_coefficients
+        arr, arr0 = self.coefficients()
+        return apply_coefficients(sm, arr, arr0)
+
+
+def _as_real(value):
+    """Keep traced values as-is; concrete values as float numpy/jnp arrays."""
+    import jax
+    import numpy as np
+    if isinstance(value, (jax.core.Tracer, jnp.ndarray)):
+        return jnp.asarray(value)
+    return np.asarray(value, dtype=float)

@@ -18,6 +18,13 @@ Design (TPU-first, cf. SURVEY.md §7):
   ``states[..., i, 1] == conj(states[..., K-1-i, 0])`` is preserved exactly
   by all operators (complex conjugation is exact in IEEE arithmetic).
 
+* **Real-boundary storage**: the TPU backend only supports complex values
+  strictly *inside* a compiled program -- never as eager-op results, jit
+  inputs/outputs, or host transfers.  The pytree leaves are therefore the
+  real/imaginary planes (``states_re``/``states_im``); the ``.states``
+  property assembles the complex view lazily (at trace time inside jit, or
+  eagerly on CPU).  Host-side construction/validation is pure NumPy.
+
 * Batch ("parameter sweep") axes broadcast with the *append* rule: new
   parameter axes are appended after existing ones (see common.py).  There
   is no ArrayCollection: broadcasting is resolved functionally at operator
@@ -31,7 +38,7 @@ Design (TPU-first, cf. SURVEY.md §7):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +58,35 @@ def _freeze(obj):
     return obj
 
 
+def _split(arr):
+    """Split a complex (or real) array into (re, im) real parts."""
+    if arr is None:
+        return None, None
+    if isinstance(arr, np.ndarray):
+        rdtype = np.float64 if config.x64_enabled() else np.float32
+        return (np.ascontiguousarray(arr.real, dtype=rdtype),
+                np.ascontiguousarray(arr.imag, dtype=rdtype))
+    arr = jnp.asarray(arr)
+    if jnp.iscomplexobj(arr):
+        return arr.real, arr.imag
+    return arr, jnp.zeros_like(arr)
+
+
+def _join(re, im):
+    """Assemble the complex view (trace-time / CPU-eager only)."""
+    if re is None:
+        return None
+    return jax.lax.complex(jnp.asarray(re, config.real_dtype()),
+                           jnp.asarray(im, config.real_dtype()))
+
+
 class StateMatrix:
     """n-dimensional phase-state matrix with static ladder capacity."""
 
-    __slots__ = ("states", "equilibrium", "coords", "kvalue", "tvalue", "system", "options")
+    __slots__ = (
+        "states_re", "states_im", "equilibrium_re", "equilibrium_im",
+        "coords", "kvalue", "tvalue", "system", "options",
+    )
 
     def __init__(
         self,
@@ -71,12 +103,11 @@ class StateMatrix:
         system: Optional[dict] = None,
         **options,
     ):
-        cdtype = config.complex_dtype()
-
+        # host-side (NumPy) construction: no device complex anywhere
         if equilibrium is None:
-            dens = jnp.asarray(density, dtype=cdtype)
+            dens = np.atleast_1d(np.asarray(density, dtype=np.complex128))
             dens = dens.reshape(dens.shape + (1, 1))
-            equilibrium = dens * jnp.asarray([[0, 0, 1]], dtype=cdtype)
+            equilibrium = dens * np.asarray([[0, 0, 1]], dtype=np.complex128)
         equilibrium = _format_states(equilibrium, check=check)
 
         if init is None:
@@ -88,32 +119,34 @@ class StateMatrix:
         K = max(states.shape[-2], equilibrium.shape[-2])
         if nstate is not None:
             K = max(K, 2 * int(nstate) + 1)
-        states = _pad_ladder(states, K)
-        equilibrium = _pad_ladder(equilibrium, K)
+        states = _pad_ladder_np(states, K)
+        equilibrium = _pad_ladder_np(equilibrium, K)
 
         if shape:
             bshape = common.broadcast_shapes(states.shape[:-2], tuple(shape))
             nb = states.ndim - 2
-            expanded = states.reshape(
-                states.shape[:nb] + (1,) * (len(bshape) - nb) + states.shape[nb:]
-            )
-            states = jnp.broadcast_to(expanded, bshape + states.shape[-2:])
+            states = states.reshape(
+                states.shape[:nb] + (1,) * (len(bshape) - nb) + states.shape[nb:])
+            states = np.broadcast_to(states, bshape + states.shape[-2:]).copy()
 
-        self.states = states
-        self.equilibrium = equilibrium
+        self.states_re, self.states_im = _split(states)
+        self.equilibrium_re, self.equilibrium_im = _split(equilibrium)
         self.coords = None if coords is None else jnp.asarray(coords)
         self.kvalue = kvalue
         self.tvalue = tvalue
         self.system = dict(system) if system else {}
         self.options = dict(options)
 
-    # -- construction helpers ------------------------------------------------
+    # -- construction helpers --
 
     @classmethod
-    def _from_fields(cls, states, equilibrium, coords, kvalue, tvalue, system, options):
+    def _from_fields(cls, states_re, states_im, equilibrium_re, equilibrium_im,
+                     coords, kvalue, tvalue, system, options):
         sm = object.__new__(cls)
-        sm.states = states
-        sm.equilibrium = equilibrium
+        sm.states_re = states_re
+        sm.states_im = states_im
+        sm.equilibrium_re = equilibrium_re
+        sm.equilibrium_im = equilibrium_im
         sm.coords = coords
         sm.kvalue = kvalue
         sm.tvalue = tvalue
@@ -122,22 +155,40 @@ class StateMatrix:
         return sm
 
     def update(self, **fields) -> "StateMatrix":
-        """Functional update: return a copy with replaced fields."""
+        """Functional update; `states=`/`equilibrium=` accept complex arrays."""
         vals = {name: getattr(self, name) for name in self.__slots__}
+        if "states" in fields:
+            vals["states_re"], vals["states_im"] = _split(fields.pop("states"))
+        if "equilibrium" in fields:
+            vals["equilibrium_re"], vals["equilibrium_im"] = _split(
+                fields.pop("equilibrium"))
         vals.update(fields)
         return StateMatrix._from_fields(
-            vals["states"], vals["equilibrium"], vals["coords"],
-            vals["kvalue"], vals["tvalue"], vals["system"], vals["options"],
+            vals["states_re"], vals["states_im"],
+            vals["equilibrium_re"], vals["equilibrium_im"],
+            vals["coords"], vals["kvalue"], vals["tvalue"],
+            vals["system"], vals["options"],
         )
 
     copy = update  # parity alias (reference epgpy/statematrix.py:276)
 
-    # -- structural properties -----------------------------------------------
+    # -- complex views --
+
+    @property
+    def states(self):
+        """Complex state ladder (trace-time / CPU view)."""
+        return _join(self.states_re, self.states_im)
+
+    @property
+    def equilibrium(self):
+        return _join(self.equilibrium_re, self.equilibrium_im)
+
+    # -- structural properties --
 
     @property
     def shape(self) -> tuple:
         """Batch shape (parameter-sweep axes)."""
-        return self.states.shape[:-2]
+        return self.states_re.shape[:-2]
 
     @property
     def ndim(self) -> int:
@@ -150,13 +201,13 @@ class StateMatrix:
     @property
     def nstate(self) -> int:
         """Ladder half-size: states.shape[-2] == 2*nstate + 1."""
-        return (self.states.shape[-2] - 1) // 2
+        return (self.states_re.shape[-2] - 1) // 2
 
     @property
     def kdim(self) -> int:
         return 1 if self.coords is None else self.coords.shape[-1]
 
-    # -- physics views ---------------------------------------------------------
+    # -- physics views --
 
     @property
     def F(self):
@@ -234,28 +285,33 @@ class StateMatrix:
 
     @property
     def density(self):
-        return self.equilibrium[..., (self.equilibrium.shape[-2] - 1) // 2, 2].real
+        n = (self.equilibrium_re.shape[-2] - 1) // 2
+        return self.equilibrium_re[..., n, 2]
 
     @property
     def norm(self):
         """State-matrix norm over (F-, Z) components (reference utils.py:152)."""
-        return jnp.sqrt(jnp.sum(jnp.abs(self.states[..., 1:]) ** 2, axis=(-2, -1)))
+        mag2 = self.states_re[..., 1:] ** 2 + self.states_im[..., 1:] ** 2
+        return jnp.sqrt(jnp.sum(mag2, axis=(-2, -1)))
 
-    # -- shape manipulation ------------------------------------------------------
+    # -- shape manipulation --
 
     def expand(self, ndim: int) -> "StateMatrix":
         """Append trailing batch axes until batch rank is `ndim`."""
         diff = ndim - self.ndim
         if diff <= 0:
             return self
+
         def _ex(arr, core):
             if arr is None:
                 return None
             nbatch = arr.ndim - core
             return arr.reshape(arr.shape[:nbatch] + (1,) * diff + arr.shape[nbatch:])
+
         return self.update(
-            states=_ex(self.states, 2),
-            equilibrium=_ex(self.equilibrium, 2),
+            states_re=_ex(self.states_re, 2), states_im=_ex(self.states_im, 2),
+            equilibrium_re=_ex(self.equilibrium_re, 2),
+            equilibrium_im=_ex(self.equilibrium_im, 2),
             coords=_ex(self.coords, 2),
         )
 
@@ -264,15 +320,20 @@ class StateMatrix:
         shape = tuple(shape)
         sm = self.expand(len(shape))
         target = common.broadcast_shapes(sm.shape, shape)
-        states = jnp.broadcast_to(sm.states, target + sm.states.shape[-2:])
-        return sm.update(states=states)
+        core = sm.states_re.shape[-2:]
+        return sm.update(
+            states_re=jnp.broadcast_to(sm.states_re, target + core),
+            states_im=jnp.broadcast_to(sm.states_im, target + core),
+        )
 
     def resize(self, nstate: int) -> "StateMatrix":
         """Pad/crop the ladder symmetrically to half-size `nstate` (static)."""
         K = 2 * int(nstate) + 1
         return self.update(
-            states=_pad_ladder(self.states, K),
-            equilibrium=_pad_ladder(self.equilibrium, K),
+            states_re=_pad_ladder(self.states_re, K),
+            states_im=_pad_ladder(self.states_im, K),
+            equilibrium_re=_pad_ladder(self.equilibrium_re, K),
+            equilibrium_im=_pad_ladder(self.equilibrium_im, K),
             coords=None if self.coords is None else _pad_ladder(self.coords, K),
         )
 
@@ -297,30 +358,43 @@ class StateMatrix:
     def stack(self, others, *, axis: int = 0) -> "StateMatrix":
         """Stack state matrices along a new batch axis."""
         sms = [self] + list(others)
-        states = jnp.stack([s.states for s in sms], axis=axis)
-        equib = jnp.stack([jnp.broadcast_to(s.equilibrium, s.states.shape) for s in sms], axis=axis)
+
+        def _st(field):
+            arrs = [getattr(s, field) for s in sms]
+            full = [jnp.broadcast_to(a, sms[i].states_re.shape)
+                    for i, a in enumerate(arrs)]
+            return jnp.stack(full, axis=axis)
+
         coords = None
         if sms[0].coords is not None:
             coords = jnp.stack([s.coords for s in sms], axis=axis)
-        return self.update(states=states, equilibrium=equib, coords=coords)
+        return self.update(
+            states_re=jnp.stack([s.states_re for s in sms], axis=axis),
+            states_im=jnp.stack([s.states_im for s in sms], axis=axis),
+            equilibrium_re=_st("equilibrium_re"),
+            equilibrium_im=_st("equilibrium_im"),
+            coords=coords,
+        )
 
     def unstack(self, *, axis: int = 0):
         """Split along a batch axis into a list of state matrices."""
-        states = jnp.moveaxis(self.states, axis, 0)
-        eq = jnp.broadcast_to(self.equilibrium, self.states.shape)
-        eq = jnp.moveaxis(eq, axis, 0)
-        coords = None if self.coords is None else jnp.moveaxis(self.coords, axis, 0)
+        n = self.states_re.shape[axis]
         out = []
-        for i in range(states.shape[0]):
+        for i in range(n):
+            idx = (slice(None),) * axis + (i,)
+            eq_re = jnp.broadcast_to(self.equilibrium_re, self.states_re.shape)
+            eq_im = jnp.broadcast_to(self.equilibrium_im, self.states_re.shape)
             out.append(self.update(
-                states=states[i], equilibrium=eq[i],
-                coords=None if coords is None else coords[i]))
+                states_re=self.states_re[idx], states_im=self.states_im[idx],
+                equilibrium_re=eq_re[idx], equilibrium_im=eq_im[idx],
+                coords=None if self.coords is None else self.coords[idx]))
         return out
 
     def check(self) -> bool:
         """Verify conjugate ladder symmetry (reference utils.py:118-121)."""
-        s = self.states
-        return bool(jnp.allclose(s, jnp.conj(s[..., ::-1, :][..., (1, 0, 2)])))
+        re, im = np.asarray(self.states_re), np.asarray(self.states_im)
+        s = re + 1j * im
+        return bool(np.allclose(s, np.conj(s[..., ::-1, :][..., (1, 0, 2)])))
 
     def __repr__(self):
         return f"StateMatrix({self.shape}, nstate={self.nstate})"
@@ -340,10 +414,30 @@ def _pad_ladder(arr, K: int):
     return arr[..., -diff:cur + diff, :]
 
 
+def _pad_ladder_np(arr, K: int):
+    cur = arr.shape[-2]
+    if cur == K:
+        return arr
+    diff = (K - cur) // 2
+    if (K - cur) % 2 != 0:
+        raise ValueError(f"Ladder sizes must share parity: {cur} -> {K}")
+    if diff > 0:
+        pad = [(0, 0)] * (arr.ndim - 2) + [(diff, diff), (0, 0)]
+        return np.pad(arr, pad)
+    return arr[..., -diff:cur + diff, :]
+
+
 def _format_states(states, check: bool = True):
-    """Normalize an init spec to a (..., 2n+1, 3) complex ladder array."""
-    cdtype = config.complex_dtype()
-    states = jnp.asarray(states, dtype=cdtype)
+    """Normalize an init spec to a (..., 2n+1, 3) complex128 NumPy ladder."""
+    if isinstance(states, jax.core.Tracer) or isinstance(states, jnp.ndarray):
+        # traced / device input: skip value checks, keep as-is
+        states = jnp.asarray(states)
+        if states.ndim == 1:
+            states = states.reshape((1, 3))
+        if states.ndim == 2:
+            states = states[None]
+        return states
+    states = np.asarray(states, dtype=np.complex128)
     if states.ndim == 1:
         if check and states.size != 3:
             raise ValueError("The number of state components must be 3")
@@ -353,35 +447,37 @@ def _format_states(states, check: bool = True):
             raise ValueError("The number of state components must be 3")
         if states.shape[-2] % 2 != 1:
             raise ValueError("The number of states must be odd")
-        if not isinstance(states, jax.core.Tracer):
-            if not jnp.allclose(states[..., 1], jnp.conj(states[..., ::-1, 0])):
-                raise ValueError("The F-state columns do not match")
-            if not jnp.allclose(states[..., 2], jnp.conj(states[..., ::-1, 2])):
-                raise ValueError("The Z-state column is not symmetrical")
+        if not np.allclose(states[..., 1], np.conj(states[..., ::-1, 0])):
+            raise ValueError("The F-state columns do not match")
+        if not np.allclose(states[..., 2], np.conj(states[..., ::-1, 2])):
+            raise ValueError("The Z-state column is not symmetrical")
     if states.ndim == 2:
         states = states[None]
     return states
 
 
-# -- pytree registration ---------------------------------------------------------
+# -- pytree registration --
 
 def _sm_flatten(sm: StateMatrix):
     syskeys = tuple(sorted(sm.system))
     children = (
-        sm.states, sm.equilibrium, sm.coords, sm.kvalue, sm.tvalue,
+        sm.states_re, sm.states_im, sm.equilibrium_re, sm.equilibrium_im,
+        sm.coords, sm.kvalue, sm.tvalue,
         tuple(sm.system[k] for k in syskeys),
     )
-    aux = (syskeys, _freeze(sm.options), tuple(sorted(sm.options)))
+    aux = (syskeys, _freeze(sm.options))
     return children, aux
 
 
 def _sm_unflatten(aux, children):
-    syskeys, frozen_opts, _ = aux
-    states, equilibrium, coords, kvalue, tvalue, sysvals = children
+    syskeys, frozen_opts = aux
+    (states_re, states_im, equilibrium_re, equilibrium_im,
+     coords, kvalue, tvalue, sysvals) = children
     options = {k: v for k, v in frozen_opts}
     system = dict(zip(syskeys, sysvals))
     return StateMatrix._from_fields(
-        states, equilibrium, coords, kvalue, tvalue, system, options
+        states_re, states_im, equilibrium_re, equilibrium_im,
+        coords, kvalue, tvalue, system, options,
     )
 
 
