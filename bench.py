@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Headline benchmark: FISP MRF dictionary generation throughput.
+
+Config (BASELINE.json config 2 / north star): 1000-pulse variable-FA FISP
+train, max_nstate=10, dictionary over a T1 x T2 x B1 atom grid.
+
+Prints ONE JSON line:
+  {"metric": "mrf_fisp_atoms_per_sec", "value": ..., "unit": "atoms/s",
+   "vs_baseline": <ratio vs reference epgpy NumPy-CPU atoms/s>, ...}
+
+The reference baseline is measured locally on a reduced atom count (its
+cost is linear in atoms) and cached in bench_baseline.json; re-measure by
+deleting that file (requires the reference at /root/reference or
+$EPGPY_REFERENCE).
+
+Env overrides: BENCH_NATOMS, BENCH_NPULSE, BENCH_NSTATE, BENCH_REPEATS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+NATOMS = int(os.environ.get("BENCH_NATOMS", 102400))
+NPULSE = int(os.environ.get("BENCH_NPULSE", 1000))
+NSTATE = int(os.environ.get("BENCH_NSTATE", 10))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+REF_ATOMS = int(os.environ.get("BENCH_REF_ATOMS", 512))
+BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
+
+TR, TE = 12.0, 5.0
+
+
+def make_train(npulse):
+    rng = np.random.default_rng(42)
+    FA = 10.0 + 50.0 * np.abs(np.sin(np.arange(npulse) * 2 * np.pi / 500.0))
+    FA += rng.uniform(0, 2, npulse)
+    return FA.astype(np.float64)
+
+
+def make_atoms(natoms):
+    # T1 x T2 x B1 grid flattened to `natoms` atoms
+    n1 = max(int(round(natoms ** (1 / 3))), 2)
+    n2 = max(int(round((natoms / n1) ** 0.5)), 2)
+    n3 = max(natoms // (n1 * n2), 1)
+    T1 = np.linspace(100.0, 3000.0, n1)
+    T2 = np.linspace(10.0, 300.0, n2)
+    B1 = np.linspace(0.7, 1.3, n3)
+    g = np.stack(np.meshgrid(T1, T2, B1, indexing="ij"), -1).reshape(-1, 3)
+    if len(g) < natoms:  # pad by tiling
+        reps = -(-natoms // len(g))
+        g = np.tile(g, (reps, 1))
+    g = g[:natoms]
+    # keep T2 < T1 (physical)
+    g[:, 1] = np.minimum(g[:, 1], 0.8 * g[:, 0])
+    return g[:, 0], g[:, 1], g[:, 2]
+
+
+def measure_reference(FA, T1, T2, B1):
+    """Reference epgpy (NumPy) throughput on the same sequence."""
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if not os.path.isdir(ref_path):
+        return None
+    sys.path.insert(0, ref_path)
+    import epgpy.operators as rops
+    import epgpy.functions as rfun
+
+    seq = []
+    for i in range(len(FA)):
+        seq += [
+            rops.T(FA[i] * B1, 90),
+            rops.E(TE, T1, T2), rops.ADC,
+            rops.E(TR - TE, T1, T2), rops.S(1),
+        ]
+    t0 = time.perf_counter()
+    sig = rfun.simulate(seq, max_nstate=NSTATE)
+    dt = time.perf_counter() - t0
+    probe = np.asarray(sig)[:, :8]  # (P, 8)
+    return {"atoms_per_sec": len(T1) / dt, "natoms": len(T1),
+            "npulse": len(FA), "seconds": dt,
+            "probe_re": probe.real.tolist(), "probe_im": probe.imag.tolist()}
+
+
+def get_baseline(FA, T1, T2, B1):
+    """Reference throughput on the first REF_ATOMS atoms of the main grid."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cached = json.load(fh)
+        if (cached.get("npulse") == len(FA)
+                and cached.get("main_natoms") == len(T1)):
+            return cached
+    ref = measure_reference(FA, T1[:REF_ATOMS], T2[:REF_ATOMS], B1[:REF_ATOMS])
+    if ref is not None:
+        ref["main_natoms"] = len(T1)
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump(ref, fh)
+    return ref
+
+
+def main():
+    import jax
+    from epgpy_tpu.models.mrf import fisp_mrf_dictionary
+
+    FA = make_train(NPULSE)
+    T1, T2, B1 = make_atoms(NATOMS)
+
+    run = lambda: fisp_mrf_dictionary(
+        FA, TR, TE, T1, T2, B1, nstate=NSTATE, phi=90.0)
+
+    def sync(out):
+        # block_until_ready can return early through the axon tunnel;
+        # a 1-element device read is the only honest completion barrier.
+        jax.block_until_ready(out)
+        return float(np.asarray(out[0][-1, -1]))
+
+    # warmup (includes compile)
+    t0 = time.perf_counter()
+    out = run()
+    sync(out)
+    warmup = time.perf_counter() - t0
+
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run()
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    atoms_per_sec = NATOMS / best
+
+    # baseline throughput + c64 parity probe on the 8 leading atoms
+    # (full float64 parity <= 1e-10 is asserted in tests/test_mrf.py)
+    baseline = get_baseline(FA, T1, T2, B1)
+    vs_baseline = None
+    parity = None
+    if baseline:
+        vs_baseline = atoms_per_sec / baseline["atoms_per_sec"]
+        if "probe_re" in baseline and baseline["npulse"] == NPULSE:
+            ref8 = (np.asarray(baseline["probe_re"])
+                    + 1j * np.asarray(baseline["probe_im"])).T  # (8, P)
+            re, im = out
+            ours = np.asarray(re[:8]) + 1j * np.asarray(im[:8])
+            parity = float(np.abs(ours - ref8).max())
+
+    result = {
+        "metric": "mrf_fisp_atoms_per_sec",
+        "value": round(float(atoms_per_sec), 1),
+        "unit": "atoms/s",
+        "vs_baseline": None if vs_baseline is None else round(float(vs_baseline), 1),
+        "natoms": NATOMS, "npulse": NPULSE, "nstate": NSTATE,
+        "best_seconds": round(float(best), 4),
+        "warmup_seconds": round(float(warmup), 2),
+        "device": str(jax.devices()[0]),
+        "parity_c64_vs_ref": parity,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+"""Model families: ready-made sequence simulators built on the op kernels."""
+
+from .mrf import fisp_mrf_signal, fisp_mrf_dictionary
+from .mse import mse_signal, cpmg_sequence
+from .ssfp import spgr_sequence, dess_sequence
+
+__all__ = [
+    "fisp_mrf_signal", "fisp_mrf_dictionary",
+    "mse_signal", "cpmg_sequence",
+    "spgr_sequence", "dess_sequence",
+]

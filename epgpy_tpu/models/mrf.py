@@ -1,0 +1,215 @@
+"""MR fingerprinting (FISP) dictionary generation -- the flagship fast path.
+
+Physics per TR (hard-pulse FISP, cf. reference examples
+examples/profiling/differentiation_mrf.py and BASELINE config 2):
+
+    T(FA_p * B1, phi_p)  ->  E(TE)  ->  echo = F0 [* e^{-i phi_p}]
+    ->  E(TR_p - TE)  ->  S(1)
+
+implemented as a single ``lax.scan`` over the pulse train with the state
+ladder as carry.  Atom sweeps (T1 x T2 x B1 [x df]) are ``vmap``-ed; the
+whole dictionary is one XLA program.  All program boundaries are real
+(re/im split) -- see statematrix.py for why.
+
+Performance model: per TR the state (B, K, 3) is read+written a few times
+from HBM; XLA fuses the rotation/decay/shift chain into a handful of
+elementwise kernels.  For B=100k atoms, K=21, 1000 TRs this is ~100 GB of
+HBM traffic => sub-second on a v5e chip, vs minutes for the NumPy
+reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops.transition import rotation_operator
+from ..ops.shift import shift1d
+
+__all__ = ["fisp_mrf_signal", "fisp_mrf_dictionary"]
+
+
+def _relax(states, tau, T1, T2, nstate):
+    """Apply relaxation for `tau` ms: decay + Z0 recovery toward 1."""
+    E1 = jnp.exp(-tau / T1)
+    E2 = jnp.exp(-tau / T2)
+    decay = jnp.stack([E2, E2, E1], axis=-1)  # real diagonal (g=0 frame)
+    states = states * decay.astype(states.dtype)
+    return states.at[..., nstate, 2].add((1.0 - E1).astype(states.dtype))
+
+
+def fisp_mrf_signal(FA, phi, TR, TE, T1, T2, B1=1.0, *, nstate: int = 10,
+                    demodulate: bool = False, inversion: Optional[float] = None):
+    """Simulate one atom's FISP MRF fingerprint.
+
+    Args:
+        FA: (P,) flip angles in degrees.
+        phi: scalar or (P,) RF phases in degrees.
+        TR: scalar or (P,) repetition times (ms).
+        TE: scalar echo time (ms).
+        T1, T2: scalar relaxation times (ms).
+        B1: scalar relative transmit field.
+        nstate: ladder half-size (static capacity).
+        demodulate: multiply each echo by e^{-i phi_p} (receiver phase).
+        inversion: if set, 180deg inversion followed by this delay (ms)
+            before the train.
+
+    Returns:
+        (re, im): two (P,) float arrays -- the complex fingerprint split at
+        the program boundary.
+    """
+    cdtype = config.complex_dtype()
+    rdtype = config.real_dtype()
+    P = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, rdtype), (P,))
+    TR = jnp.broadcast_to(jnp.asarray(TR, rdtype), (P,))
+    K = 2 * nstate + 1
+
+    states = jnp.zeros((K, 3), cdtype).at[nstate, 2].set(1.0)
+    if inversion is not None:
+        # 180deg inversion (B1-scaled) + recovery delay
+        mat = rotation_operator(180.0 * B1, 0.0)[0].astype(cdtype)
+        states = jnp.einsum("ij,kj->ki", mat, states, precision="highest")
+        states = _relax(states, jnp.asarray(inversion, rdtype), T1, T2, nstate)
+
+    def step(states, xs):
+        fa, ph, tr = xs
+        mat = rotation_operator(fa * B1, ph)[0].astype(cdtype)
+        states = jnp.einsum("ij,kj->ki", mat, states, precision="highest")
+        states = _relax(states, TE, T1, T2, nstate)
+        echo = states[nstate, 0]
+        if demodulate:
+            echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
+        states = _relax(states, tr - TE, T1, T2, nstate)
+        states = shift1d(states[None], 1)[0]
+        return states, echo
+
+    _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi, TR))
+    return echoes.real, echoes.imag
+
+
+def _rotation_batched(alpha_deg, phi_deg):
+    """(3, 3, B) rotation for per-atom flip angles (degrees).
+
+    Same Weigel matrix as ops.transition.rotation_operator, laid out with
+    the atom axis last (TPU lane dimension).
+    """
+    rdtype = config.real_dtype()
+    cdtype = config.complex_dtype()
+    a = jnp.deg2rad(jnp.asarray(alpha_deg, rdtype))
+    p = jnp.deg2rad(jnp.asarray(phi_deg, rdtype))
+    a, p = jnp.broadcast_arrays(a, p)
+    cos2, sin2 = jnp.cos(a / 2) ** 2, jnp.sin(a / 2) ** 2
+    sin, cos = jnp.sin(a), jnp.cos(a)
+    ep = jnp.exp(1j * p).astype(cdtype)     # e^{i phi}
+    ep2 = (ep * ep)
+    i = jnp.asarray(1j, cdtype)
+    # Rz(phi) Rx(a) Rz(-phi) in the (F+, F-, Z) basis:
+    m00 = cos2 + 0 * ep
+    m01 = ep2 * sin2
+    m02 = -i * ep * sin
+    m10 = jnp.conj(m01)
+    m11 = cos2 + 0 * ep
+    m12 = i * jnp.conj(ep) * sin
+    m20 = -0.5 * i * jnp.conj(ep) * sin
+    m21 = 0.5 * i * ep * sin
+    m22 = cos + 0 * ep
+    return jnp.stack([
+        jnp.stack([m00, m01, m02]),
+        jnp.stack([m10, m11, m12]),
+        jnp.stack([m20, m21, m22]),
+    ])  # (3, 3, B)
+
+
+@partial(jax.jit, static_argnames=("nstate", "demodulate", "inversion", "normalize"))
+def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
+                        inversion, normalize):
+    """Batched FISP scan with TPU-native layout: states (3, K, B).
+
+    The atom axis B sits on the minor (lane) dimension so tiles pack
+    densely; K rides the sublanes; the per-TR 3x3 mix is 9 fused VPU madds
+    per lane.  (A (B, K, 3) layout pads 3 -> 128 lanes: 42x memory blowup.)
+    """
+    cdtype = config.complex_dtype()
+    rdtype = config.real_dtype()
+    K = 2 * nstate + 1
+    B = T1s.shape[0]
+    P = FA.shape[0]
+    phi_b = jnp.broadcast_to(jnp.asarray(phi, rdtype), (P,))
+    TR_b = jnp.broadcast_to(jnp.asarray(TR, rdtype), (P,))
+
+    E1_te = jnp.exp(-TE / T1s)
+    E2_te = jnp.exp(-TE / T2s)
+
+    states = jnp.zeros((3, K, B), cdtype).at[2, nstate, :].set(1.0)
+
+    def relax(states, E1, E2):
+        decay = jnp.stack([E2, E2, E1]).astype(cdtype)   # (3, B)
+        states = states * decay[:, None, :]
+        return states.at[2, nstate, :].add((1.0 - E1).astype(cdtype))
+
+    if inversion is not None:
+        rot = _rotation_batched(180.0 * B1s, jnp.zeros_like(B1s))
+        states = jnp.einsum("ijb,jkb->ikb", rot, states, precision="highest")
+        states = relax(states, jnp.exp(-inversion / T1s), jnp.exp(-inversion / T2s))
+
+    def step(states, xs):
+        fa, ph, tr = xs
+        rot = _rotation_batched(fa * B1s, ph)
+        states = jnp.einsum("ijb,jkb->ikb", rot, states, precision="highest")
+        states = relax(states, E1_te, E2_te)
+        echo = states[0, nstate, :]                       # (B,)
+        if demodulate:
+            echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
+        states = relax(states, jnp.exp(-(tr - TE) / T1s),
+                       jnp.exp(-(tr - TE) / T2s))
+        # gradient shift: F+ rows slide up along K, F- rows slide down
+        zrow = jnp.zeros((1, B), cdtype)
+        Fp = jnp.concatenate([zrow, states[0, :-1, :]], axis=0)
+        Fm = jnp.concatenate([states[1, 1:, :], zrow], axis=0)
+        states = jnp.stack([Fp, Fm, states[2]])
+        return states, echo
+
+    _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi_b, TR_b))
+    re, im = echoes.real.T, echoes.imag.T                 # (B, P)
+    if normalize:
+        nrm = jnp.sqrt(jnp.sum(re * re + im * im, axis=-1, keepdims=True))
+        scale = jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+        re, im = re * scale, im * scale
+    return re, im
+
+
+def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
+                        nstate: int = 10, demodulate: bool = False,
+                        inversion: Optional[float] = None,
+                        normalize: bool = False, sharding=None):
+    """Generate a FISP MRF dictionary: one fingerprint per atom.
+
+    Args:
+        FA: (P,) flip-angle train (deg); TR: scalar/(P,) (ms); TE: scalar.
+        T1s, T2s, B1s: (B,) per-atom parameters (B1s defaults to ones).
+        sharding: optional ``jax.sharding.NamedSharding`` for the atom axis
+            (multi-device data parallelism).
+
+    Returns:
+        (re, im): (B, P) float arrays (complex fingerprint, split).
+    """
+    rdtype = config.real_dtype()
+    T1s = jnp.asarray(T1s, rdtype)
+    T2s = jnp.asarray(T2s, rdtype)
+    B1s = jnp.ones_like(T1s) if B1s is None else jnp.asarray(B1s, rdtype)
+    if sharding is not None:
+        T1s = jax.device_put(T1s, sharding)
+        T2s = jax.device_put(T2s, sharding)
+        B1s = jax.device_put(B1s, sharding)
+    return _dictionary_program(
+        jnp.asarray(FA, rdtype), phi, TR, jnp.asarray(TE, rdtype),
+        T1s, T2s, B1s,
+        nstate=nstate, demodulate=demodulate, inversion=inversion,
+        normalize=normalize,
+    )

@@ -41,11 +41,11 @@ def _format_matrix_np(mat, check=True):
 def apply_matrices(sm, mat, mat0):
     """states[k] = mat @ states[k] [+ mat0 @ equilibrium[k]]."""
     mat = align_batch(mat, sm.ndim, 2)
-    states = jnp.einsum("...ij,...kj->...ki", mat, sm.states)
+    states = jnp.einsum("...ij,...kj->...ki", mat, sm.states, precision="highest")
     if mat0 is not None:
         mat0 = align_batch(mat0, sm.ndim, 2)
         eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
-        states = states + jnp.einsum("...ij,...kj->...ki", mat0, eq)
+        states = states + jnp.einsum("...ij,...kj->...ki", mat0, eq, precision="highest")
     return sm.update(states=states)
 
 
@@ -103,13 +103,13 @@ class MatrixOp(base.CombinableOperator):
 def matrix_combine(mat1, mat2, mat01=None, mat02=None):
     """Compose two matrix ops: first mat1, then mat2 -> (mat2 @ mat1, ...)."""
     mat1, mat2, mat01, mat02 = common.extend_operators(2, mat1, mat2, mat01, mat02)
-    mat = jnp.einsum("...ij,...jk->...ik", mat2, mat1)
+    mat = jnp.einsum("...ij,...jk->...ik", mat2, mat1, precision="highest")
     if mat01 is None and mat02 is None:
         mat0 = None
     elif mat01 is None:
         mat0 = mat02
     else:
-        mat0 = jnp.einsum("...ij,...jk->...ik", mat2, mat01)
+        mat0 = jnp.einsum("...ij,...jk->...ik", mat2, mat01, precision="highest")
         if mat02 is not None:
             mat0 = mat0 + mat02
     return mat, mat0
@@ -119,5 +119,5 @@ def matrix_combine_multi(mats):
     """Compose a chain of matrices applied left-to-right."""
     mat = mats[0]
     for m in mats[1:]:
-        mat = jnp.einsum("...ij,...jk->...ik", m, mat)
+        mat = jnp.einsum("...ij,...jk->...ik", m, mat, precision="highest")
     return mat

@@ -63,7 +63,7 @@ def rotation_operator(alpha, phi):
     rp = rotation_phi(phi)
     rm = rotation_phi(jnp.asarray(phi) * (-1))
     ra, rp, rm = common.extend_operators(2, ra, rp, rm)
-    mat = jnp.einsum("...ij,...jk,...kl->...il", rp, ra, rm)
+    mat = jnp.einsum("...ij,...jk,...kl->...il", rp, ra, rm, precision="highest")
     if mat.ndim == 2:
         mat = mat[None]
     return mat

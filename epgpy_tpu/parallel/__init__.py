@@ -1,0 +1,23 @@
+"""Multi-device execution: meshes, sharded dictionaries, CRLB training.
+
+The reference has no distributed layer at all (SURVEY.md §2.9): its only
+scale-out is NumPy broadcasting plus a commented-out multiprocessing split
+of derivative pairs (reference epgpy/functions.py:195-248).  The TPU-native
+equivalents here:
+
+* atom-axis data parallelism over a ``jax.sharding.Mesh`` (ICI collectives
+  inserted by XLA) -- dictionaries, matching;
+* tangent-axis sharding of wide ``jacfwd`` Jacobians (the per-pulse
+  flip-angle derivative axis of MRF sequence optimization) -- the compiled
+  analog of the reference's mp.Pool order-2 split.
+"""
+
+from .mesh import make_mesh, atom_sharding
+from .crlb import crlb_train_step, fingerprint_crlb_loss
+from .match import dictionary_match
+
+__all__ = [
+    "make_mesh", "atom_sharding",
+    "crlb_train_step", "fingerprint_crlb_loss",
+    "dictionary_match",
+]

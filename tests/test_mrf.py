@@ -1,0 +1,92 @@
+"""MRF dictionary model tests: parity with the generic engine and golden."""
+
+import os
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu.models import mrf
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_fisp_matches_engine_golden():
+    """Direct scan model == reference golden (generated with max_nstate=10)."""
+    path = os.path.join(GOLDEN, "fisp_mrf.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    g = np.load(path)
+    FAs, T1s, T2s = g["FAs"], g["T1s"], g["T2s"]
+    re, im = mrf.fisp_mrf_dictionary(
+        FAs, 12.0, 5.0, T1s, T2s, nstate=10, phi=90.0)
+    sig = np.asarray(re) + 1j * np.asarray(im)
+    # golden layout: (P, natoms); ours: (natoms, P)
+    assert np.abs(sig.T - g["signal"]).max() < 1e-10
+
+
+def test_fisp_b1_and_inversion():
+    FAs = np.full(32, 30.0)
+    TI, T1 = 20.0, 800.0
+    re, im = mrf.fisp_mrf_dictionary(
+        FAs, 12.0, 5.0, [T1], [60.0], [1.0], nstate=5, inversion=TI)
+    sig = np.asarray(re)[0] + 1j * np.asarray(im)[0]
+    re2, im2 = mrf.fisp_mrf_dictionary(
+        FAs, 12.0, 5.0, [T1], [60.0], [1.0], nstate=5)
+    sig2 = np.asarray(re2)[0] + 1j * np.asarray(im2)[0]
+    # perfect inversion: Z0 = 1 - 2 e^{-TI/T1}; first echo scales by it
+    z = 1 - 2 * np.exp(-TI / T1)
+    assert np.allclose(sig[0], z * sig2[0], atol=1e-10)
+    # B1 scales the effective flip angle
+    re3, im3 = mrf.fisp_mrf_dictionary(
+        FAs / 2, 12.0, 5.0, [T1], [60.0], nstate=5)
+    re4, im4 = mrf.fisp_mrf_dictionary(
+        FAs, 12.0, 5.0, [T1], [60.0], [0.5], nstate=5)
+    assert np.abs(np.asarray(re3) - np.asarray(re4)).max() < 1e-12
+
+
+def test_fisp_demodulate():
+    FAs = np.full(8, 40.0)
+    r1, i1 = mrf.fisp_mrf_dictionary(FAs, 12.0, 5.0, [800.0], [60.0],
+                                     nstate=4, phi=90.0, demodulate=True)
+    r2, i2 = mrf.fisp_mrf_dictionary(FAs, 12.0, 5.0, [800.0], [60.0],
+                                     nstate=4, phi=0.0, demodulate=True)
+    s1 = np.asarray(r1) + 1j * np.asarray(i1)
+    s2 = np.asarray(r2) + 1j * np.asarray(i2)
+    # demodulated fingerprints are phase-invariant
+    assert np.abs(s1 - s2).max() < 1e-10
+
+
+def test_fisp_normalize():
+    FAs = np.linspace(5, 60, 16)
+    re, im = mrf.fisp_mrf_dictionary(
+        FAs, 11.0, 4.0, [500.0, 1000.0], [50.0, 90.0], nstate=4,
+        normalize=True)
+    nrm = np.sqrt(np.sum(np.asarray(re) ** 2 + np.asarray(im) ** 2, axis=-1))
+    assert np.allclose(nrm, 1.0)
+
+
+def test_variable_tr():
+    FAs = np.full(16, 25.0)
+    TRs = 11.0 + 3.0 * np.sin(np.arange(16.0))
+    re, im = mrf.fisp_mrf_dictionary(FAs, TRs, 4.0, [800.0], [70.0], nstate=4)
+    assert np.asarray(re).shape == (1, 16)
+
+
+def test_sharded_dictionary(cpu_devices):
+    """Atom axis sharded over the 8-device CPU mesh == single device."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    FAs = np.linspace(10, 60, 32)
+    T1s = np.linspace(300, 1500, 16)
+    T2s = np.linspace(30, 120, 16)
+
+    re0, im0 = mrf.fisp_mrf_dictionary(FAs, 12.0, 5.0, T1s, T2s, nstate=4)
+
+    mesh = Mesh(np.array(cpu_devices), ("atoms",))
+    sh = NamedSharding(mesh, PS("atoms"))
+    re1, im1 = mrf.fisp_mrf_dictionary(FAs, 12.0, 5.0, T1s, T2s, nstate=4,
+                                       sharding=sh)
+    assert np.abs(np.asarray(re0) - np.asarray(re1)).max() < 1e-12
+    assert np.abs(np.asarray(im0) - np.asarray(im1)).max() < 1e-12

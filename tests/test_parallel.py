@@ -1,0 +1,83 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from epgpy_tpu.parallel import (
+    make_mesh, atom_sharding, crlb_train_step, fingerprint_crlb_loss,
+    dictionary_match,
+)
+from epgpy_tpu.models import mrf
+
+
+def test_make_mesh(cpu_devices):
+    mesh = make_mesh(cpu_devices, axes=("atoms", "tangents"), shape=(4, 2))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("atoms", "tangents")
+
+
+def test_crlb_loss_sharded_equals_single(cpu_devices):
+    FA = jnp.asarray(np.linspace(20, 60, 8), jnp.float64)
+    T1s = jnp.asarray(np.linspace(400, 1400, 8))
+    T2s = jnp.asarray(np.linspace(40, 110, 8))
+
+    mesh1 = make_mesh(cpu_devices[:1], axes=("atoms",))
+    mesh8 = make_mesh(cpu_devices, axes=("atoms", "tangents"), shape=(4, 2))
+
+    l1 = fingerprint_crlb_loss(FA, T1s, T2s, mesh1, nstate=3, fa_weight=0.0)
+    l8 = fingerprint_crlb_loss(FA, T1s, T2s, mesh8, nstate=3, fa_weight=0.0)
+    assert np.allclose(np.asarray(l1), np.asarray(l8), rtol=1e-9)
+
+
+def test_crlb_train_step(cpu_devices):
+    mesh = make_mesh(cpu_devices, axes=("atoms", "tangents"), shape=(4, 2))
+    FA = jnp.asarray(np.linspace(20, 60, 8))
+    T1s = jnp.asarray(np.linspace(400, 1400, 8))
+    T2s = jnp.asarray(np.linspace(40, 110, 8))
+    new_FA, loss = jax.jit(
+        lambda fa, t1, t2: crlb_train_step(fa, t1, t2, mesh, lr=0.1, nstate=3)
+    )(FA, T1s, T2s)
+    assert np.isfinite(np.asarray(loss))
+    assert not np.allclose(np.asarray(new_FA), np.asarray(FA))
+    # gradient descent: a small step along -grad must not increase the loss
+    l2 = fingerprint_crlb_loss(new_FA, T1s, T2s, mesh, nstate=3)
+    assert np.asarray(l2) <= np.asarray(loss) * (1 + 1e-6)
+
+
+def test_dictionary_match(cpu_devices):
+    FA = np.linspace(10, 60, 24)
+    T1s = np.linspace(300, 1500, 16)
+    T2s = np.linspace(30, 120, 16)
+    re, im = mrf.fisp_mrf_dictionary(FA, 12.0, 5.0, T1s, T2s, nstate=4,
+                                     normalize=True)
+    re, im = jnp.asarray(re), jnp.asarray(im)
+    # query with noisy copies of atoms 3 and 11
+    rng = np.random.default_rng(0)
+    sig_re = np.stack([re[3], re[11]]) + 1e-4 * rng.normal(size=(2, 24))
+    sig_im = np.stack([im[3], im[11]]) + 1e-4 * rng.normal(size=(2, 24))
+
+    idx0, val0 = dictionary_match(re, im, jnp.asarray(sig_re), jnp.asarray(sig_im))
+    assert list(np.asarray(idx0)) == [3, 11]
+
+    mesh = make_mesh(cpu_devices, axes=("atoms",))
+    idx1, val1 = dictionary_match(re, im, jnp.asarray(sig_re),
+                                  jnp.asarray(sig_im), mesh)
+    assert list(np.asarray(idx1)) == [3, 11]
+    assert np.allclose(np.asarray(val0), np.asarray(val1))
+
+
+def test_graft_entry():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    re, im = out
+    assert re.shape == (16, 32)
+
+    ge.dryrun_multichip(8)
