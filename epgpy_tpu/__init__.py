@@ -16,8 +16,8 @@ from .statematrix import StateMatrix
 from .ops import (
     Operator, EmptyOperator, MultiOperator, CombinableOperator,
     Wait, Offset, Spoiler, Reset, PD, System, NULL, SPOILER, RESET,
-    ScalarOp, MatrixOp,
-    T, Tx, Ty, Phi, E, P, R, S, G, C,
+    ScalarOp, MatrixOp, CombinedOp,
+    T, Tx, Ty, Phi, E, P, R, S, G, C, D, X, exchange_matrix,
     Probe, Adc, ADC, DFT, Imaging,
 )
 from .engine import (

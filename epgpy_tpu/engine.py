@@ -84,6 +84,44 @@ def get_adc_times(sequence):
     return times
 
 
+#: default half-capacity for n-D / float coordinate tables (the reference
+#: grows tables dynamically; a static framework needs a default cap)
+DEFAULT_TABLE_NSTATE = 255
+
+
+def _capacity(sequence, nshift: int, max_nstate) -> int:
+    """Static ladder half-capacity for the sequence.
+
+    1-D integer sequences are exact with ``nshift``.  Coordinate-table
+    sequences (n-D / float shifts) can populate up to the lattice box
+    ``prod_d (2 sum|k_d| + 1)`` (or 3^m splitting paths if smaller); cap
+    at ``max_nstate`` or DEFAULT_TABLE_NSTATE.
+    """
+    from .ops.shift import S
+
+    shift_ops = [op for op in sequence if isinstance(op, S)]
+    table = any(not isinstance(op.k, int) or op.kdim > 1 for op in shift_ops)
+    if not table:
+        ncap = int(nshift)
+        return min(ncap, int(max_nstate)) if max_nstate else ncap
+
+    # lattice-box bound per dimension
+    kdim = max(op.kdim for op in shift_ops)
+    sums = np.zeros(kdim)
+    for op in shift_ops:
+        if isinstance(op.k, int):
+            sums[0] += abs(op.k)
+            continue
+        karr = np.atleast_2d(np.asarray(op.k, dtype=float))
+        mags = np.max(np.abs(karr.reshape(-1, karr.shape[-1])), axis=0)
+        sums[:len(mags)] += mags
+    box = int(np.prod(2 * np.ceil(sums) + 1))
+    paths = 3 ** min(len(shift_ops), 16)
+    bound = (min(box, paths) - 1) // 2 + 1
+    cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
+    return max(min(bound, cap), 1)
+
+
 # -- plan construction --
 
 
@@ -275,9 +313,7 @@ def simulate(
 
     # ladder capacity: static, from sequence analysis + user cap
     max_nstate = options.get("max_nstate")
-    ncap = int(nshift)
-    if max_nstate:
-        ncap = min(ncap, int(max_nstate))
+    ncap = _capacity(sequence, nshift, max_nstate)
 
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(

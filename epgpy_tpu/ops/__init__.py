@@ -9,6 +9,9 @@ from .matrixop import MatrixOp
 from .transition import T, Tx, Ty, Phi
 from .evolution import E, P, R
 from .shift import S, G, C
+from .diffusion import D
+from .exchange import X, exchange_matrix
+from .combined import CombinedOp
 from .probe import Probe, Adc, ADC, DFT, Imaging
 
 __all__ = [
@@ -16,6 +19,7 @@ __all__ = [
     "Wait", "Offset", "Spoiler", "Reset", "PD", "System",
     "NULL", "SPOILER", "RESET",
     "ScalarOp", "MatrixOp",
-    "T", "Tx", "Ty", "Phi", "E", "P", "R", "S", "G", "C",
+    "T", "Tx", "Ty", "Phi", "E", "P", "R", "S", "G", "C", "D", "X",
+    "exchange_matrix", "CombinedOp",
     "Probe", "Adc", "ADC", "DFT", "Imaging",
 ]

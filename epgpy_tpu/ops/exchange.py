@@ -1,0 +1,202 @@
+"""Compartment exchange / magnetization transfer (EPG-X).
+
+Physics (parity target: reference epgpy/exchange.py; Van Landeghem 2010):
+N exchanging compartments live on a chosen batch axis of the state matrix.
+The coupled relaxation-exchange evolution over `tau` is the matrix
+exponential of the kinetic matrix:
+
+    xT = -khi + (-1/T2 + 2 i pi g) I      (transverse)
+    xL = -khi + (-1/T1) I                 (longitudinal)
+    m* = expm(x* tau)
+
+applied across the compartment axis to ``states - equilibrium`` (the
+equilibrium is re-added afterwards, so T1 recovery and exchange of the
+equilibrium magnetization are handled jointly).
+
+``expm`` uses jax.scipy's Pade scaling-and-squaring (batched, TPU-safe)
+instead of the reference's eigendecomposition (epgpy/exchange.py:262-282):
+nonsymmetric eig is CPU-only in XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import common, config
+from . import base
+
+__all__ = ["X", "exchange_matrix", "exchange_operator"]
+
+
+def exchange_matrix(k, *, axis=-1, ncomp=2, densities=None):
+    """Kinetic matrix from scalar rate(s): columns sum to zero.
+
+    k: exchange rate(s) (1/ms); returns (..., ncomp, ..., ncomp) with the
+    first new axis inserted at `axis` (host-side numpy, static).
+    """
+    k = np.asarray(k, dtype=float)
+    if np.any(k < 0):
+        raise ValueError("Cannot have negative exchange rate")
+    if axis > k.ndim:
+        k = k.reshape(k.shape + (1,) * (axis - k.ndim))
+    axis = (k.ndim + axis + 1) if axis < 0 else axis
+    kron = np.eye(ncomp) + (np.eye(ncomp) - 1) / (ncomp - 1)
+    if densities is not None:
+        kron = kron / np.asarray(densities)
+    return np.moveaxis(k[..., None, None] * kron, -2, axis)
+
+
+def exchange_operator(tau, khi, *, axis=0, T1=None, T2=None, g=None):
+    """(mT, mL) exchange-evolution matrices, trace-time (complex inside).
+
+    khi: (..., ncomp[axis], ..., ncomp) kinetic matrix; tau ms; T1/T2 ms;
+    g kHz (arrays broadcast over the remaining axes, compartment values on
+    `axis`).
+    """
+    cdt = config.complex_dtype()
+    rdt = config.real_dtype()
+    khi = jnp.asarray(khi, rdt)
+    tau = jnp.asarray(tau, rdt)
+    T1 = jnp.asarray(np.inf if T1 is None else T1, rdt)
+    T2 = jnp.asarray(np.inf if T2 is None else T2, rdt)
+    g = jnp.asarray(0.0 if g is None else g, rdt)
+
+    ncomp = khi.shape[-1]
+    eye = jnp.eye(ncomp, dtype=rdt)
+
+    # broadcast shapes (append rule), compartment axis -> last
+    minshape = khi.shape[:-1]
+    shape = _broadcast_rev(tau.shape, T1.shape, T2.shape, g.shape, minshape)
+    ndim = len(shape)
+    tau, T1, T2, g = (_expand_to(a, ndim) for a in (tau, T1, T2, g))
+    T1, T2, g = (jnp.broadcast_to(a, shape) for a in (T1, T2, g))
+    khi = khi.reshape((1,) * (ndim - len(minshape)) + khi.shape)
+    tau, T1, T2, g = (jnp.moveaxis(a, axis, -1) for a in (tau, T1, T2, g))
+
+    xT = -khi.astype(cdt) + ((-1.0 / T2 + 2j * jnp.pi * g).astype(cdt))[..., None] * eye
+    xL = -khi.astype(cdt) + ((-1.0 / T1).astype(cdt))[..., None] * eye
+
+    mT = _expm(xT * tau[..., None].astype(cdt))
+    mL = _expm(xL * tau[..., None].astype(cdt))
+
+    mT = jnp.moveaxis(mT, (-2, -1), (axis, axis + 1))
+    mL = jnp.moveaxis(mL, (-2, -1), (axis, axis + 1))
+    return jnp.stack([mT, jnp.conj(mT), mL], axis=-1)
+
+
+def _expm(mat):
+    """Batched matrix exponential (Pade scaling-and-squaring)."""
+    from jax.scipy.linalg import expm
+    return expm(mat)
+
+
+def _broadcast_rev(*shapes):
+    """Append-rule broadcast (reference epgpy/exchange.py:221-222)."""
+    rev = [tuple(s)[::-1] for s in shapes]
+    return np.broadcast_shapes(*rev)[::-1]
+
+
+def _expand_to(arr, ndim):
+    return arr.reshape(arr.shape + (1,) * (ndim - arr.ndim))
+
+
+@base.register_op
+class X(base.Operator):
+    """Exchange operator: couples compartments along a batch axis.
+
+    Args:
+        tau: mixing time (ms).
+        khi: scalar exchange rate (1/ms, 2 compartments assumed) or a full
+            kinetic matrix (columns sum to 0 along `axis`).
+        axis: compartment batch axis of the state matrix.
+        T1, T2, g: per-compartment relaxation/shift (arrays on `axis`).
+    """
+
+    PARAMS = ("tau", "khi", "T1", "T2", "g")
+
+    def __init__(self, tau, khi, *, axis=-1, T1=None, T2=None, g=None,
+                 name=None, duration=None):
+        if np.isscalar(khi):
+            khi = exchange_matrix(khi, axis=axis, ncomp=2)
+        else:
+            khi = np.asarray(khi, dtype=float)
+            if khi.ndim < 2:
+                raise ValueError("Exchange matrix must be at least 2D")
+            if khi.shape[:-1][axis] != khi.shape[-1]:
+                raise ValueError("Exchange matrix must be square")
+            colsums = [np.abs(khi[..., i].sum(axis=axis)).max()
+                       for i in range(khi.shape[-1])]
+            if not np.allclose(colsums, 0):
+                raise ValueError(f"Exchange matrix must sum to 0 along axis {axis}")
+        axis = int(khi.ndim + axis - 1) if axis < 0 else int(axis)
+        self.axis = axis
+        self.khi = jnp.asarray(khi)
+        self.tau = jnp.asarray(tau, dtype=float)
+        self.T1 = None if T1 is None else jnp.asarray(T1, dtype=float)
+        self.T2 = None if T2 is None else jnp.asarray(T2, dtype=float)
+        self.g = None if g is None else jnp.asarray(g, dtype=float)
+        if name is None:
+            name = common.repr_operator("X", ["tau", "khi"], [tau, khi])
+        if duration is True:
+            duration = tau
+        super().__init__(name=name, duration=duration)
+
+    @property
+    def shape(self):
+        mshape = self._matshape()
+        return tuple(d for i, d in enumerate(mshape) if i != self.axis + 1)
+
+    def _matshape(self):
+        shape = _broadcast_rev(
+            common.get_shape(self.tau),
+            () if self.T1 is None else common.get_shape(self.T1),
+            () if self.T2 is None else common.get_shape(self.T2),
+            () if self.g is None else common.get_shape(self.g),
+            self.khi.shape[:-1],
+        )
+        return shape
+
+    def apply(self, sm):
+        ax = self.axis
+        mat = exchange_operator(self.tau, self.khi, axis=ax,
+                                T1=self.T1, T2=self.T2, g=self.g)
+        ncomp = mat.shape[ax]
+
+        # runtime conservation check (eager/CPU only; under jit the
+        # structural column-sum check in __init__ already ran)
+        if not isinstance(sm.states_re, jax.core.Tracer):
+            dens = np.asarray(sm.density)
+            dens_b = np.broadcast_to(dens, sm.shape) if dens.ndim else dens
+            if np.ndim(dens_b) > ax and np.shape(dens_b)[ax] == ncomp:
+                tot = np.tensordot(
+                    np.asarray(self.khi), np.moveaxis(dens_b, ax, -1),
+                    axes=[[-1], [-1]])
+                if not np.allclose(tot, 0, atol=1e-8):
+                    raise RuntimeError(
+                        "Exchange matrix `khi` does not conserve total "
+                        "magnetization")
+
+        states = sm.states
+        eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
+        if states.shape[ax] == 1 and ncomp > 1:
+            states = jnp.concatenate([states] * ncomp, axis=ax)
+            eq = jnp.broadcast_to(eq, states.shape) if eq.shape[ax] == 1 else eq
+        elif states.shape[ax] != ncomp:
+            raise RuntimeError(
+                f"State matrix axis {ax} has size {states.shape[ax]}, "
+                f"expected {ncomp} compartments")
+
+        # reference semantics (epgpy/exchange.py:103-120): contract the
+        # matrix's j-compartment axis (ax+1) with the states' compartment
+        # axis, inserted at ax+1 by expand_dims at ax
+        dev = states - jnp.broadcast_to(eq, states.shape)
+        dev_ins = jnp.expand_dims(dev, ax)          # (..., 1@ax, comp@ax+1, ..., K, 3)
+        need = dev_ins.ndim - mat.ndim
+        mat_e = mat.reshape(mat.shape[:-1] + (1,) * max(need, 0) + mat.shape[-1:])
+        new = jnp.sum(
+            jnp.moveaxis(mat_e, ax + 1, -1) * jnp.moveaxis(dev_ins, ax + 1, -1),
+            axis=-1,
+        )
+        return sm.update(states=new + jnp.broadcast_to(eq, new.shape))

@@ -1,15 +1,310 @@
-"""n-dimensional / float-wavenumber shifts (static-capacity redesign).
+"""n-dimensional / float-wavenumber shifts with static capacity.
 
-Implements the reference's shift-nd / shift-merge / shift-prune methods
-(reference epgpy/shift.py:297-542) with static shapes.  Placeholder until
-the coordinate-table kernels land.
+Reimplements the reference's shift-nd / shift-merge / shift-prune methods
+(reference epgpy/shift.py:297-542, Gao 2021 three-dimensional spatially
+resolved phase graph) for XLA: the coordinate table has a *fixed* number of
+rows C; each shift produces 3C candidate rows (Z stays, F+ moves +delta,
+F- moves -delta), merges duplicates with a sort + segment-sum, and keeps
+the C most energetic rows symmetrically around k=0.
+
+Key properties:
+
+* all shapes static: sort(3C) -> segment_sum(3C) -> top-(C+1)/2 -> C rows;
+* the kept set is exactly symmetric: selection ranks only rows with
+  key >= 0 (key(-q) == -key(q) by construction) and mirrors them, so the
+  conjugate ladder symmetry survives bit-exactly;
+* padding rows carry zero states and coords 0: they merge into the k=0
+  cell as exact no-ops -- no validity mask anywhere;
+* matches the reference's nmax/trim semantics when capacity is exceeded
+  (magnitude-ranked, center always kept, reference epgpy/shift.py:558-573).
+
+The merge (float) variant additionally tracks magnitude-weighted mean
+wavenumbers per cell (reference epgpy/shift.py:419-438).
 """
 
 from __future__ import annotations
 
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+
+__all__ = ["apply_shift", "shiftnd_table", "shiftmerge_table"]
+
+
+def _intdtype():
+    return jnp.int64 if config.x64_enabled() else jnp.int32
+
+
+def _encode_keys(q):
+    """Antisymmetric lexicographic key: key(-q) == -key(q), no collisions.
+
+    q: (R, d) integer coords.  Strides come from the data's actual extent
+    (same trick as reference epgpy/shift.py:600-607).
+    """
+    idt = _intdtype()
+    q = q.astype(idt)
+    span = 2 * jnp.max(jnp.abs(q), axis=tuple(range(q.ndim - 1))) + 1  # (d,)
+    strides = jnp.cumprod(
+        jnp.concatenate([jnp.ones((1,), idt), span[:-1].astype(idt)])
+    )
+    return jnp.sum(q * strides, axis=-1)
+
+
+def _merge_rows(keys, payloads, R):
+    """Sort rows by key, segment-sum payload columns of equal keys.
+
+    keys: (R,) int; payloads: dict name -> (R, ...cols) arrays sharing the
+    leading row axis.  Returns (sorted unique keys (R,), merged payloads,
+    seg_count) where rows >= nseg are undefined-but-zero.
+    """
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    head = jnp.concatenate([
+        jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    seg = jnp.cumsum(head) - 1                      # (R,)
+    merged = {}
+    for name, arr in payloads.items():
+        arr_s = jnp.take(arr, order, axis=0)
+        merged[name] = jax.ops.segment_sum(arr_s, seg, num_segments=R)
+    ukeys = jax.ops.segment_max(keys_s, seg, num_segments=R)
+    nseg = seg[-1] + 1
+    return ukeys, merged, seg, nseg
+
+
+def _select_symmetric(ukeys, mag, nseg, C):
+    """Row indices (C,) of the kept table, mirror-symmetric around k=0.
+
+    Ranks only strictly-positive keys by magnitude (mag is exactly
+    symmetric under k -> -k, see module docstring), keeps the top
+    (C-1)//2 of them, and emits
+
+        out[h-1-i] = mirror(top[i]),  out[h] = center,  out[h+1+i] = top[i]
+
+    with h = (C-1)//2.  Mirror rows sit at ``nseg-1-i`` because the unique
+    keys are sorted ascending and the key set is symmetric.  Unused slots
+    point at an empty segment row (all-zero payload, coords 0).
+    """
+    R = ukeys.shape[0]
+    idx = jnp.arange(R)
+    valid = idx < nseg
+    h = (C - 1) // 2
+
+    score = jnp.where(valid & (ukeys > 0), mag, -jnp.inf)
+    topscore, top = jax.lax.top_k(score, h)        # descending magnitude
+    has = jnp.isfinite(topscore) & (topscore > -jnp.inf)
+
+    # an all-zero filler row: index >= nseg (empty segment). nseg == R only
+    # when every candidate row is a distinct key, in which case the table
+    # was full and `has` is all-True, so the filler is never used.
+    filler = jnp.minimum(nseg, R - 1)
+    top = jnp.where(has, top, filler)
+    mirror_top = jnp.where(has, nseg - 1 - top, filler)
+
+    # center: position of key 0 among the valid sorted keys
+    search_keys = jnp.where(valid, ukeys, jnp.iinfo(ukeys.dtype).max)
+    center = jnp.searchsorted(search_keys, 0)
+
+    out = jnp.full((C,), filler, dtype=idx.dtype)
+    out = out.at[h].set(center)
+    out = out.at[h + 1 + jnp.arange(h)].set(top)
+    out = out.at[h - 1 - jnp.arange(h)].set(mirror_top)
+    return out
+
+
+def shiftnd_table(states, coords, delta, C=None):
+    """Integer n-D shift on a shared coordinate table.
+
+    states: (..., C, 3) complex; coords: (C, d) int (shared across batch);
+    delta: (d,) int.  Returns (states', coords') with the same shapes.
+    """
+    C_cap = states.shape[-2] if C is None else C
+    d = coords.shape[-1]
+    idt = _intdtype()
+    coords = coords.astype(idt)
+    delta = jnp.asarray(delta, idt)
+
+    qL = coords
+    q1 = coords + delta
+    q2 = coords - delta
+    cand_q = jnp.concatenate([qL, q1, q2], axis=0)          # (3C, d)
+    keys = _encode_keys(cand_q)
+
+    # payload channels: move row axis first -> (3C, batch...)
+    Z = jnp.moveaxis(states[..., 2], -1, 0)
+    Fp = jnp.moveaxis(states[..., 0], -1, 0)
+    Fm = jnp.moveaxis(states[..., 1], -1, 0)
+    zeros = jnp.zeros_like(Z)
+    payloads = {
+        "Z": jnp.concatenate([Z, zeros, zeros], axis=0),
+        "Fp": jnp.concatenate([zeros, Fp, zeros], axis=0),
+        "Fm": jnp.concatenate([zeros, zeros, Fm], axis=0),
+        "q": cand_q.astype(config.real_dtype()),
+        "cnt": jnp.ones((3 * C_cap,), config.real_dtype()),
+    }
+    ukeys, merged, seg, nseg = _merge_rows(keys, payloads, 3 * C_cap)
+
+    # magnitude per row, summed over batch dims (shared selection)
+    bdims = tuple(range(1, merged["Z"].ndim))
+    mag = sum(
+        jnp.sum(jnp.abs(merged[ch]) ** 2, axis=bdims) for ch in ("Z", "Fp", "Fm")
+    )
+    kept = _select_symmetric(ukeys, mag, nseg, C_cap)
+
+    new_states = jnp.stack(
+        [jnp.moveaxis(jnp.take(merged[ch], kept, axis=0), 0, -1)
+         for ch in ("Fp", "Fm", "Z")], axis=-1)
+    cnt = jnp.maximum(jnp.take(merged["cnt"], kept, axis=0), 1.0)
+    new_coords = (jnp.take(merged["q"], kept, axis=0) / cnt[:, None])
+    new_coords = jnp.round(new_coords).astype(idt)
+    return new_states, new_coords
+
+
+def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8):
+    """Float wavenumber shift with gridded merging (Gao 2021).
+
+    states: (..., C, 3); wavenums: (C, d) float shared; delta: (d,) float;
+    grid: (d,) or scalar cell size.  Returns (states', wavenums').
+    """
+    C_cap = states.shape[-2] if C is None else C
+    rdt = config.real_dtype()
+    idt = _intdtype()
+    wavenums = jnp.asarray(wavenums, rdt)
+    delta = jnp.asarray(delta, rdt)
+    grid = jnp.broadcast_to(jnp.asarray(grid, rdt), (wavenums.shape[-1],))
+
+    kL = jnp.round(wavenums, 8)
+    k1 = kL + delta
+    k2 = kL - delta
+    # quantize; qL symmetrized like the reference (epgpy/shift.py:404-406)
+    qL = jnp.round(0.5 * (kL - kL[::-1]) / grid).astype(idt)
+    q1 = jnp.round(k1 / grid).astype(idt)
+    q2 = -q1[::-1]
+    cand_q = jnp.concatenate([qL, q1, q2], axis=0)
+    keys = _encode_keys(cand_q)
+
+    Z = jnp.moveaxis(states[..., 2], -1, 0)
+    Fp = jnp.moveaxis(states[..., 0], -1, 0)
+    Fm = jnp.moveaxis(states[..., 1], -1, 0)
+    zeros = jnp.zeros_like(Z)
+
+    # weights: state magnitudes summed over batch (reference shift.py:420)
+    bdims = tuple(range(1, Z.ndim))
+    wZ = jnp.sum(jnp.abs(Z), axis=bdims)
+    wFp = jnp.sum(jnp.abs(Fp), axis=bdims)
+    wFm = jnp.sum(jnp.abs(Fm), axis=bdims)
+    w = jnp.concatenate([wZ, wFp, wFm], axis=0)             # (3C,)
+    kcand = jnp.concatenate([kL, k1, k2], axis=0)           # (3C, d)
+
+    payloads = {
+        "Z": jnp.concatenate([Z, zeros, zeros], axis=0),
+        "Fp": jnp.concatenate([zeros, Fp, zeros], axis=0),
+        "Fm": jnp.concatenate([zeros, zeros, Fm], axis=0),
+        "kw": kcand * w[:, None],
+        "w": w,
+    }
+    ukeys, merged, seg, nseg = _merge_rows(keys, payloads, 3 * C_cap)
+
+    mag = sum(
+        jnp.sum(jnp.abs(merged[ch]) ** 2, axis=bdims) for ch in ("Z", "Fp", "Fm")
+    )
+    kept = _select_symmetric(ukeys, mag, nseg, C_cap)
+
+    new_states = jnp.stack(
+        [jnp.moveaxis(jnp.take(merged[ch], kept, axis=0), 0, -1)
+         for ch in ("Fp", "Fm", "Z")], axis=-1)
+    wk = jnp.take(merged["w"], kept, axis=0)
+    new_k = jnp.take(merged["kw"], kept, axis=0) / jnp.where(
+        wk > tol, wk, 1.0)[:, None]
+    return new_states, new_k
+
+
+def _per_batch(fn):
+    """vmap a table kernel over all batch dims of (states, coords)."""
+    def wrapped(states, coords, *args):
+        bshape = states.shape[:-2]
+        st = states.reshape((-1,) + states.shape[-2:])
+        co = jnp.broadcast_to(
+            coords, bshape + coords.shape[-2:]).reshape((-1,) + coords.shape[-2:])
+        out_s, out_c = jax.vmap(lambda s, c: fn(s, c, *args))(st, co)
+        return (out_s.reshape(bshape + out_s.shape[-2:]),
+                out_c.reshape(bshape + out_c.shape[-2:]))
+    return wrapped
+
 
 def apply_shift(op, sm):
-    raise NotImplementedError(
-        "n-D / float shifts land in the shiftnd milestone; "
-        "only integer 1-D shifts are available so far"
+    """Dispatch S.apply for coordinate-table shifts (non-1D-integer paths).
+
+    Method selection mirrors reference epgpy/shift.py:213-254:
+      * int shift + int coords, shared table        -> shiftnd_table
+      * float shift (or float coords), shared table -> shiftmerge_table
+      * batch-varying shift or per-batch coords     -> vmapped merge
+        (the reference's shift-prune)
+    """
+    k = op.k
+    if isinstance(k, int):
+        karr = np.zeros((1, max(sm.kdim, 1)), dtype=int)
+        karr[0, 0] = k
+        is_int = True
+    else:
+        karr = np.atleast_2d(np.asarray(k))
+        is_int = np.issubdtype(karr.dtype, np.integer)
+
+    # widen the coordinate table to the shift's dimensionality
+    kdim = max(karr.shape[-1], sm.kdim if sm.coords is not None else 1)
+    if sm.coords is None:
+        sm = sm.setup_coords(kdim)
+        if is_int:
+            sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    elif sm.kdim < kdim:
+        sm = sm.setup_coords(kdim)
+    if karr.shape[-1] < sm.kdim:
+        karr = np.pad(karr, [(0, 0)] * (karr.ndim - 1)
+                      + [(0, sm.kdim - karr.shape[-1])])
+
+    states = sm.states
+    coords = sm.coords
+    batch_varying = math.prod(karr.shape[:-1]) > 1
+    shared_coords = coords.ndim == 2 or all(s == 1 for s in coords.shape[:-2])
+    if coords.ndim > 2 and shared_coords:
+        coords = coords.reshape(coords.shape[-2:])
+    int_path = is_int and jnp.issubdtype(coords.dtype, jnp.integer)
+
+    if int_path and not batch_varying and shared_coords:
+        new_states, new_coords = shiftnd_table(states, coords, karr.reshape(-1))
+        return sm.update(states=new_states, coords=new_coords)
+
+    kgrid = sm.options.get("kgrid") or op.kgrid
+    if int_path:
+        kgrid = 1.0  # integer data quantizes exactly on the unit grid
+    elif kgrid is None:
+        raise AttributeError("kgrid not set")
+
+    ktvalue = sm.ktvalue
+    if not batch_varying and shared_coords:
+        wavenums = coords * ktvalue
+        delta = jnp.asarray(karr.reshape(-1), config.real_dtype()) * ktvalue
+        new_states, new_k = shiftmerge_table(states, wavenums, delta, kgrid)
+        return sm.update(states=new_states, coords=new_k / ktvalue)
+
+    # per-batch variant (shift-prune): vmap over flattened batch elements
+    bshape = states.shape[:-2]
+    delta = jnp.asarray(karr, config.real_dtype()) * ktvalue
+    dshape = delta.shape[:-1]
+    if len(dshape) < len(bshape):  # append-broadcast the shift batch dims
+        delta = delta.reshape(
+            dshape + (1,) * (len(bshape) - len(dshape)) + delta.shape[-1:])
+    delta_full = jnp.broadcast_to(delta, bshape + delta.shape[-1:])
+    coords_full = jnp.broadcast_to(coords * ktvalue, bshape + coords.shape[-2:])
+    st = states.reshape((-1,) + states.shape[-2:])
+    co = coords_full.reshape((-1,) + coords_full.shape[-2:])
+    dl = delta_full.reshape((-1, delta_full.shape[-1]))
+    out_s, out_k = jax.vmap(
+        lambda s, c, d: shiftmerge_table(s, c, d, kgrid))(st, co, dl)
+    return sm.update(
+        states=out_s.reshape(bshape + out_s.shape[-2:]),
+        coords=out_k.reshape(bshape + out_k.shape[-2:]) / ktvalue,
     )

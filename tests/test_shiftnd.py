@@ -1,0 +1,174 @@
+"""n-D / float shift, diffusion and exchange tests (strategy: reference
+test/test_shift.py, test/test_diffusion.py, test/test_exchange.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def load_golden(name):
+    path = os.path.join(GOLDEN, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden missing: {name}")
+    return np.load(path)
+
+
+# -- nd shifts --
+
+
+def test_shiftnd_matches_shift1d():
+    """1-column integer nd shift == plain 1-D shift (ref test_shift.py:34)."""
+    seq1 = [epg.T(90, 90), epg.S(1), epg.T(120, 0), epg.S(1),
+            epg.T(45, 45), epg.S(-1), epg.ADC]
+    seqn = [epg.T(90, 90), epg.S(np.array([[1]])), epg.T(120, 0),
+            epg.S(np.array([[1]])), epg.T(45, 45), epg.S(np.array([[-1]])),
+            epg.ADC]
+    s1 = np.asarray(epg.simulate(seq1, probe=["F0", "Z0"]))
+    sn = np.asarray(epg.simulate(seqn, probe=["F0", "Z0"]))
+    assert np.abs(s1 - sn).max() < 1e-12
+
+
+def test_hyperecho_3d():
+    """Hyperecho refocusing with 3-D shifts (ref test_shift.py:249)."""
+    ks = [np.array([[1, 0, 0]]), np.array([[0, 1, 0]]),
+          np.array([[1, 1, -1]]), np.array([[0, -1, 1]])]
+    alphas = [20, 40, 60, 80]
+    seq = [epg.T(90, 90)]
+    for k, a in zip(ks, alphas):
+        seq += [epg.S(k), epg.T(a, 0)]
+    seq += [epg.S(np.array([[1, 1, 1]])), epg.T(180, 0),
+            epg.S(np.array([[1, 1, 1]]))]
+    for k, a in zip(reversed(ks), reversed(alphas)):
+        seq += [epg.T(-a, 0), epg.S(k)]
+    seq += [epg.ADC]
+    sig = np.asarray(epg.simulate(seq))
+    assert np.allclose(np.abs(sig), 1.0, atol=1e-8)
+
+
+def test_shift3d_diffusion_golden():
+    g = load_golden("shift3d_diffusion")
+    Dtensor = np.diag([2e-3, 1e-3, 0.5e-3])
+    k1 = np.array([[1, 0, 0]])
+    k2 = np.array([[0, 1, 1]])
+    tau = 5.0
+    seq = [
+        epg.T(90, 90),
+        epg.S(k1), epg.D(tau, Dtensor, k=k1),
+        epg.T(150, 0),
+        epg.S(k2), epg.D(tau, Dtensor, k=k2),
+        epg.T(60, 30),
+        epg.S(-k2), epg.D(tau, Dtensor, k=-k2),
+        epg.S(-k1), epg.D(tau, Dtensor, k=-k1),
+        epg.ADC,
+    ]
+    sig = np.asarray(epg.simulate(seq, probe=["F0", "Z0"]))
+    assert np.abs(sig - g["signal"]).max() < 1e-10
+
+
+def test_diffusion_se_golden():
+    """Stejskal-Tanner diffusion attenuation in spin echo vs reference +
+    closed form b-value algebra (ref test_diffusion.py:107-199)."""
+    g = load_golden("diffusion_se")
+    Dc = 1e-3
+    kvalue = 500.0
+    for i, tau in enumerate((5.0, 10.0, 20.0)):
+        seq = [
+            epg.T(90, 90),
+            epg.S(1, duration=tau), epg.D(tau, Dc, k=1),
+            epg.T(180, 0),
+            epg.S(1, duration=tau), epg.D(tau, Dc, k=1),
+            epg.ADC,
+        ]
+        sig = np.asarray(epg.simulate(seq, kvalue=kvalue))
+        assert np.abs(sig - g["signal"][i]).max() < 1e-10
+        # closed form: echo attenuation exp(-b D), b = 2/3 k^2 tau (x2 lobes)
+        b = 2.0 * (kvalue * 1e-3) ** 2 * (tau * 1e-3) / 3.0
+        assert np.allclose(np.abs(sig), np.exp(-b * Dc), atol=1e-8)
+
+
+def test_shift_merge_golden():
+    g = load_golden("shift_merge")
+    seq = [
+        epg.T(90, 90),
+        epg.S(np.array([[1.3]]), kgrid=0.5), epg.T(120, 0),
+        epg.S(np.array([[0.9]]), kgrid=0.5), epg.T(45, 90),
+        epg.S(np.array([[-1.3]]), kgrid=0.5), epg.T(30, 0),
+        epg.ADC,
+    ]
+    sig = np.asarray(epg.simulate(seq, max_nstate=30, probe=["F0", "Z0"]))
+    assert np.abs(sig - g["signal"]).max() < 1e-8
+
+
+def test_merge_matches_int_on_integer_floats():
+    """shift-merge on integer-valued floats == shift-nd (ref test_shift.py:75)."""
+    seqf = [epg.T(90, 90), epg.S(np.array([[1.0]]), kgrid=1.0),
+            epg.T(120, 0), epg.S(np.array([[1.0]]), kgrid=1.0), epg.ADC]
+    seqi = [epg.T(90, 90), epg.S(1), epg.T(120, 0), epg.S(1), epg.ADC]
+    sf = np.asarray(epg.simulate(seqf, max_nstate=10, probe=["F0", "Z0"]))
+    si = np.asarray(epg.simulate(seqi, probe=["F0", "Z0"]))
+    assert np.abs(sf - si).max() < 1e-10
+
+
+def test_ladder_symmetry_after_nd_shift():
+    sm = epg.StateMatrix(nstate=4)
+    sm = epg.T(70, 25)(sm)
+    sm = epg.S(np.array([[1, -1]]))(sm)
+    sm = epg.T(50, 10)(sm)
+    sm = epg.S(np.array([[0, 1]]))(sm)
+    assert sm.check()
+
+
+# -- exchange --
+
+
+def test_exchange_identity():
+    """expm(x tau) expm(-x tau) == identity behavior: zero exchange = E."""
+    T1, T2 = [1000.0, 500.0], [80.0, 40.0]
+    sm = epg.StateMatrix(shape=(2,))
+    sm = epg.T(90, 90)(sm)
+    out_x = epg.X(10.0, 0.0, axis=-1, T1=T1, T2=T2)(sm)
+    out_e = epg.E(10.0, T1, T2)(sm)
+    assert np.abs(np.asarray(out_x.states) - np.asarray(out_e.states)).max() < 1e-9
+
+
+def test_exchange_fast_limit():
+    """Infinitely fast exchange -> mean relaxation (ref test_exchange.py:52)."""
+    T1, T2 = [1000.0, 500.0], [80.0, 40.0]
+    tau = 10.0
+    sm = epg.StateMatrix(shape=(2,), density=[0.5, 0.5])
+    sm = epg.T(90, 90)(sm)
+    fast = epg.X(tau, 100.0, axis=-1, T1=T1, T2=T2)(sm)
+    # transverse decays toward the mean rate; both compartments equalize
+    # (khi=100/ms is fast but finite: residual split ~1e-5)
+    F = np.asarray(fast.F0)
+    assert np.allclose(F[0], F[1], atol=1e-4)
+    mean_rate = 0.5 * (1 / 80.0 + 1 / 40.0)
+    assert np.allclose(np.abs(F[0]), 0.5 * np.exp(-tau * mean_rate), rtol=1e-2)
+
+
+def test_exchange_nonconserving_raises():
+    khi = np.array([[0.01, 0.0], [-0.01, 0.0]])  # columns don't sum to 0
+    with pytest.raises(ValueError):
+        epg.X(10.0, khi.T * 0 + np.array([[1.0, 2.0], [3.0, 4.0]]))
+
+
+def test_exchange_gre_golden():
+    g = load_golden("exchange_gre")
+    T1 = [1000.0, 500.0]
+    T2 = [80.0, 20.0]
+    gshift = [0.0, 0.02]
+    TR, alpha, n = 10.0, 15.0, 40
+    Xop = epg.X(TR, 0.01, axis=-1, T1=T1, T2=T2, g=gshift)
+    seq = []
+    for i in range(n):
+        seq += [epg.T(alpha, 0), epg.ADC, Xop, epg.S(1)]
+    sig = np.asarray(epg.simulate(
+        seq, max_nstate=12,
+        init=np.array([0, 0, 0.5]) * np.ones((2, 1, 1)),
+        density=[0.5, 0.5]))
+    assert np.abs(sig - g["signal"]).max() < 1e-9

@@ -83,11 +83,83 @@ def fisp_mrf():
     }
 
 
+def shift3d_diffusion():
+    """3D integer shifts + anisotropic diffusion (Weigel 2010 style)."""
+    Dtensor = np.diag([2e-3, 1e-3, 0.5e-3])
+    k1 = np.array([[1, 0, 0]])
+    k2 = np.array([[0, 1, 1]])
+    tau = 5.0
+    seq = [
+        ops.T(90, 90),
+        ops.S(k1), ops.D(tau, Dtensor, k=k1),
+        ops.T(150, 0),
+        ops.S(k2), ops.D(tau, Dtensor, k=k2),
+        ops.T(60, 30),
+        ops.S(-k2), ops.D(tau, Dtensor, k=-k2),
+        ops.S(-k1), ops.D(tau, Dtensor, k=-k1),
+        ops.ADC,
+    ]
+    sig = np.asarray(fun.simulate(seq, probe=["F0", "Z0"]))
+    return {"signal": sig}
+
+
+def diffusion_se():
+    """Isotropic diffusion weighting in a spin echo (Stejskal-Tanner)."""
+    Dc = 1e-3  # mm^2/s
+    out = {}
+    sigs = []
+    for tau in (5.0, 10.0, 20.0):
+        seq = [
+            ops.T(90, 90),
+            ops.S(1, duration=tau), ops.D(tau, Dc, k=1),
+            ops.T(180, 0),
+            ops.S(1, duration=tau), ops.D(tau, Dc, k=1),
+            ops.ADC,
+        ]
+        sigs.append(np.asarray(fun.simulate(seq, kvalue=500.0)))
+    out["signal"] = np.stack(sigs)
+    return out
+
+
+def exchange_gre():
+    """Two-compartment EPG-X SPGR (Malik 2018 style)."""
+    T1 = [1000.0, 500.0]
+    T2 = [80.0, 20.0]
+    g = [0.0, 0.02]
+    khi = 0.01  # 1/ms
+    TR, alpha, n = 10.0, 15.0, 40
+    X = ops.X(TR, khi, axis=-1, T1=T1, T2=T2, g=g)
+    seq = []
+    for i in range(n):
+        seq += [ops.T(alpha, 0), ops.ADC, X, ops.S(1)]
+    sig = np.asarray(fun.simulate(seq, max_nstate=12,
+                                  init=np.array([0, 0, 0.5]) * np.ones((2, 1, 1)),
+                                  density=[0.5, 0.5]))
+    return {"signal": sig}
+
+
+def shift_merge():
+    """Float wavenumbers with gridded merge (Gao 2021)."""
+    seq = [
+        ops.T(90, 90),
+        ops.S(np.array([[1.3]]), kgrid=0.5), ops.T(120, 0),
+        ops.S(np.array([[0.9]]), kgrid=0.5), ops.T(45, 90),
+        ops.S(np.array([[-1.3]]), kgrid=0.5), ops.T(30, 0),
+        ops.ADC,
+    ]
+    sig = np.asarray(fun.simulate(seq, max_nstate=30, probe=["F0", "Z0"]))
+    return {"signal": sig}
+
+
 CASES = {
     "cpmg": cpmg,
     "spgr": spgr,
     "mse_b1": mse_b1,
     "fisp_mrf": fisp_mrf,
+    "shift3d_diffusion": shift3d_diffusion,
+    "diffusion_se": diffusion_se,
+    "exchange_gre": exchange_gre,
+    "shift_merge": shift_merge,
 }
 
 
