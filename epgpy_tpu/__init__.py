@@ -24,6 +24,9 @@ from .engine import (
     simulate, modify, flatten_sequence,
     getshape, getnshift, getkdim, get_adc_times,
 )
+from .diff import Jacobian, Hessian, Pair, PartialsPruner
+from .sequence import Sequence, Variable, Constant, Expression, repeat
+from . import sequence
 from .utils import (
     gamma_1H, gamma_23Na, Axes, get_norm, get_wavenumber,
     spatial_range, space_to_freq, freq_to_space,

@@ -181,6 +181,17 @@ def _stack_block(block: _ScanBlock):
     return [_stack_ops([block.ops[j + k * p] for k in range(r)]) for j in range(p)]
 
 
+def _plan_and_payload(sequence, *, scan=True):
+    """Build (plan_kinds, payload) for _execute_plan / _run_compiled."""
+    plan = _build_plan(sequence, scan=scan)
+    kinds = tuple("unroll" if isinstance(p, list) else "scan" for p in plan)
+    payload = [
+        p if isinstance(p, list) else (p.ops[:p.period], _stack_block(p))
+        for p in plan
+    ]
+    return kinds, payload
+
+
 # -- execution --
 # Probe outputs are handled as pytrees with a leading ADC axis ("chunks"):
 # each chunk is a tuple over probes; final outputs concatenate all chunks.
@@ -324,13 +335,27 @@ def simulate(
         sm = init.update(options={**init.options, **options})
         sm = sm.resize(max(ncap, sm.nstate)).broadcast(shape)
 
+    # differentiation path: Jacobian/Hessian probes -> (nested) jacfwd
+    from . import diff as diff_mod
+    if probes is not None and any(
+            isinstance(pb, (diff_mod.Jacobian, diff_mod.Hessian)) for pb in probes):
+        if any(pb is None for pb in probes):
+            raise ValueError("None probes are not supported with Jacobian/Hessian")
+        values = diff_mod.simulate_diff(
+            sequence, probes, sm,
+            plan_builder=lambda seq: _plan_and_payload(seq, scan=scan),
+            executor=_execute_plan,
+        )
+        times = get_adc_times(sequence)
+        if len(values) == 1:
+            values = values[0]
+        if adc_time:
+            return np.asarray(times), values
+        return values
+
     use_jit = jit and callback is None
-    plan = _build_plan(sequence, scan=scan and callback is None)
-    plan_kinds = tuple("unroll" if isinstance(p, list) else "scan" for p in plan)
-    payload = [
-        p if isinstance(p, list) else (p.ops[:p.period], _stack_block(p))
-        for p in plan
-    ]
+    plan_kinds, payload = _plan_and_payload(
+        sequence, scan=scan and callback is None)
 
     if use_jit:
         sm, values = _run_compiled(plan_kinds, payload, probes, sm)

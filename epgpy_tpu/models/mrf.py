@@ -93,37 +93,34 @@ def fisp_mrf_signal(FA, phi, TR, TE, T1, T2, B1=1.0, *, nstate: int = 10,
     return echoes.real, echoes.imag
 
 
-def _rotation_batched(alpha_deg, phi_deg):
-    """(3, 3, B) rotation for per-atom flip angles (degrees).
+def _rotation_elems(alpha_deg, phi_deg):
+    """Nine (B,) rotation coefficients for per-atom flip angles (degrees).
 
-    Same Weigel matrix as ops.transition.rotation_operator, laid out with
-    the atom axis last (TPU lane dimension).
+    Same Weigel matrix as ops.transition.rotation_operator, returned as
+    flat coefficients so the 3x3 mix stays explicit VPU madds -- XLA
+    lowers a batched (3,3,B) einsum into per-atom micro-dot_generals,
+    which measured ~200x slower at B=100k.
     """
     rdtype = config.real_dtype()
     cdtype = config.complex_dtype()
     a = jnp.deg2rad(jnp.asarray(alpha_deg, rdtype))
     p = jnp.deg2rad(jnp.asarray(phi_deg, rdtype))
-    a, p = jnp.broadcast_arrays(a, p)
     cos2, sin2 = jnp.cos(a / 2) ** 2, jnp.sin(a / 2) ** 2
     sin, cos = jnp.sin(a), jnp.cos(a)
     ep = jnp.exp(1j * p).astype(cdtype)     # e^{i phi}
-    ep2 = (ep * ep)
+    ep2 = ep * ep
     i = jnp.asarray(1j, cdtype)
     # Rz(phi) Rx(a) Rz(-phi) in the (F+, F-, Z) basis:
-    m00 = cos2 + 0 * ep
+    m00 = cos2.astype(cdtype)
     m01 = ep2 * sin2
     m02 = -i * ep * sin
     m10 = jnp.conj(m01)
-    m11 = cos2 + 0 * ep
+    m11 = m00
     m12 = i * jnp.conj(ep) * sin
     m20 = -0.5 * i * jnp.conj(ep) * sin
     m21 = 0.5 * i * ep * sin
-    m22 = cos + 0 * ep
-    return jnp.stack([
-        jnp.stack([m00, m01, m02]),
-        jnp.stack([m10, m11, m12]),
-        jnp.stack([m20, m21, m22]),
-    ])  # (3, 3, B)
+    m22 = cos.astype(cdtype)
+    return (m00, m01, m02, m10, m11, m12, m20, m21, m22)
 
 
 @partial(jax.jit, static_argnames=("nstate", "demodulate", "inversion", "normalize"))
@@ -146,34 +143,42 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
     E1_te = jnp.exp(-TE / T1s)
     E2_te = jnp.exp(-TE / T2s)
 
-    states = jnp.zeros((3, K, B), cdtype).at[2, nstate, :].set(1.0)
+    def rotate(states, fa_scaled, ph):
+        Fp, Fm, Z = states
+        m00, m01, m02, m10, m11, m12, m20, m21, m22 = _rotation_elems(fa_scaled, ph)
+        nFp = m00 * Fp + m01 * Fm + m02 * Z
+        nFm = m10 * Fp + m11 * Fm + m12 * Z
+        nZ = m20 * Fp + m21 * Fm + m22 * Z
+        return nFp, nFm, nZ
 
     def relax(states, E1, E2):
-        decay = jnp.stack([E2, E2, E1]).astype(cdtype)   # (3, B)
-        states = states * decay[:, None, :]
-        return states.at[2, nstate, :].add((1.0 - E1).astype(cdtype))
+        Fp, Fm, Z = states
+        E1c, E2c = E1.astype(cdtype), E2.astype(cdtype)
+        Z = (Z * E1c).at[nstate, :].add(1.0 - E1c)
+        return Fp * E2c, Fm * E2c, Z
+
+    z0 = jnp.zeros((K, B), cdtype)
+    states = (z0, z0, z0.at[nstate, :].set(1.0))
 
     if inversion is not None:
-        rot = _rotation_batched(180.0 * B1s, jnp.zeros_like(B1s))
-        states = jnp.einsum("ijb,jkb->ikb", rot, states, precision="highest")
+        states = rotate(states, 180.0 * B1s, jnp.zeros_like(B1s))
         states = relax(states, jnp.exp(-inversion / T1s), jnp.exp(-inversion / T2s))
 
     def step(states, xs):
         fa, ph, tr = xs
-        rot = _rotation_batched(fa * B1s, ph)
-        states = jnp.einsum("ijb,jkb->ikb", rot, states, precision="highest")
+        states = rotate(states, fa * B1s, ph)
         states = relax(states, E1_te, E2_te)
-        echo = states[0, nstate, :]                       # (B,)
+        echo = states[0][nstate, :]                       # (B,)
         if demodulate:
             echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
         states = relax(states, jnp.exp(-(tr - TE) / T1s),
                        jnp.exp(-(tr - TE) / T2s))
         # gradient shift: F+ rows slide up along K, F- rows slide down
+        Fp, Fm, Z = states
         zrow = jnp.zeros((1, B), cdtype)
-        Fp = jnp.concatenate([zrow, states[0, :-1, :]], axis=0)
-        Fm = jnp.concatenate([states[1, 1:, :], zrow], axis=0)
-        states = jnp.stack([Fp, Fm, states[2]])
-        return states, echo
+        Fp = jnp.concatenate([zrow, Fp[:-1, :]], axis=0)
+        Fm = jnp.concatenate([Fm[1:, :], zrow], axis=0)
+        return (Fp, Fm, Z), echo
 
     _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi_b, TR_b))
     re, im = echoes.real.T, echoes.imag.T                 # (B, P)

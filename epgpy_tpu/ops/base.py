@@ -74,10 +74,25 @@ class Operator:
     """Base linear operator acting on a StateMatrix."""
 
     PARAMS: tuple = ()
+    #: parameters with defined first/second derivatives (diff layer)
+    PARAMETERS_ORDER1: frozenset = frozenset()
 
-    def __init__(self, *, name: Optional[str] = None, duration=None):
+    def __init__(self, *, name: Optional[str] = None, duration=None,
+                 order1=False, order2=False):
         self.name = name if name is not None else type(self).__name__
         self.duration = 0.0 if duration is None else duration
+        if order1 or order2:
+            from .. import diff
+            # an order2-only bool/str spec implies the same order1 spec
+            # (reference epgpy/diff.py:160-162)
+            o1 = order1 if order1 else (
+                order2 if isinstance(order2, (bool, str)) else False)
+            self.order1 = diff.parse_order1(o1, self.PARAMETERS_ORDER1)
+            self.order2 = diff.parse_order2(order2, self.order1,
+                                            self.PARAMETERS_ORDER1)
+        else:
+            self.order1 = {}
+            self.order2 = {}
 
     # -- structural metadata (all static / trace-time) --
 
@@ -103,9 +118,14 @@ class Operator:
     SIGNATURE_IGNORE = frozenset({"name", "duration"})
 
     def strip_meta(self) -> "Operator":
-        """Copy with cosmetic metadata normalized (for scan stacking)."""
-        new = self.copy(name=type(self).__name__, duration=0.0)
-        return new
+        """Copy with cosmetic metadata normalized (for scan stacking).
+
+        order1/order2 specs are also cleared: they don't affect apply()
+        (the diff layer substitutes parameters before planning), but their
+        per-op alias names would otherwise break scan grouping.
+        """
+        return self.copy(name=type(self).__name__, duration=0.0,
+                         order1={}, order2={})
 
     def signature(self):
         """Structural identity used for scan grouping.

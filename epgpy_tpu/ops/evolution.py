@@ -78,6 +78,7 @@ class R(ScalarOp):
     """Generic evolution operator with raw complex rates."""
 
     PARAMS = ("rT_re", "rT_im", "rL_re", "rL_im", "r0_re", "r0_im")
+    PARAMETERS_ORDER1 = frozenset({"rT", "rL", "r0"})
 
     def __init__(self, rT=0, rL=0, *, r0=None, axes=None, name=None,
                  duration=None, **kwargs):
@@ -88,7 +89,7 @@ class R(ScalarOp):
         if not name:
             name = common.repr_operator("R", ["rT", "rL", "r0"], [rT, rL, r0],
                                         [".1f", ".1f", ".1f"])
-        base.Operator.__init__(self, name=name, duration=duration)
+        base.Operator.__init__(self, name=name, duration=duration, **kwargs)
 
     rT = property(lambda self: join_complex(self.rT_re, self.rT_im))
     rL = property(lambda self: join_complex(self.rL_re, self.rL_im))
@@ -114,6 +115,7 @@ class E(ScalarOp):
     """Relaxation + precession: tau (ms), T1/T2 (ms), g (kHz)."""
 
     PARAMS = ("tau", "T1", "T2", "g")
+    PARAMETERS_ORDER1 = frozenset({"tau", "T1", "T2", "g"})
 
     def __init__(self, tau, T1, T2, g=0, *, axes=None, name=None, duration=None,
                  **kwargs):
@@ -127,7 +129,7 @@ class E(ScalarOp):
                                         [tau, T1, T2, g], [".1f", ".1f", ".1f", ".3f"])
         if duration is True:
             duration = tau
-        base.Operator.__init__(self, name=name, duration=duration)
+        base.Operator.__init__(self, name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):
@@ -148,6 +150,7 @@ class P(ScalarOp):
     """Pure precession: tau (ms), g (kHz)."""
 
     PARAMS = ("tau", "g")
+    PARAMETERS_ORDER1 = frozenset({"tau", "g"})
 
     def __init__(self, tau, g, *, axes=None, name=None, duration=None, **kwargs):
         self.tau = _as_real(tau)
@@ -157,7 +160,7 @@ class P(ScalarOp):
             name = common.repr_operator("P", ["tau", "g"], [tau, g], [".1f", ".3f"])
         if duration is True:
             duration = tau
-        base.Operator.__init__(self, name=name, duration=duration)
+        base.Operator.__init__(self, name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):

@@ -74,6 +74,7 @@ class T(MatrixOp):
     """Instantaneous RF pulse: flip `alpha`, phase `phi` (degrees)."""
 
     PARAMS = ("alpha", "phi")
+    PARAMETERS_ORDER1 = frozenset({"alpha", "phi"})
 
     def __init__(self, alpha, phi, *, axes=None, name=None, duration=None, **kwargs):
         self.alpha = _as_real(alpha)
@@ -82,7 +83,7 @@ class T(MatrixOp):
         if not name:
             name = common.repr_operator("T", ["alpha", "phi"], [alpha, phi],
                                         [".1f", ".1f"])
-        base.Operator.__init__(self, name=name, duration=duration)
+        base.Operator.__init__(self, name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):
@@ -111,6 +112,7 @@ class Phi(MatrixOp):
     """Pure phase offset (z-rotation by `phi` degrees)."""
 
     PARAMS = ("phi",)
+    PARAMETERS_ORDER1 = frozenset({"phi"})
     diagonal = True
 
     def __init__(self, phi, *, axes=None, name=None, duration=0, **kwargs):
@@ -118,7 +120,7 @@ class Phi(MatrixOp):
         self.axes = axes
         if not name:
             name = common.repr_operator("Phi", ["phi"], [phi], [".1f"])
-        base.Operator.__init__(self, name=name, duration=duration)
+        base.Operator.__init__(self, name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):

@@ -1,0 +1,170 @@
+"""Differentiation tests: finite-difference validation of Jacobians and
+Hessians (the reference's dominant test pattern, test/test_diff.py)."""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+
+
+def mse_seq(T2, order1=(), order2=(), necho=3):
+    """Small MSE train with tracked refocusing alpha and T2."""
+    seq = [epg.T(90, 90, name="exc")]
+    for _ in range(necho):
+        seq += [
+            epg.E(5.0, 1000.0, T2, order1=[v for v in order1 if v in ("tau", "T2")]
+                  or False,
+                  order2=[p for p in order2 if set(p) <= {"tau", "T2"}] or False),
+            epg.S(1),
+            epg.T(150.0, 0.0, order1=[v for v in order1 if v == "alpha"] or False,
+                  order2=[p for p in order2 if set(p) <= {"alpha", "phi"}] or False),
+            epg.E(5.0, 1000.0, T2, order1=[v for v in order1 if v in ("tau", "T2")]
+                  or False,
+                  order2=[p for p in order2 if set(p) <= {"tau", "T2"}] or False),
+            epg.S(1), epg.ADC,
+        ]
+    return seq
+
+
+def simulate_signal(alpha, T2, necho=3):
+    seq = [epg.T(90, 90)]
+    for _ in range(necho):
+        seq += [epg.E(5.0, 1000.0, T2), epg.S(1), epg.T(alpha, 0.0),
+                epg.E(5.0, 1000.0, T2), epg.S(1), epg.ADC]
+    return np.asarray(epg.simulate(seq))
+
+
+def test_jacobian_alpha_fd():
+    """d(signal)/d(alpha) vs central finite differences."""
+    T2 = 35.0
+    seq = mse_seq(T2, order1=("alpha",))
+    sig, jac = epg.simulate(seq, probe=[epg.ADC, epg.Jacobian(["alpha"])])
+    eps = 1e-5
+    fd = (simulate_signal(150 + eps, T2) - simulate_signal(150 - eps, T2)) / (2 * eps)
+    assert jac.shape == sig.shape + (1,)
+    assert np.abs(jac[..., 0] - fd).max() < 1e-7
+
+
+def test_jacobian_T2_fd():
+    T2 = 35.0
+    seq = mse_seq(T2, order1=("T2",))
+    sig, jac = epg.simulate(seq, probe=[epg.ADC, epg.Jacobian(["T2"])])
+    eps = 1e-4
+    fd = (simulate_signal(150.0, T2 + eps) - simulate_signal(150.0, T2 - eps)) / (2 * eps)
+    assert np.abs(jac[..., 0] - fd).max() < 1e-7
+
+
+def test_jacobian_magnitude_column():
+    T2 = 35.0
+    seq = mse_seq(T2, order1=("T2",))
+    sig, jac = epg.simulate(
+        seq, probe=[epg.ADC, epg.Jacobian(["magnitude", "T2"])])
+    assert jac.shape[-1] == 2
+    assert np.allclose(jac[..., 0], sig)
+
+
+def test_hessian_fd():
+    """d2(signal)/d(alpha)d(T2) vs finite differences of the Jacobian."""
+    T2 = 35.0
+    seq = mse_seq(T2, order1=("alpha", "T2"), order2=(("alpha", "T2"),
+                                                     ("alpha", "alpha")))
+    sig, hess = epg.simulate(
+        seq, probe=[epg.ADC, epg.Hessian(["alpha"], ["alpha", "T2"])])
+    assert hess.shape == sig.shape + (1, 2)
+
+    # FD of d/dalpha w.r.t. T2
+    eps = 1e-4
+
+    def jac_alpha(T2v):
+        seqv = mse_seq(T2v, order1=("alpha",))
+        _, j = epg.simulate(seqv, probe=[epg.ADC, epg.Jacobian(["alpha"])])
+        return j[..., 0]
+
+    fd_cross = (jac_alpha(T2 + eps) - jac_alpha(T2 - eps)) / (2 * eps)
+    assert np.abs(hess[..., 0, 1] - fd_cross).max() < 1e-6
+
+    # FD of d/dalpha w.r.t. alpha
+    def jac_alpha2(da):
+        seqv = [epg.T(90, 90)]
+        for _ in range(3):
+            seqv += [epg.E(5.0, 1000.0, T2), epg.S(1),
+                     epg.T(150.0 + da, 0.0, order1=["alpha"]),
+                     epg.E(5.0, 1000.0, T2), epg.S(1), epg.ADC]
+        _, j = epg.simulate(seqv, probe=[epg.ADC, epg.Jacobian(["alpha"])])
+        return j[..., 0]
+
+    fd_aa = (jac_alpha2(eps) - jac_alpha2(-eps)) / (2 * eps)
+    assert np.abs(hess[..., 0, 0] - fd_aa).max() < 1e-6
+
+
+def test_alias_variables():
+    """Per-pulse aliases: distinct variables for each pulse's alpha."""
+    T2 = 40.0
+    seq = [epg.T(90, 90)]
+    for i in range(3):
+        seq += [epg.E(5.0, 1000.0, T2), epg.S(1),
+                epg.T(150.0, 0.0, order1={f"alpha_{i:03d}": "alpha"}),
+                epg.E(5.0, 1000.0, T2), epg.S(1), epg.ADC]
+    names = [f"alpha_{i:03d}" for i in range(3)]
+    sig, jac = epg.simulate(seq, probe=[epg.ADC, epg.Jacobian(names)])
+    assert jac.shape == sig.shape + (3,)
+    # causality: echo e cannot depend on later pulses
+    for e in range(3):
+        for i in range(3):
+            dep = np.abs(jac[e, :, i]).max()
+            if i > e:
+                assert dep < 1e-12
+            elif i == e:
+                assert dep > 1e-5
+
+
+def test_coefficient_chain_rule():
+    """order1={var: {param: coeff}} scales derivatives (inner chain rule)."""
+    T2 = 40.0
+
+    def build(coeff):
+        seq = [epg.T(90, 90)]
+        for _ in range(2):
+            seq += [epg.E(5.0, 1000.0, T2), epg.S(1),
+                    epg.T(150.0, 0.0, order1={"x": {"alpha": coeff}}),
+                    epg.E(5.0, 1000.0, T2), epg.S(1), epg.ADC]
+        return seq
+
+    _, j1 = epg.simulate(build(1.0), probe=[epg.ADC, epg.Jacobian(["x"])])
+    _, j3 = epg.simulate(build(3.0), probe=[epg.ADC, epg.Jacobian(["x"])])
+    assert np.abs(j3 - 3 * j1).max() < 1e-10
+
+
+def test_derivative_through_shift_and_diffusion():
+    """Derivatives flow through S and D (reference raises there)."""
+    seq = [epg.T(90, 90),
+           epg.S(1, duration=5.0), epg.D(5.0, 1e-3, k=1),
+           epg.T(180.0, 0.0, order1=["alpha"]),
+           epg.S(1, duration=5.0), epg.D(5.0, 1e-3, k=1),
+           epg.ADC]
+    sig, jac = epg.simulate(seq, probe=[epg.ADC, epg.Jacobian(["alpha"])],
+                            kvalue=500.0)
+    eps = 1e-5
+
+    def s(alpha):
+        seqv = [epg.T(90, 90), epg.S(1, duration=5.0), epg.D(5.0, 1e-3, k=1),
+                epg.T(alpha, 0.0), epg.S(1, duration=5.0), epg.D(5.0, 1e-3, k=1),
+                epg.ADC]
+        return np.asarray(epg.simulate(seqv, kvalue=500.0))
+
+    fd = (s(180 + eps) - s(180 - eps)) / (2 * eps)
+    assert np.abs(jac[..., 0] - fd).max() < 1e-7
+
+
+def test_crlb_from_jacobian():
+    """CRLB cost on an MRF-like Jacobian (stats integration)."""
+    T2 = 50.0
+    seq = [epg.T(90, 90)]
+    for _ in range(5):
+        seq += [epg.E(5.0, 1000.0, T2, order1={"T2": "T2", "T1": "T1"}),
+                epg.S(1), epg.T(150.0, 0.0),
+                epg.E(5.0, 1000.0, T2, order1={"T2": "T2", "T1": "T1"}),
+                epg.S(1), epg.ADC]
+    jac = epg.simulate(seq, probe=epg.Jacobian(["T1", "T2"]))
+    crb = epg.stats.crlb(jac.reshape(-1, 2)[None])
+    assert np.isfinite(np.asarray(crb)).all()

@@ -1,0 +1,153 @@
+"""Sequence DSL tests (strategy: reference test/test_sequence.py)."""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu.sequence import (
+    Sequence, Variable, Constant, operators, functions, repeat,
+)
+
+
+def test_expression_algebra():
+    x, y = Variable("x"), Variable("y")
+    e = 2 * x + y ** 2 - 1
+    assert np.allclose(e(x=3, y=4), 2 * 3 + 16 - 1)
+    assert {str(v) for v in e.variables} == {"x", "y"}
+    # substitution
+    e2 = e.map(y=5)
+    assert np.allclose(e2(x=1), 2 + 25 - 1)
+    # function nodes
+    f = functions.exp(-x / 10.0)
+    assert np.allclose(f(x=10.0), np.exp(-1.0))
+
+
+def test_expression_derive():
+    x, y = Variable("x"), Variable("y")
+    e = x ** 2 * y + 3 * x
+    # de/dx = 2xy + 3
+    assert np.allclose(e.derive("x")(x=2.0, y=5.0), 2 * 2 * 5 + 3)
+    # de/dy = x^2
+    assert np.allclose(e.derive("y")(x=2.0, y=5.0), 4.0)
+    # second derivative d2e/dxdy = 2x
+    assert np.allclose(e.derive("x").derive("y")(x=2.0, y=5.0), 4.0)
+    # derivative of an unrelated variable is 0
+    assert np.allclose(e.derive("z")(x=1.0, y=1.0), 0.0)
+
+
+def test_sequence_signal():
+    T2 = Variable("T2")
+    necho = 4
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1), operators.T(150, 0),
+           operators.E(4.5, 1400.0, T2), operators.S(1), "ADC"] * necho
+    )
+    assert {str(v) for v in seq.variables} == {"T2"}
+    sig = seq.signal(T2=35.0)
+    # direct simulation comparison
+    ref = np.asarray(epg.simulate(
+        [epg.T(90, 90)] + [epg.E(4.5, 1400.0, 35.0), epg.S(1), epg.T(150, 0),
+                           epg.E(4.5, 1400.0, 35.0), epg.S(1), epg.ADC] * necho))
+    assert np.abs(sig - np.moveaxis(ref, 0, -1)).max() < 1e-12
+
+
+def test_sequence_jacobian_fd():
+    T2 = Variable("T2")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1), operators.T(150, 0),
+           operators.E(4.5, 1400.0, T2), operators.S(1), "ADC"] * 3
+    )
+    sig, jac = seq.jacobian(["T2"])(T2=35.0)
+    eps = 1e-4
+    fd = (seq.signal(T2=35.0 + eps) - seq.signal(T2=35.0 - eps)) / (2 * eps)
+    assert np.abs(jac[..., 0] - fd).max() < 1e-7
+
+
+def test_sequence_expression_chain_rule():
+    """Variable feeding an expression: d(signal)/d(R2) with T2 = 1/R2."""
+    R2 = Variable("R2")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, 1.0 / R2), operators.S(1),
+           operators.T(150, 0),
+           operators.E(4.5, 1400.0, 1.0 / R2), operators.S(1), "ADC"] * 3
+    )
+    r2 = 1.0 / 35.0
+    sig, jac = seq.jacobian(["R2"])(R2=r2)
+    eps = 1e-7
+    fd = (seq.signal(R2=r2 + eps) - seq.signal(R2=r2 - eps)) / (2 * eps)
+    assert np.abs(jac[..., 0] - fd).max() < 1e-4 * max(1, np.abs(fd).max())
+
+
+def test_sequence_hessian_shapes():
+    T2, B1 = Variable("T2"), Variable("B1")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1),
+           operators.T(150 * B1, 0), operators.E(4.5, 1400.0, T2),
+           operators.S(1), "ADC"] * 2
+    )
+    sig, jac, hes = seq.hessian(["T2", "B1"])(T2=35.0, B1=0.9)
+    assert jac.shape[-1] == 2
+    assert hes.shape[-2:] == (2, 2)
+    # Hessian symmetry
+    assert np.allclose(hes[..., 0, 1], hes[..., 1, 0], atol=1e-10)
+
+
+def test_sequence_crlb():
+    T2 = Variable("T2")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1), operators.T(150, 0),
+           operators.E(4.5, 1400.0, T2), operators.S(1), "ADC"] * 5
+    )
+    crb = seq.crlb(["T2"])(T2=35.0)
+    assert np.isfinite(np.asarray(crb)).all()
+    # more echoes (information) later: compare to shorter train
+    seq2 = Sequence(seq.operators[:1 + 6 * 2])
+    crb2 = seq2.crlb(["T2"])(T2=35.0)
+    assert np.asarray(crb) < np.asarray(crb2)
+
+
+def test_repeat_mrf_builder():
+    """repeat() clones blocks with per-repetition variable names."""
+    alpha = Variable("alpha")
+    block = [operators.T(alpha, 90), operators.E(5.0, 1000.0, 80.0),
+             "ADC", operators.S(1)]
+    train = repeat(block, alpha=[20.0, 40.0, 60.0])
+    seq = Sequence(train)
+    sig = seq.signal()()  # no free variables: evaluate the closure
+    assert sig.shape[-1] == 3
+
+    # named per-repetition variables
+    train2 = repeat(block, nrep=3, alpha="fa{:02d}")
+    seq2 = Sequence(train2)
+    assert {str(v) for v in seq2.variables} == {"fa01", "fa02", "fa03"}
+    sig2, jac2 = seq2.jacobian(["fa01", "fa02", "fa03"])(
+        fa01=20.0, fa02=40.0, fa03=60.0)
+    assert np.abs(sig2 - sig).max() < 1e-12
+    assert jac2.shape[-1] == 3
+
+
+def test_sequence_adc_times():
+    seq = Sequence([operators.T(90, 90), operators.Wait(5.0), "ADC",
+                    operators.Wait(3.0), "ADC"])
+    times = seq.adc_times()
+    assert np.allclose(times, [5.0, 8.0])
+
+
+def test_confint():
+    T2 = Variable("T2")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1), operators.T(150, 0),
+           operators.E(4.5, 1400.0, T2), operators.S(1), "ADC"] * 6
+    )
+    truth = seq.signal(T2=35.0)
+    rng = np.random.default_rng(0)
+    obs = truth + 1e-3 * rng.normal(size=truth.shape)
+    cints = seq.confint(obs, ["T2"])(T2=35.0)
+    assert np.asarray(cints).shape[-1] == 1
+    assert np.isfinite(np.asarray(cints)).all()
