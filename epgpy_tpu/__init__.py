@@ -18,7 +18,7 @@ from .ops import (
     Wait, Offset, Spoiler, Reset, PD, System, NULL, SPOILER, RESET,
     ScalarOp, MatrixOp, CombinedOp,
     T, Tx, Ty, Phi, E, P, R, S, G, C, D, X, exchange_matrix,
-    Probe, Adc, ADC, DFT, Imaging,
+    Probe, Adc, ADC, DFT, Imaging, RFPulse,
 )
 from .engine import (
     simulate, modify, flatten_sequence,
@@ -30,6 +30,7 @@ from . import sequence
 from .utils import (
     gamma_1H, gamma_23Na, Axes, get_norm, get_wavenumber,
     spatial_range, space_to_freq, freq_to_space,
+    imaging, dft, load_pulse, saturation_rate, absorption_rate,
 )
 from . import config, stats
 

@@ -12,6 +12,7 @@ from .shift import S, G, C
 from .diffusion import D
 from .exchange import X, exchange_matrix
 from .combined import CombinedOp
+from .rfpulse import RFPulse
 from .probe import Probe, Adc, ADC, DFT, Imaging
 
 __all__ = [
@@ -20,6 +21,6 @@ __all__ = [
     "NULL", "SPOILER", "RESET",
     "ScalarOp", "MatrixOp",
     "T", "Tx", "Ty", "Phi", "E", "P", "R", "S", "G", "C", "D", "X",
-    "exchange_matrix", "CombinedOp",
+    "exchange_matrix", "CombinedOp", "RFPulse",
     "Probe", "Adc", "ADC", "DFT", "Imaging",
 ]

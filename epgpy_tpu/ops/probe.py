@@ -142,9 +142,9 @@ class DFT(Probe):
         base.Operator.__init__(self, name=name or "DFT")
 
     def _acquire(self, sm):
-        from ..utils import imaging as im
+        from ..utils.imaging import dft
         coords = self.coords if self.coords is not None else sm.system["coords"]
-        return im.dft(coords, sm.F, sm.k[..., :3])
+        return dft(coords, sm.F, sm.k[..., :3])
 
     def post(self, obj):
         return obj
@@ -165,7 +165,7 @@ class Imaging(Probe):
         base.Operator.__init__(self, name=name or "Imaging")
 
     def _acquire(self, sm):
-        from ..utils import imaging as im
+        from ..utils.imaging import imaging as _imaging
         opts = dict(self.opts)
         coords = self.coords
         if coords is None:
@@ -176,7 +176,7 @@ class Imaging(Probe):
         weights = opts.pop("weights", None)
         if weights is None:
             weights = sm.system.get("weights")
-        return im.imaging(
+        return _imaging(
             coords, sm.F, sm.k[..., :3],
             acctime=sm.t if sm.kdim == 4 else None,
             modulation=modulation, weights=weights, **opts,

@@ -151,9 +151,58 @@ def shift_merge():
     return {"signal": sig}
 
 
+def rfpulse_profile():
+    """Shaped sinc pulse + slice profile via modify(g=freqs)."""
+    from epgpy import rfpulse as rrf
+    x = np.linspace(-3, 3, 64)
+    values = np.sinc(x) * np.hamming(64)
+    values /= np.abs(values).max()
+    pulse = rrf.RFPulse(values, 2.0, alpha=90.0)
+    freqs = np.linspace(-2.0, 2.0, 21)
+    import epgpy.functions as rfun2
+    seq = rfun2.modify([pulse], g=freqs, expand=False)
+    sig = np.asarray(fun.simulate(list(seq) + [ops.ADC]))
+    return {"signal": sig, "values_re": values.real, "values_im": values.imag,
+            "rf": np.asarray(pulse.rf), "freqs": freqs}
+
+
+def imaging_probe():
+    """Spatially-resolved imaging readout after a gradient-echo prep."""
+    from epgpy import probe as rprobe
+    positions = np.linspace(-0.01, 0.01, 9)[:, None]  # m
+    seq = [
+        ops.T(90, 90), ops.S(1, duration=1.0),
+        ops.T(30, 0), ops.S(1, duration=1.0),
+        rprobe.Imaging(positions, reduce=False, voxel_size=2e-3),
+    ]
+    sig = np.asarray(fun.simulate(seq, kvalue=400.0))
+    return {"signal": sig, "positions": positions}
+
+
+def mt_rates():
+    # numpy-2 shim: the reference still uses np.asfarray (removed)
+    if not hasattr(np, "asfarray"):
+        np.asfarray = lambda a: np.asarray(a, dtype=float)
+    from epgpy import magnettransfer as rmt
+    offres = np.asarray([0.0, 0.5, 1.0, 2.0, 5.0, 10.0])
+    out = {"offres": offres}
+    for shape in ("gaussian", "lorentzian"):
+        out[shape.replace("-", "_")] = rmt.absorption_rate(12e-3, shape, offres)
+    # reference's cubic extrapolation for |offres|<1 uses np.asfarray
+    # (removed in numpy 2); golden only covers the integral region
+    out["super_lorentzian"] = rmt.absorption_rate(
+        12e-3, "super-lorentzian", offres[2:])
+    out["satrate"] = np.asarray(
+        rmt.saturation_rate(5.0, 10.0, rmt.absorption_rate(12e-3, "gaussian", 2.0)))
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "spgr": spgr,
+    "rfpulse_profile": rfpulse_profile,
+    "imaging_probe": imaging_probe,
+    "mt_rates": mt_rates,
     "mse_b1": mse_b1,
     "fisp_mrf": fisp_mrf,
     "shift3d_diffusion": shift3d_diffusion,
