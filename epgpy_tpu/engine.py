@@ -122,6 +122,33 @@ def _capacity(sequence, nshift: int, max_nstate) -> int:
     return max(min(bound, cap), 1)
 
 
+def _setup_table(sm: StateMatrix, sequence) -> StateMatrix:
+    """Attach the coordinate table up-front for table-shift sequences.
+
+    Scan carries need a structure-invariant StateMatrix: the coords leaf
+    (and its dtype) must exist before the first shift runs.  Integer-only
+    shift sets get an integer table; any float shift (incl. C's time
+    coordinate) forces a float table from the start.
+    """
+    from .ops.shift import S
+
+    shift_ops = [op for op in sequence if isinstance(op, S)]
+    table = any(not isinstance(op.k, int) or op.kdim > 1 for op in shift_ops)
+    if not table or sm.coords is not None:
+        return sm
+    kdim = max(op.kdim for op in shift_ops)
+    sm = sm.setup_coords(kdim)
+    all_int = all(
+        isinstance(op.k, int)
+        or np.issubdtype(np.asarray(op.k).dtype, np.integer)
+        for op in shift_ops
+    )
+    if all_int:
+        from .ops.shiftnd import _intdtype
+        sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    return sm
+
+
 # -- plan construction --
 
 
@@ -184,7 +211,8 @@ def _stack_block(block: _ScanBlock):
 def _plan_and_payload(sequence, *, scan=True):
     """Build (plan_kinds, payload) for _execute_plan / _run_compiled."""
     plan = _build_plan(sequence, scan=scan)
-    kinds = tuple("unroll" if isinstance(p, list) else "scan" for p in plan)
+    kinds = tuple(
+        ("unroll",) if isinstance(p, list) else ("scan", p.reps) for p in plan)
     payload = [
         p if isinstance(p, list) else (p.ops[:p.period], _stack_block(p))
         for p in plan
@@ -211,15 +239,16 @@ def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None):
     """Run the planned program; returns (sm, chunks)."""
     chunks = []
     for kind, payload in zip(plan_kinds, plan_payload):
-        if kind == "unroll":
+        if kind[0] == "unroll":
             for op in payload:
                 sm = op(sm)
                 if isinstance(op, probe_mod.Probe):
                     chunks.append(_add_adc_axis(_acquire(op, probes, sm)))
                 elif callback is not None:
                     callback(sm)
-        else:  # scan block: payload = (template_ops, list of stacked op pytrees)
+        else:  # scan block: payload = (template, stacked op pytrees)
             template, stacked = payload
+            reps = kind[1]
             probe_slots = [j for j, op in enumerate(template)
                            if isinstance(op, probe_mod.Probe)]
 
@@ -231,7 +260,7 @@ def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None):
                         outs.append(_acquire(op_t, probes, carry))
                 return carry, tuple(outs)
 
-            sm, ys = jax.lax.scan(body, sm, stacked)
+            sm, ys = jax.lax.scan(body, sm, stacked, length=reps)
             if len(ys) == 1:
                 chunks.append(ys[0])
             elif len(ys) > 1:
@@ -334,6 +363,11 @@ def simulate(
     else:
         sm = init.update(options={**init.options, **options})
         sm = sm.resize(max(ncap, sm.nstate)).broadcast(shape)
+
+    # pre-attach the coordinate table when the sequence needs one, so the
+    # state's pytree structure (and coord dtype) is invariant across ops
+    # (scan carries require a fixed structure)
+    sm = _setup_table(sm, sequence)
 
     # differentiation path: Jacobian/Hessian probes -> (nested) jacfwd
     from . import diff as diff_mod

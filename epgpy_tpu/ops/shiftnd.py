@@ -269,13 +269,18 @@ def apply_shift(op, sm):
     coords = sm.coords
     batch_varying = math.prod(karr.shape[:-1]) > 1
     shared_coords = coords.ndim == 2 or all(s == 1 for s in coords.shape[:-2])
+    coords_shape = coords.shape
     if coords.ndim > 2 and shared_coords:
         coords = coords.reshape(coords.shape[-2:])
     int_path = is_int and jnp.issubdtype(coords.dtype, jnp.integer)
 
+    def _restore(c):
+        # keep the coords leaf shape invariant (scan carries require it)
+        return c.reshape(coords_shape[:-2] + c.shape)
+
     if int_path and not batch_varying and shared_coords:
         new_states, new_coords = shiftnd_table(states, coords, karr.reshape(-1))
-        return sm.update(states=new_states, coords=new_coords)
+        return sm.update(states=new_states, coords=_restore(new_coords))
 
     kgrid = sm.options.get("kgrid") or op.kgrid
     if int_path:
@@ -288,7 +293,7 @@ def apply_shift(op, sm):
         wavenums = coords * ktvalue
         delta = jnp.asarray(karr.reshape(-1), config.real_dtype()) * ktvalue
         new_states, new_k = shiftmerge_table(states, wavenums, delta, kgrid)
-        return sm.update(states=new_states, coords=new_k / ktvalue)
+        return sm.update(states=new_states, coords=_restore(new_k / ktvalue))
 
     # per-batch variant (shift-prune): vmap over flattened batch elements
     bshape = states.shape[:-2]

@@ -172,3 +172,23 @@ def test_exchange_gre_golden():
         init=np.array([0, 0, 0.5]) * np.ones((2, 1, 1)),
         density=[0.5, 0.5]))
     assert np.abs(sig - g["signal"]).max() < 1e-9
+
+
+# -- C operator (accumulated-time dephasing, kdim=4) --
+
+
+def test_t2star_golden():
+    g = load_golden("t2star")
+    seq = [epg.T(90, 90)]
+    for _ in range(6):
+        seq += [epg.C(2.0, 0.3), epg.ADC]
+    fid = np.asarray(epg.simulate(seq, max_nstate=20, kgrid=0.1))
+    assert np.abs(fid - g["fid"]).max() < 1e-8
+    # FID decays like exp(-t) of the accumulated time
+    expected = np.exp(-0.3 * 2.0 * np.arange(1, 7))
+    assert np.allclose(np.abs(fid[:, 0]), expected, atol=1e-8)
+
+    seq3 = [epg.T(90, 90), epg.C(2.0, 0.3), epg.T(150, 0), epg.C(2.0, 0.3),
+            epg.ADC]
+    echo = np.asarray(epg.simulate(seq3, max_nstate=20, kgrid=0.1))
+    assert np.abs(echo - g["echo"]).max() < 1e-8

@@ -197,9 +197,30 @@ def mt_rates():
     return out
 
 
+def t2star():
+    """C operator: accumulated-time dephasing (4th coordinate) with F0
+    readout weighted by exp(-|t|) (reference t2star example)."""
+    seq = [ops.T(90, 90)]
+    sigs = []
+    for _ in range(6):
+        seq = seq + [ops.C(2.0, 0.3)]
+        sigs.append(None)
+    seq2 = [ops.T(90, 90)]
+    out = []
+    for i in range(6):
+        seq2 += [ops.C(2.0, 0.3), ops.ADC]
+    sig = np.asarray(fun.simulate(seq2, max_nstate=20, kgrid=0.1))
+    # interleave with a refocusing pulse (tests t-coordinate mixing)
+    seq3 = [ops.T(90, 90), ops.C(2.0, 0.3), ops.T(150, 0), ops.C(2.0, 0.3),
+            ops.ADC]
+    sig3 = np.asarray(fun.simulate(seq3, max_nstate=20, kgrid=0.1))
+    return {"fid": sig, "echo": sig3}
+
+
 CASES = {
     "cpmg": cpmg,
     "spgr": spgr,
+    "t2star": t2star,
     "rfpulse_profile": rfpulse_profile,
     "imaging_probe": imaging_probe,
     "mt_rates": mt_rates,
