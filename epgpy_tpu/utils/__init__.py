@@ -7,10 +7,12 @@ from .helpers import (
 from .imaging import imaging, dft
 from .pulseio import load_pulse, read_pulse, resample_pulse
 from .magnettransfer import saturation_rate, absorption_rate
+from .ilt1d import ilt1d, ilt1d_ls, flt1d, ilt1d_crb, quasi_continuous
 
 __all__ = [
     "gamma_1H", "gamma_23Na", "Axes", "get_norm", "get_wavenumber",
     "spatial_range", "space_to_freq", "freq_to_space",
     "imaging", "dft", "load_pulse", "read_pulse", "resample_pulse",
     "saturation_rate", "absorption_rate",
+    "ilt1d", "flt1d", "ilt1d_crb", "quasi_continuous",
 ]

@@ -1,0 +1,71 @@
+"""Utility-layer tests: ILT, plotting, conversions."""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu.utils import ilt1d as ilt
+from epgpy_tpu.utils import helpers
+
+
+def test_ilt1d_two_components():
+    t = np.linspace(0, 200, 120)
+    y = 0.7 * np.exp(-t / 25) + 0.3 * np.exp(-t / 90)
+    r, a = ilt.ilt1d(t, y)
+    assert len(r) == 2
+    assert np.allclose(np.sort(1 / r), [25.0, 90.0], rtol=1e-4)
+    assert np.allclose(np.sort(a), [0.3, 0.7], rtol=1e-4)
+
+
+def test_ilt1d_forward_roundtrip():
+    t = np.linspace(0, 100, 80)
+    r0, a0 = np.asarray([0.05, 0.01]), np.asarray([0.4, 0.6])
+    y = ilt.flt1d(t, r0, a0)
+    r, a = ilt.ilt1d(t, y)
+    assert np.abs(ilt.flt1d(t, r, a) - y).max() < 1e-8
+
+
+def test_ilt1d_crb_and_spectrum():
+    t = np.linspace(0, 150, 100)
+    y = np.exp(-t / 40)
+    r, a = ilt.ilt1d(t, y)
+    sd_r, sd_a = ilt.ilt1d_crb(t, y + 1e-6, r, a)
+    assert np.all(np.isfinite(sd_r)) and np.all(np.isfinite(sd_a))
+    grid, spec = ilt.quasi_continuous(r, a)
+    assert spec.max() > 0
+    assert np.isclose(grid[np.argmax(spec)], r[0], rtol=0.1)
+
+
+def test_ilt1d_irregular_raises():
+    t = np.asarray([0.0, 1.0, 3.0, 4.0])
+    with pytest.raises(ValueError):
+        ilt.ilt1d(t, np.exp(-t))
+
+
+def test_plot_epg_headless(tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from epgpy_tpu.utils.plotting import plot_epg
+
+    seq = [epg.T(90, 90)] + [epg.S(1, duration=2), epg.T(150, 0),
+                             epg.S(1, duration=2), epg.ADC] * 3
+    fig = plot_epg(seq, title="CPMG")
+    out = tmp_path / "epg.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 1000
+
+
+def test_unit_conversions():
+    # wavenumber of 10 mT/m over 1 ms (1H)
+    k = helpers.get_wavenumber(10.0, 1.0)
+    assert np.isclose(k, 2 * np.pi * 42.576e3 * 10e-3 * 1.0)
+    # space <-> freq roundtrip
+    pos = np.linspace(-10, 10, 5)
+    f = helpers.space_to_freq(20.0, pos)
+    back = helpers.freq_to_space(20.0, f)
+    assert np.allclose(back, pos)
+
+
+def test_axes_enum():
+    ax = helpers.Axes("T2", "B1")
+    assert ax.T2 == 0 and ax.B1 == 1
