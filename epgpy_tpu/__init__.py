@@ -30,8 +30,10 @@ from . import sequence
 from .utils import (
     gamma_1H, gamma_23Na, Axes, get_norm, get_wavenumber,
     spatial_range, space_to_freq, freq_to_space,
-    imaging, dft, load_pulse, saturation_rate, absorption_rate,
+    dft, load_pulse, saturation_rate, absorption_rate,
 )
+from .utils.imaging import imaging
+from .utils.ilt1d import ilt1d
 from . import config, stats
 
 __version__ = "0.1.0"

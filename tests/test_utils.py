@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 import epgpy_tpu as epg
-from epgpy_tpu.utils import ilt1d as ilt
+import epgpy_tpu.utils.ilt1d as ilt
 from epgpy_tpu.utils import helpers
 
 
