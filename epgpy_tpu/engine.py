@@ -34,7 +34,7 @@ from .ops import base, probe as probe_mod
 LOGGER = logging.getLogger(__name__)
 
 __all__ = [
-    "simulate", "modify", "flatten_sequence",
+    "simulate", "modify", "flatten_sequence", "squeeze_sequence",
     "getshape", "getnshift", "getkdim", "get_adc_times",
 ]
 
@@ -120,6 +120,39 @@ def _capacity(sequence, nshift: int, max_nstate) -> int:
     bound = (min(box, paths) - 1) // 2 + 1
     cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
     return max(min(bound, cap), 1)
+
+
+def squeeze_sequence(sequence):
+    """Merge runs of adjacent combinable linear operators into single ops.
+
+    The reference declares this NotImplemented (epgpy/functions.py:350-352);
+    here adjacent ScalarOp/MatrixOp-family operators fold into a CombinedOp
+    whose product evaluates at trace time (constant-folded by XLA when the
+    parameters are static).
+    """
+    from .ops.combined import CombinedOp
+
+    out, run = [], []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        elif run:
+            op = run[0]
+            for nxt in run[1:]:
+                op = op.combine(nxt)
+            out.append(op)
+        run.clear()
+
+    for op in flatten_sequence(sequence):
+        if isinstance(op, base.CombinableOperator) and not isinstance(
+                op, probe_mod.Probe):
+            run.append(op)
+        else:
+            flush()
+            out.append(op)
+    flush()
+    return out
 
 
 def _setup_table(sm: StateMatrix, sequence) -> StateMatrix:
@@ -335,6 +368,8 @@ def simulate(
     disables scan compilation (full unroll under jit).
     """
     sequence = flatten_sequence(sequence)
+    if squeeze:
+        sequence = squeeze_sequence(sequence)
     nshift = getnshift(sequence)
     shape = getshape(sequence)
     LOGGER.info("simulate: %d ops, nshift=%d, shape=%s", len(sequence), nshift, shape)

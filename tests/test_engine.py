@@ -146,3 +146,18 @@ def test_multioperator():
 def test_no_probe_raises():
     with pytest.raises(ValueError):
         epg.simulate([epg.T(90, 90)])
+
+
+def test_squeeze_sequence():
+    """simulate(squeeze=True): adjacent linear ops fold into CombinedOps."""
+    from epgpy_tpu import engine
+    T2s = [30.0, 60.0]
+    seq = [epg.T(90, 90)] + [
+        epg.E(4.5, 1400, T2s), epg.S(1), epg.T(150, 0),
+        epg.E(4.5, 1400, T2s), epg.S(1), epg.ADC,
+    ] * 6
+    squeezed = engine.squeeze_sequence(seq)
+    assert len(squeezed) < len(engine.flatten_sequence(seq))
+    a = np.asarray(epg.simulate(seq))
+    b = np.asarray(epg.simulate(seq, squeeze=True))
+    assert np.abs(a - b).max() < 1e-12
