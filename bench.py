@@ -109,8 +109,17 @@ def main():
     FA = make_train(NPULSE)
     T1, T2, B1 = make_atoms(NATOMS)
 
-    run = lambda: fisp_mrf_dictionary(
-        FA, TR, TE, T1, T2, B1, nstate=NSTATE, phi=90.0)
+    kernels = {
+        "xla-scan": lambda: fisp_mrf_dictionary(
+            FA, TR, TE, T1, T2, B1, nstate=NSTATE, phi=90.0),
+    }
+    which = os.environ.get("BENCH_KERNEL", "auto")
+    if which in ("auto", "pallas") and jax.devices()[0].platform != "cpu":
+        from epgpy_tpu.models.pallas_fisp import fisp_dictionary_pallas
+        kernels["pallas"] = lambda: fisp_dictionary_pallas(
+            FA, 90.0, TR, TE, T1, T2, B1, nstate=NSTATE)
+    if which in kernels and which != "auto":
+        kernels = {which: kernels[which]}
 
     def sync(out):
         # block_until_ready can return early through the axon tunnel;
@@ -118,18 +127,19 @@ def main():
         jax.block_until_ready(out)
         return float(np.asarray(out[0][-1, -1]))
 
-    # warmup (includes compile)
-    t0 = time.perf_counter()
-    out = run()
-    sync(out)
-    warmup = time.perf_counter() - t0
-
-    best = np.inf
-    for _ in range(REPEATS):
+    best, warmup, best_kernel, out = np.inf, 0.0, None, None
+    for name, run in kernels.items():
         t0 = time.perf_counter()
-        out = run()
-        sync(out)
-        best = min(best, time.perf_counter() - t0)
+        o = run()
+        sync(o)
+        warmup += time.perf_counter() - t0
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            o = run()
+            sync(o)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, best_kernel, out = dt, name, o
     atoms_per_sec = NATOMS / best
 
     # baseline throughput + c64 parity probe on the 8 leading atoms
@@ -154,6 +164,7 @@ def main():
         "natoms": NATOMS, "npulse": NPULSE, "nstate": NSTATE,
         "best_seconds": round(float(best), 4),
         "warmup_seconds": round(float(warmup), 2),
+        "kernel": best_kernel,
         "device": str(jax.devices()[0]),
         "parity_c64_vs_ref": parity,
     }

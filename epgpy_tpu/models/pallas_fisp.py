@@ -129,7 +129,7 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate", "interpret"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
-                           btile=1024, pchunk=128, demodulate=False,
+                           btile=4096, pchunk=128, demodulate=False,
                            interpret=False):
     """FISP MRF dictionary via the fused Pallas kernel.
 

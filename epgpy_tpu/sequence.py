@@ -295,6 +295,10 @@ class VirtualOperator:
         return {v for e in exprs for v in e.variables}
 
     def __getattr__(self, attr):
+        # guard the instance fields themselves (pickle creates instances
+        # without __init__, and a miss here must not recurse)
+        if attr.startswith("__") or attr in ("positionals", "keywords", "options"):
+            raise AttributeError(attr)
         cls = type(self)
         if attr in cls.POSITIONALS:
             i = cls.POSITIONALS.index(attr)
@@ -456,6 +460,13 @@ def _ty(alpha, **kwargs):
 operators = _OperatorNamespace()
 _OperatorNamespace.Tx = staticmethod(_tx)
 _OperatorNamespace.Ty = staticmethod(_ty)
+
+# module-level aliases so pickle can resolve the generated classes
+T = _OperatorNamespace.T
+Phi = _OperatorNamespace.Phi
+E = _OperatorNamespace.E
+P = _OperatorNamespace.P
+R = _OperatorNamespace.R
 _OperatorNamespace.ADC = _PrebuiltOperator(_ops.ADC)
 _OperatorNamespace.SPOILER = _PrebuiltOperator(_ops.SPOILER)
 _OperatorNamespace.RESET = _PrebuiltOperator(_ops.RESET)

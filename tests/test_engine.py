@@ -161,3 +161,14 @@ def test_squeeze_sequence():
     a = np.asarray(epg.simulate(seq))
     b = np.asarray(epg.simulate(seq, squeeze=True))
     assert np.abs(a - b).max() < 1e-12
+
+
+def test_axes_pinning():
+    """axes= places an operator's sweep on a chosen batch axis
+    (reference test_functions.py:79-107)."""
+    T2s = np.linspace(20, 100, 5)
+    out0 = epg.simulate([epg.T(90, 90), epg.E(10, 1000, T2s), epg.ADC])
+    out1 = epg.simulate([epg.T(90, 90), epg.E(10, 1000, T2s, axes=1), epg.ADC])
+    assert out0.shape[-2:] != out1.shape[-2:] or out0.ndim != out1.ndim
+    assert out1.shape[-1] == 5
+    assert np.allclose(np.squeeze(out0), np.squeeze(out1))

@@ -1,0 +1,39 @@
+"""Pallas FISP kernel: interpret-mode parity with the scan model."""
+
+import numpy as np
+import pytest
+
+from epgpy_tpu.models.mrf import fisp_mrf_dictionary
+from epgpy_tpu.models.pallas_fisp import fisp_dictionary_pallas
+
+
+def test_pallas_interpret_parity():
+    P, B = 96, 192
+    rng = np.random.default_rng(0)
+    FA = 10 + 50 * np.abs(np.sin(np.arange(P) * 0.07)) + rng.uniform(0, 2, P)
+    TRs = 12.0 + 2.0 * np.sin(np.arange(P) * 0.2)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    B1 = np.linspace(0.8, 1.2, B)
+
+    re0, im0 = fisp_mrf_dictionary(FA, TRs, 5.0, T1, T2, B1, nstate=6,
+                                   phi=37.0, demodulate=True)
+    re1, im1 = fisp_dictionary_pallas(FA, 37.0, TRs, 5.0, T1, T2, B1,
+                                      nstate=6, btile=128, pchunk=128,
+                                      demodulate=True, interpret=True)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+
+
+def test_pallas_padding():
+    """Non-multiple B and P are padded and cropped correctly."""
+    P, B = 50, 100
+    FA = np.full(P, 30.0)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    re0, im0 = fisp_mrf_dictionary(FA, 12.0, 5.0, T1, T2, nstate=4)
+    re1, im1 = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, T1, T2,
+                                      np.ones(B), nstate=4, btile=128,
+                                      pchunk=128, interpret=True)
+    assert re1.shape == (B, P)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5

@@ -151,3 +151,15 @@ def test_confint():
     cints = seq.confint(obs, ["T2"])(T2=35.0)
     assert np.asarray(cints).shape[-1] == 1
     assert np.isfinite(np.asarray(cints)).all()
+
+
+def test_sequence_pickling():
+    """DSL objects pickle (reference test_sequence.py:421)."""
+    import pickle
+    T2 = Variable("T2")
+    seq = Sequence([operators.T(90, 90), operators.E(5, 1000, T2 + 1.0),
+                    operators.S(1), "ADC"])
+    seq2 = pickle.loads(pickle.dumps(seq))
+    a = seq.signal(T2=49.0)
+    b = seq2.signal(T2=49.0)
+    assert np.abs(a - b).max() < 1e-12
