@@ -238,7 +238,18 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
     from .ops.probe import Adc
 
     variables = tracked_variables(sequence)
-    need_hessian = any(isinstance(pb, Hessian) for pb in probes)
+
+    # Hessians differentiate a *restricted* pair of tangent sets
+    # (vars1 x vars2), not all-pairs -- this is what keeps the
+    # 800-variable MRF Hessian (reference profiling example) tractable.
+    hess_probes = [pb for pb in probes if isinstance(pb, Hessian)]
+    need_hessian = bool(hess_probes)
+    vars1 = [v for pb in hess_probes for v in pb.variables1
+             if v != "magnitude" and v in variables]
+    vars2 = [v for pb in hess_probes for v in pb.variables2
+             if v != "magnitude" and v in variables]
+    vars1 = list(dict.fromkeys(vars1))
+    vars2 = list(dict.fromkeys(vars2))
 
     # which state attributes the diff probes read
     attrs = []
@@ -251,7 +262,7 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                if not isinstance(pb, (Jacobian, Hessian))]
     eval_probes = tuple(regular) + tuple(Adc(attr=a, name=f"_d_{a}") for a in attrs)
 
-    def f(eps):
+    def run(eps):
         seq2 = [substitute(op, eps) for op in sequence]
         plan_kinds, payload = plan_builder(seq2)
         _, chunks = executor(plan_kinds, payload, eval_probes, sm)
@@ -267,16 +278,32 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                 out.append((v, jnp.zeros_like(v)))
         return tuple(out)
 
-    eps0 = {var: jnp.zeros((), sm.states_re.dtype) for var in variables}
+    zero = jnp.zeros((), sm.states_re.dtype)
+    eps0 = {var: zero for var in variables}
+    eps1_0 = {var: zero for var in vars1}
+    eps2_0 = {var: zero for var in vars2}
+
+    def f(eps):
+        return run(eps)
+
+    def f2(eps1, eps2):
+        # independent tangent sets; shared variables get both shifts
+        eps = dict(eps0)
+        for v, e in eps1.items():
+            eps[v] = eps[v] + e
+        for v, e in eps2.items():
+            eps[v] = eps[v] + e
+        return run(eps)
 
     @jax.jit
-    def program(eps):
+    def program(eps, eps1, eps2):
         value = f(eps)
         jac = jax.jacfwd(f)(eps)
-        hess = jax.jacfwd(jax.jacfwd(f))(eps) if need_hessian else None
+        hess = (jax.jacfwd(jax.jacfwd(f2, argnums=0), argnums=1)(eps1, eps2)
+                if need_hessian else None)
         return value, jac, hess
 
-    value, jac, hess = program(eps0)
+    value, jac, hess = program(eps0, eps1_0, eps2_0)
 
     def _c(pair):
         return np.asarray(pair[0]) + 1j * np.asarray(pair[1])

@@ -268,12 +268,15 @@ def _add_adc_axis(vals):
     return jax.tree.map(lambda a: jnp.asarray(a)[None], vals)
 
 
-def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None):
+def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None,
+                  disp=False):
     """Run the planned program; returns (sm, chunks)."""
+    from .utils.helpers import progressbar
     chunks = []
     for kind, payload in zip(plan_kinds, plan_payload):
         if kind[0] == "unroll":
-            for op in payload:
+            ops_iter = progressbar(payload, "Simulating: ") if disp else payload
+            for op in ops_iter:
                 sm = op(sm)
                 if isinstance(op, probe_mod.Probe):
                     chunks.append(_add_adc_axis(_acquire(op, probes, sm)))
@@ -426,6 +429,9 @@ def simulate(
     plan_kinds, payload = _plan_and_payload(
         sequence, scan=scan and callback is None)
 
+    if disp:
+        LOGGER.info("simulate: %d-op program compiled as %s",
+                    len(sequence), "/".join(k[0] for k in plan_kinds))
     if use_jit:
         sm, values = _run_compiled(plan_kinds, payload, probes, sm)
         if asarray:
@@ -433,7 +439,8 @@ def simulate(
         # else: leave encoded ({"__c_re","__c_im"} real device arrays) --
         # complex cannot cross the program boundary on TPU
     else:
-        sm, chunks = _execute_plan(plan_kinds, payload, probes, sm, callback=callback)
+        sm, chunks = _execute_plan(plan_kinds, payload, probes, sm,
+                                   callback=callback, disp=disp)
         values = _concat_chunks(chunks)
 
     times = get_adc_times(sequence)

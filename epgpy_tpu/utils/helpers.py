@@ -51,3 +51,22 @@ def space_to_freq(grad, positions, *, gamma=gamma_1H):
 def freq_to_space(grad, frequencies, *, gamma=gamma_1H):
     """Inverse of space_to_freq."""
     return frequencies / grad / gamma * 1e6
+
+
+def progressbar(it, prefix="", size=50, out=None):
+    """Textual progress bar over an iterable (eager simulation only)."""
+    import sys
+    out = out or sys.stdout
+    items = list(it)
+    count = max(len(items), 1)
+
+    def show(j):
+        x = int(size * j / count)
+        print(f"{prefix}[{'#' * x}{'.' * (size - x)}] {j}/{count}",
+              end="\r", file=out, flush=True)
+
+    show(0)
+    for i, item in enumerate(items):
+        yield item
+        show(i + 1)
+    print(file=out, flush=True)

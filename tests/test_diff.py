@@ -168,3 +168,74 @@ def test_crlb_from_jacobian():
     jac = epg.simulate(seq, probe=epg.Jacobian(["T1", "T2"]))
     crb = epg.stats.crlb(jac.reshape(-1, 2)[None])
     assert np.isfinite(np.asarray(crb)).all()
+
+
+def test_mrf_hessian_profile():
+    """Scaled-down reference profiling case (differentiation_mrf.py):
+    Hessian of (magnitude, T1, T2) x per-pulse alpha aliases."""
+    P = 24
+    FAs = 15 + 30 * np.abs(np.sin(np.arange(P) * 0.4))
+    T1v, T2v = 800.0, 60.0
+    names = [f"alpha_{i:03d}" for i in range(P)]
+    seq = []
+    for i in range(P):
+        seq += [
+            epg.T(FAs[i], 90, order1={names[i]: "alpha"}),
+            epg.E(5.0, T1v, T2v, order1={"T1": "T1", "T2": "T2"}), epg.ADC,
+            epg.E(7.0, T1v, T2v, order1={"T1": "T1", "T2": "T2"}),
+            epg.S(1),
+        ]
+    sig, jac, hess = epg.simulate(
+        seq, max_nstate=10,
+        probe=[epg.ADC,
+               epg.Jacobian(["magnitude", "T1", "T2"]),
+               epg.Hessian(["magnitude", "T1", "T2"], names)])
+    assert jac.shape == sig.shape + (3,)
+    assert hess.shape == sig.shape + (3, P)
+    # magnitude row of the Hessian = d(signal)/d(alpha_i)
+    _, jac_a = epg.simulate(
+        seq, max_nstate=10, probe=[epg.ADC, epg.Jacobian(names)])
+    assert np.abs(hess[..., 0, :] - jac_a).max() < 1e-10
+    # FD check one cross entry: d2 signal / dT2 dalpha_5
+    eps = 1e-4
+
+    def jac_alpha5(T2x):
+        seqv = []
+        for i in range(P):
+            seqv += [
+                epg.T(FAs[i], 90, order1={names[i]: "alpha"}),
+                epg.E(5.0, T1v, T2x), epg.ADC, epg.E(7.0, T1v, T2x), epg.S(1),
+            ]
+        _, j = epg.simulate(seqv, max_nstate=10,
+                            probe=[epg.ADC, epg.Jacobian([names[5]])])
+        return j[..., 0]
+
+    fd = (jac_alpha5(T2v + eps) - jac_alpha5(T2v - eps)) / (2 * eps)
+    assert np.abs(hess[..., 2, 5] - fd).max() < 1e-6
+
+
+def test_crlb_gradient_matches_autodiff():
+    """stats.crlb's analytic gradient (Hessian contraction) == jax.grad."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    J = jnp.asarray(rng.normal(size=(12, 3)) + 1j * rng.normal(size=(12, 3)))
+    H = jnp.asarray(rng.normal(size=(12, 3, 4)) + 1j * rng.normal(size=(12, 3, 4)))
+
+    cost, grad = epg.stats.crlb(J, H)
+    # autodiff reference: d cost / d theta_x with dJ/dtheta_x = H[..., x]
+    def cost_of(theta):
+        Jt = J + jnp.einsum("npx,x->np", H, theta)
+        return epg.stats.crlb(Jt)
+    g = jax.grad(lambda th: jnp.real(cost_of(th)))(jnp.zeros(4))
+    assert np.allclose(np.asarray(grad), np.asarray(g), rtol=1e-6)
+
+
+def test_crlb_split():
+    rng = np.random.default_rng(2)
+    J = rng.normal(size=(20, 2)) + 1j * rng.normal(size=(20, 2))
+    crb = np.asarray(epg.stats.crlb_split(J, W=[1.0, 2.0]))
+    assert crb.shape == (2,)
+    total = np.asarray(epg.stats.crlb(J, W=[1.0, 2.0]))
+    assert np.isclose(crb.sum(), total)
