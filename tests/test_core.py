@@ -139,3 +139,13 @@ def test_shift_truncation_cap():
     full = np.asarray(epg.simulate(seq))
     roomy = np.asarray(epg.simulate(seq, max_nstate=50))
     assert np.abs(full - roomy).max() < 1e-12
+
+
+def test_dess_golden():
+    """DESS: two ADC slots per TR exercise scan-block probe interleaving."""
+    g = load_golden("dess")
+    from epgpy_tpu.models.ssfp import dess_sequence
+    seq = dess_sequence(30, alpha=25.0, TR=20.0, TE=5.0, T1=1000.0, T2=80.0)
+    sig = np.asarray(epg.simulate(seq, max_nstate=15))
+    assert sig.shape == g["signal"].shape
+    assert np.abs(sig - g["signal"]).max() < 1e-12

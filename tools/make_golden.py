@@ -197,6 +197,20 @@ def mt_rates():
     return out
 
 
+def dess():
+    """Double-echo steady state: two ADC per TR (FISP + PSIF)."""
+    n, TR, TE = 30, 20.0, 5.0
+    seq = []
+    for _ in range(n):
+        seq += [
+            ops.T(25, 0),
+            ops.E(TE, 1000, 80), ops.ADC,
+            ops.E(TR - 2 * TE, 1000, 80), ops.S(1),
+            ops.E(TE, 1000, 80), ops.ADC,
+        ]
+    return {"signal": np.asarray(fun.simulate(seq, max_nstate=15))}
+
+
 def t2star():
     """C operator: accumulated-time dephasing (4th coordinate) with F0
     readout weighted by exp(-|t|) (reference t2star example)."""
@@ -221,6 +235,7 @@ CASES = {
     "cpmg": cpmg,
     "spgr": spgr,
     "t2star": t2star,
+    "dess": dess,
     "rfpulse_profile": rfpulse_profile,
     "imaging_probe": imaging_probe,
     "mt_rates": mt_rates,
