@@ -241,8 +241,25 @@ def _stack_block(block: _ScanBlock):
     return [_stack_ops([block.ops[j + k * p] for k in range(r)]) for j in range(p)]
 
 
-def _plan_and_payload(sequence, *, scan=True):
-    """Build (plan_kinds, payload) for _execute_plan / _run_compiled."""
+#: plan cache: repeated simulate() calls on the same operator objects skip
+#: signature computation, period detection and parameter stacking entirely.
+#: Values hold strong references to the ops, so cached ids stay valid.
+_PLAN_CACHE: "dict[tuple, tuple]" = {}
+_PLAN_CACHE_MAX = 16
+
+
+def _plan_and_payload(sequence, *, scan=True, cache=True):
+    """Build (plan_kinds, payload) for _execute_plan / _run_compiled.
+
+    `cache=False` for traced sequences (diff path): tracer leaves must
+    never outlive their trace.
+    """
+    if cache:
+        key = (tuple(id(op) for op in sequence), scan)
+        cached = _PLAN_CACHE.get(key)
+        if cached is not None:
+            _, kinds, payload = cached
+            return kinds, payload
     plan = _build_plan(sequence, scan=scan)
     kinds = tuple(
         ("unroll",) if isinstance(p, list) else ("scan", p.reps) for p in plan)
@@ -250,6 +267,10 @@ def _plan_and_payload(sequence, *, scan=True):
         p if isinstance(p, list) else (p.ops[:p.period], _stack_block(p))
         for p in plan
     ]
+    if cache:
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = (list(sequence), kinds, payload)
     return kinds, payload
 
 
@@ -344,8 +365,12 @@ def _decode_complex_np(tree):
     )
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _run_compiled(plan_kinds, plan_payload, probes, sm):
+@partial(jax.jit, static_argnums=(0, 4))
+def _run_compiled(plan_kinds, plan_payload, probes, sm, shape=None):
+    if shape is not None:
+        # broadcast the (compact) initial state on device -- avoids
+        # materializing + transferring the full batch from the host
+        sm = sm.broadcast(shape)
     sm, chunks = _execute_plan(plan_kinds, plan_payload, probes, sm)
     return sm, _encode_complex(_concat_chunks(chunks))
 
@@ -396,11 +421,11 @@ def simulate(
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(
             [0, 0, 1] if init is None else init,
-            nstate=ncap, shape=shape, **options,
+            nstate=ncap, **options,
         )
     else:
         sm = init.update(options={**init.options, **options})
-        sm = sm.resize(max(ncap, sm.nstate)).broadcast(shape)
+        sm = sm.resize(max(ncap, sm.nstate))
 
     # pre-attach the coordinate table when the sequence needs one, so the
     # state's pytree structure (and coord dtype) is invariant across ops
@@ -414,8 +439,9 @@ def simulate(
         if any(pb is None for pb in probes):
             raise ValueError("None probes are not supported with Jacobian/Hessian")
         values = diff_mod.simulate_diff(
-            sequence, probes, sm,
-            plan_builder=lambda seq: _plan_and_payload(seq, scan=scan),
+            sequence, probes, sm.broadcast(shape),
+            plan_builder=lambda seq: _plan_and_payload(seq, scan=scan,
+                                                        cache=False),
             executor=_execute_plan,
         )
         times = get_adc_times(sequence)
@@ -433,12 +459,13 @@ def simulate(
         LOGGER.info("simulate: %d-op program compiled as %s",
                     len(sequence), "/".join(k[0] for k in plan_kinds))
     if use_jit:
-        sm, values = _run_compiled(plan_kinds, payload, probes, sm)
+        sm, values = _run_compiled(plan_kinds, payload, probes, sm, shape)
         if asarray:
             values = _decode_complex_np(values)
         # else: leave encoded ({"__c_re","__c_im"} real device arrays) --
         # complex cannot cross the program boundary on TPU
     else:
+        sm = sm.broadcast(shape)
         sm, chunks = _execute_plan(plan_kinds, payload, probes, sm,
                                    callback=callback, disp=disp)
         values = _concat_chunks(chunks)
