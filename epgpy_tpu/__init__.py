@@ -36,4 +36,11 @@ from .utils.imaging import imaging
 from .utils.ilt1d import ilt1d
 from . import config, stats
 
+# logging level from environment (reference epgpy/common.py:8-11)
+import logging as _logging
+import os as _os
+
+if _os.environ.get("LOG_LEVEL"):
+    _logging.basicConfig(level=_os.environ["LOG_LEVEL"].upper())
+
 __version__ = "0.1.0"

@@ -218,3 +218,19 @@ def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
         nstate=nstate, demodulate=demodulate, inversion=inversion,
         normalize=normalize,
     )
+
+
+def save_dictionary(path, re, im, T1s, T2s, B1s=None, **meta):
+    """Persist a dictionary (split-complex fingerprints + atom grid)."""
+    np.savez_compressed(
+        path, re=np.asarray(re), im=np.asarray(im),
+        T1s=np.asarray(T1s), T2s=np.asarray(T2s),
+        B1s=np.ones(len(np.asarray(T1s))) if B1s is None else np.asarray(B1s),
+        **{k: np.asarray(v) for k, v in meta.items()},
+    )
+
+
+def load_dictionary(path):
+    """Load a dictionary saved by save_dictionary -> dict of numpy arrays."""
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}

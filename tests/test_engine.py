@@ -172,3 +172,44 @@ def test_axes_pinning():
     assert out0.shape[-2:] != out1.shape[-2:] or out0.ndim != out1.ndim
     assert out1.shape[-1] == 5
     assert np.allclose(np.squeeze(out0), np.squeeze(out1))
+
+
+def test_system_imaging_flow():
+    """System(coords=...) feeds the Imaging probe (reference operator.py:348)."""
+    positions = np.linspace(-0.01, 0.01, 7)[:, None]
+    seq = [epg.System(coords=positions),
+           epg.T(90, 90), epg.S(1, duration=1.0),
+           epg.Imaging(reduce=False, voxel_size=2e-3)]
+    sig = np.asarray(epg.simulate(seq, kvalue=400.0))
+    seq2 = [epg.T(90, 90), epg.S(1, duration=1.0),
+            epg.Imaging(positions, reduce=False, voxel_size=2e-3)]
+    sig2 = np.asarray(epg.simulate(seq2, kvalue=400.0))
+    assert np.abs(sig - sig2).max() < 1e-12
+
+
+def test_probe_callable():
+    seq = [epg.T(30, 90), epg.Probe(lambda sm: sm.Z0 * 2.0)]
+    out = epg.simulate(seq)
+    assert np.allclose(out, 2 * np.cos(np.pi / 6))
+
+
+def test_system_kvalue():
+    """System can set kvalue mid-sequence."""
+    seq = [epg.System(kvalue=123.0), epg.T(90, 90), epg.S(1),
+           epg.Probe("k")]
+    k = epg.simulate(seq)
+    assert np.allclose(np.asarray(k)[0, ..., 0],
+                       123.0 * np.arange(-1, 2))
+
+
+def test_dictionary_io(tmp_path):
+    from epgpy_tpu.models.mrf import (fisp_mrf_dictionary, save_dictionary,
+                                      load_dictionary)
+    FA = np.full(8, 30.0)
+    T1s, T2s = np.asarray([500.0, 900.0]), np.asarray([50.0, 80.0])
+    re, im = fisp_mrf_dictionary(FA, 12.0, 5.0, T1s, T2s, nstate=4)
+    p = tmp_path / "dict.npz"
+    save_dictionary(p, re, im, T1s, T2s, FA=FA)
+    d = load_dictionary(p)
+    assert np.allclose(d["re"], np.asarray(re))
+    assert np.allclose(d["FA"], FA)
