@@ -165,20 +165,35 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
         states = relax(states, jnp.exp(-inversion / T1s), jnp.exp(-inversion / T2s))
 
     def step(states, xs):
+        # One fused plane pass per TR: both relaxations fold into the
+        # rotation coefficients (decay is k-independent, so it commutes
+        # with the shift; only the k=0 Z recovery needs separate adds):
+        #   F_out = shift( rot(F,Z) * E2te * E2b )
+        #   Z_out = rotZ(F,Z) * E1te * E1b + [(1-E1te) E1b + (1-E1b)] @ k=0
         fa, ph, tr = xs
-        states = rotate(states, fa * B1s, ph)
-        states = relax(states, E1_te, E2_te)
-        echo = states[0][nstate, :]                       # (B,)
+        Fp, Fm, Z = states
+        m00, m01, m02, m10, m11, m12, m20, m21, m22 = _rotation_elems(
+            fa * B1s, ph)
+        E1b = jnp.exp(-(tr - TE) / T1s)
+        E2b = jnp.exp(-(tr - TE) / T2s)
+        cF = (E2_te * E2b).astype(cdtype)
+        cZ = (E1_te * E1b).astype(cdtype)
+        rec = ((1.0 - E1_te) * E1b + (1.0 - E1b)).astype(cdtype)
+
+        # echo from the k=0 row only (post-rotation, post-TE decay)
+        e2c = E2_te.astype(cdtype)
+        echo = (m00 * Fp[nstate] + m01 * Fm[nstate] + m02 * Z[nstate]) * e2c
         if demodulate:
             echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
-        states = relax(states, jnp.exp(-(tr - TE) / T1s),
-                       jnp.exp(-(tr - TE) / T2s))
-        # gradient shift: F+ rows slide up along K, F- rows slide down
-        Fp, Fm, Z = states
+
+        nFp = (m00 * cF) * Fp + (m01 * cF) * Fm + (m02 * cF) * Z
+        nFm = (m10 * cF) * Fp + (m11 * cF) * Fm + (m12 * cF) * Z
+        nZ = (m20 * cZ) * Fp + (m21 * cZ) * Fm + (m22 * cZ) * Z
+        nZ = nZ.at[nstate, :].add(rec)
         zrow = jnp.zeros((1, B), cdtype)
-        Fp = jnp.concatenate([zrow, Fp[:-1, :]], axis=0)
-        Fm = jnp.concatenate([Fm[1:, :], zrow], axis=0)
-        return (Fp, Fm, Z), echo
+        nFp = jnp.concatenate([zrow, nFp[:-1, :]], axis=0)
+        nFm = jnp.concatenate([nFm[1:, :], zrow], axis=0)
+        return (nFp, nFm, nZ), echo
 
     _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi_b, TR_b))
     re, im = echoes.real.T, echoes.imag.T                 # (B, P)

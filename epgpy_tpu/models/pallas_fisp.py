@@ -77,42 +77,39 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
         def cmul(cr, ci, xr, xi):
             return cr * xr - ci * xi, cr * xi + ci * xr
 
-        aR, aI = cos2 * FpR, cos2 * FpI
-        bR, bI = cmul(m01r, m01i, FmR, FmI)
-        cR, cI = cmul(m02r, m02i, ZR, ZI)
-        nFpR, nFpI = aR + bR + cR, aI + bI + cI
+        # both relaxations fold into the coefficients (k-independent decay
+        # commutes with the shift); one fused plane pass per TR
+        rem = tr_ref[0, base + i] - TE
+        E1b = jnp.exp(-rem / T1)
+        E2b = jnp.exp(-rem / T2)
+        cF = E2te * E2b
+        cZ = E1te * E1b
+        rec = (1.0 - E1te) * E1b + (1.0 - E1b)
 
-        aR, aI = cmul(m01r, -m01i, FpR, FpI)
-        bR, bI = cos2 * FmR, cos2 * FmI
-        cR, cI = cmul(m12r, m12i, ZR, ZI)
-        nFmR, nFmI = aR + bR + cR, aI + bI + cI
-
-        aR, aI = cmul(m20r, m20i, FpR, FpI)
-        bR, bI = cmul(m21r, m21i, FmR, FmI)
-        nZR = aR + bR + ca * ZR
-        nZI = aI + bI + ca * ZI
-
-        # TE relaxation + recovery
-        nFpR, nFpI = nFpR * E2te, nFpI * E2te
-        nFmR, nFmI = nFmR * E2te, nFmI * E2te
-        nZR, nZI = nZR * E1te, nZI * E1te
-        nZR = nZR + rowmask * (1.0 - E1te)
-
-        # echo (with optional receiver demodulation e^{-i ph})
-        eR, eI = nFpR[NS, :], nFpI[NS, :]
+        # echo from the k=0 row only (post-rotation, post-TE decay)
+        eR, eI = cmul(m01r, m01i, FmR[NS, :], FmI[NS, :])
+        e2R, e2I = cmul(m02r, m02i, ZR[NS, :], ZI[NS, :])
+        eR = (cos2 * FpR[NS, :] + eR + e2R) * E2te
+        eI = (cos2 * FpI[NS, :] + eI + e2I) * E2te
         if demodulate:
             eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
         out_re_ref[i, :] = eR
         out_im_ref[i, :] = eI
 
-        # TR-TE relaxation + recovery
-        rem = tr_ref[0, base + i] - TE
-        E1b = jnp.exp(-rem / T1)
-        E2b = jnp.exp(-rem / T2)
-        nFpR, nFpI = nFpR * E2b, nFpI * E2b
-        nFmR, nFmI = nFmR * E2b, nFmI * E2b
-        nZR, nZI = nZR * E1b, nZI * E1b
-        nZR = nZR + rowmask * (1.0 - E1b)
+        aR, aI = (cos2 * cF) * FpR, (cos2 * cF) * FpI
+        bR, bI = cmul(m01r * cF, m01i * cF, FmR, FmI)
+        dR, dI = cmul(m02r * cF, m02i * cF, ZR, ZI)
+        nFpR, nFpI = aR + bR + dR, aI + bI + dI
+
+        aR, aI = cmul(m01r * cF, -m01i * cF, FpR, FpI)
+        bR, bI = (cos2 * cF) * FmR, (cos2 * cF) * FmI
+        dR, dI = cmul(m12r * cF, m12i * cF, ZR, ZI)
+        nFmR, nFmI = aR + bR + dR, aI + bI + dI
+
+        aR, aI = cmul(m20r * cZ, m20i * cZ, FpR, FpI)
+        bR, bI = cmul(m21r * cZ, m21i * cZ, FmR, FmI)
+        nZR = aR + bR + (ca * cZ) * ZR + rowmask * rec
+        nZI = aI + bI + (ca * cZ) * ZI
 
         # unit ladder shift: F+ up, F- down (zero-fill boundaries)
         zrow = jnp.zeros_like(nFpR[:1])
