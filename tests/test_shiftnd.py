@@ -192,3 +192,34 @@ def test_t2star_golden():
             epg.ADC]
     echo = np.asarray(epg.simulate(seq3, max_nstate=20, kgrid=0.1))
     assert np.abs(echo - g["echo"]).max() < 1e-8
+
+
+def test_shift_prune_batch_varying():
+    """Batch-varying float shifts (the reference's shift-prune method):
+    each batch element evolves with its own wavenumber increment and must
+    match an independent single-element simulation."""
+    ks = np.array([[0.7], [1.3], [2.1]])  # (3, 1): 3 batch elements
+    seq = [epg.T(90, 90),
+           epg.S(ks, kgrid=0.25), epg.T(120, 0),
+           epg.S(ks, kgrid=0.25), epg.T(60, 45),
+           epg.S(-ks, kgrid=0.25), epg.ADC]
+    sig = np.asarray(epg.simulate(seq, max_nstate=20, probe=["F0", "Z0"]))
+    for i in range(3):
+        ki = np.array([[ks[i, 0]]])
+        seqi = [epg.T(90, 90),
+                epg.S(ki, kgrid=0.25), epg.T(120, 0),
+                epg.S(ki, kgrid=0.25), epg.T(60, 45),
+                epg.S(-ki, kgrid=0.25), epg.ADC]
+        sigi = np.asarray(epg.simulate(seqi, max_nstate=20, probe=["F0", "Z0"]))
+        assert np.abs(sig[:, :, i] - sigi[:, :, 0]).max() < 1e-10
+
+
+def test_shift_prune_golden():
+    g = load_golden("shift_prune")
+    ks = g["ks"]
+    seq = [epg.T(90, 90),
+           epg.S(ks, kgrid=0.25), epg.T(120, 0),
+           epg.S(ks, kgrid=0.25), epg.T(60, 45),
+           epg.S(-ks, kgrid=0.25), epg.ADC]
+    sig = np.asarray(epg.simulate(seq, max_nstate=20, probe=["F0", "Z0"]))
+    assert np.abs(sig - g["signal"]).max() < 1e-8

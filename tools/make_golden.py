@@ -197,6 +197,19 @@ def mt_rates():
     return out
 
 
+def shift_prune():
+    """Batch-varying float shifts (reference shift-prune method)."""
+    ks = np.array([[0.7], [1.3], [2.1]])
+    seq = [
+        ops.T(90, 90),
+        ops.S(ks, kgrid=0.25), ops.T(120, 0),
+        ops.S(ks, kgrid=0.25), ops.T(60, 45),
+        ops.S(-ks, kgrid=0.25), ops.ADC,
+    ]
+    sig = np.asarray(fun.simulate(seq, max_nstate=20, probe=["F0", "Z0"]))
+    return {"signal": sig, "ks": ks}
+
+
 def dess():
     """Double-echo steady state: two ADC per TR (FISP + PSIF)."""
     n, TR, TE = 30, 20.0, 5.0
@@ -236,6 +249,7 @@ CASES = {
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
+    "shift_prune": shift_prune,
     "rfpulse_profile": rfpulse_profile,
     "imaging_probe": imaging_probe,
     "mt_rates": mt_rates,
