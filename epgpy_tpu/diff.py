@@ -31,7 +31,7 @@ the signal itself / its first derivatives (reference epgpy/diff.py:384-476).
 from __future__ import annotations
 
 import itertools
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from .. import common
 from . import base
-from .scalarop import ScalarOp, scalar_combine, apply_coefficients
+from .scalarop import scalar_combine, apply_coefficients
 from .matrixop import matrix_combine, apply_matrices
 
 __all__ = ["CombinedOp"]

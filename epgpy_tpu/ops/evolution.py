@@ -22,7 +22,7 @@ import numpy as np
 
 from .. import common, config
 from . import base
-from .scalarop import ScalarOp, apply_coefficients, split_complex, join_complex
+from .scalarop import ScalarOp, split_complex, join_complex
 
 __all__ = ["R", "E", "P", "evolution_operator", "relaxation_operator",
            "precession_operator"]

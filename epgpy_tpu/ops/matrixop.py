@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import common, config
+from .. import common
 from . import base
-from .scalarop import ScalarOp, align_batch, split_complex, join_complex
+from .scalarop import align_batch, split_complex, join_complex
 
 __all__ = ["MatrixOp", "matrix_combine", "matrix_combine_multi", "apply_matrices"]
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .. import common
 from . import base
 
 __all__ = ["Probe", "Adc", "ADC", "DFT", "Imaging"]

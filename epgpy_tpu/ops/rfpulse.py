@@ -25,11 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import common
 from . import base
-from .matrixop import matrix_combine_multi
 from .transition import T, Phi, rotation_operator
-from .evolution import E, P
+from .evolution import P
 
 LOGGER = logging.getLogger(__name__)
 

@@ -20,12 +20,10 @@ coordinate table with the same static capacity; they live in shiftnd.py.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 
-from .. import common, config
+from .. import common
 from . import base
 
 __all__ = ["S", "G", "C", "shift1d"]

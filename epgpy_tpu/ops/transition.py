@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .. import common, config
 from . import base
-from .matrixop import MatrixOp, apply_matrices
+from .matrixop import MatrixOp
 
 __all__ = ["T", "Tx", "Ty", "Phi", "rotation_operator", "rotation_phi"]
 

@@ -20,13 +20,10 @@ straight through them.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .. import config
 from ..models.mrf import fisp_mrf_signal
 
 __all__ = ["fingerprint_crlb_loss", "crlb_train_step"]

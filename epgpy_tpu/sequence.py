@@ -12,9 +12,8 @@ order1/order2 coefficient dicts of the diff layer (epgpy_tpu/diff.py).
 
 from __future__ import annotations
 
-import math
 import operator as _py_operator
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ for API parity).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["crlb", "crlb_split", "confint", "get_tstat_interval"]
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import engine, statematrix
-from ..ops import base, probe as probe_mod, shift as shift_mod, transition
+from ..ops import probe as probe_mod, shift as shift_mod, transition
 
 __all__ = ["plot_epg", "show"]
 
