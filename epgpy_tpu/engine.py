@@ -314,7 +314,9 @@ def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None,
                 for j, (op_t, op) in enumerate(zip(template, step_ops)):
                     carry = op(carry)
                     if j in probe_slots:
-                        outs.append(_acquire(op_t, probes, carry))
+                        # acquire with the per-step op: probe leaves (e.g.
+                        # Adc phase) vary across repetitions
+                        outs.append(_acquire(op, probes, carry))
                 return carry, tuple(outs)
 
             sm, ys = jax.lax.scan(body, sm, stacked, length=reps)

@@ -79,7 +79,13 @@ class Probe(base.EmptyOperator):
 
 @base.register_op
 class Adc(Probe):
-    """Simplified probe with weights/reduction and phase compensation."""
+    """Simplified probe with weights/reduction and phase compensation.
+
+    `phase` and `weights` are traced leaves: ADCs differing only in these
+    (e.g. RF-spoiled readout phases) still group into one lax.scan.
+    """
+
+    PARAMS = ("phase", "weights")
 
     def __init__(self, attr="F0", *, phase=None, reduce=None, weights=None,
                  name="ADC"):

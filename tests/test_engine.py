@@ -213,3 +213,17 @@ def test_dictionary_io(tmp_path):
     d = load_dictionary(p)
     assert np.allclose(d["re"], np.asarray(re))
     assert np.allclose(d["FA"], FA)
+
+
+def test_spgr_scan_groups():
+    """RF-spoiled readouts (per-step T phase + Adc phase) scan-compile."""
+    n = 24
+    phases = np.cumsum(np.arange(n) * 117.0) % 360.0
+    seq = []
+    for i in range(n):
+        seq += [epg.T(15, phases[i]), epg.E(3, 1000, 80),
+                epg.Adc(phase=-phases[i]), epg.E(7, 1000, 80), epg.S(1)]
+    plan = engine._build_plan(engine.flatten_sequence(seq))
+    assert any(isinstance(p, engine._ScanBlock) for p in plan)
+    block = [p for p in plan if isinstance(p, engine._ScanBlock)][0]
+    assert block.period == 5 and block.reps == n
