@@ -220,6 +220,11 @@ def substitute(op, eps: Dict[str, jnp.ndarray]):
 
 # -- diff simulation path --
 
+#: compiled diff programs keyed on (op ids, probe ids, variable sets, state
+#: structure); values hold strong refs to ops/probes so the ids stay valid
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 8
+
 
 def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                   jacobian_chunk: Optional[int] = None):
@@ -295,15 +300,35 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
             eps[v] = eps[v] + e
         return run(eps)
 
-    @jax.jit
-    def program(eps, eps1, eps2):
-        value = f(eps)
-        jac = jax.jacfwd(f)(eps)
-        hess = (jax.jacfwd(jax.jacfwd(f2, argnums=0), argnums=1)(eps1, eps2)
-                if need_hessian else None)
-        return value, jac, hess
+    # cache the compiled program across calls on the same operator objects
+    # (jax.jit of a fresh closure would otherwise recompile every call)
+    cache_key = (
+        tuple(id(op) for op in sequence),
+        tuple(id(pb) for pb in probes),
+        tuple(variables), tuple(vars1), tuple(vars2), need_hessian,
+        jax.tree.structure(sm),
+        tuple((jnp.shape(l), jnp.result_type(l).name) for l in jax.tree.leaves(sm)),
+    )
+    cached = _PROGRAM_CACHE.get(cache_key)
+    if cached is None:
+        def program(eps, eps1, eps2, sm_in):
+            nonlocal sm
+            sm, sm_prev = sm_in, sm
+            try:
+                value = f(eps)
+                jac = jax.jacfwd(f)(eps)
+                hess = (jax.jacfwd(jax.jacfwd(f2, argnums=0), argnums=1)(
+                    eps1, eps2) if need_hessian else None)
+            finally:
+                sm = sm_prev
+            return value, jac, hess
 
-    value, jac, hess = program(eps0, eps1_0, eps2_0)
+        cached = (jax.jit(program), list(sequence), tuple(probes))
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        _PROGRAM_CACHE[cache_key] = cached
+
+    value, jac, hess = cached[0](eps0, eps1_0, eps2_0, sm)
 
     def _c(pair):
         return np.asarray(pair[0]) + 1j * np.asarray(pair[1])

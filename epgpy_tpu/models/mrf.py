@@ -249,3 +249,37 @@ def load_dictionary(path):
     """Load a dictionary saved by save_dictionary -> dict of numpy arrays."""
     with np.load(path) as data:
         return {k: data[k] for k in data.files}
+
+
+def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
+                      variables=("T1", "T2"), nstate: int = 10,
+                      demodulate: bool = False, inversion=None):
+    """Per-atom fingerprint derivatives dS/d(variables).
+
+    variables: subset of ("T1", "T2", "B1").  Returns
+    ((re, im), (dre, dim)) with fingerprints (B, P) and derivatives
+    (B, P, nvars) -- the inputs to CRLB maps and dictionary-free fitting.
+    """
+    rdtype = config.real_dtype()
+    T1s = jnp.asarray(T1s, rdtype)
+    T2s = jnp.asarray(T2s, rdtype)
+    B1s = jnp.ones_like(T1s) if B1s is None else jnp.asarray(B1s, rdtype)
+    FA = jnp.asarray(FA, rdtype)
+    idx = {"T1": 0, "T2": 1, "B1": 2}
+    sel = tuple(idx[v] for v in variables)
+
+    def atom(theta):
+        return fisp_mrf_signal(FA, phi, TR, TE, theta[0], theta[1], theta[2],
+                               nstate=nstate, demodulate=demodulate,
+                               inversion=inversion)
+
+    @jax.jit
+    def run(T1s, T2s, B1s):
+        thetas = jnp.stack([T1s, T2s, B1s], axis=-1)
+        sig = jax.vmap(atom)(thetas)
+        jac = jax.vmap(jax.jacfwd(atom))(thetas)  # ((B,P,3), (B,P,3))
+        dre = jac[0][..., sel]
+        dim = jac[1][..., sel]
+        return sig, (dre, dim)
+
+    return run(T1s, T2s, B1s)

@@ -90,3 +90,17 @@ def test_sharded_dictionary(cpu_devices):
                                        sharding=sh)
     assert np.abs(np.asarray(re0) - np.asarray(re1)).max() < 1e-12
     assert np.abs(np.asarray(im0) - np.asarray(im1)).max() < 1e-12
+
+
+def test_fisp_jacobian_fd():
+    """Fingerprint derivatives vs finite differences."""
+    FA = np.linspace(10, 60, 12)
+    T1s = np.asarray([800.0, 1200.0])
+    T2s = np.asarray([60.0, 90.0])
+    (re, im), (dre, dim) = mrf.fisp_mrf_jacobian(
+        FA, 12.0, 5.0, T1s, T2s, variables=("T1", "T2"), nstate=4)
+    eps = 1e-3
+    rp, ip = mrf.fisp_mrf_dictionary(FA, 12.0, 5.0, T1s + eps, T2s, nstate=4)
+    rm, imn = mrf.fisp_mrf_dictionary(FA, 12.0, 5.0, T1s - eps, T2s, nstate=4)
+    fd_re = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
+    assert np.abs(np.asarray(dre)[..., 0] - fd_re).max() < 1e-6
