@@ -145,8 +145,9 @@ def squeeze_sequence(sequence):
         run.clear()
 
     for op in flatten_sequence(sequence):
-        if isinstance(op, base.CombinableOperator) and not isinstance(
-                op, probe_mod.Probe):
+        if (isinstance(op, base.CombinableOperator)
+                and not isinstance(op, probe_mod.Probe)
+                and not op.order1):  # never merge away derivative tracking
             run.append(op)
         else:
             flush()

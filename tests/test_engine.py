@@ -227,3 +227,14 @@ def test_spgr_scan_groups():
     assert any(isinstance(p, engine._ScanBlock) for p in plan)
     block = [p for p in plan if isinstance(p, engine._ScanBlock)][0]
     assert block.period == 5 and block.reps == n
+
+
+def test_squeeze_preserves_tracked_ops():
+    """squeeze must not merge ops carrying order1 specs (derivatives)."""
+    seq = [epg.T(90, 90), epg.E(5, 1000, 50, order1=["T2"]),
+           epg.E(3, 1000, 50), epg.ADC]
+    squeezed = engine.squeeze_sequence(seq)
+    tracked = [op for op in squeezed if getattr(op, "order1", None)]
+    assert len(tracked) == 1
+    sig, jac = epg.simulate(squeezed, probe=[epg.ADC, epg.Jacobian(["T2"])])
+    assert np.abs(jac).max() > 0
