@@ -124,8 +124,8 @@ def _rotation_elems(alpha_deg, phi_deg):
 
 
 @partial(jax.jit, static_argnames=("nstate", "demodulate", "inversion", "normalize"))
-def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
-                        inversion, normalize):
+def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
+                        demodulate, inversion, normalize):
     """Batched FISP scan with TPU-native layout: states (3, K, B).
 
     The atom axis B sits on the minor (lane) dimension so tiles pack
@@ -142,6 +142,10 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
 
     E1_te = jnp.exp(-TE / T1s)
     E2_te = jnp.exp(-TE / T2s)
+    # off-resonance: F+ accumulates exp(+2i pi df tau) (reference
+    # epgpy/evolution.py:230-256 sign convention); F- the conjugate
+    pe_te = (jnp.exp(2j * jnp.pi * dfs * TE).astype(cdtype)
+             if dfs is not None else None)
 
     def rotate(states, fa_scaled, ph):
         Fp, Fm, Z = states
@@ -182,12 +186,19 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
 
         # echo from the k=0 row only (post-rotation, post-TE decay)
         e2c = E2_te.astype(cdtype)
+        if pe_te is not None:
+            e2c = e2c * pe_te
         echo = (m00 * Fp[nstate] + m01 * Fm[nstate] + m02 * Z[nstate]) * e2c
         if demodulate:
             echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
 
-        nFp = (m00 * cF) * Fp + (m01 * cF) * Fm + (m02 * cF) * Z
-        nFm = (m10 * cF) * Fp + (m11 * cF) * Fm + (m12 * cF) * Z
+        cFp, cFm = cF, cF
+        if pe_te is not None:
+            pe_tr = jnp.exp(2j * jnp.pi * dfs * (tr - TE)).astype(cdtype)
+            cFp = cF * pe_te * pe_tr
+            cFm = cF * jnp.conj(pe_te * pe_tr)
+        nFp = (m00 * cFp) * Fp + (m01 * cFp) * Fm + (m02 * cFp) * Z
+        nFm = (m10 * cFm) * Fp + (m11 * cFm) * Fm + (m12 * cFm) * Z
         nZ = (m20 * cZ) * Fp + (m21 * cZ) * Fm + (m22 * cZ) * Z
         nZ = nZ.at[nstate, :].add(rec)
         zrow = jnp.zeros((1, B), cdtype)
@@ -204,7 +215,7 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate, demodulate,
     return re, im
 
 
-def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
+def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, dfs=None, *, phi=90.0,
                         nstate: int = 10, demodulate: bool = False,
                         inversion: Optional[float] = None,
                         normalize: bool = False, sharding=None):
@@ -213,6 +224,8 @@ def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
     Args:
         FA: (P,) flip-angle train (deg); TR: scalar/(P,) (ms); TE: scalar.
         T1s, T2s, B1s: (B,) per-atom parameters (B1s defaults to ones).
+        dfs: optional (B,) per-atom off-resonance (kHz) -- the 4th
+            dictionary dimension of pSSFP-style MRF.
         sharding: optional ``jax.sharding.NamedSharding`` for the atom axis
             (multi-device data parallelism).
 
@@ -223,13 +236,16 @@ def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
     T1s = jnp.asarray(T1s, rdtype)
     T2s = jnp.asarray(T2s, rdtype)
     B1s = jnp.ones_like(T1s) if B1s is None else jnp.asarray(B1s, rdtype)
+    dfs = None if dfs is None else jnp.asarray(dfs, rdtype)
     if sharding is not None:
         T1s = jax.device_put(T1s, sharding)
         T2s = jax.device_put(T2s, sharding)
         B1s = jax.device_put(B1s, sharding)
+        if dfs is not None:
+            dfs = jax.device_put(dfs, sharding)
     return _dictionary_program(
         jnp.asarray(FA, rdtype), phi, TR, jnp.asarray(TE, rdtype),
-        T1s, T2s, B1s,
+        T1s, T2s, B1s, dfs,
         nstate=nstate, demodulate=demodulate, inversion=inversion,
         normalize=normalize,
     )

@@ -427,6 +427,11 @@ class _OperatorNamespace:
         return _PrebuiltOperator(_ops.X(tau, khi, **kwargs))
 
     @staticmethod
+    def RFPulse(values, duration, **kwargs):
+        from .ops.rfpulse import RFPulse as _RFPulse
+        return _PrebuiltOperator(_RFPulse(values, duration, **kwargs))
+
+    @staticmethod
     def Adc(*args, **kwargs):
         return _PrebuiltOperator(_ops.Adc(*args, **kwargs))
 

@@ -104,3 +104,19 @@ def test_fisp_jacobian_fd():
     rm, imn = mrf.fisp_mrf_dictionary(FA, 12.0, 5.0, T1s - eps, T2s, nstate=4)
     fd_re = (np.asarray(rp) - np.asarray(rm)) / (2 * eps)
     assert np.abs(np.asarray(dre)[..., 0] - fd_re).max() < 1e-6
+
+
+def test_fisp_off_resonance_matches_engine():
+    """df axis == engine simulation with E(g=df)."""
+    P = 16
+    FA = np.linspace(15, 55, P)
+    T1v, T2v, df = 900.0, 70.0, 0.03  # kHz
+    re, im = mrf.fisp_mrf_dictionary(
+        FA, 12.0, 5.0, [T1v], [T2v], dfs=[df], nstate=6)
+    sig = np.asarray(re)[0] + 1j * np.asarray(im)[0]
+    seq = []
+    for i in range(P):
+        seq += [epg.T(FA[i], 90), epg.E(5.0, T1v, T2v, g=df), epg.ADC,
+                epg.E(7.0, T1v, T2v, g=df), epg.S(1)]
+    ref = np.asarray(epg.simulate(seq, max_nstate=6))[:, 0]
+    assert np.abs(sig - ref).max() < 1e-10
