@@ -223,3 +223,17 @@ def test_shift_prune_golden():
            epg.S(-ks, kgrid=0.25), epg.ADC]
     sig = np.asarray(epg.simulate(seq, max_nstate=20, probe=["F0", "Z0"]))
     assert np.abs(sig - g["signal"]).max() < 1e-8
+
+
+def test_exchange_tau_sweep():
+    """Mixing-time sweep through X (relaxation-exchange / ILT workflow):
+    analytically, Z-magnetization exchanges toward equilibrium."""
+    taus = np.asarray([5.0, 20.0, 80.0])
+    X = epg.X(taus[None, :], 0.02, axis=-1, T1=[1500.0, 300.0],
+              T2=[80.0, 20.0])
+    sm = epg.StateMatrix(shape=(2, 1), density=[[0.5], [0.5]])
+    out = np.asarray(epg.simulate([epg.T(90, 90), X, epg.ADC], init=sm))
+    assert out.shape == (1, 2, 3)
+    # transverse decays monotonically with mixing time in both pools
+    mags = np.abs(out[0])
+    assert np.all(np.diff(mags, axis=-1) < 0)
