@@ -179,28 +179,45 @@ def tracked_variables(sequence) -> List[str]:
 
 
 def substitute(op, eps: Dict[str, jnp.ndarray]):
-    """Copy `op` with tracked parameters shifted by the eps expansion."""
+    """Copy `op` with tracked parameters shifted by the eps expansion.
+
+    Linear deltas carry sum_v c1 eps_v; the order2 curvature terms
+    (d2 param / dv dw) enter as quadratic deltas.  Operators with
+    user-supplied derivative *arrays* (ScalarOp darrs / MatrixOp dmats,
+    reference epgpy/opscalar.py:101-147) get first-order array shifts from
+    the linear deltas and second-order shifts from their pairwise products.
+    """
     order1 = getattr(op, "order1", {}) or {}
     order2 = getattr(op, "order2", {}) or {}
     if not order1:
         return op
-    deltas: Dict[str, object] = {}
+    lin: Dict[str, object] = {}
+    quad: Dict[str, object] = {}
     for var, coeffs in order1.items():
         if var not in eps:
             continue
         for param, c in coeffs.items():
-            deltas[param] = deltas.get(param, 0.0) + jnp.asarray(c) * eps[var]
+            lin[param] = lin.get(param, 0.0) + jnp.asarray(c) * eps[var]
     for (v1, v2), coeffs in order2.items():
         if v1 not in eps or v2 not in eps:
             continue
         scale = 0.5 if v1 == v2 else 1.0
         for param, c in coeffs.items():
-            deltas[param] = (deltas.get(param, 0.0)
-                             + scale * jnp.asarray(c) * eps[v1] * eps[v2])
-    if not deltas:
+            quad[param] = (quad.get(param, 0.0)
+                           + scale * jnp.asarray(c) * eps[v1] * eps[v2])
+    if not lin and not quad:
         return op.copy(order1={}, order2={})
     new = op.copy(order1={}, order2={})
-    for param, delta in deltas.items():
+
+    darrs = getattr(op, "diff_arrays", None)
+    handled = set()
+    if darrs is not None:
+        handled = new.apply_diff_arrays(lin, quad)
+
+    for param in set(lin) | set(quad):
+        if param in handled:
+            continue
+        delta = lin.get(param, 0.0) + quad.get(param, 0.0)
         if param in type(new).PARAMS:
             old = getattr(new, param)
             object.__setattr__(new, param, jnp.asarray(old) + delta)

@@ -51,13 +51,18 @@ def apply_matrices(sm, mat, mat0):
 
 @base.register_op
 class MatrixOp(base.CombinableOperator):
-    """3x3 per-state operator: ``states = mat @ states [+ mat0 @ equilibrium]``."""
+    """3x3 per-state operator: ``states = mat @ states [+ mat0 @ equilibrium]``.
 
-    PARAMS = ("mat_re", "mat_im", "mat0_re", "mat0_im")
+    `dmats`/`d2mats` supply custom first/second derivative matrices keyed
+    by parameter name (reference epgpy/opmatrix.py API).
+    """
+
+    PARAMS = ("mat_re", "mat_im", "mat0_re", "mat0_im", "diff_arrays")
     diagonal = False
 
-    def __init__(self, mat, mat0=None, *, axes=None, name=None, duration=None,
-                 check=True, **kwargs):
+    def __init__(self, mat, mat0=None, *, dmats=None, d2mats=None, axes=None,
+                 name=None, duration=None, check=True, **kwargs):
+        from .scalarop import pack_diff_arrays
         if isinstance(mat, (jax.core.Tracer, jnp.ndarray)):
             mat = jnp.asarray(mat)
             if mat.ndim == 2:
@@ -70,8 +75,16 @@ class MatrixOp(base.CombinableOperator):
                 mat, mat0 = np.broadcast_arrays(mat, mat0)
         self.mat_re, self.mat_im = split_complex(mat)
         self.mat0_re, self.mat0_im = split_complex(mat0)
+        self.diff_arrays = pack_diff_arrays(dmats, d2mats)
+        if dmats or d2mats:
+            self.PARAMETERS_ORDER1 = frozenset(dmats or ()) | {
+                p for pair in (d2mats or ()) for p in pair}
         self.axes = axes
-        super().__init__(name=name or "MatrixOp", duration=duration)
+        super().__init__(name=name or "MatrixOp", duration=duration, **kwargs)
+
+    def apply_diff_arrays(self, lin, quad):
+        from .scalarop import apply_diff_arrays_to
+        return apply_diff_arrays_to(self, lin, quad, ("mat", "mat0"))
 
     @property
     def shape(self):

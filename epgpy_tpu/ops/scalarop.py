@@ -91,15 +91,88 @@ def apply_coefficients(sm, arr, arr0):
     return sm.update(states=states)
 
 
+def pack_diff_arrays(darrs, d2arrs):
+    """Split user derivative arrays into a real-leaf dict pytree.
+
+    darrs: {param: darr | (darr, darr0)}; d2arrs: {(p1, p2): same}.
+    (Reference epgpy/opscalar.py darrs/d2arrs custom-derivative API.)
+    """
+    def norm(entry):
+        if isinstance(entry, (tuple, list)):
+            d, d0 = entry
+        else:
+            d, d0 = entry, None
+        dre, dim = split_complex(d)
+        d0re, d0im = split_complex(d0)
+        return (dre, dim, d0re, d0im)
+
+    out = {}
+    if darrs:
+        out["d1"] = {p: norm(v) for p, v in darrs.items()}
+    if d2arrs:
+        out["d2"] = {tuple(sorted(p)): norm(v) for p, v in d2arrs.items()}
+    return out or None
+
+
+def apply_diff_arrays_to(new, lin, quad, fields=("arr", "arr0")):
+    """Shift new.<arr fields> by user derivative arrays; returns handled set.
+
+    arr(eps) = arr + sum_p delta_p darr_p
+             + sum_{p1<=p2} lin_p1 lin_p2 d2arr (x 1/2 when p1 == p2)
+    """
+    da = new.diff_arrays or {}
+    d1 = da.get("d1", {})
+    d2 = da.get("d2", {})
+    main, rec = fields
+    arr = join_complex(getattr(new, main + "_re"), getattr(new, main + "_im"))
+    rec_re = getattr(new, rec + "_re")
+    arr0 = join_complex(rec_re, getattr(new, rec + "_im")) if rec_re is not None \
+        else None
+    add, add0 = 0.0, 0.0
+    handled = set()
+    for p, (dre, dim, d0re, d0im) in d1.items():
+        if p not in lin and p not in quad:
+            continue
+        delta = lin.get(p, 0.0) + quad.get(p, 0.0)
+        add = add + delta * join_complex(dre, dim)
+        if d0re is not None:
+            add0 = add0 + delta * join_complex(d0re, d0im)
+        handled.add(p)
+    for (p1, p2), (dre, dim, d0re, d0im) in d2.items():
+        if p1 not in lin or p2 not in lin:
+            continue
+        dd = (0.5 if p1 == p2 else 1.0) * lin[p1] * lin[p2]
+        add = add + dd * join_complex(dre, dim)
+        if d0re is not None:
+            add0 = add0 + dd * join_complex(d0re, d0im)
+    if handled or d2:
+        arr = arr + add
+        object.__setattr__(new, main + "_re", arr.real)
+        object.__setattr__(new, main + "_im", arr.imag)
+        if arr0 is None and not isinstance(add0, float):
+            arr0 = add0
+        elif arr0 is not None:
+            arr0 = arr0 + add0
+        if arr0 is not None:
+            object.__setattr__(new, rec + "_re", jnp.asarray(arr0).real)
+            object.__setattr__(new, rec + "_im", jnp.asarray(arr0).imag)
+    return handled
+
+
 @base.register_op
 class ScalarOp(base.CombinableOperator):
-    """Diagonal operator: ``states = arr * states [+ arr0 * equilibrium]``."""
+    """Diagonal operator: ``states = arr * states [+ arr0 * equilibrium]``.
 
-    PARAMS = ("arr_re", "arr_im", "arr0_re", "arr0_im")
+    `darrs`/`d2arrs` supply custom first/second derivative coefficient
+    arrays keyed by parameter name (reference epgpy/opscalar.py API); with
+    an `order1`/`order2` spec the diff layer shifts `arr` by them.
+    """
+
+    PARAMS = ("arr_re", "arr_im", "arr0_re", "arr0_im", "diff_arrays")
     diagonal = True
 
-    def __init__(self, arr, arr0=None, *, axes=None, name=None, duration=None,
-                 check=True, **kwargs):
+    def __init__(self, arr, arr0=None, *, darrs=None, d2arrs=None, axes=None,
+                 name=None, duration=None, check=True, **kwargs):
         if isinstance(arr, (jax.core.Tracer, jnp.ndarray)):
             arr = jnp.asarray(arr)
             if arr.ndim == 1:
@@ -112,8 +185,15 @@ class ScalarOp(base.CombinableOperator):
                 arr, arr0 = np.broadcast_arrays(arr, arr0)
         self.arr_re, self.arr_im = split_complex(arr)
         self.arr0_re, self.arr0_im = split_complex(arr0)
+        self.diff_arrays = pack_diff_arrays(darrs, d2arrs)
+        if darrs or d2arrs:
+            self.PARAMETERS_ORDER1 = frozenset(darrs or ()) | {
+                p for pair in (d2arrs or ()) for p in pair}
         self.axes = axes
-        super().__init__(name=name or "ScalarOp", duration=duration)
+        super().__init__(name=name or "ScalarOp", duration=duration, **kwargs)
+
+    def apply_diff_arrays(self, lin, quad):
+        return apply_diff_arrays_to(self, lin, quad, ("arr", "arr0"))
 
     @property
     def shape(self):

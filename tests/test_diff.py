@@ -239,3 +239,34 @@ def test_crlb_split():
     assert crb.shape == (2,)
     total = np.asarray(epg.stats.crlb(J, W=[1.0, 2.0]))
     assert np.isclose(crb.sum(), total)
+
+
+def test_custom_derivative_arrays():
+    """Synthetic chain-rule algebra with user darrs (ref test_diff.py:114-279):
+    identity ops with d/dx factors 2 and 3 accumulate to 5 (order1) and
+    2*2*3=12 (order2 cross product)."""
+    one = np.asarray([1.0, 1.0, 1.0])
+    A = epg.ScalarOp(one, darrs={"x": 2.0 * one[None]}, order1={"x": {"x": 1.0}})
+    B = epg.ScalarOp(one, darrs={"x": 3.0 * one[None]}, order1={"x": {"x": 1.0}})
+    seq = [epg.T(90, 90), A, B, epg.ADC]
+    sig, jac, hess = epg.simulate(
+        seq, probe=[epg.ADC, epg.Jacobian(["x"]), epg.Hessian(["x"])])
+    assert np.allclose(sig, 1.0)
+    assert np.allclose(jac[..., 0], 5.0)
+    assert np.allclose(hess[..., 0, 0], 12.0)
+
+
+def test_custom_derivative_matrix():
+    """MatrixOp dmats: derivative of a z-rotation w.r.t. its angle."""
+    phi = 30.0
+    p = np.deg2rad(phi)
+    mat = np.diag([np.exp(1j * p), np.exp(-1j * p), 1.0])
+    dmat = np.diag([1j * np.exp(1j * p), -1j * np.exp(-1j * p), 0.0]) * np.pi / 180
+    op = epg.MatrixOp(mat[None], dmats={"phi": dmat[None]}, order1=["phi"])
+    seq = [epg.T(90, 90), op, epg.ADC]
+    sig, jac = epg.simulate(seq, probe=[epg.ADC, epg.Jacobian(["phi"])])
+    # compare against the built-in Phi operator's autodiff
+    seq2 = [epg.T(90, 90), epg.Phi(phi, order1=["phi"]), epg.ADC]
+    sig2, jac2 = epg.simulate(seq2, probe=[epg.ADC, epg.Jacobian(["phi"])])
+    assert np.abs(sig - sig2).max() < 1e-12
+    assert np.abs(jac - jac2).max() < 1e-10
