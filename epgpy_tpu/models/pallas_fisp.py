@@ -25,8 +25,9 @@ import jax.numpy as jnp
 __all__ = ["fisp_dictionary_pallas"]
 
 
-def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
-            out_re_ref, out_im_ref, st_ref, *, nstate, pchunk, demodulate):
+def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref, df_ref,
+            out_re_ref, out_im_ref, st_ref, *, nstate, pchunk, demodulate,
+            use_df):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -45,6 +46,7 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
     T1 = t1_ref[0, :]
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
     TE = te_ref[0, 0]
     base = pc * pchunk  # absolute pulse offset (params are full arrays)
     E1te = jnp.exp(-TE / T1)
@@ -85,24 +87,49 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
         cZ = E1te * E1b
         rec = (1.0 - E1te) * E1b + (1.0 - E1b)
 
+        # off-resonance: F+ coefficients rotate by e^{+2i pi df tau},
+        # F- by the conjugate (k-independent -> folds into coefficients)
+        if use_df:
+            ang_te = 2 * jnp.pi * DF * TE
+            pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
+            ang = 2 * jnp.pi * DF * (TE + rem)
+            pR, pI = jnp.cos(ang), jnp.sin(ang)
         # echo from the k=0 row only (post-rotation, post-TE decay)
         eR, eI = cmul(m01r, m01i, FmR[NS, :], FmI[NS, :])
         e2R, e2I = cmul(m02r, m02i, ZR[NS, :], ZI[NS, :])
         eR = (cos2 * FpR[NS, :] + eR + e2R) * E2te
         eI = (cos2 * FpI[NS, :] + eI + e2I) * E2te
+        if use_df:
+            eR, eI = cmul(pteR, pteI, eR, eI)
         if demodulate:
             eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
         out_re_ref[i, :] = eR
         out_im_ref[i, :] = eI
 
-        aR, aI = (cos2 * cF) * FpR, (cos2 * cF) * FpI
-        bR, bI = cmul(m01r * cF, m01i * cF, FmR, FmI)
-        dR, dI = cmul(m02r * cF, m02i * cF, ZR, ZI)
+        if use_df:
+            cFpR, cFpI = cF * pR, cF * pI        # F+ coefficient (complex)
+            cFmR, cFmI = cF * pR, -cF * pI       # F- conjugate
+        else:
+            cFpR = cFmR = cF
+            cFpI = cFmI = jnp.zeros_like(cF)
+
+        def cmul3(cr, ci, mr, mi):
+            return cr * mr - ci * mi, cr * mi + ci * mr
+
+        c00r, c00i = cmul3(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
+        c01r, c01i = cmul3(cFpR, cFpI, m01r, m01i)
+        c02r, c02i = cmul3(cFpR, cFpI, m02r, m02i)
+        aR, aI = cmul(c00r, c00i, FpR, FpI)
+        bR, bI = cmul(c01r, c01i, FmR, FmI)
+        dR, dI = cmul(c02r, c02i, ZR, ZI)
         nFpR, nFpI = aR + bR + dR, aI + bI + dI
 
-        aR, aI = cmul(m01r * cF, -m01i * cF, FpR, FpI)
-        bR, bI = (cos2 * cF) * FmR, (cos2 * cF) * FmI
-        dR, dI = cmul(m12r * cF, m12i * cF, ZR, ZI)
+        c10r, c10i = cmul3(cFmR, cFmI, m01r, -m01i)
+        c11r, c11i = cmul3(cFmR, cFmI, cos2, jnp.zeros_like(cos2))
+        c12r, c12i = cmul3(cFmR, cFmI, m12r, m12i)
+        aR, aI = cmul(c10r, c10i, FpR, FpI)
+        bR, bI = cmul(c11r, c11i, FmR, FmI)
+        dR, dI = cmul(c12r, c12i, ZR, ZI)
         nFmR, nFmI = aR + bR + dR, aI + bI + dI
 
         aR, aI = cmul(m20r * cZ, m20i * cZ, FpR, FpI)
@@ -124,9 +151,9 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
 
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate", "interpret"))
-def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
-                           btile=4096, pchunk=128, demodulate=False,
-                           interpret=False):
+def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
+                           nstate=10, btile=4096, pchunk=128,
+                           demodulate=False, interpret=False):
     """FISP MRF dictionary via the fused Pallas kernel.
 
     Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,)).
@@ -146,6 +173,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     T1s = jnp.asarray(T1s, f32)
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
+    use_df = dfs is not None
+    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
     B = T1s.shape[0]
 
     K = 2 * nstate + 1
@@ -163,6 +192,7 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
     TR_p = padp(TR, jnp.asarray(TE, f32) + 1.0)
     T1p, T2p, B1p = padb(T1s), padb(T2s), padb(B1s)
+    DFp = padb(DFs)
     nP, nB = Pp // pchunk, Bp // btile
     FA_p = FA_p.reshape(1, Pp)
     phi_p = phi_p.reshape(1, Pp)
@@ -170,12 +200,13 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     T1p = T1p.reshape(1, Bp)
     T2p = T2p.reshape(1, Bp)
     B1p = B1p.reshape(1, Bp)
+    DFp = DFp.reshape(1, Bp)
     TE_arr = jnp.full((1, 1), TE, f32)
 
     grid = (nB, nP)
 
     kernel = partial(_kernel, nstate=nstate, pchunk=pchunk,
-                     demodulate=demodulate)
+                     demodulate=demodulate, use_df=use_df)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -189,6 +220,7 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
         ],
         out_specs=[
             pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b)),
@@ -202,6 +234,6 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(FA_p, phi_p, TR_p, TE_arr, T1p, T2p, B1p)
+    )(FA_p, phi_p, TR_p, TE_arr, T1p, T2p, B1p, DFp)
 
     return out_re[:P, :B].T, out_im[:P, :B].T

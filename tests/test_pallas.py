@@ -37,3 +37,17 @@ def test_pallas_padding():
                                       pchunk=128, interpret=True)
     assert re1.shape == (B, P)
     assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+
+
+def test_pallas_off_resonance_parity():
+    P, B = 64, 128
+    FA = np.linspace(10, 60, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    dfs = np.linspace(-0.05, 0.05, B)
+    re0, im0 = fisp_mrf_dictionary(FA, 12.0, 5.0, T1, T2, dfs=dfs, nstate=5)
+    re1, im1 = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, T1, T2,
+                                      np.ones(B), dfs, nstate=5,
+                                      btile=128, pchunk=128, interpret=True)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
