@@ -38,14 +38,31 @@ def _format_matrix_np(mat, check=True):
     return mat
 
 
+def _matvec_states(mat, states):
+    """new[..., k, i] = sum_j mat[..., i, j] states[..., k, j].
+
+    Written as nine explicit multiply-adds: XLA lowers the equivalent
+    batched einsum to per-batch-element 3x3 micro-matmuls, measured ~100x
+    slower at 100k batch (see CLAUDE.md fact #4).
+    """
+    m = mat[..., None, :, :]  # broadcast over the ladder axis
+    comps = [
+        m[..., i, 0] * states[..., 0]
+        + m[..., i, 1] * states[..., 1]
+        + m[..., i, 2] * states[..., 2]
+        for i in range(3)
+    ]
+    return jnp.stack(comps, axis=-1)
+
+
 def apply_matrices(sm, mat, mat0):
     """states[k] = mat @ states[k] [+ mat0 @ equilibrium[k]]."""
     mat = align_batch(mat, sm.ndim, 2)
-    states = jnp.einsum("...ij,...kj->...ki", mat, sm.states, precision="highest")
+    states = _matvec_states(mat, sm.states)
     if mat0 is not None:
         mat0 = align_batch(mat0, sm.ndim, 2)
         eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
-        states = states + jnp.einsum("...ij,...kj->...ki", mat0, eq, precision="highest")
+        states = states + _matvec_states(mat0, eq)
     return sm.update(states=states)
 
 

@@ -56,6 +56,32 @@ def rotation_phi(phi):
     ], axis=-2)
 
 
+def rotation_elements(alpha, phi):
+    """The nine Weigel rotation coefficients as separate batch-shaped arrays.
+
+    Used for application: a materialized (batch, 3, 3) matrix tile-pads
+    3 -> (8, 128) on TPU (~100x memory blowup per intermediate); nine
+    (batch,) coefficient arrays stay dense (see CLAUDE.md fact #3/#4).
+    """
+    cdtype = config.complex_dtype()
+    alpha, phi = common.expand_arrays(alpha, phi, append=True)
+    a = jnp.deg2rad(jnp.asarray(alpha, dtype=config.real_dtype()))
+    p = jnp.deg2rad(jnp.asarray(phi, dtype=config.real_dtype()))
+    a, p = jnp.broadcast_arrays(a, p)
+    cos2 = ((1 + jnp.cos(a)) / 2).astype(cdtype)
+    sin2 = ((1 - jnp.cos(a)) / 2).astype(cdtype)
+    sin = jnp.sin(a)
+    ep = jnp.exp(1j * p).astype(cdtype)
+    i = jnp.asarray(1j, cdtype)
+    m01 = ep * ep * sin2
+    m02 = -i * ep * sin
+    m12 = i * jnp.conj(ep) * sin
+    m20 = -0.5 * i * jnp.conj(ep) * sin
+    m21 = 0.5 * i * ep * sin
+    m22 = jnp.cos(a).astype(cdtype)
+    return (cos2, m01, m02, jnp.conj(m01), cos2, m12, m20, m21, m22)
+
+
 def rotation_operator(alpha, phi):
     """Full RF rotation ``Rz(phi) Rx(alpha) Rz(-phi)`` (degrees)."""
     alpha, phi = common.expand_arrays(alpha, phi, append=True)
@@ -95,6 +121,26 @@ class T(MatrixOp):
         if self.axes is not None:
             mat = common.set_axes(2, mat, self.axes)
         return mat, None
+
+    def apply(self, sm):
+        # coefficient-level madds: never materialize a (batch, 3, 3) array
+        from .scalarop import align_batch
+        elems = rotation_elements(self.alpha, self.phi)
+        if self.axes is not None:
+            elems = tuple(common.set_axes(0, e, self.axes) for e in elems)
+
+        def al(e):
+            e = jnp.atleast_1d(e)
+            return align_batch(e, sm.ndim, 0)[..., None]  # ladder axis
+
+        m = [al(e) for e in elems]
+        s = sm.states
+        comps = [
+            m[3 * i] * s[..., 0] + m[3 * i + 1] * s[..., 1]
+            + m[3 * i + 2] * s[..., 2]
+            for i in range(3)
+        ]
+        return sm.update(states=jnp.stack(comps, axis=-1))
 
 
 def Tx(alpha, **kwargs):
