@@ -115,6 +115,19 @@ def extend_operators(core_ndim: int, *arrs):
     return tuple(out)
 
 
+def shape_with_axes(shape: tuple, axes) -> tuple:
+    """Operator batch shape after `axes=` pinning (see set_axes)."""
+    if axes is None:
+        return shape
+    nbatch = len(shape)
+    if isinstance(axes, int):
+        axes = tuple(range(axes, axes + nbatch))
+    out = [1] * (max(axes) + 1)
+    for pos, dim in zip(axes, shape):
+        out[pos] = dim
+    return tuple(out)
+
+
 def set_axes(core_ndim: int, arr, axes):
     """Pin an operator's parameter axes to user-chosen batch positions.
 

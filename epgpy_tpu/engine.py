@@ -368,12 +368,18 @@ def _decode_complex_np(tree):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _run_compiled(plan_kinds, plan_payload, probes, sm, shape=None):
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _run_compiled(plan_kinds, plan_payload, probes, sm, shape=None,
+                  lanes=False):
     if shape is not None:
         # broadcast the (compact) initial state on device -- avoids
         # materializing + transferring the full batch from the host
         sm = sm.broadcast(shape)
+    if lanes:
+        # TPU-friendly internal layout: batch dims on the minor (lane)
+        # axes; ops without a lanes fast path fall back through the
+        # canonical view (XLA fuses the transposes)
+        sm = sm.to_lanes()
     sm, chunks = _execute_plan(plan_kinds, plan_payload, probes, sm)
     return sm, _encode_complex(_concat_chunks(chunks))
 
@@ -461,14 +467,18 @@ def simulate(
     if disp:
         LOGGER.info("simulate: %d-op program compiled as %s",
                     len(sequence), "/".join(k[0] for k in plan_kinds))
+    use_lanes = sm.coords is None  # coordinate tables keep batch-major
     if use_jit:
-        sm, values = _run_compiled(plan_kinds, payload, probes, sm, shape)
+        sm, values = _run_compiled(plan_kinds, payload, probes, sm, shape,
+                                   use_lanes)
         if asarray:
             values = _decode_complex_np(values)
         # else: leave encoded ({"__c_re","__c_im"} real device arrays) --
         # complex cannot cross the program boundary on TPU
     else:
         sm = sm.broadcast(shape)
+        if use_lanes:
+            sm = sm.to_lanes()
         sm, chunks = _execute_plan(plan_kinds, payload, probes, sm,
                                    callback=callback, disp=disp)
         values = _concat_chunks(chunks)

@@ -265,6 +265,11 @@ class Spoiler(Operator):
     """Perfect spoiler: destroys all transverse magnetization."""
 
     def apply(self, sm):
+        if sm.lanes:
+            return sm.update(
+                states_re=sm.states_re.at[0:2].set(0),
+                states_im=sm.states_im.at[0:2].set(0),
+            )
         return sm.update(
             states_re=sm.states_re.at[..., 0:2].set(0),
             states_im=sm.states_im.at[..., 0:2].set(0),
@@ -276,6 +281,7 @@ class Reset(Operator):
     """Reset magnetization to equilibrium."""
 
     def apply(self, sm):
+        # equilibrium leaves share the state layout in both modes
         shape = sm.states_re.shape
         return sm.update(
             states_re=jnp.broadcast_to(
@@ -301,19 +307,15 @@ class PD(Operator):
         return common.get_shape(self.pd) or (1,)
 
     def apply(self, sm):
-        K = sm.states_re.shape[-2]
-        n = (K - 1) // 2
+        n = sm.nstate
+        K = 2 * n + 1
         rdtype = sm.states_re.dtype
         pd = common.expand_dims_after(jnp.asarray(self.pd, dtype=rdtype), sm.ndim)
-        eq_re = jnp.zeros(pd.shape + (K, 3), dtype=rdtype).at[..., n, 2].set(pd)
-        eq_im = jnp.zeros_like(eq_re)
-        sm = sm.update(equilibrium_re=eq_re, equilibrium_im=eq_im)
+        eq = jnp.zeros(pd.shape + (K, 3), dtype=rdtype).at[..., n, 2].set(pd)
+        sm = sm.update(equilibrium=eq)  # layout handled by update()
         if self.reset:
             shape = common.broadcast_shapes(sm.shape, tuple(pd.shape)) + (K, 3)
-            sm = sm.update(
-                states_re=jnp.broadcast_to(eq_re, shape),
-                states_im=jnp.broadcast_to(eq_im, shape),
-            )
+            sm = sm.update(states=jnp.broadcast_to(eq, shape))
         return sm
 
 

@@ -65,6 +65,21 @@ def precession_operator(tau, g):
     return evolution_operator(rT, 0.0, None)
 
 
+def evolution_elements(rT, rL, r0=None):
+    """Element-form evolution coefficients: separate batch-shaped arrays
+    ``(conj(e^{-rT}), e^{-rT}, e^{-rL})`` — never stacked into a
+    ``(batch, 3)`` array whose trailing 3 tile-pads to 128 TPU lanes."""
+    cdtype = config.complex_dtype()
+    rT, rL, r0 = common.expand_arrays(rT, rL, r0, append=True)
+    eT = jnp.exp(-jnp.asarray(rT, dtype=cdtype))
+    eL = jnp.exp(-jnp.asarray(rL, dtype=cdtype))
+    elems = (jnp.conj(eT), eT, eL)
+    if r0 is None:
+        return elems, None
+    rec = 1 - jnp.exp(-jnp.asarray(r0, dtype=cdtype))
+    return elems, (None, None, rec)
+
+
 def _as_real(value):
     if value is None:
         return None
@@ -97,9 +112,9 @@ class R(ScalarOp):
 
     @property
     def shape(self):
-        return common.broadcast_shapes(
+        return common.shape_with_axes(common.broadcast_shapes(
             common.get_shape(self.rT_re), common.get_shape(self.rL_re),
-            common.get_shape(self.r0_re), (1,))
+            common.get_shape(self.r0_re), (1,)), self.axes)
 
     def coefficients(self):
         r0 = None if self.r0_re is None else self.r0
@@ -108,6 +123,11 @@ class R(ScalarOp):
             arr = common.set_axes(1, arr, self.axes)
             arr0 = None if arr0 is None else common.set_axes(1, arr0, self.axes)
         return arr, arr0
+
+    def coefficient_elements(self):
+        r0 = None if self.r0_re is None else self.r0
+        elems, elems0 = evolution_elements(self.rT, self.rL, r0)
+        return self._pin_elements(elems, elems0)
 
 
 @base.register_op
@@ -133,9 +153,10 @@ class E(ScalarOp):
 
     @property
     def shape(self):
-        return common.broadcast_shapes(
+        return common.shape_with_axes(common.broadcast_shapes(
             common.get_shape(self.tau), common.get_shape(self.T1),
-            common.get_shape(self.T2), common.get_shape(self.g), (1,))
+            common.get_shape(self.T2), common.get_shape(self.g), (1,)),
+            self.axes)
 
     def coefficients(self):
         arr, arr0 = relaxation_operator(self.tau, self.T1, self.T2, self.g)
@@ -143,6 +164,15 @@ class E(ScalarOp):
             arr = common.set_axes(1, arr, self.axes)
             arr0 = common.set_axes(1, arr0, self.axes)
         return arr, arr0
+
+    def coefficient_elements(self):
+        tau, T1, T2, g = common.expand_arrays(
+            self.tau, self.T1, self.T2, self.g, append=True)
+        tau = jnp.asarray(tau, dtype=config.real_dtype())
+        rT = tau * (1.0 / jnp.asarray(T2) + 2j * jnp.pi * jnp.asarray(g))
+        rL = tau / jnp.asarray(T1)
+        elems, elems0 = evolution_elements(rT, rL, rL)
+        return self._pin_elements(elems, elems0)
 
 
 @base.register_op
@@ -164,11 +194,18 @@ class P(ScalarOp):
 
     @property
     def shape(self):
-        return common.broadcast_shapes(
-            common.get_shape(self.tau), common.get_shape(self.g), (1,))
+        return common.shape_with_axes(common.broadcast_shapes(
+            common.get_shape(self.tau), common.get_shape(self.g), (1,)),
+            self.axes)
 
     def coefficients(self):
         arr, arr0 = precession_operator(self.tau, self.g)
         if self.axes is not None:
             arr = common.set_axes(1, arr, self.axes)
         return arr, arr0
+
+    def coefficient_elements(self):
+        tau, g = common.expand_arrays(self.tau, self.g, append=True)
+        rT = 2j * jnp.pi * jnp.asarray(g) * jnp.asarray(tau)
+        elems, elems0 = evolution_elements(rT, 0.0, None)
+        return self._pin_elements(elems, elems0)

@@ -105,7 +105,7 @@ class MatrixOp(base.CombinableOperator):
 
     @property
     def shape(self):
-        return tuple(self.mat_re.shape[:-2])
+        return common.shape_with_axes(tuple(self.mat_re.shape[:-2]), self.axes)
 
     def matrices(self):
         """(mat, mat0) complex 3x3 matrices, trace-time."""

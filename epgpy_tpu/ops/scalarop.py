@@ -83,12 +83,62 @@ def _format_triplet_np(arr, check=True):
 
 def apply_coefficients(sm, arr, arr0):
     """states = arr * states [+ arr0 * equilibrium] with append-broadcast."""
+    if sm.lanes:
+        return _apply_coefficients_lanes(sm, arr, arr0)
     arr = align_batch(arr, sm.ndim, 1)[..., None, :]
     states = sm.states * arr
     if arr0 is not None:
         arr0 = align_batch(arr0, sm.ndim, 1)[..., None, :]
         states = states + arr0 * jnp.asarray(sm.equilibrium, dtype=states.dtype)
     return sm.update(states=states)
+
+
+def apply_coefficient_elements(sm, elems, elems0):
+    """Element-form diagonal application: elems = (aFp, aFm, aZ) separate
+    batch-shaped arrays (never stacked into a (batch, 3) array, whose
+    trailing 3 tile-pads to 128 lanes on TPU)."""
+    if sm.lanes:
+        nb = sm.ndim
+        planes = sm.planes
+        out = [planes[i] * _coeff_lanes(jnp.atleast_1d(elems[i]), nb)
+               for i in range(3)]
+        if elems0 is not None:
+            for i in range(3):
+                if elems0[i] is None:
+                    continue
+                eq_i = join_complex(sm.equilibrium_re[i], sm.equilibrium_im[i])
+                out[i] = out[i] + _coeff_lanes(
+                    jnp.atleast_1d(elems0[i]), nb) * eq_i
+        return sm.update(states_lanes=tuple(jnp.broadcast_arrays(*out)))
+
+    def al(e):
+        return align_batch(jnp.atleast_1d(e), sm.ndim, 0)[..., None]
+
+    s = sm.states
+    comps = [s[..., i] * al(elems[i]) for i in range(3)]
+    if elems0 is not None:
+        eq = jnp.asarray(sm.equilibrium, dtype=s.dtype)
+        for i in range(3):
+            if elems0[i] is not None:
+                comps[i] = comps[i] + al(elems0[i]) * eq[..., i]
+    return sm.update(states=jnp.stack(jnp.broadcast_arrays(*comps), axis=-1))
+
+
+def _coeff_lanes(c, batch_ndim):
+    """Batch coefficient -> broadcastable against a (K, *batch) plane."""
+    c = jnp.atleast_1d(c)
+    return c.reshape(c.shape + (1,) * (batch_ndim - c.ndim))
+
+
+def _apply_coefficients_lanes(sm, arr, arr0):
+    nb = sm.ndim
+    planes = sm.planes
+    out = [plane * _coeff_lanes(arr[..., i], nb) for i, plane in enumerate(planes)]
+    if arr0 is not None:
+        for i in range(3):
+            eq_i = join_complex(sm.equilibrium_re[i], sm.equilibrium_im[i])
+            out[i] = out[i] + _coeff_lanes(arr0[..., i], nb) * eq_i
+    return sm.update(states_lanes=tuple(out))
 
 
 def pack_diff_arrays(darrs, d2arrs):
@@ -197,7 +247,7 @@ class ScalarOp(base.CombinableOperator):
 
     @property
     def shape(self):
-        return tuple(self.arr_re.shape[:-1])
+        return common.shape_with_axes(tuple(self.arr_re.shape[:-1]), self.axes)
 
     def coefficients(self):
         """(arr, arr0) complex coefficient triplets, trace-time."""
@@ -208,6 +258,28 @@ class ScalarOp(base.CombinableOperator):
             arr0 = None if arr0 is None else common.set_axes(1, arr0, self.axes)
         return arr, arr0
 
+    def coefficient_elements(self):
+        """((aFp, aFm, aZ), (a0Fp, a0Fm, a0Z)|None): separate batch arrays.
+
+        Physics subclasses build these from their parameters without ever
+        stacking a (batch, 3) array; the generic op unstacks its storage.
+        """
+        arr, arr0 = self.coefficients()
+        elems = (arr[..., 0], arr[..., 1], arr[..., 2])
+        elems0 = None if arr0 is None else (
+            arr0[..., 0], arr0[..., 1], arr0[..., 2])
+        return elems, elems0
+
+    def _pin_elements(self, elems, elems0):
+        """Apply `axes=` pinning to element-form coefficients."""
+        if self.axes is None:
+            return elems, elems0
+        pin = lambda e: None if e is None else common.set_axes(
+            0, jnp.atleast_1d(e), self.axes)
+        elems = tuple(pin(e) for e in elems)
+        elems0 = None if elems0 is None else tuple(pin(e) for e in elems0)
+        return elems, elems0
+
     def matrices(self):
         """Promote the diagonal to (mat, mat0) 3x3 matrices, trace-time."""
         arr, arr0 = self.coefficients()
@@ -215,8 +287,8 @@ class ScalarOp(base.CombinableOperator):
         return arr[..., None] * eye, None if arr0 is None else arr0[..., None] * eye
 
     def apply(self, sm):
-        arr, arr0 = self.coefficients()
-        return apply_coefficients(sm, arr, arr0)
+        elems, elems0 = self.coefficient_elements()
+        return apply_coefficient_elements(sm, elems, elems0)
 
     # -- combination (reference epgpy/opscalar.py:101-147) --
 

@@ -47,6 +47,21 @@ def shift1d(states, n: int):
     return jnp.stack([slide(Fp, n), slide(Fm, -n), Z], axis=-1)
 
 
+def shift1d_lanes(planes, n: int):
+    """Shift (Fp, Fm, Z) planes of shape (K, *batch) by integer n."""
+    Fp, Fm, Z = planes
+    zrow = jnp.zeros_like(Fp[:1])
+
+    def slide(plane, up: int):
+        if up > 0:
+            pad = jnp.broadcast_to(zrow, plane[:up].shape)
+            return jnp.concatenate([pad, plane[:-up]], axis=0)
+        pad = jnp.broadcast_to(zrow, plane[: -up].shape)
+        return jnp.concatenate([plane[-up:], pad], axis=0)
+
+    return (slide(Fp, n), slide(Fm, -n), Z)
+
+
 @base.register_op
 class S(base.Operator):
     """Integer 1-D gradient shift (n-D and float handled by subpackage)."""
@@ -95,6 +110,8 @@ class S(base.Operator):
     def apply(self, sm):
         from . import shiftnd  # deferred: heavy module
         if isinstance(self.k, int) and sm.coords is None:
+            if sm.lanes:
+                return sm.update(states_lanes=shift1d_lanes(sm.planes, self.k))
             return sm.update(states=shift1d(sm.states, self.k))
         return shiftnd.apply_shift(self, sm)
 

@@ -113,8 +113,9 @@ class T(MatrixOp):
 
     @property
     def shape(self):
-        return common.broadcast_shapes(
-            common.get_shape(self.alpha), common.get_shape(self.phi), (1,))
+        return common.shape_with_axes(common.broadcast_shapes(
+            common.get_shape(self.alpha), common.get_shape(self.phi), (1,)),
+            self.axes)
 
     def matrices(self):
         mat = rotation_operator(self.alpha, self.phi)
@@ -124,10 +125,19 @@ class T(MatrixOp):
 
     def apply(self, sm):
         # coefficient-level madds: never materialize a (batch, 3, 3) array
-        from .scalarop import align_batch
+        from .scalarop import align_batch, _coeff_lanes
         elems = rotation_elements(self.alpha, self.phi)
         if self.axes is not None:
             elems = tuple(common.set_axes(0, e, self.axes) for e in elems)
+
+        if sm.lanes:
+            m = [_coeff_lanes(e, sm.ndim) for e in elems]
+            Fp, Fm, Z = sm.planes
+            out = tuple(
+                m[3 * i] * Fp + m[3 * i + 1] * Fm + m[3 * i + 2] * Z
+                for i in range(3)
+            )
+            return sm.update(states_lanes=out)
 
         def al(e):
             e = jnp.atleast_1d(e)
@@ -170,7 +180,8 @@ class Phi(MatrixOp):
 
     @property
     def shape(self):
-        return common.get_shape(self.phi) or (1,)
+        return common.shape_with_axes(common.get_shape(self.phi) or (1,),
+                                      self.axes)
 
     def coefficients(self):
         p = jnp.deg2rad(jnp.asarray(self.phi, dtype=config.real_dtype()))

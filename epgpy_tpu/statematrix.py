@@ -85,7 +85,7 @@ class StateMatrix:
 
     __slots__ = (
         "states_re", "states_im", "equilibrium_re", "equilibrium_im",
-        "coords", "kvalue", "tvalue", "system", "options",
+        "coords", "kvalue", "tvalue", "system", "options", "lanes",
     )
 
     def __init__(
@@ -131,6 +131,7 @@ class StateMatrix:
 
         self.states_re, self.states_im = _split(states)
         self.equilibrium_re, self.equilibrium_im = _split(equilibrium)
+        self.lanes = False
         self.coords = None if coords is None else jnp.asarray(coords)
         self.kvalue = kvalue
         self.tvalue = tvalue
@@ -141,7 +142,7 @@ class StateMatrix:
 
     @classmethod
     def _from_fields(cls, states_re, states_im, equilibrium_re, equilibrium_im,
-                     coords, kvalue, tvalue, system, options):
+                     coords, kvalue, tvalue, system, options, lanes=False):
         sm = object.__new__(cls)
         sm.states_re = states_re
         sm.states_im = states_im
@@ -152,42 +153,105 @@ class StateMatrix:
         sm.tvalue = tvalue
         sm.system = system
         sm.options = options
+        sm.lanes = lanes
         return sm
 
     def update(self, **fields) -> "StateMatrix":
-        """Functional update; `states=`/`equilibrium=` accept complex arrays."""
+        """Functional update; `states=`/`equilibrium=` accept complex arrays
+        in the canonical (*batch, K, 3) view regardless of storage layout;
+        `states_lanes=(Fp, Fm, Z)` stores complex planes directly."""
         vals = {name: getattr(self, name) for name in self.__slots__}
+        lanes = fields.get("lanes", self.lanes)
+
+        def store(value):
+            re, im = _split(value)
+            if lanes:
+                re = jnp.moveaxis(re, (-2, -1), (1, 0))
+                im = jnp.moveaxis(im, (-2, -1), (1, 0))
+            return re, im
+
         if "states" in fields:
-            vals["states_re"], vals["states_im"] = _split(fields.pop("states"))
+            vals["states_re"], vals["states_im"] = store(fields.pop("states"))
+        if "states_lanes" in fields:
+            planes = jnp.stack(fields.pop("states_lanes"), axis=0)
+            vals["states_re"], vals["states_im"] = _split(planes)
         if "equilibrium" in fields:
-            vals["equilibrium_re"], vals["equilibrium_im"] = _split(
+            vals["equilibrium_re"], vals["equilibrium_im"] = store(
                 fields.pop("equilibrium"))
         vals.update(fields)
         return StateMatrix._from_fields(
             vals["states_re"], vals["states_im"],
             vals["equilibrium_re"], vals["equilibrium_im"],
             vals["coords"], vals["kvalue"], vals["tvalue"],
-            vals["system"], vals["options"],
+            vals["system"], vals["options"], vals["lanes"],
         )
 
     copy = update  # parity alias (reference epgpy/statematrix.py:276)
+
+    # -- lanes layout (TPU): (3, K, *batch) plane-major storage --
+
+    def to_lanes(self) -> "StateMatrix":
+        """Transpose to the TPU-friendly (3, K, *batch) internal layout.
+
+        Batch dims become the minor (lane-tiled) axes: a (*batch, K, 3)
+        array tile-pads its trailing (K, 3) to (8k, 128) on TPU.  Only
+        1-D-ladder operators support this layout (engine checks).
+        """
+        if self.lanes:
+            return self
+
+        def tr(a):
+            return None if a is None else jnp.moveaxis(a, (-2, -1), (1, 0))
+
+        return self.update(
+            states_re=tr(self.states_re), states_im=tr(self.states_im),
+            equilibrium_re=tr(self.equilibrium_re),
+            equilibrium_im=tr(self.equilibrium_im), lanes=True)
+
+    def from_lanes(self) -> "StateMatrix":
+        if not self.lanes:
+            return self
+
+        def tr(a):
+            return None if a is None else jnp.moveaxis(a, (0, 1), (-1, -2))
+
+        return self.update(
+            states_re=tr(self.states_re), states_im=tr(self.states_im),
+            equilibrium_re=tr(self.equilibrium_re),
+            equilibrium_im=tr(self.equilibrium_im), lanes=False)
 
     # -- complex views --
 
     @property
     def states(self):
-        """Complex state ladder (trace-time / CPU view)."""
-        return _join(self.states_re, self.states_im)
+        """Complex state ladder, always viewed as (*batch, K, 3)."""
+        s = _join(self.states_re, self.states_im)
+        if self.lanes:
+            s = jnp.moveaxis(s, (0, 1), (-1, -2))
+        return s
+
+    @property
+    def planes(self):
+        """(Fp, Fm, Z) complex planes, each (K, *batch) (lanes mode)."""
+        s = _join(self.states_re, self.states_im)
+        if not self.lanes:
+            s = jnp.moveaxis(s, (-2, -1), (1, 0))
+        return s[0], s[1], s[2]
 
     @property
     def equilibrium(self):
-        return _join(self.equilibrium_re, self.equilibrium_im)
+        e = _join(self.equilibrium_re, self.equilibrium_im)
+        if self.lanes:
+            e = jnp.moveaxis(e, (0, 1), (-1, -2))
+        return e
 
     # -- structural properties --
 
     @property
     def shape(self) -> tuple:
         """Batch shape (parameter-sweep axes)."""
+        if self.lanes:
+            return self.states_re.shape[2:]
         return self.states_re.shape[:-2]
 
     @property
@@ -200,8 +264,9 @@ class StateMatrix:
 
     @property
     def nstate(self) -> int:
-        """Ladder half-size: states.shape[-2] == 2*nstate + 1."""
-        return (self.states_re.shape[-2] - 1) // 2
+        """Ladder half-size: K == 2*nstate + 1."""
+        K = self.states_re.shape[1] if self.lanes else self.states_re.shape[-2]
+        return (K - 1) // 2
 
     @property
     def kdim(self) -> int:
@@ -211,7 +276,10 @@ class StateMatrix:
 
     @property
     def F(self):
-        """Transverse states F+ ladder."""
+        """Transverse states F+ ladder, (*batch, K)."""
+        if self.lanes:
+            return jnp.moveaxis(_join(self.states_re[0], self.states_im[0]),
+                                0, -1)
         return self.states[..., 0]
 
     @property
@@ -224,6 +292,9 @@ class StateMatrix:
     @property
     def F0(self):
         """Echo amplitude: F+ at k=0 (T2'-weighted sum over times if kdim==4)."""
+        if self.lanes:
+            return _join(self.states_re[0, self.nstate],
+                         self.states_im[0, self.nstate])
         if self.kdim < 4:
             return self.states[..., self.nstate, 0]
         evol = jnp.exp(-jnp.abs(self.t))
@@ -238,10 +309,16 @@ class StateMatrix:
 
     @property
     def Z(self):
+        if self.lanes:
+            return jnp.moveaxis(_join(self.states_re[2], self.states_im[2]),
+                                0, -1)
         return self.states[..., 2]
 
     @property
     def Z0(self):
+        if self.lanes:
+            return _join(self.states_re[2, self.nstate],
+                         self.states_im[2, self.nstate])
         if self.kdim < 4:
             return self.states[..., self.nstate, 2]
         return self.states[..., 2] * self.i0
@@ -291,6 +368,9 @@ class StateMatrix:
     @property
     def norm(self):
         """State-matrix norm over (F-, Z) components (reference utils.py:152)."""
+        if self.lanes:
+            mag2 = self.states_re[1:] ** 2 + self.states_im[1:] ** 2
+            return jnp.sqrt(jnp.sum(mag2, axis=(0, 1)))
         mag2 = self.states_re[..., 1:] ** 2 + self.states_im[..., 1:] ** 2
         return jnp.sqrt(jnp.sum(mag2, axis=(-2, -1)))
 
@@ -301,6 +381,18 @@ class StateMatrix:
         diff = ndim - self.ndim
         if diff <= 0:
             return self
+
+        if self.lanes:
+            def _exl(arr):
+                if arr is None:
+                    return None
+                return arr.reshape(arr.shape + (1,) * diff)
+
+            return self.update(
+                states_re=_exl(self.states_re), states_im=_exl(self.states_im),
+                equilibrium_re=_exl(self.equilibrium_re),
+                equilibrium_im=_exl(self.equilibrium_im),
+            )
 
         def _ex(arr, core):
             if arr is None:
@@ -392,8 +484,11 @@ class StateMatrix:
 
     def check(self) -> bool:
         """Verify conjugate ladder symmetry (reference utils.py:118-121)."""
-        re, im = np.asarray(self.states_re), np.asarray(self.states_im)
-        s = re + 1j * im
+        s = np.asarray(jnp.moveaxis(
+            jnp.stack([self.states_re, self.states_im]), (1, 2), (-1, -2))
+            if self.lanes else
+            jnp.stack([self.states_re, self.states_im], axis=0))
+        s = s[0] + 1j * s[1]
         return bool(np.allclose(s, np.conj(s[..., ::-1, :][..., (1, 0, 2)])))
 
     def __repr__(self):
@@ -465,19 +560,19 @@ def _sm_flatten(sm: StateMatrix):
         sm.coords, sm.kvalue, sm.tvalue,
         tuple(sm.system[k] for k in syskeys),
     )
-    aux = (syskeys, _freeze(sm.options))
+    aux = (syskeys, _freeze(sm.options), sm.lanes)
     return children, aux
 
 
 def _sm_unflatten(aux, children):
-    syskeys, frozen_opts = aux
+    syskeys, frozen_opts, lanes = aux
     (states_re, states_im, equilibrium_re, equilibrium_im,
      coords, kvalue, tvalue, sysvals) = children
     options = {k: v for k, v in frozen_opts}
     system = dict(zip(syskeys, sysvals))
     return StateMatrix._from_fields(
         states_re, states_im, equilibrium_re, equilibrium_im,
-        coords, kvalue, tvalue, system, options,
+        coords, kvalue, tvalue, system, options, lanes,
     )
 
 
