@@ -174,6 +174,36 @@ def test_axes_pinning():
     assert np.allclose(np.squeeze(out0), np.squeeze(out1))
 
 
+def test_axes_pinning_multiaxis_scan():
+    """axes= on one op composes with an axis-0 sweep on another, through
+    the scan-planned lanes path (regression: axes shape collapsed under
+    the lanes layout when a coeff's rank exceeded sm.ndim)."""
+    alpha = np.linspace(10, 80, 5)
+    T2s = np.linspace(30, 120, 4)
+    seq = [epg.T(alpha, 90), epg.S(1), epg.E(5.0, 1000.0, T2s, axes=1),
+           epg.ADC] * 6
+    out = np.asarray(epg.simulate(seq))
+    assert out.shape == (6, 5, 4)
+    # each T2 column must match an independent 1-axis run at that T2
+    ref = np.asarray(epg.simulate(
+        [epg.T(alpha, 90), epg.S(1), epg.E(5.0, 1000.0, T2s[2]), epg.ADC] * 6))
+    assert np.abs(out[:, :, 2] - ref[:, :]).max() < 1e-12
+
+
+def test_mixed_batched_scalar_coefficients():
+    """E with batched T2 + scalar T1 broadcasts element-form coefficients
+    (regression: jnp.stack of unequal component shapes)."""
+    T2s = np.asarray([20.0, 40.0, 80.0])
+    sm = epg.T(90, 90)(epg.StateMatrix())
+    out = epg.E(5.0, 1000.0, T2s)(sm)
+    assert np.allclose(np.asarray(out.F0), np.exp(-5.0 / T2s))
+    # same through the compiled scan (lanes layout)
+    sig = np.asarray(epg.simulate(
+        [epg.T(90, 90), epg.E(5.0, 1000.0, T2s), epg.ADC, epg.S(1)] * 4))
+    assert sig.shape == (4, 3)
+    assert np.allclose(sig[0], np.exp(-5.0 / T2s))
+
+
 def test_system_imaging_flow():
     """System(coords=...) feeds the Imaging probe (reference operator.py:348)."""
     positions = np.linspace(-0.01, 0.01, 7)[:, None]
