@@ -152,13 +152,20 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref, df_ref,
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate", "interpret"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
-                           nstate=10, btile=4096, pchunk=128,
+                           nstate=10, btile=512, pchunk=None,
                            demodulate=False, interpret=False):
     """FISP MRF dictionary via the fused Pallas kernel.
 
     Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,)).
-    B is padded to a multiple of `btile`, P to a multiple of `pchunk`
-    (both must be multiples of 128: TPU block divisibility).
+    B is padded to a multiple of `btile`; P to a multiple of `pchunk`
+    when chunking (multiples of 128: TPU block divisibility).
+
+    `pchunk=None` auto-selects: the whole pulse train in one output block
+    when it fits comfortably in VMEM (no P padding needed — a block equal
+    to the array dim is always legal), else 1024-pulse chunks.  Tile
+    defaults come from a sweep on TPU v5e at 102400 atoms x 1000 pulses:
+    btile=512 + single-chunk P beat the old (4096, 128) by ~24%
+    (0.184 s -> 0.141 s, 727k atoms/s).
 
     Returns (re, im): (B, P) float32 fingerprints.
     """
@@ -178,6 +185,9 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     B = T1s.shape[0]
 
     K = 2 * nstate + 1
+    if pchunk is None:
+        # single-chunk when the two output blocks stay under ~16 MB
+        pchunk = P if 2 * P * btile * 4 <= (1 << 24) else 1024
     Bp = -(-B // btile) * btile
     Pp = -(-P // pchunk) * pchunk
 
