@@ -423,8 +423,12 @@ def simulate(
             for pb in probe_list
         )
 
-    # ladder capacity: static, from sequence analysis + user cap
+    # ladder capacity: static, from sequence analysis + user cap; an init
+    # StateMatrix's own max_nstate option counts too (the reference reads
+    # sm.options during shifts, epgpy/shift.py:86-89)
     max_nstate = options.get("max_nstate")
+    if max_nstate is None and isinstance(init, StateMatrix):
+        max_nstate = init.options.get("max_nstate")
     ncap = _capacity(sequence, nshift, max_nstate)
 
     if not isinstance(init, StateMatrix):
