@@ -346,6 +346,10 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
         _PROGRAM_CACHE[cache_key] = cached
 
     value, jac, hess = cached[0](eps0, eps1_0, eps2_0, sm)
+    # single batched host fetch: device_get prefetches every leaf's d2h
+    # copy asynchronously before blocking, so the (possibly hundreds of)
+    # per-variable arrays cost one round-trip latency instead of one each
+    value, jac, hess = jax.device_get((value, jac, hess))
 
     def _c(pair):
         return np.asarray(pair[0]) + 1j * np.asarray(pair[1])
