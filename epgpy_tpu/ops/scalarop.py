@@ -100,15 +100,29 @@ def apply_coefficient_elements(sm, elems, elems0):
     if sm.lanes:
         nb = sm.ndim
         planes = sm.planes
+        center_only = sm.options.get("_eq_center", False)
         out = [planes[i] * _coeff_lanes(jnp.atleast_1d(elems[i]), nb)
                for i in range(3)]
         if elems0 is not None:
+            out = list(jnp.broadcast_arrays(*out))
             for i in range(3):
                 if elems0[i] is None:
                     continue
-                eq_i = join_complex(sm.equilibrium_re[i], sm.equilibrium_im[i])
-                out[i] = out[i] + _coeff_lanes(
-                    jnp.atleast_1d(elems0[i]), nb) * eq_i
+                rec = _coeff_lanes(jnp.atleast_1d(elems0[i]), nb)
+                if center_only and i == 2:
+                    # equilibrium is (0, 0, dens) at k=0 only (static
+                    # sparsity hint): single-row add, not a ladder FMA
+                    c = sm.equilibrium_re.shape[1] // 2
+                    eq_c = join_complex(sm.equilibrium_re[2, c],
+                                        sm.equilibrium_im[2, c])
+                    out[2] = out[2].at[c].add(
+                        jnp.broadcast_to(rec * eq_c, out[2].shape[1:]))
+                elif center_only:
+                    continue  # F rows of the equilibrium are all zero
+                else:
+                    eq_i = join_complex(sm.equilibrium_re[i],
+                                        sm.equilibrium_im[i])
+                    out[i] = out[i] + rec * eq_i
         return sm.update(states_lanes=tuple(jnp.broadcast_arrays(*out)))
 
     def al(e):

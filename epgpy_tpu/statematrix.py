@@ -137,6 +137,13 @@ class StateMatrix:
         self.tvalue = tvalue
         self.system = dict(system) if system else {}
         self.options = dict(options)
+        # static sparsity hint: equilibrium supported only on the Z row at
+        # k=0 (the overwhelmingly common case) -- lets relaxation recovery
+        # apply as a single-row add instead of a full-ladder FMA
+        c = equilibrium.shape[-2] // 2
+        off = equilibrium.copy()
+        off[..., c, 2] = 0
+        self.options["_eq_center"] = bool(not off.any())
 
     # -- construction helpers --
 
@@ -176,8 +183,15 @@ class StateMatrix:
             planes = jnp.stack(fields.pop("states_lanes"), axis=0)
             vals["states_re"], vals["states_im"] = _split(planes)
         if "equilibrium" in fields:
-            vals["equilibrium_re"], vals["equilibrium_im"] = store(
-                fields.pop("equilibrium"))
+            eq = fields.pop("equilibrium")
+            vals["equilibrium_re"], vals["equilibrium_im"] = store(eq)
+            center_only = False
+            if not isinstance(eq, jax.core.Tracer):
+                host = np.asarray(eq)
+                off = host.copy()
+                off[..., host.shape[-2] // 2, 2] = 0
+                center_only = bool(not off.any())
+            vals["options"] = {**vals["options"], "_eq_center": center_only}
         vals.update(fields)
         return StateMatrix._from_fields(
             vals["states_re"], vals["states_im"],
