@@ -266,10 +266,10 @@ class Spoiler(Operator):
 
     def apply(self, sm):
         if sm.lanes:
-            return sm.update(
-                states_re=sm.states_re.at[0:2].set(0),
-                states_im=sm.states_im.at[0:2].set(0),
-            )
+            def wipe(t):
+                return (jnp.zeros_like(t[0]), jnp.zeros_like(t[1]), t[2])
+            return sm.update(states_re=wipe(sm.states_re),
+                             states_im=wipe(sm.states_im))
         return sm.update(
             states_re=sm.states_re.at[..., 0:2].set(0),
             states_im=sm.states_im.at[..., 0:2].set(0),
@@ -282,6 +282,13 @@ class Reset(Operator):
 
     def apply(self, sm):
         # equilibrium leaves share the state layout in both modes
+        if sm.lanes:
+            def fill(eq, st):
+                return tuple(jnp.broadcast_to(jnp.asarray(e, s.dtype), s.shape)
+                             for e, s in zip(eq, st))
+            return sm.update(
+                states_re=fill(sm.equilibrium_re, sm.states_re),
+                states_im=fill(sm.equilibrium_im, sm.states_im))
         shape = sm.states_re.shape
         return sm.update(
             states_re=jnp.broadcast_to(
@@ -309,10 +316,14 @@ class PD(Operator):
     def apply(self, sm):
         n = sm.nstate
         K = 2 * n + 1
-        rdtype = sm.states_re.dtype
+        rdtype = (sm.states_re[0] if sm.lanes else sm.states_re).dtype
         pd = common.expand_dims_after(jnp.asarray(self.pd, dtype=rdtype), sm.ndim)
         eq = jnp.zeros(pd.shape + (K, 3), dtype=rdtype).at[..., n, 2].set(pd)
-        sm = sm.update(equilibrium=eq)  # layout handled by update()
+        # the new equilibrium is center-only by construction: assert the
+        # static sparsity hint explicitly (a traced eq would otherwise
+        # conservatively clear it, changing the scan-carry structure)
+        sm = sm.update(equilibrium=eq,
+                       options={**sm.options, "_eq_center": True})
         if self.reset:
             shape = common.broadcast_shapes(sm.shape, tuple(pd.shape)) + (K, 3)
             sm = sm.update(states=jnp.broadcast_to(eq, shape))

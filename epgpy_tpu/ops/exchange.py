@@ -166,7 +166,8 @@ class X(base.Operator):
 
         # runtime conservation check (eager/CPU only; under jit the
         # structural column-sum check in __init__ already ran)
-        if not isinstance(sm.states_re, jax.core.Tracer):
+        _sre = sm.states_re[0] if sm.lanes else sm.states_re
+        if not isinstance(_sre, jax.core.Tracer):
             dens = np.asarray(sm.density)
             dens_b = np.broadcast_to(dens, sm.shape) if dens.ndim else dens
             if np.ndim(dens_b) > ax and np.shape(dens_b)[ax] == ncomp:

@@ -112,9 +112,9 @@ def apply_coefficient_elements(sm, elems, elems0):
                 if center_only and i == 2:
                     # equilibrium is (0, 0, dens) at k=0 only (static
                     # sparsity hint): single-row add, not a ladder FMA
-                    c = sm.equilibrium_re.shape[1] // 2
-                    eq_c = join_complex(sm.equilibrium_re[2, c],
-                                        sm.equilibrium_im[2, c])
+                    c = sm.equilibrium_re[2].shape[0] // 2
+                    eq_c = join_complex(sm.equilibrium_re[2][c],
+                                        sm.equilibrium_im[2][c])
                     out[2] = out[2].at[c].add(
                         jnp.broadcast_to(rec * eq_c, out[2].shape[1:]))
                 elif center_only:

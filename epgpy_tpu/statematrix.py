@@ -173,15 +173,19 @@ class StateMatrix:
         def store(value):
             re, im = _split(value)
             if lanes:
-                re = jnp.moveaxis(re, (-2, -1), (1, 0))
-                im = jnp.moveaxis(im, (-2, -1), (1, 0))
+                # lanes layout keeps the three planes as SEPARATE leaves:
+                # no per-op (3, K, batch) restack in compiled programs
+                re = tuple(jnp.moveaxis(re[..., i], -1, 0) for i in range(3))
+                im = tuple(jnp.moveaxis(im[..., i], -1, 0) for i in range(3))
             return re, im
 
         if "states" in fields:
             vals["states_re"], vals["states_im"] = store(fields.pop("states"))
         if "states_lanes" in fields:
-            planes = jnp.stack(fields.pop("states_lanes"), axis=0)
-            vals["states_re"], vals["states_im"] = _split(planes)
+            # equal plane shapes keep scan carries structure-invariant
+            planes = jnp.broadcast_arrays(*fields.pop("states_lanes"))
+            vals["states_re"] = tuple(jnp.real(p) for p in planes)
+            vals["states_im"] = tuple(jnp.imag(p) for p in planes)
         if "equilibrium" in fields:
             eq = fields.pop("equilibrium")
             vals["equilibrium_re"], vals["equilibrium_im"] = store(eq)
@@ -215,7 +219,8 @@ class StateMatrix:
             return self
 
         def tr(a):
-            return None if a is None else jnp.moveaxis(a, (-2, -1), (1, 0))
+            return None if a is None else tuple(
+                jnp.moveaxis(a[..., i], -1, 0) for i in range(3))
 
         return self.update(
             states_re=tr(self.states_re), states_im=tr(self.states_im),
@@ -226,8 +231,9 @@ class StateMatrix:
         if not self.lanes:
             return self
 
-        def tr(a):
-            return None if a is None else jnp.moveaxis(a, (0, 1), (-1, -2))
+        def tr(t):
+            return None if t is None else jnp.stack(
+                [jnp.moveaxis(p, 0, -1) for p in t], axis=-1)
 
         return self.update(
             states_re=tr(self.states_re), states_im=tr(self.states_im),
@@ -239,25 +245,29 @@ class StateMatrix:
     @property
     def states(self):
         """Complex state ladder, always viewed as (*batch, K, 3)."""
-        s = _join(self.states_re, self.states_im)
         if self.lanes:
-            s = jnp.moveaxis(s, (0, 1), (-1, -2))
-        return s
+            return jnp.stack(
+                [jnp.moveaxis(_join(self.states_re[i], self.states_im[i]),
+                              0, -1) for i in range(3)], axis=-1)
+        return _join(self.states_re, self.states_im)
 
     @property
     def planes(self):
         """(Fp, Fm, Z) complex planes, each (K, *batch) (lanes mode)."""
-        s = _join(self.states_re, self.states_im)
-        if not self.lanes:
-            s = jnp.moveaxis(s, (-2, -1), (1, 0))
+        if self.lanes:
+            return tuple(_join(self.states_re[i], self.states_im[i])
+                         for i in range(3))
+        s = jnp.moveaxis(_join(self.states_re, self.states_im), (-2, -1), (1, 0))
         return s[0], s[1], s[2]
 
     @property
     def equilibrium(self):
-        e = _join(self.equilibrium_re, self.equilibrium_im)
         if self.lanes:
-            e = jnp.moveaxis(e, (0, 1), (-1, -2))
-        return e
+            return jnp.stack(
+                [jnp.moveaxis(_join(self.equilibrium_re[i],
+                                    self.equilibrium_im[i]), 0, -1)
+                 for i in range(3)], axis=-1)
+        return _join(self.equilibrium_re, self.equilibrium_im)
 
     # -- structural properties --
 
@@ -265,7 +275,7 @@ class StateMatrix:
     def shape(self) -> tuple:
         """Batch shape (parameter-sweep axes)."""
         if self.lanes:
-            return self.states_re.shape[2:]
+            return self.states_re[0].shape[1:]
         return self.states_re.shape[:-2]
 
     @property
@@ -279,7 +289,7 @@ class StateMatrix:
     @property
     def nstate(self) -> int:
         """Ladder half-size: K == 2*nstate + 1."""
-        K = self.states_re.shape[1] if self.lanes else self.states_re.shape[-2]
+        K = self.states_re[0].shape[0] if self.lanes else self.states_re.shape[-2]
         return (K - 1) // 2
 
     @property
@@ -307,8 +317,8 @@ class StateMatrix:
     def F0(self):
         """Echo amplitude: F+ at k=0 (T2'-weighted sum over times if kdim==4)."""
         if self.lanes:
-            return _join(self.states_re[0, self.nstate],
-                         self.states_im[0, self.nstate])
+            return _join(self.states_re[0][self.nstate],
+                         self.states_im[0][self.nstate])
         if self.kdim < 4:
             return self.states[..., self.nstate, 0]
         evol = jnp.exp(-jnp.abs(self.t))
@@ -331,8 +341,8 @@ class StateMatrix:
     @property
     def Z0(self):
         if self.lanes:
-            return _join(self.states_re[2, self.nstate],
-                         self.states_im[2, self.nstate])
+            return _join(self.states_re[2][self.nstate],
+                         self.states_im[2][self.nstate])
         if self.kdim < 4:
             return self.states[..., self.nstate, 2]
         return self.states[..., 2] * self.i0
@@ -376,6 +386,9 @@ class StateMatrix:
 
     @property
     def density(self):
+        if self.lanes:
+            z = self.equilibrium_re[2]
+            return z[(z.shape[0] - 1) // 2]
         n = (self.equilibrium_re.shape[-2] - 1) // 2
         return self.equilibrium_re[..., n, 2]
 
@@ -383,8 +396,9 @@ class StateMatrix:
     def norm(self):
         """State-matrix norm over (F-, Z) components (reference utils.py:152)."""
         if self.lanes:
-            mag2 = self.states_re[1:] ** 2 + self.states_im[1:] ** 2
-            return jnp.sqrt(jnp.sum(mag2, axis=(0, 1)))
+            mag2 = sum(self.states_re[i] ** 2 + self.states_im[i] ** 2
+                       for i in (1, 2))
+            return jnp.sqrt(jnp.sum(mag2, axis=0))
         mag2 = self.states_re[..., 1:] ** 2 + self.states_im[..., 1:] ** 2
         return jnp.sqrt(jnp.sum(mag2, axis=(-2, -1)))
 
@@ -397,10 +411,10 @@ class StateMatrix:
             return self
 
         if self.lanes:
-            def _exl(arr):
-                if arr is None:
+            def _exl(t):
+                if t is None:
                     return None
-                return arr.reshape(arr.shape + (1,) * diff)
+                return tuple(p.reshape(p.shape + (1,) * diff) for p in t)
 
             return self.update(
                 states_re=_exl(self.states_re), states_im=_exl(self.states_im),
@@ -498,10 +512,11 @@ class StateMatrix:
 
     def check(self) -> bool:
         """Verify conjugate ladder symmetry (reference utils.py:118-121)."""
-        s = np.asarray(jnp.moveaxis(
-            jnp.stack([self.states_re, self.states_im]), (1, 2), (-1, -2))
-            if self.lanes else
-            jnp.stack([self.states_re, self.states_im], axis=0))
+        if self.lanes:
+            sm = self.from_lanes()
+        else:
+            sm = self
+        s = np.asarray(jnp.stack([sm.states_re, sm.states_im], axis=0))
         s = s[0] + 1j * s[1]
         return bool(np.allclose(s, np.conj(s[..., ::-1, :][..., (1, 0, 2)])))
 

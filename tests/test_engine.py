@@ -204,6 +204,22 @@ def test_mixed_batched_scalar_coefficients():
     assert np.allclose(sig[0], np.exp(-5.0 / T2s))
 
 
+def test_pd_spoiler_reset_in_scan():
+    """PD/SPOILER/RESET inside a scanned block (regression: PD's traced
+    equilibrium cleared the static _eq_center hint, changing the scan
+    carry structure)."""
+    seq = [epg.T(50, 0), epg.E(5, 800, 80), epg.SPOILER, epg.ADC,
+           epg.PD(0.7), epg.T(30, 0), epg.ADC,
+           epg.RESET, epg.T(10, 0), epg.ADC] * 3
+    a = np.asarray(epg.simulate(seq))
+    b = np.asarray(epg.simulate(seq, scan=False))
+    assert np.abs(a - b).max() < 1e-12
+    # per block: spoiled echo == 0; PD(0.7)+T(30) echo; RESET+T(10) echo
+    assert np.allclose(np.abs(a[0]), 0.0, atol=1e-7)
+    assert np.allclose(np.abs(a[1]), 0.7 * np.sin(np.deg2rad(30)), atol=1e-6)
+    assert np.allclose(np.abs(a[2]), 0.7 * np.sin(np.deg2rad(10)), atol=1e-6)
+
+
 def test_system_imaging_flow():
     """System(coords=...) feeds the Imaging probe (reference operator.py:348)."""
     positions = np.linspace(-0.01, 0.01, 7)[:, None]
