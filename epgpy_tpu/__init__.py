@@ -34,7 +34,47 @@ from .utils import (
 )
 from .utils.imaging import imaging
 from .utils.ilt1d import ilt1d
+from .utils.helpers import cexp, progressbar
 from . import config, stats
+
+# reference flat-namespace aliases (epgpy exposes its submodules directly;
+# map them onto the ops/ package: `from epgpy import transition` parity)
+from .ops import (
+    base as operator, scalarop as opscalar, matrixop as opmatrix,
+    transition, evolution, shift, diffusion, exchange, probe, rfpulse,
+)
+from . import statematrix, common, engine as functions
+
+#: reference epgpy/utils.py:5 -- np.newaxis alias used in probe expressions
+NAX = None
+
+#: the reference's DiffOperator base (epgpy/diff.py:40); here every
+#: operator accepts order1/order2 specs, so the base Operator is the alias
+DiffOperator = Operator
+
+
+def check_states(states):
+    """Ladder conjugate-symmetry check (reference epgpy/utils.py:118-121)."""
+    import numpy as _np
+    states = _np.asarray(states)
+    return bool(_np.allclose(states, states[..., ::-1, :][..., (1, 0, 2)].conj()))
+
+
+def set_array_module(xp=None):
+    """API-compat shim: this framework has exactly one backend (XLA).
+
+    The reference switches numpy<->cupy globally (epgpy/common.py:21-50);
+    here 'numpy'/'cupy' requests are accepted and ignored -- device
+    placement is controlled by JAX (jax_default_device / shardings).
+    """
+    import jax.numpy as _jnp
+    return _jnp
+
+
+def get_array_module(*objs):
+    """API-compat shim: always the JAX namespace (see set_array_module)."""
+    import jax.numpy as _jnp
+    return _jnp
 
 # logging level from environment (reference epgpy/common.py:8-11)
 import logging as _logging

@@ -16,6 +16,14 @@ from .sequence import (  # noqa: F401
     Sequence, Variable, Constant, Expression, repeat, operators, functions,
 )
 from .stats import crlb, crlb_split, confint  # noqa: F401
+from . import (  # noqa: F401  (reference submodule aliases)
+    operator, opscalar, opmatrix, transition, evolution, shift,
+    diffusion, exchange, probe, rfpulse, statematrix, common, functions,
+)
+from . import (  # noqa: F401
+    NAX, DiffOperator, check_states, set_array_module, get_array_module,
+    cexp, progressbar,
+)
 from .utils import (  # noqa: F401
     gamma_1H, gamma_23Na, Axes, get_norm, get_wavenumber,
     spatial_range, space_to_freq, freq_to_space, dft, load_pulse,

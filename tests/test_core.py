@@ -149,3 +149,21 @@ def test_dess_golden():
     sig = np.asarray(epg.simulate(seq, max_nstate=15))
     assert sig.shape == g["signal"].shape
     assert np.abs(sig - g["signal"]).max() < 1e-12
+
+
+def test_reference_namespace_aliases():
+    """Flat-namespace parity with the reference package (epgpy/__init__.py):
+    submodule aliases, NAX, DiffOperator, check_states, array-module shims."""
+    import numpy as np
+    import epgpy_tpu as pkg
+    from epgpy_tpu import epg
+
+    for ns in (pkg, epg):
+        assert ns.transition.T is ns.T
+        assert ns.evolution.E is ns.E
+        assert ns.opscalar.ScalarOp is ns.ScalarOp
+        assert ns.NAX is None
+        assert issubclass(ns.T, ns.DiffOperator)
+        assert ns.check_states(np.asarray([[0.1 + 0.2j, 0.1 - 0.2j, 0.5]]))
+        assert not ns.check_states(np.asarray([[0.1 + 0.2j, 0.3, 0.5]]))
+        assert ns.get_array_module().__name__ == "jax.numpy"
