@@ -83,4 +83,8 @@ import os as _os
 if _os.environ.get("LOG_LEVEL"):
     _logging.basicConfig(level=_os.environ["LOG_LEVEL"].upper())
 
+# must come after NAX/DiffOperator/etc.: epg re-imports them (core alias
+# mirrors reference epgpy/core.py, the scripting flat namespace)
+from . import epg as core  # noqa: E402
+
 __version__ = "0.1.0"

@@ -1,0 +1,31 @@
+"""Smoke-run the cheap examples end-to-end (CPU backend, no plotting).
+
+The examples are the behavioral spec surface users copy from (reference
+keeps 3,400 LoC of them); each must stay runnable as the API evolves.
+Heavier examples (mrf_dictionary, sequence_optimization) are exercised
+by their own unit tests and the benchmark.
+"""
+
+import runpy
+import sys
+import pathlib
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parents[1] / "examples"
+
+
+def _run(name, monkeypatch, tmp_path):
+    # examples save .png when matplotlib exists: run inside tmp_path
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [name])
+    runpy.run_path(str(EXAMPLES / name), run_name="__main__")
+
+
+@pytest.mark.parametrize("name", [
+    "basics_mse.py",
+    "hyperecho.py",
+    "rf_spoiling.py",
+])
+def test_example_smoke(name, monkeypatch, tmp_path):
+    _run(name, monkeypatch, tmp_path)
