@@ -99,8 +99,11 @@ def fingerprint_crlb_loss(FA, T1s, T2s, mesh: Mesh, *, TR=12.0, TE=5.0,
     # check_vma=False: the scan carry inside fisp_mrf_signal starts
     # replicated and becomes atom-varying through the captured shard --
     # semantically fine, but the static varying-axis checker rejects it.
-    return jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=P(), check_vma=False)(FA, T1s, T2s)
+    # jit the mapped call: eager shard_map execution is both slower and
+    # unsupported on some backends (axon TPU raises UNIMPLEMENTED at the
+    # eager collective boundary)
+    return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=P(), check_vma=False))(FA, T1s, T2s)
 
 
 def crlb_train_step(FA, T1s, T2s, mesh: Mesh, *, lr=0.5, **opts):
