@@ -437,6 +437,8 @@ class StateMatrix:
 
     def broadcast(self, shape: tuple) -> "StateMatrix":
         """Broadcast batch axes to `shape` (append rule), materializing states."""
+        if self.lanes:  # compat-layout structural op
+            return self.from_lanes().broadcast(shape).to_lanes()
         shape = tuple(shape)
         sm = self.expand(len(shape))
         target = common.broadcast_shapes(sm.shape, shape)
@@ -448,6 +450,8 @@ class StateMatrix:
 
     def resize(self, nstate: int) -> "StateMatrix":
         """Pad/crop the ladder symmetrically to half-size `nstate` (static)."""
+        if self.lanes:  # compat-layout structural op
+            return self.from_lanes().resize(nstate).to_lanes()
         K = 2 * int(nstate) + 1
         return self.update(
             states_re=_pad_ladder(self.states_re, K),
@@ -477,6 +481,9 @@ class StateMatrix:
 
     def stack(self, others, *, axis: int = 0) -> "StateMatrix":
         """Stack state matrices along a new batch axis."""
+        if self.lanes:  # compat-layout structural op
+            return self.from_lanes().stack(
+                [s.from_lanes() for s in others], axis=axis).to_lanes()
         sms = [self] + list(others)
 
         def _st(field):
@@ -498,6 +505,8 @@ class StateMatrix:
 
     def unstack(self, *, axis: int = 0):
         """Split along a batch axis into a list of state matrices."""
+        if self.lanes:  # compat-layout structural op
+            return [s.to_lanes() for s in self.from_lanes().unstack(axis=axis)]
         n = self.states_re.shape[axis]
         out = []
         for i in range(n):
