@@ -237,9 +237,26 @@ def _stack_ops(ops):
 
 
 def _stack_block(block: _ScanBlock):
-    """Stack a scan block: list over period slots of stacked op pytrees."""
+    """Stack a scan block: list over period slots of stacked op pytrees.
+
+    Concrete relaxation/precession slots are converted to precomputed
+    element coefficients over the whole repetition axis: the compiled
+    scan body then reads coefficients instead of re-evaluating exp()
+    every step (the hand-fused models/ kernels hoist the same way).
+    """
+    from .ops.evolution import E, P, R
+    from .ops.scalarop import precompute_diagonal
+
     p, r = block.period, block.reps
-    return [_stack_ops([block.ops[j + k * p] for k in range(r)]) for j in range(p)]
+    slots = []
+    for j in range(p):
+        stacked = _stack_ops([block.ops[j + k * p] for k in range(r)])
+        if isinstance(stacked, (E, P, R)):
+            pre = precompute_diagonal(stacked)
+            if pre is not None:
+                stacked = pre
+        slots.append(stacked)
+    return slots
 
 
 #: plan cache: repeated simulate() calls on the same operator objects skip

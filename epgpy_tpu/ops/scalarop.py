@@ -26,7 +26,8 @@ import numpy as np
 from .. import common, config
 from . import base
 
-__all__ = ["ScalarOp", "scalar_combine", "align_batch", "split_complex", "join_complex"]
+__all__ = ["ScalarOp", "PrecomputedDiagonal", "precompute_diagonal",
+           "scalar_combine", "align_batch", "split_complex", "join_complex"]
 
 
 def align_batch(arr, sm_batch_ndim: int, core_ndim: int):
@@ -153,6 +154,108 @@ def _apply_coefficients_lanes(sm, arr, arr0):
             eq_i = join_complex(sm.equilibrium_re[i], sm.equilibrium_im[i])
             out[i] = out[i] + _coeff_lanes(arr0[..., i], nb) * eq_i
     return sm.update(states_lanes=tuple(out))
+
+
+@base.register_op
+class PrecomputedDiagonal(base.Operator):
+    """Diagonal op with trace-free element coefficients (engine-internal).
+
+    The scan planner converts concrete E/P/R ops in a scanned block into
+    this form, computing ``coefficient_elements()`` over the whole stacked
+    repetition axis ONCE at plan-build time -- the compiled scan body then
+    reads precomputed coefficients instead of re-evaluating exp() every
+    step (the models/ kernels do the same hoisting by hand).
+
+    F- coefficients are derived as conj(F+); identically-zero imaginary /
+    recovery leaves are dropped (None) at build time.
+    """
+
+    PARAMS = ("aFp_re", "aFp_im", "aZ_re", "aZ_im", "rec_re", "rec_im")
+
+    def __init__(self, aFp_re, aFp_im, aZ_re, aZ_im, rec_re, rec_im,
+                 name=None, **kwargs):
+        self.aFp_re = aFp_re
+        self.aFp_im = aFp_im
+        self.aZ_re = aZ_re
+        self.aZ_im = aZ_im
+        self.rec_re = rec_re
+        self.rec_im = rec_im
+        super().__init__(name=name or "PrecomputedDiagonal", **kwargs)
+
+    @property
+    def shape(self):
+        return common.broadcast_shapes(
+            common.get_shape(self.aFp_re), common.get_shape(self.aZ_re), (1,))
+
+    def apply(self, sm):
+        aFp = join_complex(self.aFp_re, self.aFp_im)
+        aZ = join_complex(self.aZ_re, self.aZ_im)
+        elems = (aFp, jnp.conj(aFp), aZ)
+        if self.rec_re is None:
+            elems0 = None
+        else:
+            elems0 = (None, None, join_complex(self.rec_re, self.rec_im))
+        return apply_coefficient_elements(sm, elems, elems0)
+
+
+def _split_elements_compiled(op_stacked):
+    """Element coefficients as REAL arrays + nonzero-imag flags.
+
+    Complex values must never cross an XLA program boundary on TPU, so
+    the (complex) element construction runs inside this jit; outputs are
+    re/im splits plus reduced any-nonzero flags.
+    """
+    reps = jnp.shape(jax.tree_util.tree_leaves(op_stacked)[0])[0]
+
+    def prog(op):
+        elems, elems0 = op.coefficient_elements()
+
+        def split(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            if x.ndim == 0:
+                # literal-constant element (e.g. P's unit Z coefficient):
+                # give it the repetition axis so lax.scan can slice it
+                x = jnp.broadcast_to(x, (reps,))
+            im = x.imag if jnp.iscomplexobj(x) else jnp.zeros_like(jnp.real(x))
+            return jnp.real(x), im, jnp.any(im != 0)
+
+        return (split(elems[0]), split(elems[2]),
+                split(None if elems0 is None else elems0[2]))
+
+    return jax.jit(prog)(op_stacked)
+
+
+def precompute_diagonal(op_stacked):
+    """Build a PrecomputedDiagonal from a stacked E/P/R op (or None).
+
+    Only safe for concrete (untraced) parameter leaves: elements are
+    evaluated (in a small jit) here, at plan-build time.
+    """
+    if any(isinstance(l, jax.core.Tracer)
+           for l in jax.tree_util.tree_leaves(op_stacked)):
+        return None
+    if getattr(op_stacked, "axes", None) is not None:
+        return None
+    # memory guard: ~6 element arrays of the op's full stacked batch; keep
+    # the parameter form when that would claim more than ~1.5 GB of HBM
+    nelem = max(int(np.prod(common.get_shape(l)))
+                for l in jax.tree_util.tree_leaves(op_stacked))
+    if 6 * 4 * nelem > 1_500_000_000:
+        return None
+    fp, z, rec = _split_elements_compiled(op_stacked)
+
+    def norm(part):
+        if part is None:
+            return None, None
+        re, im, has_im = part
+        return re, (im if bool(has_im) else None)
+
+    aFp_re, aFp_im = norm(fp)
+    aZ_re, aZ_im = norm(z)
+    rec_re, rec_im = norm(rec)
+    return PrecomputedDiagonal(aFp_re, aFp_im, aZ_re, aZ_im, rec_re, rec_im)
 
 
 def pack_diff_arrays(darrs, d2arrs):
