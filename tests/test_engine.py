@@ -204,6 +204,34 @@ def test_mixed_batched_scalar_coefficients():
     assert np.allclose(sig[0], np.exp(-5.0 / T2s))
 
 
+def test_scan_precomputes_relaxation():
+    """The planner converts concrete E ops in a scanned block into
+    precomputed element coefficients (per-step exp() hoisted out)."""
+    from epgpy_tpu.engine import _plan_and_payload
+    from epgpy_tpu.ops.scalarop import PrecomputedDiagonal
+
+    T2s = np.linspace(30, 120, 4)
+    seq = [epg.T(35, 90), epg.E(5.0, 1000.0, T2s), epg.ADC, epg.S(1)] * 6
+    kinds, payload = _plan_and_payload(seq, cache=False)
+    assert kinds[0][0] == "scan"
+    template, stacked = payload[0]
+    assert any(isinstance(op, PrecomputedDiagonal) for op in stacked)
+    # tracked (diff) E ops must keep the parameter form
+    seq2 = [epg.T(35, 90), epg.E(5.0, 1000.0, T2s, order1=["T2"]),
+            epg.ADC, epg.S(1)] * 6
+    from epgpy_tpu.diff import substitute
+    import jax
+
+    def traced(eps):
+        sub = [substitute(op, {"T2": eps}) for op in seq2]
+        _, payload2 = _plan_and_payload(sub, cache=False)
+        _, stacked2 = payload2[0]
+        assert not any(isinstance(op, PrecomputedDiagonal) for op in stacked2)
+        return eps
+
+    jax.jacfwd(traced)(0.0)
+
+
 def test_pd_spoiler_reset_in_scan():
     """PD/SPOILER/RESET inside a scanned block (regression: PD's traced
     equilibrium cleared the static _eq_center hint, changing the scan
