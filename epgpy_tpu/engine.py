@@ -264,6 +264,7 @@ def _stack_block(block: _ScanBlock):
 #: Values hold strong references to the ops, so cached ids stay valid.
 _PLAN_CACHE: "dict[tuple, tuple]" = {}
 _PLAN_CACHE_MAX = 16
+_PLAN_CACHE_MAX_BYTES = 6 * 1024**3  # device bytes pinned by cached payloads
 
 
 def _plan_and_payload(sequence, *, scan=True, cache=True):
@@ -276,7 +277,7 @@ def _plan_and_payload(sequence, *, scan=True, cache=True):
         key = (tuple(id(op) for op in sequence), scan)
         cached = _PLAN_CACHE.get(key)
         if cached is not None:
-            _, kinds, payload = cached
+            _, kinds, payload, _ = cached
             return kinds, payload
     plan = _build_plan(sequence, scan=scan)
     kinds = tuple(
@@ -286,9 +287,20 @@ def _plan_and_payload(sequence, *, scan=True, cache=True):
         for p in plan
     ]
     if cache:
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        # bytes-aware FIFO eviction: payloads pin stacked parameter /
+        # precomputed-coefficient arrays in device memory
+        def _bytes(pl):
+            return sum(
+                int(np.prod(common.get_shape(l))) * 4
+                for l in jax.tree_util.tree_leaves(pl))
+
+        new_bytes = _bytes(payload)
+        while _PLAN_CACHE and (
+                len(_PLAN_CACHE) >= _PLAN_CACHE_MAX
+                or sum(b for (_, _, _, b) in _PLAN_CACHE.values())
+                + new_bytes > _PLAN_CACHE_MAX_BYTES):
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = (list(sequence), kinds, payload)
+        _PLAN_CACHE[key] = (list(sequence), kinds, payload, new_bytes)
     return kinds, payload
 
 
