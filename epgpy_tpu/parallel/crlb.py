@@ -72,12 +72,13 @@ def _crlb_fa_block(FA, T1, T2, *, TR, TE, nstate, ridge, axis):
     return jnp.trace(jnp.linalg.inv(fisher))
 
 
-def fingerprint_crlb_loss(FA, T1s, T2s, mesh: Mesh, *, TR=12.0, TE=5.0,
-                          nstate=6, ridge=1e-6, fa_weight=1e-3):
-    """Mean CRLB over the (sharded) atom grid; FA replicated.
+#: jitted shard_map losses keyed on (mesh, static opts) -- building a fresh
+#: jax.jit(closure) per call would retrace/recompile every training step
+_LOSS_CACHE: dict = {}
+_LOSS_CACHE_MAX = 8
 
-    loss = mean_atoms CRLB_{T1,T2} + fa_weight * mean_atoms CRLB_{FA train}
-    """
+
+def _build_loss(mesh: Mesh, TR, TE, nstate, ridge, fa_weight):
     has_tangents = "tangents" in mesh.axis_names
 
     def shard_fn(FA, T1s, T2s):
@@ -103,7 +104,24 @@ def fingerprint_crlb_loss(FA, T1s, T2s, mesh: Mesh, *, TR=12.0, TE=5.0,
     # unsupported on some backends (axon TPU raises UNIMPLEMENTED at the
     # eager collective boundary)
     return jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                                 out_specs=P(), check_vma=False))(FA, T1s, T2s)
+                                 out_specs=P(), check_vma=False))
+
+
+def fingerprint_crlb_loss(FA, T1s, T2s, mesh: Mesh, *, TR=12.0, TE=5.0,
+                          nstate=6, ridge=1e-6, fa_weight=1e-3):
+    """Mean CRLB over the (sharded) atom grid; FA replicated.
+
+    loss = mean_atoms CRLB_{T1,T2} + fa_weight * mean_atoms CRLB_{FA train}
+    """
+    key = (mesh, float(TR), float(TE), int(nstate), float(ridge),
+           float(fa_weight))
+    loss_fn = _LOSS_CACHE.get(key)
+    if loss_fn is None:
+        loss_fn = _build_loss(mesh, TR, TE, nstate, ridge, fa_weight)
+        if len(_LOSS_CACHE) >= _LOSS_CACHE_MAX:
+            _LOSS_CACHE.pop(next(iter(_LOSS_CACHE)))
+        _LOSS_CACHE[key] = loss_fn
+    return loss_fn(FA, T1s, T2s)
 
 
 def crlb_train_step(FA, T1s, T2s, mesh: Mesh, *, lr=0.5, **opts):
