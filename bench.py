@@ -102,6 +102,44 @@ def get_baseline(FA, T1, T2, B1):
     return ref
 
 
+def measure_engine(FA, T1, T2, B1, sync):
+    """General operator-engine throughput on the same MRF config.
+
+    The engine (scan-planned simulate) is the product surface; this keeps a
+    driver-visible perf number next to the hand-fused model kernel so an
+    engine regression (e.g. lanes layout falling back) shows in BENCH.
+    """
+    import time
+    import epgpy_tpu as epg
+
+    T1j, T2j = T1.astype(np.float32), T2.astype(np.float32)
+    seq = []
+    for i in range(len(FA)):
+        seq += [
+            epg.T((FA[i] * B1).astype(np.float32), 90),
+            epg.E(TE, T1j, T2j), epg.ADC,
+            epg.E(TR - TE, T1j, T2j), epg.S(1),
+        ]
+
+    def run():
+        return epg.simulate(seq, max_nstate=NSTATE, asarray=False)
+
+    def esync(out):
+        return float(np.asarray(out["__c_re"][-1, -1]))
+
+    t0 = time.perf_counter()
+    esync(run())
+    ewarm = time.perf_counter() - t0
+    ebest = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        esync(run())
+        ebest = min(ebest, time.perf_counter() - t0)
+    return {"engine_atoms_per_sec": round(len(T1) / ebest, 1),
+            "engine_best_seconds": round(float(ebest), 4),
+            "engine_warmup_seconds": round(float(ewarm), 2)}
+
+
 def main():
     import jax
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -156,6 +194,13 @@ def main():
             ours = np.asarray(re[:8]) + 1j * np.asarray(im[:8])
             parity = float(np.abs(ours - ref8).max())
 
+    engine = {}
+    if os.environ.get("BENCH_ENGINE", "1") not in ("0", "false"):
+        try:
+            engine = measure_engine(FA, T1, T2, B1, sync)
+        except Exception as exc:  # keep the headline metric alive
+            engine = {"engine_error": f"{type(exc).__name__}: {exc}"[:200]}
+
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
         "value": round(float(atoms_per_sec), 1),
@@ -167,6 +212,7 @@ def main():
         "kernel": best_kernel,
         "device": str(jax.devices()[0]),
         "parity_c64_vs_ref": parity,
+        **engine,
     }
     print(json.dumps(result))
 

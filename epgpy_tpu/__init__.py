@@ -12,6 +12,10 @@ Usage mirrors the reference (``import epgpy_tpu as epg``):
 >>> signal = epg.simulate(epg.modify(seq, T2=[30, 40, 50]))
 """
 
+from .config import setup_compilation_cache as _setup_cache
+
+_setup_cache()  # persistent XLA compile cache: warm processes skip recompiles
+
 from .statematrix import StateMatrix
 from .ops import (
     Operator, EmptyOperator, MultiOperator, CombinableOperator,

@@ -22,7 +22,36 @@ __all__ = [
     "complex_dtype",
     "int_dtype",
     "x64_enabled",
+    "setup_compilation_cache",
 ]
+
+
+def setup_compilation_cache(path: str | None = None):
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Long scanned programs cost 20-350 s to compile through the TPU tunnel
+    on a fresh process; the persistent cache drops warm-process compiles to
+    seconds.  Called at package import.  Disable with ``EPGPY_TPU_CACHE=0``;
+    relocate with ``EPGPY_TPU_CACHE_DIR``.  Returns the cache dir or None.
+    """
+    import os
+
+    if os.environ.get("EPGPY_TPU_CACHE", "1").lower() in ("0", "false", "no"):
+        return None
+    if path is None:
+        path = os.environ.get("EPGPY_TPU_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "epgpy_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program: through the axon tunnel the client-side
+        # compile returns quickly (the real compile is remote/async), so a
+        # compile-time threshold would skip exactly the expensive programs
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except (OSError, AttributeError, ValueError):  # pragma: no cover
+        return None
+    return path
 
 
 def x64_enabled() -> bool:

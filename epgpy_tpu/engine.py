@@ -88,6 +88,13 @@ def get_adc_times(sequence):
 #: grows tables dynamically; a static framework needs a default cap)
 DEFAULT_TABLE_NSTATE = 255
 
+#: simulate() **options consumed by StateMatrix / shift ops (reference
+#: epgpy reads sm.options in shift.py:86-89,130); anything else is warned
+_KNOWN_OPTIONS = frozenset({
+    "max_nstate", "kgrid", "prune", "kvalue", "tvalue", "density",
+    "equilibrium", "coords", "nstate", "shape", "check", "system",
+})
+
 
 def _capacity(sequence, nshift: int, max_nstate) -> int:
     """Static ladder half-capacity for the sequence.
@@ -119,6 +126,11 @@ def _capacity(sequence, nshift: int, max_nstate) -> int:
     paths = 3 ** min(len(shift_ops), 16)
     bound = (min(box, paths) - 1) // 2 + 1
     cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
+    if bound > cap:
+        LOGGER.warning(
+            "State-table capacity %d is below the sequence's lattice bound "
+            "%d: magnitude-ranked truncation pruning is active and results "
+            "may lose accuracy (raise max_nstate to silence).", cap, bound)
     return max(min(bound, cap), 1)
 
 
@@ -236,13 +248,65 @@ def _stack_ops(ops):
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stripped)
 
 
+@jax.tree_util.register_pytree_node_class
+class _Const:
+    """Scan-constant slot: the same op applied at every repetition.
+
+    Hoisting rep-invariant slots out of the scanned pytree avoids stacking
+    `reps` copies of identical parameter arrays (a 1000-TR dictionary train
+    would otherwise pin reps x batch coefficient planes in HBM and re-read
+    them every step).
+    """
+
+    __slots__ = ("op",)
+
+    def __init__(self, op):
+        self.op = op
+
+    def tree_flatten(self):
+        return (self.op,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def _slot_invariant(ops) -> bool:
+    """True when every repetition of this slot is parameter-identical.
+
+    Device arrays are compared by identity only (an equality check would
+    pull them device->host); host values compare by np.array_equal.
+    """
+    op0 = ops[0]
+    if all(op is op0 for op in ops[1:]):
+        return True
+    flats = [jax.tree.flatten(op.strip_meta()) for op in ops]
+    leaves0, treedef0 = flats[0]
+    for leaves, treedef in flats[1:]:
+        if treedef != treedef0:
+            return False
+        for a, b in zip(leaves0, leaves):
+            if a is b:
+                continue
+            if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+                return False
+            if isinstance(a, jax.Array) or isinstance(b, jax.Array):
+                return False
+            a_np, b_np = np.asarray(a), np.asarray(b)
+            if (a_np.shape != b_np.shape or a_np.dtype != b_np.dtype
+                    or not np.array_equal(a_np, b_np)):
+                return False
+    return True
+
+
 def _stack_block(block: _ScanBlock):
     """Stack a scan block: list over period slots of stacked op pytrees.
 
-    Concrete relaxation/precession slots are converted to precomputed
-    element coefficients over the whole repetition axis: the compiled
-    scan body then reads coefficients instead of re-evaluating exp()
-    every step (the hand-fused models/ kernels hoist the same way).
+    Rep-invariant slots become ``_Const`` (applied unchanged every step);
+    concrete relaxation/precession slots are converted to precomputed
+    element coefficients (over the whole repetition axis when they vary):
+    the compiled scan body then reads coefficients instead of re-evaluating
+    exp() every step (the hand-fused models/ kernels hoist the same way).
     """
     from .ops.evolution import E, P, R
     from .ops.scalarop import precompute_diagonal
@@ -250,7 +314,16 @@ def _stack_block(block: _ScanBlock):
     p, r = block.period, block.reps
     slots = []
     for j in range(p):
-        stacked = _stack_ops([block.ops[j + k * p] for k in range(r)])
+        ops_j = [block.ops[j + k * p] for k in range(r)]
+        if _slot_invariant(ops_j):
+            op = ops_j[0].strip_meta()
+            if isinstance(op, (E, P, R)):
+                pre = precompute_diagonal(op, scan=False)
+                if pre is not None:
+                    op = pre
+            slots.append(_Const(op))
+            continue
+        stacked = _stack_ops(ops_j)
         if isinstance(stacked, (E, P, R)):
             pre = precompute_diagonal(stacked)
             if pre is not None:
@@ -290,9 +363,14 @@ def _plan_and_payload(sequence, *, scan=True, cache=True):
         # bytes-aware FIFO eviction: payloads pin stacked parameter /
         # precomputed-coefficient arrays in device memory
         def _bytes(pl):
-            return sum(
-                int(np.prod(common.get_shape(l))) * 4
-                for l in jax.tree_util.tree_leaves(pl))
+            total = 0
+            for l in jax.tree_util.tree_leaves(pl):
+                try:
+                    itemsize = np.dtype(jnp.result_type(l)).itemsize
+                except TypeError:
+                    itemsize = 8
+                total += int(np.prod(common.get_shape(l))) * itemsize
+            return total
 
         new_bytes = _bytes(payload)
         while _PLAN_CACHE and (
@@ -333,15 +411,20 @@ def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None,
                     chunks.append(_add_adc_axis(_acquire(op, probes, sm)))
                 elif callback is not None:
                     callback(sm)
-        else:  # scan block: payload = (template, stacked op pytrees)
-            template, stacked = payload
+        else:  # scan block: payload = (template, per-slot stacked/_Const)
+            template, slots = payload
             reps = kind[1]
             probe_slots = [j for j, op in enumerate(template)
                            if isinstance(op, probe_mod.Probe)]
+            consts = [s.op if isinstance(s, _Const) else None for s in slots]
+            xs = [None if isinstance(s, _Const) else s for s in slots]
 
-            def body(carry, step_ops, template=template, probe_slots=probe_slots):
+            def body(carry, step_ops, consts=consts, probe_slots=probe_slots):
                 outs = []
-                for j, (op_t, op) in enumerate(zip(template, step_ops)):
+                for j, op_step in enumerate(step_ops):
+                    # const slots ride the closure; varying slots arrive as
+                    # per-step ops sliced from the stacked pytrees
+                    op = consts[j] if op_step is None else op_step
                     carry = op(carry)
                     if j in probe_slots:
                         # acquire with the per-step op: probe leaves (e.g.
@@ -349,7 +432,7 @@ def _execute_plan(plan_kinds, plan_payload, probes, sm, callback=None,
                         outs.append(_acquire(op, probes, carry))
                 return carry, tuple(outs)
 
-            sm, ys = jax.lax.scan(body, sm, stacked, length=reps)
+            sm, ys = jax.lax.scan(body, sm, xs, length=reps)
             if len(ys) == 1:
                 chunks.append(ys[0])
             elif len(ys) > 1:
@@ -425,14 +508,20 @@ def simulate(
     disp: bool = False,
     jit: bool = True,
     scan: bool = True,
+    jacobian_chunk=None,
     **options,
 ):
     """Simulate an operator sequence; returns probe values at each ADC.
 
     API parity with reference epgpy/functions.py:50-170.  Extra controls:
     ``jit=False`` runs eagerly (required for `callback`), ``scan=False``
-    disables scan compilation (full unroll under jit).
+    disables scan compilation (full unroll under jit), ``jacobian_chunk=N``
+    bounds Jacobian/Hessian tangent memory (N columns per compiled call).
     """
+    unknown = set(options) - _KNOWN_OPTIONS
+    if unknown:
+        LOGGER.warning("simulate: unrecognized option(s) %s (forwarded to "
+                       "StateMatrix.options)", sorted(unknown))
     sequence = flatten_sequence(sequence)
     if squeeze:
         sequence = squeeze_sequence(sequence)
@@ -485,6 +574,7 @@ def simulate(
             plan_builder=lambda seq: _plan_and_payload(seq, scan=scan,
                                                         cache=False),
             executor=_execute_plan,
+            jacobian_chunk=jacobian_chunk,
         )
         times = get_adc_times(sequence)
         if len(values) == 1:

@@ -198,14 +198,24 @@ class PrecomputedDiagonal(base.Operator):
         return apply_coefficient_elements(sm, elems, elems0)
 
 
-def _split_elements_compiled(op_stacked):
+def _ambient_trace() -> bool:
+    """True when called inside an active JAX trace (jit/jvp/vmap body)."""
+    try:
+        from jax._src import core as _core
+        return not isinstance(_core.trace_ctx.trace, _core.EvalTrace)
+    except Exception:  # pragma: no cover - private-API fallback
+        return False
+
+
+def _split_elements_compiled(op_stacked, scan=True):
     """Element coefficients as REAL arrays + nonzero-imag flags.
 
     Complex values must never cross an XLA program boundary on TPU, so
     the (complex) element construction runs inside this jit; outputs are
     re/im splits plus reduced any-nonzero flags.
     """
-    reps = jnp.shape(jax.tree_util.tree_leaves(op_stacked)[0])[0]
+    reps = (jnp.shape(jax.tree_util.tree_leaves(op_stacked)[0])[0]
+            if scan else None)
 
     def prog(op):
         elems, elems0 = op.coefficient_elements()
@@ -214,7 +224,7 @@ def _split_elements_compiled(op_stacked):
             if x is None:
                 return None
             x = jnp.asarray(x)
-            if x.ndim == 0:
+            if scan and x.ndim == 0:
                 # literal-constant element (e.g. P's unit Z coefficient):
                 # give it the repetition axis so lax.scan can slice it
                 x = jnp.broadcast_to(x, (reps,))
@@ -227,14 +237,20 @@ def _split_elements_compiled(op_stacked):
     return jax.jit(prog)(op_stacked)
 
 
-def precompute_diagonal(op_stacked):
-    """Build a PrecomputedDiagonal from a stacked E/P/R op (or None).
+def precompute_diagonal(op_stacked, scan=True):
+    """Build a PrecomputedDiagonal from an E/P/R op (or None).
 
-    Only safe for concrete (untraced) parameter leaves: elements are
+    With ``scan=True`` the op is a stacked scan slot (leading repetition
+    axis on its leaves); with ``scan=False`` it is a single scan-constant
+    op.  Only safe for concrete (untraced) parameter leaves: elements are
     evaluated (in a small jit) here, at plan-build time.
     """
     if any(isinstance(l, jax.core.Tracer)
            for l in jax.tree_util.tree_leaves(op_stacked)):
+        return None
+    if _ambient_trace():
+        # plan built inside a trace (diff path): a nested jit would stage
+        # into the outer trace and return tracers, not concrete values
         return None
     if getattr(op_stacked, "axes", None) is not None:
         return None
@@ -244,7 +260,7 @@ def precompute_diagonal(op_stacked):
                 for l in jax.tree_util.tree_leaves(op_stacked))
     if 6 * 4 * nelem > 1_500_000_000:
         return None
-    fp, z, rec = _split_elements_compiled(op_stacked)
+    fp, z, rec = _split_elements_compiled(op_stacked, scan=scan)
 
     def norm(part):
         if part is None:

@@ -207,15 +207,30 @@ def test_mixed_batched_scalar_coefficients():
 def test_scan_precomputes_relaxation():
     """The planner converts concrete E ops in a scanned block into
     precomputed element coefficients (per-step exp() hoisted out)."""
-    from epgpy_tpu.engine import _plan_and_payload
+    from epgpy_tpu.engine import _plan_and_payload, _Const
     from epgpy_tpu.ops.scalarop import PrecomputedDiagonal
+
+    def unwrap(slot):
+        return slot.op if isinstance(slot, _Const) else slot
 
     T2s = np.linspace(30, 120, 4)
     seq = [epg.T(35, 90), epg.E(5.0, 1000.0, T2s), epg.ADC, epg.S(1)] * 6
     kinds, payload = _plan_and_payload(seq, cache=False)
     assert kinds[0][0] == "scan"
     template, stacked = payload[0]
-    assert any(isinstance(op, PrecomputedDiagonal) for op in stacked)
+    assert any(isinstance(unwrap(s), PrecomputedDiagonal) for s in stacked)
+    # `seq * 6` reuses the same op objects: every slot is rep-invariant and
+    # must be hoisted out of the scanned pytree as a constant
+    assert all(isinstance(s, _Const) for s in stacked)
+    # per-rep varying parameters must stay scanned (stacked leaves)
+    seq_var = []
+    for i in range(6):
+        seq_var += [epg.T(35 + i, 90), epg.E(5.0, 1000.0, T2s),
+                    epg.ADC, epg.S(1)]
+    _, payload_var = _plan_and_payload(seq_var, cache=False)
+    _, stacked_var = payload_var[0]
+    assert not isinstance(stacked_var[0], _Const)  # T varies
+    assert isinstance(stacked_var[1], _Const)      # E identical every rep
     # tracked (diff) E ops must keep the parameter form
     seq2 = [epg.T(35, 90), epg.E(5.0, 1000.0, T2s, order1=["T2"]),
             epg.ADC, epg.S(1)] * 6
@@ -226,7 +241,8 @@ def test_scan_precomputes_relaxation():
         sub = [substitute(op, {"T2": eps}) for op in seq2]
         _, payload2 = _plan_and_payload(sub, cache=False)
         _, stacked2 = payload2[0]
-        assert not any(isinstance(op, PrecomputedDiagonal) for op in stacked2)
+        assert not any(isinstance(unwrap(op), PrecomputedDiagonal)
+                       for op in stacked2)
         return eps
 
     jax.jacfwd(traced)(0.0)
