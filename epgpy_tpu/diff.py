@@ -148,12 +148,14 @@ base.register_op(Hessian)
 
 
 class PartialsPruner:
-    """API-compat stub (reference epgpy/diff.py:479-527).
+    """API-compat no-op (reference epgpy/diff.py:479-527).
 
-    The reference prunes small derivative state matrices to save the
-    Python loop's time; with dense batched jacfwd tangents this is a no-op
-    -- use ``simulate(..., jacobian_chunk=N)`` to bound tangent memory
-    instead.
+    The reference prunes small derivative state matrices to bound the
+    memory/time of its Python-loop forward accumulation.  Here derivatives
+    are dense jacfwd tangents inside one compiled program, so there is
+    nothing to prune; the equivalent memory-control knob is
+    ``simulate(..., jacobian_chunk=N)``, which processes the tangent basis
+    (and Hessian blocks) N columns at a time (see ``simulate_diff``).
     """
 
     def __init__(self, *, condition=1e-5, variables=None):
@@ -237,15 +239,39 @@ def substitute(op, eps: Dict[str, jnp.ndarray]):
 
 # -- diff simulation path --
 
-#: compiled diff programs keyed on (op ids, probe ids, variable sets, state
-#: structure); values hold strong refs to ops/probes so the ids stay valid
+#: compiled diff programs keyed on (op ids, probe ids, variable sets, chunk
+#: sizes, state structure); values hold strong refs to ops/probes so the
+#: ids stay valid
 _PROGRAM_CACHE: dict = {}
 _PROGRAM_CACHE_MAX = 8
+
+
+def _pad_index(positions, chunk):
+    """Pad an index list to a multiple of `chunk` with the dummy slot.
+
+    The dummy slot is one past the last real variable: tangents seeded
+    there shift nothing, so the padded jacobian columns are exact zeros
+    and are cropped after assembly.
+    """
+    n = len(positions)
+    nchunks = max(-(-n // chunk), 1)
+    dummy = -1  # filled by caller with the dummy slot index
+    return np.asarray(list(positions) + [dummy] * (nchunks * chunk - n),
+                      dtype=np.int32), nchunks
 
 
 def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                   jacobian_chunk: Optional[int] = None):
     """Run simulate with Jacobian/Hessian probes via (nested) jacfwd.
+
+    Tangents are seeded on an epsilon *vector* with one slot per tracked
+    variable.  ``jacobian_chunk=N`` bounds tangent memory: the jacfwd basis
+    is processed N columns at a time (and the Hessian in N x N blocks),
+    each chunk a call of ONE compiled program with a traced offset -- so
+    chunking does not multiply compile time.  This replaces the
+    reference's PartialsPruner as the memory-control knob for very wide
+    MRF problems (~800 per-pulse variables,
+    reference examples/profiling/differentiation_mrf.py:54-67).
 
     Args:
         sequence: flattened op list (with order1/order2 specs attached).
@@ -254,24 +280,28 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
         plan_builder(seq) -> (plan_kinds, payload): engine's planner.
         executor(plan_kinds, payload, probes, sm) -> (sm, chunks): engine's
             trace-time plan executor (called inside jit here).
+        jacobian_chunk: max tangent columns processed at once (None = all).
 
     Returns: tuple over probes of host numpy arrays (ADC axis leading).
     """
     from .ops.probe import Adc
 
     variables = tracked_variables(sequence)
+    nvars = len(variables)
+    var_idx = {v: i for i, v in enumerate(variables)}
 
     # Hessians differentiate a *restricted* pair of tangent sets
     # (vars1 x vars2), not all-pairs -- this is what keeps the
     # 800-variable MRF Hessian (reference profiling example) tractable.
     hess_probes = [pb for pb in probes if isinstance(pb, Hessian)]
-    need_hessian = bool(hess_probes)
     vars1 = [v for pb in hess_probes for v in pb.variables1
-             if v != "magnitude" and v in variables]
+             if v != "magnitude" and v in var_idx]
     vars2 = [v for pb in hess_probes for v in pb.variables2
-             if v != "magnitude" and v in variables]
+             if v != "magnitude" and v in var_idx]
     vars1 = list(dict.fromkeys(vars1))
     vars2 = list(dict.fromkeys(vars2))
+    n1, n2 = len(vars1), len(vars2)
+    need_hessian = bool(hess_probes) and n1 > 0 and n2 > 0
 
     # which state attributes the diff probes read
     attrs = []
@@ -284,10 +314,14 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                if not isinstance(pb, (Jacobian, Hessian))]
     eval_probes = tuple(regular) + tuple(Adc(attr=a, name=f"_d_{a}") for a in attrs)
 
-    def run(eps):
+    dtype = jnp.result_type(jax.tree.leaves(sm)[0])
+    dummy = nvars  # extra eps slot absorbing padded tangent columns
+
+    def run_vec(eps_vec, sm_in):
+        eps = {var: eps_vec[i] for i, var in enumerate(variables)}
         seq2 = [substitute(op, eps) for op in sequence]
         plan_kinds, payload = plan_builder(seq2)
-        _, chunks = executor(plan_kinds, payload, eval_probes, sm)
+        _, chunks = executor(plan_kinds, payload, eval_probes, sm_in)
         # chunks -> per-probe stacked outputs, complex split for autodiff
         merged = chunks[0] if len(chunks) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
@@ -300,92 +334,142 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                 out.append((v, jnp.zeros_like(v)))
         return tuple(out)
 
-    zero = jnp.zeros((), sm.states_re.dtype)
-    eps0 = {var: zero for var in variables}
-    eps1_0 = {var: zero for var in vars1}
-    eps2_0 = {var: zero for var in vars2}
+    # chunk sizes (tangent columns per compiled call)
+    cj = nvars if not jacobian_chunk else min(int(jacobian_chunk), nvars)
+    c1 = n1 if not jacobian_chunk else min(int(jacobian_chunk), n1)
+    c2 = n2 if not jacobian_chunk else min(int(jacobian_chunk), n2)
 
-    def f(eps):
-        return run(eps)
+    idx_j, nchunks_j = _pad_index(range(nvars), cj) if nvars else (None, 0)
+    idx_1, nchunks_1 = _pad_index([var_idx[v] for v in vars1], c1) \
+        if need_hessian else (None, 0)
+    idx_2, nchunks_2 = _pad_index([var_idx[v] for v in vars2], c2) \
+        if need_hessian else (None, 0)
+    for idx in (idx_j, idx_1, idx_2):
+        if idx is not None:
+            idx[idx < 0] = dummy
 
-    def f2(eps1, eps2):
-        # independent tangent sets; shared variables get both shifts
-        eps = dict(eps0)
-        for v, e in eps1.items():
-            eps[v] = eps[v] + e
-        for v, e in eps2.items():
-            eps[v] = eps[v] + e
-        return run(eps)
-
-    # cache the compiled program across calls on the same operator objects
+    # cache the compiled programs across calls on the same operator objects
     # (jax.jit of a fresh closure would otherwise recompile every call)
     cache_key = (
         tuple(id(op) for op in sequence),
         tuple(id(pb) for pb in probes),
         tuple(variables), tuple(vars1), tuple(vars2), need_hessian,
+        cj, c1, c2,
         jax.tree.structure(sm),
         tuple((jnp.shape(l), jnp.result_type(l).name) for l in jax.tree.leaves(sm)),
     )
     cached = _PROGRAM_CACHE.get(cache_key)
     if cached is None:
-        def program(eps, eps1, eps2, sm_in):
-            nonlocal sm
-            sm, sm_prev = sm_in, sm
-            try:
-                value = f(eps)
-                jac = jax.jacfwd(f)(eps)
-                hess = (jax.jacfwd(jax.jacfwd(f2, argnums=0), argnums=1)(
-                    eps1, eps2) if need_hessian else None)
-            finally:
-                sm = sm_prev
-            return value, jac, hess
+        zero_vec = jnp.zeros((nvars + 1,), dtype)
+        idx_j_arr = None if idx_j is None else jnp.asarray(idx_j)
+        idx_1_arr = None if idx_1 is None else jnp.asarray(idx_1)
+        idx_2_arr = None if idx_2 is None else jnp.asarray(idx_2)
 
-        cached = (jax.jit(program), list(sequence), tuple(probes))
+        def value_prog(sm_in):
+            return run_vec(zero_vec, sm_in)
+
+        def jac_prog(offset, sm_in):
+            pos = jax.lax.dynamic_slice(idx_j_arr, (offset,), (cj,))
+
+            def g(chunk):
+                return run_vec(zero_vec.at[pos].add(chunk), sm_in)
+
+            return jax.jacfwd(g)(jnp.zeros((cj,), dtype))
+
+        def hess_prog(off1, off2, sm_in):
+            pos1 = jax.lax.dynamic_slice(idx_1_arr, (off1,), (c1,))
+            pos2 = jax.lax.dynamic_slice(idx_2_arr, (off2,), (c2,))
+
+            def g2(e1, e2):
+                # independent tangent sets; shared variables get both
+                return run_vec(zero_vec.at[pos1].add(e1).at[pos2].add(e2),
+                               sm_in)
+
+            # inner jacfwd appends the vars1 axis, outer the vars2 axis:
+            # block leaves are (..., c1, c2)
+            return jax.jacfwd(jax.jacfwd(g2, argnums=0), argnums=1)(
+                jnp.zeros((c1,), dtype), jnp.zeros((c2,), dtype))
+
+        if not jacobian_chunk:
+            # single fused program: one dispatch per call
+            def fused(sm_in):
+                value = value_prog(sm_in)
+                jac = jac_prog(0, sm_in) if nvars else None
+                hess = hess_prog(0, 0, sm_in) if need_hessian else None
+                return value, jac, hess
+
+            cached = ("fused", jax.jit(fused), list(sequence), tuple(probes))
+        else:
+            cached = ("chunked", jax.jit(value_prog), jax.jit(jac_prog),
+                      jax.jit(hess_prog) if need_hessian else None,
+                      list(sequence), tuple(probes))
         if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
             _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         _PROGRAM_CACHE[cache_key] = cached
 
-    value, jac, hess = cached[0](eps0, eps1_0, eps2_0, sm)
-    # single batched host fetch: device_get prefetches every leaf's d2h
-    # copy asynchronously before blocking, so the (possibly hundreds of)
-    # per-variable arrays cost one round-trip latency instead of one each
-    value, jac, hess = jax.device_get((value, jac, hess))
+    def _cat(parts, axis):
+        """Concatenate host pytrees of chunk results along a tangent axis."""
+        if len(parts) == 1:
+            return parts[0]
+        return jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=axis), *parts)
+
+    if cached[0] == "fused":
+        value, jac, hess = jax.device_get(cached[1](sm))
+    else:
+        _, value_fn, jac_fn, hess_fn = cached[:4]
+        # one batched host fetch per chunk call: device_get prefetches all
+        # leaves' d2h copies before blocking (one round-trip, not one per
+        # variable -- critical through the tunnel)
+        value = jax.device_get(value_fn(sm))
+        jac = None
+        if nvars:
+            jac = _cat([jax.device_get(jac_fn(k * cj, sm))
+                        for k in range(nchunks_j)], axis=-1)
+        hess = None
+        if need_hessian:
+            rows = []
+            for a in range(nchunks_1):
+                row = [jax.device_get(hess_fn(a * c1, b * c2, sm))
+                       for b in range(nchunks_2)]
+                rows.append(_cat(row, axis=-1))
+            hess = _cat(rows, axis=-2)
 
     def _c(pair):
         return np.asarray(pair[0]) + 1j * np.asarray(pair[1])
 
-    def _cd(pair_of_dicts, var):
-        re, im = pair_of_dicts
-        return np.asarray(re[var]) + 1j * np.asarray(im[var])
-
-    def _cdd(pair, v1, v2):
-        re, im = pair
-        return np.asarray(re[v1][v2]) + 1j * np.asarray(im[v1][v2])
-
     # assemble outputs per probe, in order
     values_np = [_c(v) for v in value]
     sig_by_attr = {a: values_np[len(regular) + i] for i, a in enumerate(attrs)}
-    jac_by_attr = {a: jac[len(regular) + i] for i, a in enumerate(attrs)}
-    hess_by_attr = {a: (hess[len(regular) + i] if hess else None)
-                    for i, a in enumerate(attrs)}
+    jac_by_attr = {}
+    hess_by_attr = {}
+    for i, a in enumerate(attrs):
+        jac_by_attr[a] = _c(jac[len(regular) + i]) if jac is not None else None
+        hess_by_attr[a] = _c(hess[len(regular) + i]) if hess is not None else None
+
+    row1 = {v: k for k, v in enumerate(vars1)}
+    col2 = {v: k for k, v in enumerate(vars2)}
 
     out = []
-    for ip, pb in enumerate(probes):
+    for pb in probes:
         if isinstance(pb, Jacobian):
             sig = sig_by_attr[pb.probe_attr]
             zeros = np.zeros_like(sig)
+            jarr = jac_by_attr[pb.probe_attr]
             cols = []
             for var in pb.variables:
                 if var == "magnitude":
                     cols.append(sig)
-                elif var in variables:
-                    cols.append(_cd(jac_by_attr[pb.probe_attr], var))
+                elif var in var_idx:
+                    cols.append(jarr[..., var_idx[var]])
                 else:
                     cols.append(zeros)
             out.append(np.stack(cols, axis=-1))
         elif isinstance(pb, Hessian):
             sig = sig_by_attr[pb.probe_attr]
             zeros = np.zeros_like(sig)
+            jarr = jac_by_attr[pb.probe_attr]
+            harr = hess_by_attr[pb.probe_attr]
             rows = []
             for v1 in pb.variables1:
                 row = []
@@ -393,13 +477,13 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                     if v1 == "magnitude" and v2 == "magnitude":
                         row.append(zeros)
                     elif v1 == "magnitude":
-                        row.append(_cd(jac_by_attr[pb.probe_attr], v2)
-                                   if v2 in variables else zeros)
+                        row.append(jarr[..., var_idx[v2]]
+                                   if v2 in var_idx else zeros)
                     elif v2 == "magnitude":
-                        row.append(_cd(jac_by_attr[pb.probe_attr], v1)
-                                   if v1 in variables else zeros)
-                    elif v1 in variables and v2 in variables:
-                        row.append(_cdd(hess_by_attr[pb.probe_attr], v1, v2))
+                        row.append(jarr[..., var_idx[v1]]
+                                   if v1 in var_idx else zeros)
+                    elif v1 in row1 and v2 in col2:
+                        row.append(harr[..., row1[v1], col2[v2]])
                     else:
                         row.append(zeros)
                 rows.append(np.stack(row, axis=-1))

@@ -13,7 +13,8 @@ equivalents here:
 """
 
 from .mesh import make_mesh, atom_sharding
-from .crlb import crlb_train_step, fingerprint_crlb_loss
+from .crlb import (crlb_train_step, fingerprint_crlb_loss,
+                   mrf_design_loss, mrf_design_step)
 from .match import dictionary_match
 
 __all__ = [

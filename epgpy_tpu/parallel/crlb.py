@@ -26,7 +26,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.mrf import fisp_mrf_signal
 
-__all__ = ["fingerprint_crlb_loss", "crlb_train_step"]
+__all__ = ["fingerprint_crlb_loss", "crlb_train_step",
+           "mrf_design_loss", "mrf_design_step", "FA_BOUNDS", "TR_BOUNDS"]
 
 
 def _atom_signal_ri(FA, T1, T2, *, TR, TE, nstate):
@@ -129,3 +130,74 @@ def crlb_train_step(FA, T1s, T2s, mesh: Mesh, *, lr=0.5, **opts):
     loss, grad = jax.value_and_grad(
         lambda fa: fingerprint_crlb_loss(fa, T1s, T2s, mesh, **opts))(FA)
     return FA - lr * grad, loss
+
+
+# -- reference-scale constrained design: FA + TR, 2*nTR free parameters --
+# (reference examples/sequence/optim_mrf.py:39-156: 400 TRs, SLSQP with
+# bounds alpha in [10,60], TR in [11,16] and |dalpha| < 1.  Here: projected
+# gradient -- reverse-mode grad of the CRLB replaces the reference's
+# 800-tangent analytic Hessian route, and the box constraints become a
+# projection after each step; the smoothness constraint a soft penalty.)
+
+FA_BOUNDS = (10.0, 60.0)
+TR_BOUNDS = (11.0, 16.0)
+
+
+def _atom_crlb_mt1t2(FA, TR, T1, T2, *, TE, nstate, inversion, sigma2,
+                     ridge):
+    """CRLB of (magnitude, T1, T2) for one atom, reference weighting.
+
+    J columns: the signal itself (d/d magnitude at m=1) and the T1/T2
+    sensitivities; W = diag(1, 1/T1^2, 1/T2^2); crlb = tr(W inv(J'J/s2))
+    (reference epgpy/stats.py:6-36 + optim_mrf.py:57-60).
+    """
+    def f(t1, t2):
+        re, im = fisp_mrf_signal(FA, 90.0, TR, TE, t1, t2, 1.0,
+                                 nstate=nstate, inversion=inversion)
+        return jnp.concatenate([re, im])
+
+    s = f(T1, T2)
+    d1, d2 = jax.jacfwd(f, argnums=(0, 1))(T1, T2)
+    J = jnp.stack([s, d1, d2], axis=-1)                      # (2P, 3)
+    fisher = J.T @ J / sigma2 + ridge * jnp.eye(3, dtype=J.dtype)
+    w = jnp.asarray([1.0, 1.0 / T1**2, 1.0 / T2**2], J.dtype)
+    return jnp.sum(w * jnp.diag(jnp.linalg.inv(fisher)))
+
+
+def mrf_design_loss(FA, TR, T1s, T2s, mesh: Mesh, *, TE=5.0, nstate=10,
+                    inversion=20.0, sigma2=10.0, ridge=1e-9,
+                    smooth_weight=0.0):
+    """Mean (magnitude, T1, T2)-CRLB over the sharded atom grid.
+
+    FA/TR are (P,) free per-pulse parameters (replicated); atoms shard
+    over the ``atoms`` mesh axis; the mean rides a pmean.  An optional
+    quadratic penalty enforces the reference's |FA_i - FA_{i-1}| < 1
+    smoothness constraint softly.
+    """
+    def shard_fn(FA, TR, T1s, T2s):
+        crlb = jax.vmap(
+            lambda t1, t2: _atom_crlb_mt1t2(
+                FA, TR, t1, t2, TE=TE, nstate=nstate, inversion=inversion,
+                sigma2=sigma2, ridge=ridge)
+        )(T1s, T2s)
+        loss = jax.lax.pmean(jnp.mean(crlb), "atoms")
+        if smooth_weight:
+            excess = jnp.maximum(jnp.abs(jnp.diff(FA)) - 1.0, 0.0)
+            loss = loss + smooth_weight * jnp.sum(excess**2)
+        return loss
+
+    in_specs = (P(), P(), P("atoms"), P("atoms"))
+    return jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(), check_vma=False)(FA, TR, T1s, T2s)
+
+
+def mrf_design_step(FA, TR, T1s, T2s, mesh: Mesh, *, lr_fa=1.0, lr_tr=0.05,
+                    **opts):
+    """One projected-gradient step on (FA, TR); jit this (eager shard_map
+    is unsupported on some backends)."""
+    loss, (gFA, gTR) = jax.value_and_grad(
+        lambda fa, tr: mrf_design_loss(fa, tr, T1s, T2s, mesh, **opts),
+        argnums=(0, 1))(FA, TR)
+    FA = jnp.clip(FA - lr_fa * gFA, *FA_BOUNDS)
+    TR = jnp.clip(TR - lr_tr * gTR, *TR_BOUNDS)
+    return FA, TR, loss

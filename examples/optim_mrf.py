@@ -1,0 +1,115 @@
+"""Constrained CRLB optimization of a 400-TR MRF sequence (800 parameters).
+
+Mirrors reference examples/sequence/optim_mrf.py:39-156: minimize the
+(magnitude, T1, T2) CRLB over per-pulse flip angles AND repetition times,
+with box constraints FA in [10, 60] deg, TR in [11, 16] ms and the
+|dFA| < 1 smoothness constraint (soft penalty here).
+
+TPU-native redesign: the reference drives 800 parameters through SLSQP
+with an analytically-accumulated Hessian (~800 derivative state matrices
+propagated per call).  Here the loss is the sharded-atom mean CRLB and its
+800-parameter gradient is ONE reverse-mode pass through the compiled scan
+(epgpy_tpu/parallel/crlb.py:mrf_design_step); constraints are a projection
+after each step.  Atoms shard over the ``atoms`` mesh axis.
+
+Env knobs: MRF_NTR (400), MRF_STEPS (30), MRF_ATOMS (16).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("MRF_CPU"):
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from epgpy_tpu.parallel import make_mesh, mrf_design_step  # noqa: E402
+from epgpy_tpu.parallel.crlb import FA_BOUNDS, TR_BOUNDS  # noqa: E402
+
+nTR = int(os.environ.get("MRF_NTR", 400))
+STEPS = int(os.environ.get("MRF_STEPS", 30))
+NATOMS = int(os.environ.get("MRF_ATOMS", 16))
+
+
+def initial_train(n):
+    """Reference-style init: sine FA ramp + smooth TR noise
+    (reference optim_mrf.py:103-130)."""
+    rng = np.random.RandomState(0)
+    nFA = 300
+    FA = []
+    for _ in range(n // nFA + 1):
+        ramp = np.sin(np.arange(1, 1 + nFA) * np.pi / nFA) * 50 + 10
+        ramp[-10:] = 10
+        FA.extend(ramp.tolist())
+    FA = np.clip(FA[:n], *FA_BOUNDS)
+    knots = rng.uniform(11.5, 14.5, n // 10 + 2)
+    x = np.arange(n) / 10.0
+    i = x.astype(int)
+    s = x - i
+    TR = knots[i] * (1 - (3 * s**2 - 2 * s**3)) + knots[i + 1] * (3 * s**2 - 2 * s**3)
+    return np.asarray(FA), np.clip(TR, *TR_BOUNDS)
+
+
+def main():
+    try:
+        devices = jax.devices("cpu") if os.environ.get("MRF_CPU") else jax.devices()
+    except RuntimeError:
+        devices = jax.devices()
+    mesh = make_mesh(devices, axes=("atoms",))
+    natoms = max(NATOMS // len(devices), 1) * len(devices)
+
+    rng = np.random.default_rng(1)
+    T1s = jnp.asarray(rng.uniform(400.0, 1600.0, natoms))
+    T2s = jnp.asarray(rng.uniform(40.0, 120.0, natoms))
+
+    FA0, TR0 = initial_train(nTR)
+    FA, TR = jnp.asarray(FA0), jnp.asarray(TR0)
+
+    step = jax.jit(lambda fa, tr: mrf_design_step(
+        fa, tr, T1s, T2s, mesh, nstate=10, smooth_weight=1e-3,
+        lr_fa=2.0, lr_tr=0.1))
+
+    print(f"Optimize MRF sequence: nTR={nTR}, params={2 * nTR}, "
+          f"atoms={natoms} on {len(devices)} devices")
+    tic = time.time()
+    losses = []
+    for it in range(STEPS):
+        FA, TR, loss = step(FA, TR)
+        losses.append(float(loss))
+        if it % 5 == 0 or it == STEPS - 1:
+            print(f"({it}) crlb={losses[-1]:.6f} "
+                  f"(elapsed {time.time() - tic:.0f}s)")
+    dur = time.time() - tic
+
+    FA_h, TR_h = np.asarray(FA), np.asarray(TR)
+    assert FA_h.min() >= FA_BOUNDS[0] - 1e-9 and FA_h.max() <= FA_BOUNDS[1] + 1e-9
+    assert TR_h.min() >= TR_BOUNDS[0] - 1e-9 and TR_h.max() <= TR_BOUNDS[1] + 1e-9
+    print(json.dumps({
+        "metric": "mrf_design_crlb", "initial": round(losses[0], 4),
+        "final": round(losses[-1], 4), "steps": STEPS, "nTR": nTR,
+        "nparams": 2 * nTR, "seconds": round(dur, 1),
+        "monotone": bool(all(a >= b for a, b in zip(losses, losses[1:]))),
+    }))
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(3, 1, figsize=(8, 8))
+        axes[0].plot(losses), axes[0].set_ylabel("CRLB")
+        axes[1].plot(FA0, "--", label="init"), axes[1].plot(FA_h, label="opt")
+        axes[1].set_ylabel("FA (deg)"), axes[1].legend()
+        axes[2].plot(TR0, "--"), axes[2].plot(TR_h)
+        axes[2].set_ylabel("TR (ms)")
+        fig.savefig("optim_mrf.png", dpi=100)
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

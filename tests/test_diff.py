@@ -270,3 +270,42 @@ def test_custom_derivative_matrix():
     sig2, jac2 = epg.simulate(seq2, probe=[epg.ADC, epg.Jacobian(["phi"])])
     assert np.abs(sig - sig2).max() < 1e-12
     assert np.abs(jac - jac2).max() < 1e-10
+
+
+def test_jacobian_chunked_matches_unchunked():
+    """jacobian_chunk=N yields bitwise-identical Jacobians (incl. padding:
+    5 variables in chunks of 2 -> one padded dummy column cropped)."""
+    T2 = 40.0
+    P = 5
+    names = [f"a_{i}" for i in range(P)]
+    seq = [epg.T(90, 90)]
+    for i in range(P):
+        seq += [epg.E(5.0, 1000.0, T2), epg.S(1),
+                epg.T(140.0 + i, 0.0, order1={names[i]: "alpha"}),
+                epg.E(5.0, 1000.0, T2), epg.S(1), epg.ADC]
+    probes = [epg.ADC, epg.Jacobian(["magnitude"] + names)]
+    sig_u, jac_u = epg.simulate(seq, probe=probes)
+    for chunk in (1, 2, 3, P, P + 3):
+        sig_c, jac_c = epg.simulate(seq, probe=probes, jacobian_chunk=chunk)
+        assert np.abs(sig_c - sig_u).max() < 1e-13
+        assert np.abs(jac_c - jac_u).max() < 1e-12, f"chunk={chunk}"
+
+
+def test_hessian_chunked_matches_unchunked():
+    """Hessian blocks assembled from jacobian_chunk tiles == dense result."""
+    T2 = 40.0
+    P = 4
+    names = [f"a_{i}" for i in range(P)]
+    seq = [epg.T(90, 90)]
+    for i in range(P):
+        seq += [epg.E(5.0, 1000.0, T2, order1={"T1": "T1", "T2": "T2"}),
+                epg.S(1),
+                epg.T(140.0 + i, 0.0, order1={names[i]: "alpha"}),
+                epg.E(5.0, 1000.0, T2, order1={"T1": "T1", "T2": "T2"}),
+                epg.S(1), epg.ADC]
+    probes = [epg.ADC, epg.Hessian(["magnitude", "T1", "T2"], names)]
+    sig_u, hess_u = epg.simulate(seq, probe=probes)
+    assert hess_u.shape == sig_u.shape + (3, P)
+    for chunk in (1, 3):
+        sig_c, hess_c = epg.simulate(seq, probe=probes, jacobian_chunk=chunk)
+        assert np.abs(hess_c - hess_u).max() < 1e-12, f"chunk={chunk}"

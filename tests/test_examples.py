@@ -29,3 +29,19 @@ def _run(name, monkeypatch, tmp_path):
 ])
 def test_example_smoke(name, monkeypatch, tmp_path):
     _run(name, monkeypatch, tmp_path)
+
+
+def test_profiling_differentiation_mrf_smoke(monkeypatch, tmp_path):
+    """Flagship diff example (scaled down; full 400-TR run documented in
+    docs/PERFORMANCE.md)."""
+    monkeypatch.setenv("MRF_NTR", "12")
+    monkeypatch.setenv("MRF_CHUNK", "5")
+    _run("profiling_differentiation_mrf.py", monkeypatch, tmp_path)
+
+
+def test_optim_mrf_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("MRF_CPU", "1")
+    monkeypatch.setenv("MRF_NTR", "24")
+    monkeypatch.setenv("MRF_STEPS", "2")
+    monkeypatch.setenv("MRF_ATOMS", "8")
+    _run("optim_mrf.py", monkeypatch, tmp_path)

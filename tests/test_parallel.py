@@ -109,3 +109,36 @@ def test_general_engine_sharding_propagates(cpu_devices):
     assert not leaf.sharding.is_fully_replicated
     dec = epg.simulate(seq_sh)
     assert np.abs(dec - ref).max() < 1e-12
+
+
+def test_mrf_design_400tr(cpu_devices):
+    """Reference-scale constrained CRLB design: 400 TRs, 800 parameters
+    (FA + TR with box constraints), sharded over the atom mesh
+    (reference examples/sequence/optim_mrf.py:39-156).  Three projected-
+    gradient steps must decrease the CRLB monotonically and keep every
+    parameter inside its bounds."""
+    from epgpy_tpu.parallel import mrf_design_step
+    from epgpy_tpu.parallel.crlb import FA_BOUNDS, TR_BOUNDS
+
+    nTR = 400
+    mesh = make_mesh(cpu_devices, axes=("atoms",))
+    rng = np.random.default_rng(3)
+    FA = jnp.asarray(np.clip(
+        np.sin(np.arange(1, nTR + 1) * np.pi / 300) * 50 + 10, 10, 60))
+    TR = jnp.asarray(rng.uniform(11.5, 14.5, nTR))
+    T1s = jnp.asarray(rng.uniform(400, 1600, 8))
+    T2s = jnp.asarray(rng.uniform(40, 120, 8))
+
+    step = jax.jit(lambda fa, tr: mrf_design_step(
+        fa, tr, T1s, T2s, mesh, nstate=10, smooth_weight=1e-3,
+        lr_fa=2.0, lr_tr=0.1))
+    losses = []
+    for _ in range(3):
+        FA, TR, loss = step(FA, TR)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[0] > losses[1] > losses[2], losses
+    FA_h, TR_h = np.asarray(FA), np.asarray(TR)
+    assert FA_h.shape == (nTR,) and TR_h.shape == (nTR,)
+    assert FA_h.min() >= FA_BOUNDS[0] and FA_h.max() <= FA_BOUNDS[1]
+    assert TR_h.min() >= TR_BOUNDS[0] and TR_h.max() <= TR_BOUNDS[1]
