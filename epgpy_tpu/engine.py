@@ -309,6 +309,7 @@ def _stack_block(block: _ScanBlock):
     exp() every step (the hand-fused models/ kernels hoist the same way).
     """
     from .ops.evolution import E, P, R
+    from .ops.exchange import X, precompute_exchange
     from .ops.scalarop import precompute_diagonal
 
     p, r = block.period, block.reps
@@ -319,6 +320,10 @@ def _stack_block(block: _ScanBlock):
             op = ops_j[0].strip_meta()
             if isinstance(op, (E, P, R)):
                 pre = precompute_diagonal(op, scan=False)
+                if pre is not None:
+                    op = pre
+            elif isinstance(op, X):
+                pre = precompute_exchange(op)
                 if pre is not None:
                     op = pre
             slots.append(_Const(op))

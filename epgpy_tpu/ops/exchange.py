@@ -27,7 +27,8 @@ import numpy as np
 from .. import common, config
 from . import base
 
-__all__ = ["X", "exchange_matrix", "exchange_operator"]
+__all__ = ["X", "exchange_matrix", "exchange_operator",
+           "PrecomputedExchange", "precompute_exchange"]
 
 
 def exchange_matrix(k, *, axis=-1, ncomp=2, densities=None):
@@ -179,25 +180,135 @@ class X(base.Operator):
                         "Exchange matrix `khi` does not conserve total "
                         "magnetization")
 
-        states = sm.states
-        eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
-        if states.shape[ax] == 1 and ncomp > 1:
-            states = jnp.concatenate([states] * ncomp, axis=ax)
-            eq = jnp.broadcast_to(eq, states.shape) if eq.shape[ax] == 1 else eq
-        elif states.shape[ax] != ncomp:
-            raise RuntimeError(
-                f"State matrix axis {ax} has size {states.shape[ax]}, "
-                f"expected {ncomp} compartments")
+        return _apply_exchange(sm, mat, ax)
 
-        # reference semantics (epgpy/exchange.py:103-120): contract the
-        # matrix's j-compartment axis (ax+1) with the states' compartment
-        # axis, inserted at ax+1 by expand_dims at ax
-        dev = states - jnp.broadcast_to(eq, states.shape)
-        dev_ins = jnp.expand_dims(dev, ax)          # (..., 1@ax, comp@ax+1, ..., K, 3)
-        need = dev_ins.ndim - mat.ndim
-        mat_e = mat.reshape(mat.shape[:-1] + (1,) * max(need, 0) + mat.shape[-1:])
-        new = jnp.sum(
-            jnp.moveaxis(mat_e, ax + 1, -1) * jnp.moveaxis(dev_ins, ax + 1, -1),
-            axis=-1,
-        )
-        return sm.update(states=new + jnp.broadcast_to(eq, new.shape))
+
+def _mat_elem(mat, i, j, comp, ax, nb):
+    """mat[..., i@ax, j@ax+1, comp] broadcast-ready against a lanes plane.
+
+    Remaining matrix batch dims left-align with the state batch dims minus
+    the compartment axis; pad trailing singletons and prepend the K axis.
+    """
+    m = mat[..., comp]
+    m = jax.lax.index_in_dim(m, j, ax + 1, keepdims=False)
+    m = jax.lax.index_in_dim(m, i, ax, keepdims=False)
+    return m.reshape((1,) + m.shape + (1,) * max(nb - 1 - m.ndim, 0))
+
+
+def _apply_exchange_lanes(sm, mat, ax):
+    """Lanes-layout exchange: per-plane explicit compartment mixing.
+
+    The (K, *batch) planes never restack into a (batch, K, 3) array (which
+    tile-pads 3 -> 128 lanes on TPU); the ncomp x ncomp mix is unrolled
+    into elementwise madds per plane.
+    """
+    ncomp = mat.shape[ax]
+    nb = sm.ndim
+    pax = 1 + ax  # compartment axis in plane coordinates (K leads)
+    planes = sm.planes
+    new_planes = []
+    for comp in range(3):
+        p = planes[comp]
+        e = jnp.asarray(_join_eq(sm, comp), dtype=p.dtype)
+        if p.shape[pax] == 1 and ncomp > 1:
+            p = jnp.concatenate([p] * ncomp, axis=pax)
+        e = jnp.broadcast_to(e, p.shape)
+        dev = p - e
+        devs = [jax.lax.index_in_dim(dev, j, pax, keepdims=False)
+                for j in range(ncomp)]
+        outs = []
+        for i in range(ncomp):
+            acc = None
+            for j in range(ncomp):
+                term = _mat_elem(mat, i, j, comp, ax, nb) * devs[j]
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        new_planes.append(jnp.stack(outs, axis=pax) + e)
+    return sm.update(states_lanes=tuple(new_planes))
+
+
+def _join_eq(sm, comp):
+    re = sm.equilibrium_re[comp]
+    im = sm.equilibrium_im[comp]
+    return jax.lax.complex(jnp.asarray(re, config.real_dtype()),
+                           jnp.asarray(im if im is not None else
+                                       jnp.zeros_like(re),
+                                       config.real_dtype()))
+
+
+def _apply_exchange(sm, mat, ax):
+    """Apply the (..., ncomp@ax, ncomp@ax+1, ..., 3) mixing matrix."""
+    if sm.lanes:
+        return _apply_exchange_lanes(sm, mat, ax)
+    ncomp = mat.shape[ax]
+    states = sm.states
+    eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
+    if states.shape[ax] == 1 and ncomp > 1:
+        states = jnp.concatenate([states] * ncomp, axis=ax)
+        eq = jnp.broadcast_to(eq, states.shape) if eq.shape[ax] == 1 else eq
+    elif states.shape[ax] != ncomp:
+        raise RuntimeError(
+            f"State matrix axis {ax} has size {states.shape[ax]}, "
+            f"expected {ncomp} compartments")
+
+    # reference semantics (epgpy/exchange.py:103-120): contract the
+    # matrix's j-compartment axis (ax+1) with the states' compartment
+    # axis, inserted at ax+1 by expand_dims at ax
+    dev = states - jnp.broadcast_to(eq, states.shape)
+    dev_ins = jnp.expand_dims(dev, ax)          # (..., 1@ax, comp@ax+1, ..., K, 3)
+    need = dev_ins.ndim - mat.ndim
+    mat_e = mat.reshape(mat.shape[:-1] + (1,) * max(need, 0) + mat.shape[-1:])
+    new = jnp.sum(
+        jnp.moveaxis(mat_e, ax + 1, -1) * jnp.moveaxis(dev_ins, ax + 1, -1),
+        axis=-1,
+    )
+    return sm.update(states=new + jnp.broadcast_to(eq, new.shape))
+
+
+@base.register_op
+class PrecomputedExchange(base.Operator):
+    """Exchange op with the expm mixing matrix precomputed (engine-internal).
+
+    The scan planner converts concrete scan-constant X ops into this form:
+    the (Pade) matrix exponential is evaluated ONCE at plan-build time
+    instead of inside every scan iteration (its lax control flow would not
+    reliably hoist as loop-invariant).
+    """
+
+    PARAMS = ("mat_re", "mat_im")
+
+    def __init__(self, mat_re, mat_im, axis=0, name=None, **kwargs):
+        self.mat_re = mat_re
+        self.mat_im = mat_im
+        self.axis = int(axis)
+        super().__init__(name=name or "PrecomputedExchange", **kwargs)
+
+    @property
+    def shape(self):
+        mshape = tuple(self.mat_re.shape[:-1])
+        return tuple(d for i, d in enumerate(mshape) if i != self.axis + 1)
+
+    def apply(self, sm):
+        mat = jax.lax.complex(
+            jnp.asarray(self.mat_re, config.real_dtype()),
+            jnp.asarray(self.mat_im, config.real_dtype()))
+        return _apply_exchange(sm, mat, self.axis)
+
+
+def precompute_exchange(op):
+    """Build a PrecomputedExchange from a concrete X op (or None)."""
+    from .scalarop import _ambient_trace
+
+    if any(isinstance(l, jax.core.Tracer)
+           for l in jax.tree_util.tree_leaves(op)):
+        return None
+    if _ambient_trace():
+        return None
+
+    def prog(o):
+        mat = exchange_operator(o.tau, o.khi, axis=o.axis,
+                                T1=o.T1, T2=o.T2, g=o.g)
+        return jnp.real(mat), jnp.imag(mat)
+
+    mat_re, mat_im = jax.jit(prog)(op)
+    return PrecomputedExchange(mat_re, mat_im, axis=op.axis)

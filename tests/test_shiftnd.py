@@ -237,3 +237,48 @@ def test_exchange_tau_sweep():
     # transverse decays monotonically with mixing time in both pools
     mags = np.abs(out[0])
     assert np.all(np.diff(mags, axis=-1) < 0)
+
+
+def test_exchange_scanned_lanes_precomputed():
+    """A long EPG-X GRE train scan-compiles with the expm matrix
+    precomputed at plan time (no per-step Pade expm, no compat-layout
+    restack) and matches the eager per-op path exactly."""
+    from epgpy_tpu.engine import _plan_and_payload, _Const
+    from epgpy_tpu.ops.exchange import PrecomputedExchange
+
+    T1 = [1000.0, 500.0]
+    T2 = [80.0, 20.0]
+    TR, alpha, n = 10.0, 15.0, 500
+    Xop = epg.X(TR, 0.005, axis=-1, T1=T1, T2=T2, g=[0.0, 0.02])
+    seq = []
+    for i in range(n):
+        seq += [epg.T(alpha, 0), epg.ADC, Xop, epg.S(1)]
+
+    kinds, payload = _plan_and_payload(seq, cache=False)
+    assert kinds[0][0] == "scan"
+    _, slots = payload[0]
+    xslots = [s for s in slots
+              if isinstance(s, _Const) and isinstance(s.op, PrecomputedExchange)]
+    assert xslots, "scan-constant X was not precomputed"
+
+    init = np.array([0, 0, 0.5]) * np.ones((2, 1, 1))
+    kw = dict(max_nstate=12, init=init, density=[0.5, 0.5])
+    sig_scan = np.asarray(epg.simulate(seq, **kw))          # scan + lanes
+    sig_eager = np.asarray(epg.simulate(seq, jit=False, scan=False, **kw))
+    assert sig_scan.shape[0] == n
+    assert np.abs(sig_scan - sig_eager).max() < 1e-11
+
+
+def test_exchange_lanes_apply_matches_compat():
+    """X.apply on a lanes-layout state == compat layout (all components)."""
+    T1, T2 = [1000.0, 500.0], [80.0, 40.0]
+    sm = epg.StateMatrix(shape=(2, 3), nstate=4, density=[[0.5], [0.5]])
+    sm = epg.T(40, 30)(sm)
+    sm = epg.S(1)(sm)
+    sm = epg.T(70, 110)(sm)
+    Xop = epg.X(12.0, 0.02, axis=0, T1=T1, T2=T2, g=[0.0, 0.05])
+
+    out_compat = Xop(sm)
+    out_lanes = Xop(sm.to_lanes()).from_lanes()
+    assert np.abs(np.asarray(out_compat.states)
+                  - np.asarray(out_lanes.states)).max() < 1e-12
