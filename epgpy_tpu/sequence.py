@@ -13,6 +13,7 @@ order1/order2 coefficient dicts of the diff layer (epgpy_tpu/diff.py).
 from __future__ import annotations
 
 import operator as _py_operator
+import re
 from typing import Dict, List
 
 import jax
@@ -663,45 +664,74 @@ class Sequence:
         return confint
 
 
+_FORMAT_FIELD = re.compile(r"\{[^{}]*\}")
+
+
+def _fill_first_field(template: str, index: int) -> str:
+    """Fill only the FIRST format field of `template` with a 1-based index.
+
+    Later fields are left verbatim so each nesting level of `repeat`
+    consumes exactly one field: ``"a{:02d}_{}"`` becomes ``"a01_{}"`` at
+    the outer level and ``"a01_03"`` one level deeper.
+    """
+    match = _FORMAT_FIELD.search(template)
+    if match is None:
+        return template
+    return (template[:match.start()]
+            + match.group(0).format(index)
+            + template[match.end():])
+
+
+def _per_repetition(value, n: int):
+    """Value of one mapping entry at repetition `n` (0-based)."""
+    if isinstance(value, list):
+        return value[n]
+    if isinstance(value, str):
+        return _fill_first_field(value, n + 1)
+    return value
+
+
 def repeat(ops, nrep=None, **mapping):
-    """Clone a block of virtual operators, remapping variables per repetition
-    (MRF train builder, reference epgpy/sequence.py:343-385)."""
+    """Clone a block of virtual operators, remapping variables per repetition.
+
+    `mapping` renames/assigns each listed variable per repetition: a string
+    value is a name template (one format field consumed per nesting level),
+    a list supplies one entry per repetition (and determines the count when
+    `nrep` is omitted).  Nested repetition comes from `nrep` as a list of
+    counts, or implicitly from nested list values.  Returns a nested list
+    of operators -- the MRF train builder (semantics parity with reference
+    epgpy/sequence.py:343-385, docs/sequence.md:183-205).
+    """
     if isinstance(ops, Sequence):
         ops = ops.operators
     if not isinstance(ops, list):
         raise ValueError(f"Expecting operator list, got {type(ops)}")
 
-    if nrep:
-        implicit = False
-        nrep = [nrep] if isinstance(nrep, int) else list(nrep)
-    else:
-        nvals = {len(v) for v in mapping.values() if isinstance(v, list)}
-        if len(nvals) > 1:
-            raise ValueError(f"Inconsistent lengths in mapping values: {nvals}")
-        if not nvals:
+    inferred = not nrep
+    if inferred:
+        lengths = {len(v) for v in mapping.values() if isinstance(v, list)}
+        if len(lengths) > 1:
+            raise ValueError(
+                f"Inconsistent lengths in mapping values: {lengths}")
+        if not lengths:
             raise ValueError("Unknown number of repetitions")
-        implicit = True
-        nrep = (nvals.pop(),)
+        counts = [lengths.pop()]
+    else:
+        counts = [nrep] if isinstance(nrep, int) else list(nrep)
 
-    nrep0, nnext = nrep[0], nrep[1:]
-    repetition = []
-    for n in range(nrep0):
-        _mapping = {}
-        for name, value in mapping.items():
-            if isinstance(value, list):
-                value = value[n]
-            elif isinstance(value, str):
-                value = value.format(n + 1, *["{}"] * 10)
-            _mapping[name] = value
-        has_list = any(isinstance(v, list) for v in _mapping.values())
-        if nnext or (implicit and has_list):
-            repetition.append(repeat(ops, nnext, **_mapping))
-        else:
-            block = []
-            for op in ops:
-                op = STR_OPERATORS.get(op, op)
-                if isinstance(op, VirtualOperator):
-                    op = op.map(_mapping)
-                block.append(op)
-            repetition.append(block)
-    return repetition
+    deeper = counts[1:]
+    blocks = []
+    for n in range(counts[0]):
+        level = {name: _per_repetition(value, n)
+                 for name, value in mapping.items()}
+        unresolved = any(isinstance(v, list) for v in level.values())
+        if deeper or (inferred and unresolved):
+            blocks.append(repeat(ops, deeper or None, **level))
+            continue
+        block = []
+        for op in ops:
+            op = STR_OPERATORS.get(op, op)
+            block.append(op.map(level) if isinstance(op, VirtualOperator)
+                         else op)
+        blocks.append(block)
+    return blocks
