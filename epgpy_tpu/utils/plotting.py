@@ -13,12 +13,65 @@ import numpy as np
 from .. import engine, statematrix
 from ..ops import probe as probe_mod, shift as shift_mod, transition
 
-__all__ = ["plot_epg", "show"]
+__all__ = ["plot_epg", "show", "k_colors_1d", "k_colors_2d"]
 
 
 def show():
     from matplotlib import pyplot as plt
     plt.show()
+
+
+# -- k-coordinate color coding (n-D shift diagrams) --
+# With kdim >= 2 each EPG line only draws one k axis; the remaining
+# transverse coordinate(s) are encoded in the line color (semantics
+# target: reference epgpy/plotting.py:231-295).
+
+
+def k_colors_1d(v, vmax):
+    """Colors for one off-axis k coordinate (plasma, symmetric range)."""
+    from matplotlib import pyplot as plt
+    v = np.asarray(v, float)
+    if vmax:
+        v = (np.clip(v, -vmax, vmax) / vmax + 1.0) / 2.0
+    return plt.cm.plasma(v)
+
+
+def k_colors_2d(x, y, xmax, ymax):
+    """Color wheel for two off-axis k coordinates.
+
+    Hue encodes the in-plane angle, saturation the radius (HSV wheel) --
+    states at the k-plane origin render gray, distinct quadrants get
+    distinct hues.
+    """
+    from matplotlib.colors import hsv_to_rgb
+    x = np.clip(np.asarray(x, float) / (xmax or 1.0), -1, 1)
+    y = np.clip(np.asarray(y, float) / (ymax or 1.0), -1, 1)
+    hue = (np.arctan2(y, x) / (2 * np.pi)) % 1.0
+    sat = np.clip(np.hypot(x, y), 0.0, 1.0)
+    val = np.full_like(hue, 0.8)
+    return hsv_to_rgb(np.stack([hue, sat, val], axis=-1))
+
+
+def _add_k_colorbar(ax, axes_idx, kmaxes, n=31):
+    """Inset legend mapping line colors back to off-axis k values."""
+    if len(axes_idx) == 1:
+        inset = ax.inset_axes([0.02, 0.72, 0.06, 0.25])
+        ramp = np.linspace(-kmaxes[0], kmaxes[0], n)
+        inset.imshow(k_colors_1d(ramp[:, None], kmaxes[0]), origin="lower",
+                     aspect="auto", extent=(0, 1, -kmaxes[0], kmaxes[0]))
+        inset.set_xticks([])
+        inset.yaxis.tick_right()
+        inset.set_title(f"k{axes_idx[0]}", fontsize=8)
+    else:
+        inset = ax.inset_axes([0.02, 0.72, 0.16, 0.25])
+        gx, gy = np.meshgrid(np.linspace(-kmaxes[0], kmaxes[0], n),
+                             np.linspace(-kmaxes[1], kmaxes[1], n))
+        inset.imshow(k_colors_2d(gx, gy, kmaxes[0], kmaxes[1]),
+                     origin="lower",
+                     extent=(-kmaxes[0], kmaxes[0], -kmaxes[1], kmaxes[1]))
+        inset.set_xlabel(f"k{axes_idx[0]}", fontsize=8)
+        inset.set_ylabel(f"k{axes_idx[1]}", fontsize=8)
+        inset.tick_params(labelsize=6)
 
 
 def _get_shift(op, kvalue):
@@ -56,6 +109,25 @@ def plot_epg(seq, *, kvalue=1, kgrid=None, yaxis=0, ops="S,T,E", title=None,
     yax = int(np.arange(kdim)[yaxis])
     index0 = lambda arr, nb: np.asarray(arr)[(0,) * nb]
 
+    # off-axis k coordinates are encoded in line colors; their range is
+    # bounded by the per-axis sum of |shift| over the sequence
+    others = [i for i in range(kdim) if i != yax][:2]
+    ksum = np.zeros(kdim)
+    for op in seq:
+        if isinstance(op, shift_mod.S):
+            sv = _get_shift(op, kvalue)
+            n = min(len(sv), kdim)
+            ksum[:n] += np.abs(sv[:n])
+    kmaxes = [max(float(ksum[i]), 1e-12) for i in others]
+
+    def _line_color(krow):
+        if not others:
+            return "k"
+        if len(others) == 1:
+            return k_colors_1d(krow[others[0]], kmaxes[0])
+        return k_colors_2d(krow[others[0]], krow[others[1]],
+                           kmaxes[0], kmaxes[1])
+
     now = 0.0
     for op in seq:
         prev, now = now, now + float(np.max(np.asarray(op.duration)))
@@ -88,7 +160,7 @@ def plot_epg(seq, *, kvalue=1, kgrid=None, yaxis=0, ops="S,T,E", title=None,
                     continue
                 y0 = float(ks[i, yax] - shiftvec[yax])
                 y1 = float(ks[i, yax])
-                ax_epg.plot([prev, now], [y0, y1], color="k",
+                ax_epg.plot([prev, now], [y0, y1], color=_line_color(ks[i]),
                             alpha=max(mag ** calpha, 0.05),
                             lw=1 + cwidth * mag)
         elif isinstance(op, probe_mod.Probe):
@@ -104,10 +176,12 @@ def plot_epg(seq, *, kvalue=1, kgrid=None, yaxis=0, ops="S,T,E", title=None,
                     if mag < 1e-6:
                         continue
                     y = float(ks[i, yax])
-                    ax_epg.plot([prev, now], [y, y], color="k",
+                    ax_epg.plot([prev, now], [y, y], color=_line_color(ks[i]),
                                 alpha=max(mag ** calpha, 0.05),
                                 lw=1 + cwidth * mag)
 
+    if others:
+        _add_k_colorbar(ax_epg, others, kmaxes)
     ax_epg.axhline(0, color="C0", lw=0.5)
     ax_epg.set_xlabel("time (ms)")
     ax_epg.set_ylabel(f"k (axis {yax})")

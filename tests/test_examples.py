@@ -45,3 +45,7 @@ def test_optim_mrf_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MRF_STEPS", "2")
     monkeypatch.setenv("MRF_ATOMS", "8")
     _run("optim_mrf.py", monkeypatch, tmp_path)
+
+
+def test_hyperecho3d_smoke(monkeypatch, tmp_path):
+    _run("hyperecho3d.py", monkeypatch, tmp_path)

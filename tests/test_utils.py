@@ -69,3 +69,22 @@ def test_unit_conversions():
 def test_axes_enum():
     ax = helpers.Axes("T2", "B1")
     assert ax.T2 == 0 and ax.B1 == 1
+
+
+def test_k_colors_maps():
+    """Off-axis k colormaps: shape, range, and origin behavior."""
+    from epgpy_tpu.utils.plotting import k_colors_1d, k_colors_2d
+
+    c1 = k_colors_1d(np.linspace(-3, 3, 7), 2.0)
+    assert c1.shape == (7, 4)
+    assert (c1 >= 0).all() and (c1 <= 1).all()
+    # clipping: values beyond +-vmax saturate to the endpoint colors
+    assert np.allclose(c1[0], k_colors_1d(-2.0, 2.0))
+    assert np.allclose(c1[-1], k_colors_1d(2.0, 2.0))
+
+    x, y = np.meshgrid(np.linspace(-1, 1, 5), np.linspace(-1, 1, 5))
+    c2 = k_colors_2d(x, y, 1.0, 1.0)
+    assert c2.shape == (5, 5, 3)
+    # the k-plane origin is desaturated (gray); corners are saturated hues
+    assert np.ptp(c2[2, 2]) < 1e-6
+    assert np.ptp(c2[0, 0]) > 0.5
