@@ -189,6 +189,15 @@ def substitute(op, eps: Dict[str, jnp.ndarray]):
     reference epgpy/opscalar.py:101-147) get first-order array shifts from
     the linear deltas and second-order shifts from their pairwise products.
     """
+    from .ops.combined import CombinedOp
+
+    if isinstance(op, CombinedOp):
+        # tracked parameters live on the constituents: substitute each
+        subs = [substitute(sub, eps) for sub in op.ops]
+        if all(s is o for s, o in zip(subs, op.ops)):
+            return op
+        return CombinedOp(subs, name=op.name, duration=op.duration)
+
     order1 = getattr(op, "order1", {}) or {}
     order2 = getattr(op, "order2", {}) or {}
     if not order1:

@@ -32,6 +32,17 @@ class CombinedOp(base.CombinableOperator):
             duration = sum((getattr(op, "duration", 0.0) or 0.0) for op in self.ops)
         name = name or "|".join(op.name for op in self.ops)
         base.Operator.__init__(self, name=name, duration=duration)
+        # expose the union of the constituents' tracked variables so the
+        # diff layer sees them (coefficients stay on the constituents;
+        # diff.substitute descends into self.ops)
+        merged1, merged2 = {}, {}
+        for op in self.ops:
+            for var in (getattr(op, "order1", {}) or {}):
+                merged1.setdefault(var, {})
+            for pair in (getattr(op, "order2", {}) or {}):
+                merged2.setdefault(pair, {})
+        self.order1 = merged1
+        self.order2 = merged2
 
     @classmethod
     def of(cls, first, second, *, name=None, duration=None):

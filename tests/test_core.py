@@ -167,3 +167,31 @@ def test_reference_namespace_aliases():
         assert ns.check_states(np.asarray([[0.1 + 0.2j, 0.1 - 0.2j, 0.5]]))
         assert not ns.check_states(np.asarray([[0.1 + 0.2j, 0.3, 0.5]]))
         assert ns.get_array_module().__name__ == "jax.numpy"
+
+
+def test_norm_conservation_scaled_equilibrium():
+    """Norm conservation holds for a non-unit equilibrium too (reference
+    test_statematrix.py:251-266, equilibrium=[0,0,10])."""
+    sm = epg.StateMatrix(equilibrium=[0, 0, 10], nstate=10)
+    assert np.allclose(np.asarray(sm.norm), 10.0)
+    for _ in range(10):
+        sm = epg.T(30, 30)(sm)
+        sm = epg.S(1)(sm)
+    assert np.allclose(np.asarray(sm.norm), 10.0)
+
+
+def test_norm_conservation_nd_shifts():
+    """T and n-D S conserve the norm on the coordinate table too."""
+    from epgpy_tpu.ops.shiftnd import _intdtype
+
+    sm = epg.StateMatrix(nstate=60)
+    sm = sm.setup_coords(3)
+    sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    sm = epg.T(90, 0)(sm)
+    norm0 = np.asarray(sm.norm)
+    ks = [np.array([[1, 0, 0]]), np.array([[0, 2, -1]]),
+          np.array([[1, 1, 1]])]
+    for k in ks:
+        sm = epg.S(k)(sm)
+        sm = epg.T(25, 130)(sm)
+        assert np.allclose(np.asarray(sm.norm), norm0)

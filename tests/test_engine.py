@@ -328,3 +328,69 @@ def test_squeeze_preserves_tracked_ops():
     assert len(tracked) == 1
     sig, jac = epg.simulate(squeezed, probe=[epg.ADC, epg.Jacobian(["T2"])])
     assert np.abs(jac).max() > 0
+
+
+def test_modify_semantics_matrix():
+    """Reference modify() behavior matrix (reference
+    test/test_functions.py:110-193): instance dedup, timing preservation,
+    multi-dim expansion, chained modify, expand=False, custom modifiers."""
+    import pytest
+
+    pulse = epg.T(90, 0, duration=1.0)
+    grad = epg.S(1, duration=5.0)
+    seq = [pulse, grad, pulse, epg.ADC]
+    assert seq[0] is seq[2]
+
+    # identity modifier returns the ops unchanged
+    newseq = epg.modify(seq, lambda op: op)
+    assert all(a is b for a, b in zip(newseq, seq))
+
+    # T2-only modifier: shared instances stay shared; timing unchanged
+    newseq = epg.modify(seq, T2=100.0)
+    assert len(newseq) == len(seq)
+    assert newseq[0] is newseq[2]
+    assert np.allclose(epg.get_adc_times(seq), epg.get_adc_times(newseq))
+    flat = epg.flatten_sequence(newseq)
+    # every positive-duration op gains a duration-matched zero-time E
+    from epgpy_tpu.ops.evolution import E as Eop
+    assert isinstance(flat[1], Eop)
+    assert float(np.asarray(flat[1].tau)) == 1.0      # matches T duration
+    assert float(np.asarray(flat[1].duration)) == 0.0  # no time added
+    assert isinstance(flat[3], Eop)
+    assert float(np.asarray(flat[3].tau)) == 5.0      # matches S duration
+
+    # multi-dim expansion: g on axis 1, att on axis 0
+    seq1 = [epg.T(90, 90), epg.Wait(1.0), epg.T(90, 90), epg.ADC]
+    newseq = epg.modify(seq1, g=[[0.0, 0.25, 0.5]], att=[1.0, 0.5])
+    assert epg.getshape(newseq) == (2, 3)
+    sig = np.asarray(epg.simulate(newseq))[0]
+    assert sig.shape == (2, 3)
+    assert np.isclose(sig[0, 0], 0.0, atol=1e-12)   # full inversion
+    assert np.isclose(sig[0, 1], 1j)                # saturated on y
+    assert np.isclose(sig[0, 2], 0.0, atol=1e-12)
+    assert np.isclose(sig[1, 0], 1.0)               # saturated on x
+    half = np.asarray(epg.simulate(
+        [epg.T(45, 180), epg.T(45, 90), epg.ADC]))
+    assert np.isclose(sig[1, 1], half.ravel()[0])
+
+    # chained modify appends axes; expand=False requires matching shape
+    seq2 = epg.modify(seq1, T2=[30.0, 40.0])
+    assert epg.getshape(seq2) == (2,)
+    seq3 = epg.modify(seq2, att=[1.0, 0.9, 0.7])
+    assert epg.getshape(seq3) == (2, 3)
+    seq4 = epg.modify(seq2, T2=[50.0, 60.0], expand=False)
+    assert epg.getshape(seq4) == (2,)
+    with pytest.raises(ValueError):
+        epg.simulate(epg.modify(seq2, att=[1.0, 0.9, 0.7], expand=False))
+
+    # custom modifier with extra kwargs
+    def modifier(op, x):
+        from epgpy_tpu.ops.transition import T as Top
+        if not isinstance(op, Top):
+            return op
+        return epg.T(op.alpha, op.phi * np.asarray(x))
+
+    seqc = epg.modify(seq1, modifier, x=0.1)
+    assert np.allclose(np.asarray(seqc[0].phi), 9.0)
+    seqc = epg.modify(seq1, modifier, x=[0.1, 0.2])
+    assert np.allclose(np.asarray(seqc[0].phi), [9.0, 18.0])
