@@ -96,13 +96,15 @@ _KNOWN_OPTIONS = frozenset({
 })
 
 
-def _capacity(sequence, nshift: int, max_nstate) -> int:
+def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
     """Static ladder half-capacity for the sequence.
 
     1-D integer sequences are exact with ``nshift``.  Coordinate-table
     sequences (n-D / float shifts) can populate up to the lattice box
-    ``prod_d (2 sum|k_d| + 1)`` (or 3^m splitting paths if smaller); cap
-    at ``max_nstate`` or DEFAULT_TABLE_NSTATE.
+    ``prod_d (2 sum|k_d| + 1)`` -- counted in merge-grid cells when the
+    table is float-valued (a 0.31 shift on a 0.01 grid spans 31 cells,
+    not 1) -- or 3^m splitting paths if smaller; cap at ``max_nstate``
+    or DEFAULT_TABLE_NSTATE.
     """
     from .ops.shift import S
 
@@ -115,14 +117,19 @@ def _capacity(sequence, nshift: int, max_nstate) -> int:
     # lattice-box bound per dimension
     kdim = max(op.kdim for op in shift_ops)
     sums = np.zeros(kdim)
+    any_float = False
     for op in shift_ops:
         if isinstance(op.k, int):
             sums[0] += abs(op.k)
             continue
         karr = np.atleast_2d(np.asarray(op.k, dtype=float))
+        if not np.issubdtype(np.asarray(op.k).dtype, np.integer):
+            any_float = True
         mags = np.max(np.abs(karr.reshape(-1, karr.shape[-1])), axis=0)
         sums[:len(mags)] += mags
-    box = int(np.prod(2 * np.ceil(sums) + 1))
+    if any_float and kgrid:
+        sums = sums / float(kgrid)
+    box = int(np.prod(np.minimum(2 * np.ceil(sums) + 1, 2**20)))
     paths = 3 ** min(len(shift_ops), 16)
     bound = (min(box, paths) - 1) // 2 + 1
     cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
@@ -550,9 +557,13 @@ def simulate(
     # StateMatrix's own max_nstate option counts too (the reference reads
     # sm.options during shifts, epgpy/shift.py:86-89)
     max_nstate = options.get("max_nstate")
-    if max_nstate is None and isinstance(init, StateMatrix):
-        max_nstate = init.options.get("max_nstate")
-    ncap = _capacity(sequence, nshift, max_nstate)
+    kgrid = options.get("kgrid")
+    if isinstance(init, StateMatrix):
+        if max_nstate is None:
+            max_nstate = init.options.get("max_nstate")
+        if kgrid is None:
+            kgrid = init.options.get("kgrid")
+    ncap = _capacity(sequence, nshift, max_nstate, kgrid)
 
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(

@@ -37,9 +37,7 @@ def main():
         z0 = np.asarray(epg.simulate(seq, kgrid=0.01, max_nstate=400,
                                      probe="Z0"))
         print(f"{tag}: |Z0| at hyperecho = {np.abs(z0).max():.6f}")
-        # float shifts merge on the kgrid: 1-D crowds one line and loses a
-        # few % to quantized merging; n-D refocuses exactly
-        assert np.abs(z0).max() > (0.95 if dim == 1 else 0.999)
+        assert np.abs(z0).max() > 0.999, "hyperecho must refocus"
         try:
             fig = plotting.plot_epg(
                 seq, kgrid=0.01,
