@@ -87,8 +87,54 @@ def exchange_operator(tau, khi, *, axis=0, T1=None, T2=None, g=None):
     return jnp.stack([mT, jnp.conj(mT), mL], axis=-1)
 
 
+def _expm2(m):
+    """Closed-form 2x2 matrix exponential (spectral formula).
+
+    expm(A) = e^mu [cosh(D) I + sinh(D)/D (A - mu I)] with mu = tr/2 and
+    D^2 = (a-d)^2/4 + bc.  The exponents mu +- D are combined BEFORE
+    exponentiation, so huge negative rates (T1 -> 0 limiting cases,
+    near-infinite exchange) underflow cleanly to 0 instead of producing
+    inf/inf = NaN as Pade scaling-and-squaring does.
+    """
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    mu = (a + d) / 2
+    delta = jnp.sqrt(((a - d) / 2) ** 2 + b * c)
+    l1, l2 = mu + delta, mu - delta
+    # the smaller-magnitude eigenvalue suffers catastrophic cancellation
+    # when |mu| ~ |delta| (one fast, one slow rate): recover it from the
+    # determinant product l1 * l2 = det(A)
+    det = a * d - b * c
+    big = jnp.where(jnp.abs(l1) >= jnp.abs(l2), l1, l2)
+    big_safe = jnp.where(big == 0, 1.0, big)
+    la = big
+    lb = jnp.where(big == 0, l2, det / big_safe)
+    diff = la - lb
+    degen = jnp.abs(diff) <= 1e-12 * (jnp.abs(la) + jnp.abs(lb)) + 1e-300
+    safe = jnp.where(degen, 1.0, diff)
+    ea, eb = jnp.exp(la), jnp.exp(lb)
+    # spectral form: expm = (ea (A - lb I) - eb (A - la I)) / (la - lb)
+    e00 = (ea * (a - lb) - eb * (a - la)) / safe
+    e01 = (ea - eb) * b / safe
+    e10 = (ea - eb) * c / safe
+    e11 = (ea * (d - lb) - eb * (d - la)) / safe
+    # degenerate eigenvalues: expm = e^mu (I + (A - mu I))
+    emu = jnp.exp(mu)
+    e00 = jnp.where(degen, emu * (1.0 + a - mu), e00)
+    e01 = jnp.where(degen, emu * b, e01)
+    e10 = jnp.where(degen, emu * c, e10)
+    e11 = jnp.where(degen, emu * (1.0 + d - mu), e11)
+    row0 = jnp.stack([e00, e01], axis=-1)
+    row1 = jnp.stack([e10, e11], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
 def _expm(mat):
-    """Batched matrix exponential (Pade scaling-and-squaring)."""
+    """Batched matrix exponential: closed form for 2 compartments,
+    Pade scaling-and-squaring otherwise (nonsymmetric eig is CPU-only
+    in XLA, reference epgpy/exchange.py:262-282 uses eig)."""
+    if mat.shape[-1] == 2:
+        return _expm2(mat)
     from jax.scipy.linalg import expm
     return expm(mat)
 

@@ -282,3 +282,71 @@ def test_exchange_lanes_apply_matches_compat():
     out_lanes = Xop(sm.to_lanes()).from_lanes()
     assert np.abs(np.asarray(out_compat.states)
                   - np.asarray(out_lanes.states)).max() < 1e-12
+
+
+def test_exchange_density_weighted_equilibria():
+    """Recovery targets the per-compartment density; density-weighted
+    exchange matrices leave a proportional state fixed
+    (reference test_exchange.py:66-78)."""
+    # fast recovery, no exchange: each compartment recovers to its density
+    sm0 = epg.StateMatrix([[[1, 1, 0]], [[3, 3, 0]]], density=[1.0, 3.0])
+    out = epg.X(10.0, 0.0, axis=0, T1=1e-10, T2=1e-10)(sm0)
+    assert np.allclose(np.asarray(out.states),
+                       [[[0, 0, 1]], [[0, 0, 3]]], atol=1e-8)
+    # fast density-weighted exchange, no relaxation: the proportional
+    # state is the fixed point
+    khi = np.array([[3e2, -1e2], [-3e2, 1e2]])
+    out = epg.X(10.0, khi, axis=0)(sm0)
+    assert np.allclose(np.asarray(out.states), np.asarray(sm0.states),
+                       atol=1e-8)
+
+
+def test_exchange_pure_t1_recovery():
+    """X with khi=0 reduces to independent per-compartment T1 recovery."""
+    sm0 = epg.StateMatrix([0, 0, 0], shape=(2,), density=[1.0, 1.0])
+    out = epg.X(10.0, 0.0, axis=0, T1=[1e10, 1e-10])(sm0)
+    states = np.asarray(out.states)
+    assert np.allclose(states[0], 0, atol=1e-9)         # no recovery
+    assert np.allclose(states[1], [0, 0, 1], atol=1e-9)  # full recovery
+
+
+def test_exchange_mixing_t1():
+    """Fast exchange averages the longitudinal rates."""
+    sm0 = epg.StateMatrix([0, 0, 0], shape=(2,), density=[0.5, 0.5])
+    tau, T1 = 10.0, np.array([20.0, 70.0])
+    out = epg.X(tau, 1e3, axis=0, T1=T1)(sm0)
+    mean_relax = 1 - np.exp(-np.mean(tau / T1))
+    # equilibrium density is 0.5 per compartment
+    assert np.allclose(np.asarray(out.states)[..., 2], 0.5 * mean_relax,
+                       atol=1e-4)
+
+
+def test_exchange_matrix_builder_ndim():
+    """exchange_matrix broadcasts rate arrays to (ncomp, ..., ncomp)."""
+    khi = epg.exchange_matrix([1.0, 1.0])
+    op = epg.X(1.0, khi)
+    assert op.shape == (2, 2)
+    assert np.allclose(np.asarray(khi).sum(axis=-2), 0)  # columns conserve
+
+
+def test_expm2_matches_pade():
+    """Closed-form 2x2 expm == Pade on well-conditioned random matrices,
+    and stays finite in the huge-rate regime where Pade NaNs."""
+    from jax.scipy.linalg import expm as pade
+    import jax.numpy as jnp
+    from epgpy_tpu.ops.exchange import _expm2
+
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(20, 2, 2)) + 1j * rng.normal(size=(20, 2, 2))
+    ours = np.asarray(_expm2(jnp.asarray(m)))
+    ref = np.asarray(pade(jnp.asarray(m)))
+    assert np.abs(ours - ref).max() < 1e-10
+    # degenerate (equal eigenvalues) branch
+    m_deg = np.array([[(-2.0 + 0j), 1.0], [0.0, -2.0]])
+    ours = np.asarray(_expm2(jnp.asarray(m_deg)))
+    assert np.allclose(ours, np.exp(-2.0) * np.array([[1, 1], [0, 1]]))
+    # extreme rates underflow cleanly
+    m_big = np.array([[-1e12 + 0j, 0.0], [0.0, -1e-3]])
+    ours = np.asarray(_expm2(jnp.asarray(m_big)))
+    assert np.isfinite(ours).all()
+    assert np.allclose(np.diag(ours), [0.0, np.exp(-1e-3)])
