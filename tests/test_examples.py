@@ -49,3 +49,21 @@ def test_optim_mrf_smoke(monkeypatch, tmp_path):
 
 def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
+
+
+def test_random_spoiling_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPOIL_NRF", "120")
+    monkeypatch.setenv("SPOIL_NPOINT", "101")
+    _run("random_spoiling.py", monkeypatch, tmp_path)
+
+
+def test_pssfp_offres_smoke(monkeypatch, tmp_path):
+    """Float shift-merge vs Bloch: at kgrid=4 rad/m with capacity above
+    the retained-state count the error matches the reference's own value
+    (0.0923) exactly; see examples/pssfp_offres.py."""
+    monkeypatch.setenv("PSSFP_NRF", "30")
+    monkeypatch.setenv("PSSFP_NPOS", "61")
+    monkeypatch.setenv("PSSFP_ITERS", "2")
+    monkeypatch.setenv("PSSFP_NSTATE", "1400")
+    monkeypatch.setenv("PSSFP_TOL", "0.12")
+    _run("pssfp_offres.py", monkeypatch, tmp_path)
