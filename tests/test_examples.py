@@ -51,6 +51,10 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_press_mrs_smoke(monkeypatch, tmp_path):
+    _run("press_mrs.py", monkeypatch, tmp_path)
+
+
 def test_random_spoiling_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("SPOIL_NRF", "120")
     monkeypatch.setenv("SPOIL_NPOINT", "101")

@@ -104,6 +104,20 @@ def test_shift_merge_golden():
     assert np.abs(sig - g["signal"]).max() < 1e-8
 
 
+def test_press_golden():
+    """PRESS voxel localization (Gao 2021 part 3.3): 3-D crushers + static
+    gradient + DFT imaging at 4 ADCs matches the reference bit-near-exactly
+    (examples/press_mrs.py; reference examples/gradient/point_resolved_mrs.py)."""
+    import runpy
+    g = load_golden("press")
+    ns = runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "press_mrs.py"))
+    kc = 2 * np.pi * 50.0
+    images = ns["press_images"]([[kc] * 3] * 4)
+    assert np.abs(images - g["images"]).max() < 1e-10
+
+
 def test_merge_matches_int_on_integer_floats():
     """shift-merge on integer-valued floats == shift-nd (ref test_shift.py:75)."""
     seqf = [epg.T(90, 90), epg.S(np.array([[1.0]]), kgrid=1.0),

@@ -244,8 +244,46 @@ def t2star():
     return {"fid": sig, "echo": sig3}
 
 
+def press():
+    """PRESS spectroscopy voxel localization via 3-D crusher gradients
+    (Gao 2021 part 3.3): reduced-scale reference
+    examples/gradient/point_resolved_mrs.py.  Golden records the 3-D DFT
+    images at each ADC (representation-independent: padded zero-F rows of
+    a static ladder contribute nothing to the DFT sums)."""
+    from epgpy import utils as rutils
+    gamma = rutils.gamma_1H
+    FOV, npix = 48, 8  # mm, pixels per axis
+    grid = FOV * 1e-3 * np.stack(
+        np.meshgrid(*[np.linspace(-0.5, 0.5, npix)] * 3, indexing="ij"), -1)
+    kfilt = 2 * np.pi / (FOV * 1e-3 / npix)
+    TE1, TE2 = 14, 16  # ms
+    kc = 2 * np.pi * 50  # crusher area (rad/m)
+    Gs = np.array([0.1, -0.2, 0.3]) / gamma * 1e2  # static gradient (mT/m)
+    kim = 2 * np.pi * npix / FOV * 1e3
+    rf1, rf2, rf3 = ops.T(90, 90), ops.T(90, 0), ops.T(90, 0)
+    eye = 0.5 * np.eye(3)
+    gy, gz = ops.S(eye[1] * kim), ops.S(eye[2] * kim)
+    gc = ops.S([kc] * 3)
+    gs1 = ops.G(TE1 / 2, Gs, duration=True)
+    gs2 = ops.G(TE2 / 2, Gs, duration=True)
+    gslong = ops.G(100, Gs, duration=True)
+    seq = [
+        [rf1],
+        [gs1, gc, gy, rf2, gy, gc, gs1], ops.ADC,
+        [gs2, gc, gz, rf3, gz, gc, gs2], ops.ADC,
+        [gslong], ops.ADC,
+        [gslong], ops.ADC,
+    ]
+    Fs, ks = fun.simulate(seq, kgrid=1.0, probe=("F", "k"), asarray=False)
+    keep = [np.all(np.abs(ks[i]) <= kfilt, axis=-1) for i in range(4)]
+    sig = np.stack([
+        fun.dft(grid, Fs[i][keep[i]], ks[i][keep[i]]) for i in range(4)])
+    return {"images": sig, "kfilt": np.asarray(kfilt)}
+
+
 CASES = {
     "cpmg": cpmg,
+    "press": press,
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
