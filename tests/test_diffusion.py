@@ -122,6 +122,25 @@ def test_spin_echo_2d_anisotropic_bsum():
     assert np.isclose(_f0(sm), att.ravel()[0])
 
 
+def test_rare_diffusion_golden():
+    """RARE diffusion-trap sweep (Weigel 2010) matches the reference
+    bit-near-exactly (examples/rare_diffusion.py)."""
+    import os
+    import runpy
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "rare_diffusion.npz"))
+    ns = runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "rare_diffusion.py"))
+    sig = ns["rare_signals"](g["angles"], etl=6, diffusion=True)
+    sig0 = ns["rare_signals"](g["angles"], etl=6, diffusion=False)
+    assert np.abs(sig - g["signal"]).max() < 1e-12
+    assert np.abs(sig0 - g["signal_nodiff"]).max() < 1e-12
+    # the diffusion trap: b-factor rises as the refocusing angle drops
+    b = -np.log(np.abs(sig / sig0)) / 1e-3
+    assert b[0] > b[-1] > 0
+
+
 def test_D_preserves_ladder_symmetry():
     """F-(k) = conj(F+(-k)) holds after anisotropic diffusion."""
     from epgpy_tpu.ops.shiftnd import _intdtype

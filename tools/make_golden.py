@@ -281,9 +281,42 @@ def press():
     return {"images": sig, "kfilt": np.asarray(kfilt)}
 
 
+def rare_diffusion():
+    """RARE diffusion sensitivity vs flip angle (Weigel 2010): reduced
+    reference examples/diffusion/diffusion_sensitivity_rare.py.  Signals
+    with and without D over an FA sweep; the b-factor their log-ratio."""
+    from epgpy import utils as rutils
+    taurf = 2.56
+    k1 = rutils.get_wavenumber(4.0, 7.2) / 2 + rutils.get_wavenumber(0.72, 9.9)
+    k2 = rutils.get_wavenumber(4.0, 7.2)
+    kS = rutils.get_wavenumber(0.72, 9.9)
+    T1, T2, D = 1e3, 1e2, 1e-3
+    ETL = 6
+    angles = np.linspace(10, 180, 18)
+    exc = ops.T(90, 90)
+    trf = ops.T(angles, 0)
+    erf = ops.E(taurf / 2, T1, T2)
+    s1, d1, e1 = ops.S(k1), ops.D(1.44, D, k=k1), ops.E(1.44, T1, T2)
+    s2, d2, e2 = ops.S(k2 / 2), ops.D(2.0, D, k=k2 / 2), ops.E(2.0, T1, T2)
+    sS, dS, eS = ops.S(kS), ops.D(0.72, D, k=kS), ops.E(0.72, T1, T2)
+    init = [erf, s1, d1, e1]
+    pre = [s2, d2, e2, sS, dS, eS, erf]
+    post = [erf, sS, dS, eS, s2, d2, e2]
+    seq = [exc, init, trf, post] + [pre, trf, post] * ETL + [ops.ADC]
+    signal = fun.simulate(seq, kgrid=10)[0]
+    initn = [erf, s1, e1]
+    pren = [s2, e2, sS, eS, erf]
+    postn = [erf, sS, eS, s2, e2]
+    seqn = [exc, initn, trf, postn] + [pren, trf, postn] * ETL + [ops.ADC]
+    signaln = fun.simulate(seqn, kgrid=10)[0]
+    return {"angles": angles, "signal": np.asarray(signal),
+            "signal_nodiff": np.asarray(signaln)}
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
+    "rare_diffusion": rare_diffusion,
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
