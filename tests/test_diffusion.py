@@ -141,6 +141,28 @@ def test_rare_diffusion_golden():
     assert b[0] > b[-1] > 0
 
 
+def test_ssfp_dwi_golden():
+    """Anisotropic-D SSFP with conventional vs quasi-isotropic diffusion
+    lobes (Gao 2021 part 3.2) matches the reference over 30 TRs.  The
+    ~5e-7 tolerance is the accumulated effect of the reference pruning
+    near-zero merge cells that our fixed-capacity ladder keeps (their
+    weighted-mean wavenumbers differ in the last few ulps per TR)."""
+    import os
+    import runpy
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "ssfp_dwi.npz"))
+    ns = runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "ssfp_diffusion.py"))
+    s0 = ns["ssfp_dwi_signals"](nrf=30, npos=51, scheme="conventional")
+    sq = ns["ssfp_dwi_signals"](nrf=30, npos=51, scheme="quasi-isotropic")
+    assert np.abs(s0 - g["conventional"]).max() < 5e-6
+    assert np.abs(sq - g["quasi_isotropic"]).max() < 5e-6
+    # the alternating-axis scheme weights the second principal diffusivity
+    # and dephases differently: the profiles differ by design
+    assert np.abs(sq[-2] - s0[-2]).max() > 0.01
+
+
 def test_D_preserves_ladder_symmetry():
     """F-(k) = conj(F+(-k)) holds after anisotropic diffusion."""
     from epgpy_tpu.ops.shiftnd import _intdtype

@@ -51,6 +51,12 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_ssfp_diffusion_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("SSFP_NRF", "20")
+    monkeypatch.setenv("SSFP_NPOS", "41")
+    _run("ssfp_diffusion.py", monkeypatch, tmp_path)
+
+
 def test_rare_diffusion_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("RARE_ETL", "6")
     monkeypatch.setenv("RARE_NANGLE", "41")

@@ -313,10 +313,47 @@ def rare_diffusion():
             "signal_nodiff": np.asarray(signaln)}
 
 
+def ssfp_dwi():
+    """Diffusion-weighted SSFP with anisotropic D in a static background
+    gradient (Gao 2021 part 3.2): reduced reference
+    examples/diffusion/ssfp_diffusion_weighting.py.  Conventional
+    (same-axis) vs quasi-isotropic (alternating-axis) diffusion gradients,
+    DFT-probed across a 1-D position profile."""
+    from epgpy import utils as rutils
+    gamma = rutils.gamma_1H
+    Nrf, FA, Gdiff, Tdiff, TR = 30, 25, 23.5, 5.0, 10.0
+    T1, T2 = 1084.0, 68.0
+    D = np.diag([1.35, 0.5, 0]) * 1e-3
+    FOV, Freq = 0.128, 100.0
+    G = Freq / (FOV / 2) / gamma
+    npos = 51
+    pos = np.c_[np.zeros((npos, 2)), np.linspace(-0.5, 0.5, npos) * FOV]
+    from epgpy import probe as rprobe
+    adc = rprobe.DFT(pos)
+    rf1, rf2 = ops.T(FA, 0), ops.T(FA, 180)
+    g1x = ops.G(Tdiff, [Gdiff, 0, G])
+    g1y = ops.G(Tdiff, [0, Gdiff, G])
+    g2 = ops.G(TR - Tdiff, [0, 0, G])
+    d1x, d1y = ops.D(Tdiff, D, g1x.k), ops.D(Tdiff, D, g1y.k)
+    d2 = ops.D(TR - Tdiff, D, g2.k)
+    rx1, rx2 = ops.E(Tdiff, T1, T2), ops.E(TR - Tdiff, T1, T2)
+    conv = (Nrf // 2) * [
+        [rf1, [g1x, d1x, rx1], [g2, d2, rx2], adc],
+        [rf2, [g1x, d1x, rx1], [g2, d2, rx2], adc]]
+    qi = (Nrf // 2) * [
+        [rf1, [g1x, d1x, rx1], [g2, d2, rx2], adc],
+        [rf2, [g1y, d1y, rx1], [g2, d2, rx2], adc]]
+    sig0 = np.asarray(fun.simulate(conv, kgrid=1.0))
+    sigqi = np.asarray(fun.simulate(qi, kgrid=1.0))
+    return {"conventional": sig0.squeeze(), "quasi_isotropic": sigqi.squeeze(),
+            "pos": pos}
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
     "rare_diffusion": rare_diffusion,
+    "ssfp_dwi": ssfp_dwi,
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
