@@ -51,6 +51,12 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_iso_vs_epg_imaging_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("IMG_NREAD", "32")
+    monkeypatch.setenv("IMG_NISO", "800")
+    _run("iso_vs_epg_imaging.py", monkeypatch, tmp_path)
+
+
 def test_ssfp_diffusion_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("SSFP_NRF", "20")
     monkeypatch.setenv("SSFP_NPOS", "41")
