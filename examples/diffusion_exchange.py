@@ -65,7 +65,42 @@ def relaxation_exchange_ilt():
           np.round(np.sort(1 / rates), 1))
 
 
+def cpmg_relaxation_exchange():
+    """2-site T2 relaxation exchange in a CPMG train (Van Landeghem 2010;
+    reference examples/exchange/relax_exchange_1d.py): the inverse Laplace
+    transform of the echo decay shows two apparent T2 components at slow
+    exchange that coalesce to the harmonic mean at fast exchange.  The
+    exchange-rate sweep is one batch axis; the X operators scan-compile.
+    """
+    from epgpy_tpu.utils.ilt1d import ilt1d
+
+    T2a, T2b = 2.5, 25.0  # ms
+    rates = np.geomspace(1e-3, 10.0, 8)  # 1/ms
+    TE, necho = 0.1, 200
+    khi = epg.exchange_matrix(rates, axis=1, ncomp=2)
+    xt = epg.X(TE / 2, khi, T2=[[T2a, T2b]], axis=1, duration=True)
+    seq = [epg.T(90, 90)] + [xt, epg.T(180, 0), xt, epg.ADC] * necho
+    sig = np.asarray(epg.simulate(seq))  # (necho, nrate, ncomp)
+    total = 0.5 * (sig[..., 0] + sig[..., 1]).real
+    times = TE * np.arange(1, necho + 1)
+
+    apparent = []
+    for i, r in enumerate(rates):
+        rr, aa = ilt1d(times, total[:, i])
+        t2s = np.sort(1 / rr)
+        apparent.append(t2s)
+        print(f"rate={r:8.3g} /ms: apparent T2 = {t2s.round(2)} ms "
+              f"(amps {aa.round(3)})")
+
+    # slow limit: both T2s resolved; fast limit: single harmonic mean
+    assert np.allclose(apparent[0], [T2a, T2b], rtol=0.05)
+    t2_mean = 1.0 / (0.5 * (1 / T2a + 1 / T2b))
+    assert len(apparent[-1]) == 1
+    assert np.isclose(apparent[-1][0], t2_mean, rtol=0.05)
+
+
 if __name__ == "__main__":
     diffusion_se()
     exchange_mt()
     relaxation_exchange_ilt()
+    cpmg_relaxation_exchange()

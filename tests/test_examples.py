@@ -26,6 +26,8 @@ def _run(name, monkeypatch, tmp_path):
     "basics_mse.py",
     "hyperecho.py",
     "rf_spoiling.py",
+    "t2star_imaging.py",
+    "diffusion_exchange.py",
 ])
 def test_example_smoke(name, monkeypatch, tmp_path):
     _run(name, monkeypatch, tmp_path)
