@@ -28,6 +28,7 @@ def _run(name, monkeypatch, tmp_path):
     "rf_spoiling.py",
     "t2star_imaging.py",
     "diffusion_exchange.py",
+    "epg_diagrams.py",
 ])
 def test_example_smoke(name, monkeypatch, tmp_path):
     _run(name, monkeypatch, tmp_path)
