@@ -20,7 +20,7 @@ from .statematrix import StateMatrix
 from .ops import (
     Operator, EmptyOperator, MultiOperator, CombinableOperator,
     Wait, Offset, Spoiler, Reset, PD, System, NULL, SPOILER, RESET,
-    ScalarOp, MatrixOp, CombinedOp,
+    ScalarOp, MatrixOp, CombinedOp, combine,
     T, Tx, Ty, Phi, E, P, R, S, G, C, D, X, exchange_matrix,
     Probe, Adc, ADC, DFT, Imaging, RFPulse,
 )

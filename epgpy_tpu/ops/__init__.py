@@ -11,7 +11,7 @@ from .evolution import E, P, R
 from .shift import S, G, C
 from .diffusion import D
 from .exchange import X, exchange_matrix
-from .combined import CombinedOp
+from .combined import CombinedOp, combine
 from .rfpulse import RFPulse
 from .probe import Probe, Adc, ADC, DFT, Imaging
 
@@ -21,6 +21,6 @@ __all__ = [
     "NULL", "SPOILER", "RESET",
     "ScalarOp", "MatrixOp",
     "T", "Tx", "Ty", "Phi", "E", "P", "R", "S", "G", "C", "D", "X",
-    "exchange_matrix", "CombinedOp", "RFPulse",
+    "exchange_matrix", "CombinedOp", "combine", "RFPulse",
     "Probe", "Adc", "ADC", "DFT", "Imaging",
 ]

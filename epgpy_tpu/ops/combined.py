@@ -17,7 +17,23 @@ from . import base
 from .scalarop import scalar_combine, apply_coefficients
 from .matrixop import matrix_combine, apply_matrices
 
-__all__ = ["CombinedOp"]
+__all__ = ["CombinedOp", "combine"]
+
+
+def combine(*ops, name=None, duration=None):
+    """Merge combinable operators into one (reference epgpy/operator.py:236).
+
+    ``combine(a, b, c)`` applies a, then b, then c -- as a single operator
+    (same as ``a @ b @ c``).
+    """
+    if not ops:
+        raise ValueError("combine() requires at least one operator")
+    merged = ops[0]
+    for op in ops[1:]:
+        merged = merged @ op
+    if isinstance(merged, CombinedOp) and (name or duration is not None):
+        merged = CombinedOp(merged.ops, name=name, duration=duration)
+    return merged
 
 
 @base.register_op
