@@ -73,12 +73,19 @@ def imaging(positions, states, wavenumbers, acctime=None, *, phase=None,
     else:
         raise ValueError(f"Unknown voxel shape: {voxel_shape}")
 
-    # T2'/B0 modulation from accumulated time
+    # T2'/B0 modulation from accumulated time.  The modulation array is
+    # aligned with the BATCH dims (e.g. a per-tissue rate on a tissue
+    # batch axis): pad it with the inserted position dims + the state
+    # axis so it does not leak onto the position axis (reference wire
+    # format: System stores (1, 3); the probe passes (1, 3, 1) and
+    # imaging appends the state axis -> (1, 3, 1, 1)).
     if t is not None:
         modv = jnp.asarray(1.0 if modulation is None else modulation)
-        mod = jnp.exp(-jnp.abs(t) * jnp.real(modv)[..., None])
+        dims = (pos.ndim - 1) if expand else 0
+        modv = modv.reshape(modv.shape + (1,) * (dims + 1))
+        mod = jnp.exp(-jnp.abs(t) * jnp.real(modv))
         if jnp.iscomplexobj(modv):
-            freq = t * 2 * jnp.pi * jnp.imag(modv)[..., None]
+            freq = t * 2 * jnp.pi * jnp.imag(modv)
             mod = mod * _cexp(freq)
     else:
         mod = jnp.asarray(1.0, rdt)

@@ -54,6 +54,11 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_gradient_echo_2d_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("GRE2D_N", "16")
+    _run("gradient_echo_2d.py", monkeypatch, tmp_path)
+
+
 def test_iso_vs_epg_imaging_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("IMG_NREAD", "32")
     monkeypatch.setenv("IMG_NISO", "800")

@@ -118,6 +118,26 @@ def test_press_golden():
     assert np.abs(images - g["images"]).max() < 1e-10
 
 
+def test_gre2d_golden():
+    """2-D spatially-resolved gradient-echo imaging (reference
+    isochromats_vs_epg_2d_vec.py structure): per-line phase encodes,
+    batched readout axis, T2' modulation through the accumulated-time
+    coordinate, Imaging probe with System weights -- k-space matches the
+    reference at prune=1e-4 (residual: the reference zeroes sub-tolerance
+    states per batch element, we keep them)."""
+    import runpy
+    g = load_golden("gre2d")
+    ns = runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "gradient_echo_2d.py"))
+    n, fov = 16, 200e-3
+    pds, pixels, mask, (T1, T2, T2p) = ns["phantom_setup"](n, fov)
+    ks = ns["epg_kspace"](pds, pixels, fov, 30.0, 10.0, T1, T2, T2p, n,
+                          prune=1e-4, max_nstate=256)
+    scale = np.abs(g["kspace"]).max()
+    assert np.abs(ks - g["kspace"]).max() < 1e-4 * scale
+
+
 def test_merge_matches_int_on_integer_floats():
     """shift-merge on integer-valued floats == shift-nd (ref test_shift.py:75)."""
     seqf = [epg.T(90, 90), epg.S(np.array([[1.0]]), kgrid=1.0),

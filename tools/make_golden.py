@@ -349,11 +349,70 @@ def ssfp_dwi():
             "pos": pos}
 
 
+def _ellipse_phantom(n):
+    """Synthetic 3-tissue phantom shared with examples/gradient_echo_2d.py."""
+    y, x = np.mgrid[-1:1:n * 1j, -1:1:n * 1j]
+    outer = ((x / 0.85) ** 2 + (y / 0.95) ** 2 < 1).astype(float)
+    wm = (((x / 0.55) ** 2 + ((y - 0.05) / 0.65) ** 2) < 1).astype(float) * outer
+    gm = np.clip(outer - wm, 0, 1)
+    csf = ((((x + 0.15) / 0.2) ** 2 + ((y + 0.2) / 0.25) ** 2) < 1
+           ).astype(float) * outer
+    wm = np.clip(wm - csf, 0, 1)
+    gm = np.clip(gm - csf, 0, 1)
+    return wm, gm, csf
+
+
+def gre2d():
+    """2-D spatially-resolved gradient-echo imaging (reference
+    examples/gradient/isochromats_vs_epg_2d_vec.py on a synthetic
+    phantom): per-line phase encodes, batched readout axis, T2' via the
+    accumulated-time coordinate, Imaging probe with System weights and
+    modulation, reduce over (tissue, position)."""
+    NAX = np.newaxis
+    from epgpy import probe as rprobe
+    n = 16
+    wm, gm, csf = _ellipse_phantom(n)
+    mask = np.max([wm, gm, csf], 0) > 1e-5
+    FA, TR, FOV = 30, 10, 200e-3
+    pixels = (np.mgrid[-n // 2:n // 2, -n // 2:n // 2]
+              .reshape(2, -1).T[mask.flat] * FOV / np.array([n, n]))
+    PD = [0.8, 0.7, 1.0]
+    T1 = [1.55e3, 0.83e3, 4.16e3]
+    T2 = [0.09e3, 0.07e3, 1.65e3]
+    T2p = [0.322e3, 0.183e3, 0.0591e3]
+    pds = np.stack([gm * PD[0], wm * PD[1], csf * PD[2]]
+                   ).reshape(3, -1)[..., mask.flat]
+    init = ops.System(weights=pds[NAX], modulation=-1 / np.array([T2p]))
+    rf = ops.T(FA, 0)
+    adc = rprobe.Imaging(pixels, voxel_size=FOV / n, phase=-rf.phi,
+                         reduce=(1, 2))
+    rlx1 = ops.E([i * TR / n for i in range(n)], [T1], [T2])
+    rlx1 *= ops.C(rlx1.tau)
+    rlx2 = ops.E([TR * (n - 1 - i) / n for i in range(n)], [T1], [T2])
+    rlx2 *= ops.C(rlx2.tau)
+    kx = np.array([2 * np.pi / FOV, 0])
+    kp = np.array([0, 2 * np.pi / FOV])
+    gx1 = ops.S([kx * (i - n / 2) for i in range(n)])
+    gx2 = ops.S([kx * (n - i + 1) for i in range(n)])
+    gxspl = ops.S(1.5 * kx * n / 2)
+    gp1 = [ops.S(kp * i) if i != 0 else ops.NULL
+           for i in range(-n // 2, n // 2)]
+    gp2 = [ops.S(-kp * i) if i != 0 else ops.NULL
+           for i in range(-n // 2, n // 2)]
+    seq = [init] + [
+        [rf, gx1, gp1[i], rlx1, adc, rlx2, gx2, gxspl, gp2[i]]
+        for i in range(n)]
+    kspace = np.asarray(fun.simulate(seq, prune=1e-4, kgrid=1e-8))
+    return {"kspace": kspace, "mask": mask,
+            "pd_map": np.stack([wm, gm, csf])}
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
+    "gre2d": gre2d,
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
