@@ -54,6 +54,12 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_optim_mse_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("MSE_NTAU", "120")
+    monkeypatch.setenv("MSE_MAXECHO", "3")
+    _run("optim_mse.py", monkeypatch, tmp_path)
+
+
 def test_gradient_echo_2d_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("GRE2D_N", "16")
     _run("gradient_echo_2d.py", monkeypatch, tmp_path)
