@@ -20,6 +20,7 @@ The ladder capacity is fixed up-front from the sequence's total shift count
 from __future__ import annotations
 
 import logging
+import math
 from functools import partial
 from typing import List
 
@@ -175,13 +176,18 @@ def squeeze_sequence(sequence):
     return out
 
 
-def _setup_table(sm: StateMatrix, sequence) -> StateMatrix:
+def _setup_table(sm: StateMatrix, sequence, shape=None) -> StateMatrix:
     """Attach the coordinate table up-front for table-shift sequences.
 
     Scan carries need a structure-invariant StateMatrix: the coords leaf
     (and its dtype) must exist before the first shift runs.  Integer-only
     shift sets get an integer table; any float shift (incl. C's time
     coordinate) forces a float table from the start.
+
+    If any shift is batch-varying (the shift-prune path), the first such
+    application turns the shared table into per-batch tables -- a carry
+    SHAPE change that would break a scanned block.  Pre-expand the table
+    to the full broadcast batch shape so the carry is invariant from op 0.
     """
     from .ops.shift import S
 
@@ -199,6 +205,21 @@ def _setup_table(sm: StateMatrix, sequence) -> StateMatrix:
     if all_int:
         from .ops.shiftnd import _intdtype
         sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    batch_varying = any(
+        math.prod(op.shape) > 1 for op in shift_ops
+    )
+    if batch_varying and shape is not None:
+        # full state batch = broadcast of the init state and the sequence
+        # shape (append rule: new axes pad on the RIGHT)
+        coords = sm.coords
+        bshape = common.broadcast_shapes(sm.shape, tuple(shape))
+        pad = len(bshape) - (coords.ndim - 2)
+        if pad > 0:
+            coords = coords.reshape(
+                coords.shape[:-2] + (1,) * pad + coords.shape[-2:])
+        target = common.broadcast_shapes(coords.shape[:-2], bshape)
+        sm = sm.update(
+            coords=jnp.broadcast_to(coords, target + coords.shape[-2:]))
     return sm
 
 
@@ -577,7 +598,7 @@ def simulate(
     # pre-attach the coordinate table when the sequence needs one, so the
     # state's pytree structure (and coord dtype) is invariant across ops
     # (scan carries require a fixed structure)
-    sm = _setup_table(sm, sequence)
+    sm = _setup_table(sm, sequence, shape)
 
     # differentiation path: Jacobian/Hessian probes -> (nested) jacfwd
     from . import diff as diff_mod

@@ -64,60 +64,85 @@ def shift1d_lanes(planes, n: int):
 
 @base.register_op
 class S(base.Operator):
-    """Integer 1-D gradient shift (n-D and float handled by subpackage)."""
+    """Integer 1-D gradient shift (n-D and float handled by subpackage).
 
-    PARAMS = ()
+    Integer scalar shifts are STATIC (the 1-D path is a static
+    slice-and-pad).  n-D / float shift vectors are traced pytree LEAVES
+    (``kleaf``): a train of table shifts with the same shape/dtype
+    scan-groups into one compiled body, instead of unrolling one sort +
+    segment-sum program per shift (the dominant compile cost of long
+    spatially-resolved sequences, e.g. examples/pssfp_offres.py).
+    """
+
+    PARAMS = ("kleaf",)
 
     def __init__(self, k, *, nmax=None, kgrid=None, prune=1e-8, name=None,
                  duration=None):
         if isinstance(k, (int, np.integer)):
             if k == 0:
                 raise TypeError("Cannot have k == 0")
-            self.k = int(k)
+            self._kint = int(k)
+            self.kleaf = None
         else:
             karr = np.atleast_2d(np.asarray(k))
             if karr.shape[-1] not in (1, 2, 3, 4):
                 raise ValueError("k.shape[-1] must belong to [1, 2, 3, 4]")
             if np.allclose(karr, 0):
                 raise TypeError("Cannot have k == 0")
-            self.k = karr
+            self._kint = None
+            self.kleaf = karr
         self.nmax = nmax
         self.kgrid = kgrid
         self.prune = prune
         if not name:
-            fmt = "" if isinstance(self.k, int) else ".2f"
+            fmt = "" if self._kint is not None else ".2f"
             name = common.repr_operator("S", ["k"], [k], [fmt])
         super().__init__(name=name, duration=duration)
 
     @property
+    def k(self):
+        """Shift value: int (static 1-D) or host array (table path).
+
+        Host-side metadata accessor (capacity planning, plotting); inside
+        a compiled program use ``kleaf`` -- the traced leaf.
+        """
+        if self._kint is not None:
+            return self._kint
+        return np.asarray(self.kleaf)
+
+    @property
     def nshift(self) -> int:
-        if isinstance(self.k, int):
-            return abs(self.k)
-        return int(np.round(np.max(np.abs(self.k))))
+        if self._kint is not None:
+            return abs(self._kint)
+        return int(np.round(np.max(np.abs(np.asarray(self.kleaf)))))
 
     @property
     def shape(self):
-        if isinstance(self.k, int):
+        if self._kint is not None:
             return (1,)
-        return self.k.shape[:-1]
+        return self.kleaf.shape[:-1]
 
     @property
     def kdim(self) -> int:
-        if isinstance(self.k, int):
+        if self._kint is not None:
             return 1
-        return self.k.shape[-1]
+        return self.kleaf.shape[-1]
 
     def apply(self, sm):
         from . import shiftnd  # deferred: heavy module
-        if isinstance(self.k, int) and sm.coords is None:
+        if self._kint is not None and sm.coords is None:
             if sm.lanes:
-                return sm.update(states_lanes=shift1d_lanes(sm.planes, self.k))
-            return sm.update(states=shift1d(sm.states, self.k))
+                return sm.update(
+                    states_lanes=shift1d_lanes(sm.planes, self._kint))
+            return sm.update(states=shift1d(sm.states, self._kint))
         return shiftnd.apply_shift(self, sm)
 
 
 class G(S):
     """Shift from gradient area: tau (ms) x gradient (mT/m) -> k (rad/m)."""
+
+    # tau/gradient are leaves so G trains with varying timing scan-group
+    PARAMS = ("kleaf", "tau", "gradient")
 
     def __init__(self, tau, gradient, *, duration=None, **kwargs):
         from ..utils import constants
@@ -137,6 +162,8 @@ class G(S):
 
 class C(S):
     """Accumulate dephasing time on the 4th coordinate (T2*/B0 simulation)."""
+
+    PARAMS = ("kleaf", "tau", "R2")
 
     def __init__(self, tau, R2=1, *, duration=None, **kwargs):
         tau_a = np.asarray(tau, dtype=float)

@@ -58,20 +58,38 @@ def _merge_rows(keys, payloads, R):
     """Sort rows by key, segment-sum payload columns of equal keys.
 
     keys: (R,) int; payloads: dict name -> (R, ...cols) arrays sharing the
-    leading row axis.  Returns (sorted unique keys (R,), merged payloads,
-    seg_count) where rows >= nseg are undefined-but-zero.
+    leading row axis.  Returns (sorted unique keys (R2,), merged payloads,
+    seg, nseg) where R2 = next power of two >= R, rows >= nseg are
+    undefined-but-zero, and nseg counts only REAL key cells.
+
+    The pow2 padding is a TPU compile-time fix: XLA:TPU's sort lowering
+    compiles in O(seconds) for power-of-two row counts but O(minutes) for
+    others (measured 0.5 s at R=512 vs 264 s at R=387 through the axon
+    service).  Pad rows carry a max-int sentinel key and zero payloads:
+    they sort to the end, form their own cell past `nseg`, and never
+    affect the merge.
     """
+    R2 = 1 << (R - 1).bit_length()
+    npad = R2 - R
+    sentinel = jnp.iinfo(keys.dtype).max
+    if npad:
+        keys = jnp.concatenate([keys, jnp.full((npad,), sentinel, keys.dtype)])
     order = jnp.argsort(keys)
     keys_s = keys[order]
     head = jnp.concatenate([
         jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
-    seg = jnp.cumsum(head) - 1                      # (R,)
+    seg = jnp.cumsum(head) - 1                      # (R2,)
     merged = {}
     for name, arr in payloads.items():
+        if npad:
+            pad = jnp.zeros((npad,) + arr.shape[1:], arr.dtype)
+            arr = jnp.concatenate([arr, pad], axis=0)
         arr_s = jnp.take(arr, order, axis=0)
-        merged[name] = jax.ops.segment_sum(arr_s, seg, num_segments=R)
-    ukeys = jax.ops.segment_max(keys_s, seg, num_segments=R)
-    nseg = seg[-1] + 1
+        merged[name] = jax.ops.segment_sum(arr_s, seg, num_segments=R2)
+    ukeys = jax.ops.segment_max(keys_s, seg, num_segments=R2)
+    # real keys are < sentinel, so they occupy the first R sorted rows:
+    # the last real row's segment id counts the real unique cells
+    nseg = seg[R - 1] + 1
     return ukeys, merged, seg, nseg
 
 
@@ -94,7 +112,12 @@ def _select_symmetric(ukeys, mag, nseg, C):
     h = (C - 1) // 2
 
     score = jnp.where(valid & (ukeys > 0), mag, -jnp.inf)
-    topscore, top = jax.lax.top_k(score, h)        # descending magnitude
+    # descending-magnitude selection via a stable ascending argsort of
+    # -score (R is a power of two after _merge_rows padding; lax.top_k
+    # compiles ~20x slower than a pow2 sort on TPU and ties break the
+    # same way: lowest index first)
+    top = jnp.argsort(-score)[:h]
+    topscore = jnp.take(score, top)
     has = jnp.isfinite(topscore) & (topscore > -jnp.inf)
 
     # an all-zero filler row: index >= nseg (empty segment). nseg == R only
@@ -115,6 +138,46 @@ def _select_symmetric(ukeys, mag, nseg, C):
     return out
 
 
+def _component_payloads(states):
+    """Candidate-row payloads for the (Z stays / F+ moves / F- moves)
+    scatter, with complex states SPLIT into re/im real channels.
+
+    XLA:TPU compiles the sort/segment/gather pipeline ~20x slower per
+    complex payload than per real payload (measured 19 s vs 0.9 s for one
+    channel at R=512 through the axon service): keeping the merge
+    all-real is a pure compile-time optimization -- numerics unchanged.
+    """
+    Z = jnp.moveaxis(states[..., 2], -1, 0)
+    Fp = jnp.moveaxis(states[..., 0], -1, 0)
+    Fm = jnp.moveaxis(states[..., 1], -1, 0)
+    zeros = jnp.zeros_like(jnp.real(Z))
+    out = {}
+    for name, arr, slot in (("Z", Z, 0), ("Fp", Fp, 1), ("Fm", Fm, 2)):
+        for part, fn in (("re", jnp.real), ("im", jnp.imag)):
+            cells = [zeros, zeros, zeros]
+            cells[slot] = fn(arr)
+            out[f"{name}_{part}"] = jnp.concatenate(cells, axis=0)
+    return out
+
+
+def _abs2_rows(merged, bdims):
+    """Per-row |state|^2 summed over batch dims, from split channels."""
+    return sum(
+        jnp.sum(merged[f"{ch}_{p}"] ** 2, axis=bdims)
+        for ch in ("Z", "Fp", "Fm") for p in ("re", "im")
+    )
+
+
+def _take_states(merged, kept):
+    """Gather kept rows of the split channels back into (..., C, 3)."""
+    comps = []
+    for ch in ("Fp", "Fm", "Z"):
+        re = jnp.take(merged[f"{ch}_re"], kept, axis=0)
+        im = jnp.take(merged[f"{ch}_im"], kept, axis=0)
+        comps.append(jnp.moveaxis(jax.lax.complex(re, im), 0, -1))
+    return jnp.stack(comps, axis=-1)
+
+
 def shiftnd_table(states, coords, delta, C=None):
     """Integer n-D shift on a shared coordinate table.
 
@@ -133,30 +196,19 @@ def shiftnd_table(states, coords, delta, C=None):
     cand_q = jnp.concatenate([qL, q1, q2], axis=0)          # (3C, d)
     keys = _encode_keys(cand_q)
 
-    # payload channels: move row axis first -> (3C, batch...)
-    Z = jnp.moveaxis(states[..., 2], -1, 0)
-    Fp = jnp.moveaxis(states[..., 0], -1, 0)
-    Fm = jnp.moveaxis(states[..., 1], -1, 0)
-    zeros = jnp.zeros_like(Z)
-    payloads = {
-        "Z": jnp.concatenate([Z, zeros, zeros], axis=0),
-        "Fp": jnp.concatenate([zeros, Fp, zeros], axis=0),
-        "Fm": jnp.concatenate([zeros, zeros, Fm], axis=0),
-        "q": cand_q.astype(config.real_dtype()),
-        "cnt": jnp.ones((3 * C_cap,), config.real_dtype()),
-    }
+    payloads = dict(
+        _component_payloads(states),
+        q=cand_q.astype(config.real_dtype()),
+        cnt=jnp.ones((3 * C_cap,), config.real_dtype()),
+    )
     ukeys, merged, seg, nseg = _merge_rows(keys, payloads, 3 * C_cap)
 
     # magnitude per row, summed over batch dims (shared selection)
-    bdims = tuple(range(1, merged["Z"].ndim))
-    mag = sum(
-        jnp.sum(jnp.abs(merged[ch]) ** 2, axis=bdims) for ch in ("Z", "Fp", "Fm")
-    )
+    bdims = tuple(range(1, merged["Z_re"].ndim))
+    mag = _abs2_rows(merged, bdims)
     kept = _select_symmetric(ukeys, mag, nseg, C_cap)
 
-    new_states = jnp.stack(
-        [jnp.moveaxis(jnp.take(merged[ch], kept, axis=0), 0, -1)
-         for ch in ("Fp", "Fm", "Z")], axis=-1)
+    new_states = _take_states(merged, kept)
     cnt = jnp.maximum(jnp.take(merged["cnt"], kept, axis=0), 1.0)
     new_coords = (jnp.take(merged["q"], kept, axis=0) / cnt[:, None])
     new_coords = jnp.round(new_coords).astype(idt)
@@ -189,7 +241,6 @@ def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8):
     Z = jnp.moveaxis(states[..., 2], -1, 0)
     Fp = jnp.moveaxis(states[..., 0], -1, 0)
     Fm = jnp.moveaxis(states[..., 1], -1, 0)
-    zeros = jnp.zeros_like(Z)
 
     # weights: state magnitudes summed over batch (reference shift.py:420)
     bdims = tuple(range(1, Z.ndim))
@@ -199,23 +250,17 @@ def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8):
     w = jnp.concatenate([wZ, wFp, wFm], axis=0)             # (3C,)
     kcand = jnp.concatenate([kL, k1, k2], axis=0)           # (3C, d)
 
-    payloads = {
-        "Z": jnp.concatenate([Z, zeros, zeros], axis=0),
-        "Fp": jnp.concatenate([zeros, Fp, zeros], axis=0),
-        "Fm": jnp.concatenate([zeros, zeros, Fm], axis=0),
-        "kw": kcand * w[:, None],
-        "w": w,
-    }
+    payloads = dict(
+        _component_payloads(states),
+        kw=kcand * w[:, None],
+        w=w,
+    )
     ukeys, merged, seg, nseg = _merge_rows(keys, payloads, 3 * C_cap)
 
-    mag = sum(
-        jnp.sum(jnp.abs(merged[ch]) ** 2, axis=bdims) for ch in ("Z", "Fp", "Fm")
-    )
+    mag = _abs2_rows(merged, bdims)
     kept = _select_symmetric(ukeys, mag, nseg, C_cap)
 
-    new_states = jnp.stack(
-        [jnp.moveaxis(jnp.take(merged[ch], kept, axis=0), 0, -1)
-         for ch in ("Fp", "Fm", "Z")], axis=-1)
+    new_states = _take_states(merged, kept)
     wk = jnp.take(merged["w"], kept, axis=0)
     new_k = jnp.take(merged["kw"], kept, axis=0) / jnp.where(
         wk > tol, wk, 1.0)[:, None]
@@ -244,14 +289,20 @@ def apply_shift(op, sm):
       * batch-varying shift or per-batch coords     -> vmapped merge
         (the reference's shift-prune)
     """
-    k = op.k
-    if isinstance(k, int):
+    # static int scalar (self._kint) stays host-side numpy; table shift
+    # vectors come from the traced leaf `kleaf` so shift trains
+    # scan-group (values may be tracers here -- only shape/dtype are
+    # inspected, numeric work is jnp)
+    kint = getattr(op, "_kint", None)
+    if kint is None and op.kleaf is None:  # pragma: no cover - legacy
+        kint = op.k
+    if kint is not None:
         karr = np.zeros((1, max(sm.kdim, 1)), dtype=int)
-        karr[0, 0] = k
+        karr[0, 0] = kint
         is_int = True
     else:
-        karr = np.atleast_2d(np.asarray(k))
-        is_int = np.issubdtype(karr.dtype, np.integer)
+        karr = jnp.atleast_2d(op.kleaf)
+        is_int = jnp.issubdtype(karr.dtype, jnp.integer)
 
     # widen the coordinate table to the shift's dimensionality
     kdim = max(karr.shape[-1], sm.kdim if sm.coords is not None else 1)
@@ -262,8 +313,8 @@ def apply_shift(op, sm):
     elif sm.kdim < kdim:
         sm = sm.setup_coords(kdim)
     if karr.shape[-1] < sm.kdim:
-        karr = np.pad(karr, [(0, 0)] * (karr.ndim - 1)
-                      + [(0, sm.kdim - karr.shape[-1])])
+        karr = jnp.pad(karr, [(0, 0)] * (karr.ndim - 1)
+                       + [(0, sm.kdim - karr.shape[-1])])
 
     states = sm.states
     coords = sm.coords

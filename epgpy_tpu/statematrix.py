@@ -423,10 +423,16 @@ class StateMatrix:
             )
 
         def _ex(arr, core):
+            # pad each leaf to batch rank `ndim` individually: a leaf may
+            # already carry more batch axes than the states (e.g. a coords
+            # table pre-expanded to the full broadcast shape)
             if arr is None:
                 return None
             nbatch = arr.ndim - core
-            return arr.reshape(arr.shape[:nbatch] + (1,) * diff + arr.shape[nbatch:])
+            d = ndim - nbatch
+            if d <= 0:
+                return arr
+            return arr.reshape(arr.shape[:nbatch] + (1,) * d + arr.shape[nbatch:])
 
         return self.update(
             states_re=_ex(self.states_re, 2), states_im=_ex(self.states_im, 2),
