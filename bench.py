@@ -140,6 +140,44 @@ def measure_engine(FA, T1, T2, B1, sync):
             "engine_warmup_seconds": round(float(ewarm), 2)}
 
 
+def measure_table(sync):
+    """Spatially-resolved (float-shift merge) path throughput.
+
+    50-TR pSSFP-like train, capacity-1024 coordinate table, 64-atom T2
+    sweep: the sort/segment-sum merge engine (Gao 2021) that backs the
+    off-resonance/PRESS/imaging examples.  Regression canary for the
+    scan-grouping + pow2-sort + re/im-split compile path.
+    """
+    import epgpy_tpu as epg
+
+    NRF, CAP, B = 50, 1024, 64
+    rng = np.random.default_rng(0)
+    T2s = np.linspace(40.0, 120.0, B).astype(np.float32)
+    seq = [epg.T(90, 90)]
+    for i in range(NRF):
+        seq += [epg.S(float(rng.uniform(2, 10))), epg.T(40, 0),
+                epg.E(5.0, 1000.0, T2s), epg.ADC]
+
+    def run():
+        return epg.simulate(seq, kgrid=0.5, max_nstate=CAP, asarray=False)
+
+    def tsync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    tsync(run())
+    twarm = time.perf_counter() - t0
+    tbest = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        tsync(run())
+        tbest = min(tbest, time.perf_counter() - t0)
+    return {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
+            "table_best_seconds": round(float(tbest), 4),
+            "table_warmup_seconds": round(float(twarm), 2),
+            "table_capacity": CAP}
+
+
 def main():
     import jax
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -200,6 +238,11 @@ def main():
             engine = measure_engine(FA, T1, T2, B1, sync)
         except Exception as exc:  # keep the headline metric alive
             engine = {"engine_error": f"{type(exc).__name__}: {exc}"[:200]}
+    if os.environ.get("BENCH_TABLE", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_table(sync))
+        except Exception as exc:
+            engine["table_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
