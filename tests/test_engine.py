@@ -31,6 +31,55 @@ def test_plan_no_false_positive():
     assert all(isinstance(p, list) for p in plan)
 
 
+def test_float_shift_trains_scan_group():
+    """Float shift values are traced leaves: a train of table shifts with
+    varying k scan-groups into one block (compile-time critical for
+    spatially-resolved sequences; see ops/shift.py S.kleaf)."""
+    rng = np.random.default_rng(0)
+    seq = []
+    for i in range(8):
+        seq += [epg.S(float(rng.uniform(2, 10))), epg.T(40, 0),
+                epg.E(5.0, 1000, 80), epg.ADC]
+    plan = engine._build_plan(engine.flatten_sequence(seq))
+    blocks = [p for p in plan if isinstance(p, engine._ScanBlock)]
+    assert blocks and blocks[0].reps == 8
+
+    # 2-D G trains (varying gradient + timing) group too
+    seq = []
+    for i in range(8):
+        seq += [epg.G(1.0 + 0.1 * i, [1.0, 0.5 * i]), epg.T(30, 0), epg.ADC]
+    plan = engine._build_plan(engine.flatten_sequence(seq))
+    blocks = [p for p in plan if isinstance(p, engine._ScanBlock)]
+    assert blocks and blocks[0].reps == 8
+
+
+def test_scanned_float_shifts_match_unrolled():
+    """Scan-grouped table shifts produce bit-identical results to the
+    unrolled program (carry structure + merge numerics)."""
+    rng = np.random.default_rng(3)
+    seq = [epg.T(90, 90)]
+    for i in range(6):
+        seq += [epg.S(float(rng.uniform(1, 5))), epg.T(45, 30 * i),
+                epg.E(8.0, 900, 70), epg.ADC]
+    a = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=48))
+    b = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=48, scan=False))
+    assert np.array_equal(a, b)
+
+
+def test_scanned_batch_varying_shifts_match_unrolled():
+    """Batch-varying (shift-prune) trains: the coords table pre-expands
+    to the full batch shape so the scan carry is invariant."""
+    ks = np.array([[0.7], [1.3], [2.1]])
+    seq = [epg.T(90, 90)]
+    for i in range(5):
+        seq += [epg.S(ks * (1 + 0.1 * i)), epg.T(60, 0),
+                epg.E(5.0, 1000, 80), epg.ADC]
+    a = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=32))
+    b = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=32, scan=False))
+    assert a.shape == (5, 3)
+    assert np.array_equal(a, b)
+
+
 def test_getshape_getnshift():
     seq = _cpmg(4)
     assert engine.getnshift(seq) == 8
