@@ -37,6 +37,10 @@ __all__ = [
 def as_expression(obj):
     if isinstance(obj, Expression):
         return obj
+    if isinstance(obj, str):
+        # a bare string argument names a variable: operators.T("alpha", 90)
+        # (reference epgpy/sequence.py:598-606)
+        return Variable(obj)
     return Constant(obj)
 
 

@@ -42,6 +42,14 @@ def test_profiling_differentiation_mrf_smoke(monkeypatch, tmp_path):
     _run("profiling_differentiation_mrf.py", monkeypatch, tmp_path)
 
 
+def test_profiling_differentiation_mrf_seq_smoke(monkeypatch, tmp_path):
+    """DSL-built MRF Hessian (string variables + repeat) cross-checked
+    bit-exactly against the direct-operator variant."""
+    monkeypatch.setenv("MRF_NTR", "10")
+    monkeypatch.setenv("MRF_CHUNK", "5")
+    _run("profiling_differentiation_mrf_seq.py", monkeypatch, tmp_path)
+
+
 def test_optim_mrf_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MRF_CPU", "1")
     monkeypatch.setenv("MRF_NTR", "24")

@@ -131,6 +131,19 @@ def test_repeat_mrf_builder():
     assert jac2.shape[-1] == 3
 
 
+def test_string_variable_args():
+    """Bare strings name variables: operators.T("alpha", 90) (reference
+    sequence.py:598-606, used by examples/profiling/differentiation_mrf_seq)."""
+    seq = Sequence([operators.T("alpha", 90), operators.E(10.0, "T1", 80.0),
+                    "ADC"])
+    assert {str(v) for v in seq.variables} == {"alpha", "T1"}
+    sig = seq.signal()(alpha=90.0, T1=1000.0)
+    ref = Sequence([operators.T(Variable("alpha"), 90),
+                    operators.E(10.0, Variable("T1"), 80.0), "ADC"]
+                   ).signal()(alpha=90.0, T1=1000.0)
+    assert np.abs(np.asarray(sig) - np.asarray(ref)).max() == 0
+
+
 def test_sequence_adc_times():
     seq = Sequence([operators.T(90, 90), operators.Wait(5.0), "ADC",
                     operators.Wait(3.0), "ADC"])
