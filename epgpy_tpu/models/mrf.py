@@ -168,14 +168,20 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
         states = rotate(states, 180.0 * B1s, jnp.zeros_like(B1s))
         states = relax(states, jnp.exp(-inversion / T1s), jnp.exp(-inversion / T2s))
 
-    def step(states, xs):
+    def step(carry, xs):
         # One fused plane pass per TR: both relaxations fold into the
         # rotation coefficients (decay is k-independent, so it commutes
         # with the shift; only the k=0 Z recovery needs separate adds):
         #   F_out = shift( rot(F,Z) * E2te * E2b )
         #   Z_out = rotZ(F,Z) * E1te * E1b + [(1-E1te) E1b + (1-E1b)] @ k=0
+        #
+        # Half-ladder carry: the F- plane is implied by the conjugate
+        # symmetry F-(k) = conj(F+(-k)) and reconstructed with a row flip
+        # (lax.rev is cheap in XLA, unlike Pallas TPU) -- the scan carry
+        # and the per-TR update shrink from 3 to 2 planes.
         fa, ph, tr = xs
-        Fp, Fm, Z = states
+        Fp, Z = carry
+        Fm = jnp.conj(Fp[::-1])
         m00, m01, m02, m10, m11, m12, m20, m21, m22 = _rotation_elems(
             fa * B1s, ph)
         E1b = jnp.exp(-(tr - TE) / T1s)
@@ -192,21 +198,19 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
         if demodulate:
             echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
 
-        cFp, cFm = cF, cF
+        cFp = cF
         if pe_te is not None:
             pe_tr = jnp.exp(2j * jnp.pi * dfs * (tr - TE)).astype(cdtype)
             cFp = cF * pe_te * pe_tr
-            cFm = cF * jnp.conj(pe_te * pe_tr)
         nFp = (m00 * cFp) * Fp + (m01 * cFp) * Fm + (m02 * cFp) * Z
-        nFm = (m10 * cFm) * Fp + (m11 * cFm) * Fm + (m12 * cFm) * Z
         nZ = (m20 * cZ) * Fp + (m21 * cZ) * Fm + (m22 * cZ) * Z
         nZ = nZ.at[nstate, :].add(rec)
         zrow = jnp.zeros((1, B), cdtype)
         nFp = jnp.concatenate([zrow, nFp[:-1, :]], axis=0)
-        nFm = jnp.concatenate([nFm[1:, :], zrow], axis=0)
-        return (nFp, nFm, nZ), echo
+        return (nFp, nZ), echo
 
-    _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi_b, TR_b))
+    _, echoes = jax.lax.scan(step, (states[0], states[2]),
+                             (jnp.asarray(FA, rdtype), phi_b, TR_b))
     re, im = echoes.real.T, echoes.imag.T                 # (B, P)
     if normalize:
         nrm = jnp.sqrt(jnp.sum(re * re + im * im, axis=-1, keepdims=True))
