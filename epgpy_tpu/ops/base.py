@@ -266,8 +266,9 @@ class Spoiler(Operator):
 
     def apply(self, sm):
         if sm.lanes:
+            # half-lanes storage is (Fp, Z): zero the transverse plane
             def wipe(t):
-                return (jnp.zeros_like(t[0]), jnp.zeros_like(t[1]), t[2])
+                return (jnp.zeros_like(t[0]), t[1])
             return sm.update(states_re=wipe(sm.states_re),
                              states_im=wipe(sm.states_im))
         return sm.update(

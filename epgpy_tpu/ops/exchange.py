@@ -251,11 +251,13 @@ def _apply_exchange_lanes(sm, mat, ax):
     ncomp = mat.shape[ax]
     nb = sm.ndim
     pax = 1 + ax  # compartment axis in plane coordinates (K leads)
-    planes = sm.planes
+    planes = sm.half_planes
     new_planes = []
-    for comp in range(3):
-        p = planes[comp]
-        e = jnp.asarray(_join_eq(sm, comp), dtype=p.dtype)
+    # half-lanes storage is (Fp, Z) = component indices (0, 2); the
+    # implied F- transforms by conj(mT) = mat[..., 1] automatically
+    for comp, li in ((0, 0), (2, 1)):
+        p = planes[li]
+        e = jnp.asarray(_join_eq(sm, li), dtype=p.dtype)
         if p.shape[pax] == 1 and ncomp > 1:
             p = jnp.concatenate([p] * ncomp, axis=pax)
         e = jnp.broadcast_to(e, p.shape)

@@ -99,31 +99,35 @@ def apply_coefficient_elements(sm, elems, elems0):
     batch-shaped arrays (never stacked into a (batch, 3) array, whose
     trailing 3 tile-pads to 128 lanes on TPU)."""
     if sm.lanes:
+        # half-lanes: only the (Fp, Z) planes are stored; the implied F-
+        # plane receives conj(elems[0]) automatically (ScalarOp enforces
+        # arr[..., 1] == conj(arr[..., 0]) at construction)
         nb = sm.ndim
-        planes = sm.planes
+        fp = join_complex(sm.states_re[0], sm.states_im[0])
+        z = join_complex(sm.states_re[1], sm.states_im[1])
         center_only = sm.options.get("_eq_center", False)
-        out = [planes[i] * _coeff_lanes(jnp.atleast_1d(elems[i]), nb)
-               for i in range(3)]
+        out = [fp * _coeff_lanes(jnp.atleast_1d(elems[0]), nb),
+               z * _coeff_lanes(jnp.atleast_1d(elems[2]), nb)]
         if elems0 is not None:
             out = list(jnp.broadcast_arrays(*out))
-            for i in range(3):
+            for i, li in ((0, 0), (2, 1)):
                 if elems0[i] is None:
                     continue
                 rec = _coeff_lanes(jnp.atleast_1d(elems0[i]), nb)
                 if center_only and i == 2:
                     # equilibrium is (0, 0, dens) at k=0 only (static
                     # sparsity hint): single-row add, not a ladder FMA
-                    c = sm.equilibrium_re[2].shape[0] // 2
-                    eq_c = join_complex(sm.equilibrium_re[2][c],
-                                        sm.equilibrium_im[2][c])
-                    out[2] = out[2].at[c].add(
-                        jnp.broadcast_to(rec * eq_c, out[2].shape[1:]))
+                    c = sm.equilibrium_re[1].shape[0] // 2
+                    eq_c = join_complex(sm.equilibrium_re[1][c],
+                                        sm.equilibrium_im[1][c])
+                    out[1] = out[1].at[c].add(
+                        jnp.broadcast_to(rec * eq_c, out[1].shape[1:]))
                 elif center_only:
                     continue  # F rows of the equilibrium are all zero
                 else:
-                    eq_i = join_complex(sm.equilibrium_re[i],
-                                        sm.equilibrium_im[i])
-                    out[i] = out[i] + rec * eq_i
+                    eq_i = join_complex(sm.equilibrium_re[li],
+                                        sm.equilibrium_im[li])
+                    out[li] = out[li] + rec * eq_i
         return sm.update(states_lanes=tuple(jnp.broadcast_arrays(*out)))
 
     def al(e):
@@ -146,13 +150,17 @@ def _coeff_lanes(c, batch_ndim):
 
 
 def _apply_coefficients_lanes(sm, arr, arr0):
+    # half-lanes: coefficients 0/2 act on the stored (Fp, Z) planes; the
+    # implied F- plane gets conj(arr[..., 0]) by symmetry
     nb = sm.ndim
-    planes = sm.planes
-    out = [plane * _coeff_lanes(arr[..., i], nb) for i, plane in enumerate(planes)]
+    fp = join_complex(sm.states_re[0], sm.states_im[0])
+    z = join_complex(sm.states_re[1], sm.states_im[1])
+    out = [fp * _coeff_lanes(arr[..., 0], nb),
+           z * _coeff_lanes(arr[..., 2], nb)]
     if arr0 is not None:
-        for i in range(3):
-            eq_i = join_complex(sm.equilibrium_re[i], sm.equilibrium_im[i])
-            out[i] = out[i] + _coeff_lanes(arr0[..., i], nb) * eq_i
+        for i, li in ((0, 0), (2, 1)):
+            eq_i = join_complex(sm.equilibrium_re[li], sm.equilibrium_im[li])
+            out[li] = out[li] + _coeff_lanes(arr0[..., i], nb) * eq_i
     return sm.update(states_lanes=tuple(out))
 
 

@@ -48,8 +48,11 @@ def shift1d(states, n: int):
 
 
 def shift1d_lanes(planes, n: int):
-    """Shift (Fp, Fm, Z) planes of shape (K, *batch) by integer n."""
-    Fp, Fm, Z = planes
+    """Shift (Fp, Z) half-lanes planes of shape (K, *batch) by integer n.
+
+    The implied F- plane (conj(flip(F+))) shifts the opposite way
+    automatically under the flip -- only F+ moves."""
+    Fp, Z = planes
     zrow = jnp.zeros_like(Fp[:1])
 
     def slide(plane, up: int):
@@ -59,7 +62,7 @@ def shift1d_lanes(planes, n: int):
         pad = jnp.broadcast_to(zrow, plane[: -up].shape)
         return jnp.concatenate([plane[-up:], pad], axis=0)
 
-    return (slide(Fp, n), slide(Fm, -n), Z)
+    return (slide(Fp, n), Z)
 
 
 @base.register_op
@@ -133,7 +136,7 @@ class S(base.Operator):
         if self._kint is not None and sm.coords is None:
             if sm.lanes:
                 return sm.update(
-                    states_lanes=shift1d_lanes(sm.planes, self._kint))
+                    states_lanes=shift1d_lanes(sm.half_planes, self._kint))
             return sm.update(states=shift1d(sm.states, self._kint))
         return shiftnd.apply_shift(self, sm)
 

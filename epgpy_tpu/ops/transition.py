@@ -131,12 +131,12 @@ class T(MatrixOp):
             elems = tuple(common.set_axes(0, e, self.axes) for e in elems)
 
         if sm.lanes:
+            # half-lanes: reconstruct the implied F- plane once, update
+            # only (Fp, Z) -- a third fewer madds per pulse
             m = [_coeff_lanes(e, sm.ndim) for e in elems]
             Fp, Fm, Z = sm.planes
-            out = tuple(
-                m[3 * i] * Fp + m[3 * i + 1] * Fm + m[3 * i + 2] * Z
-                for i in range(3)
-            )
+            out = (m[0] * Fp + m[1] * Fm + m[2] * Z,
+                   m[6] * Fp + m[7] * Fm + m[8] * Z)
             return sm.update(states_lanes=out)
 
         def al(e):

@@ -173,17 +173,23 @@ class StateMatrix:
         def store(value):
             re, im = _split(value)
             if lanes:
-                # lanes layout keeps the three planes as SEPARATE leaves:
-                # no per-op (3, K, batch) restack in compiled programs
-                re = tuple(jnp.moveaxis(re[..., i], -1, 0) for i in range(3))
-                im = tuple(jnp.moveaxis(im[..., i], -1, 0) for i in range(3))
+                # lanes layout keeps (Fp, Z) planes as SEPARATE leaves (no
+                # per-op (3, K, batch) restack); the F- plane is implied by
+                # the conjugate ladder symmetry F-(k) = conj(F+(-k)) and
+                # reconstructed on read -- a third less carry traffic and
+                # per-op math in compiled programs
+                re = tuple(jnp.moveaxis(re[..., i], -1, 0) for i in (0, 2))
+                im = tuple(jnp.moveaxis(im[..., i], -1, 0) for i in (0, 2))
             return re, im
 
         if "states" in fields:
             vals["states_re"], vals["states_im"] = store(fields.pop("states"))
         if "states_lanes" in fields:
             # equal plane shapes keep scan carries structure-invariant
-            planes = jnp.broadcast_arrays(*fields.pop("states_lanes"))
+            planes = fields.pop("states_lanes")
+            if len(planes) == 3:  # (Fp, Fm, Z): drop the implied F- plane
+                planes = (planes[0], planes[2])
+            planes = jnp.broadcast_arrays(*planes)
             vals["states_re"] = tuple(jnp.real(p) for p in planes)
             vals["states_im"] = tuple(jnp.imag(p) for p in planes)
         if "equilibrium" in fields:
@@ -206,7 +212,8 @@ class StateMatrix:
 
     copy = update  # parity alias (reference epgpy/statematrix.py:276)
 
-    # -- lanes layout (TPU): (3, K, *batch) plane-major storage --
+    # -- lanes layout (TPU): (Fp, Z) x (K, *batch) plane-major storage
+    #    (the F- plane is implied: F-(k) = conj(F+(-k))) --
 
     def to_lanes(self) -> "StateMatrix":
         """Transpose to the TPU-friendly (3, K, *batch) internal layout.
@@ -220,7 +227,7 @@ class StateMatrix:
 
         def tr(a):
             return None if a is None else tuple(
-                jnp.moveaxis(a[..., i], -1, 0) for i in range(3))
+                jnp.moveaxis(a[..., i], -1, 0) for i in (0, 2))
 
         return self.update(
             states_re=tr(self.states_re), states_im=tr(self.states_im),
@@ -231,14 +238,20 @@ class StateMatrix:
         if not self.lanes:
             return self
 
-        def tr(t):
-            return None if t is None else jnp.stack(
-                [jnp.moveaxis(p, 0, -1) for p in t], axis=-1)
+        def tr(t, sign):
+            # (Fp, Z) -> (Fp, Fm, Z) with Fm = conj(flip_k(Fp)): the re
+            # part flips, the im part flips and negates
+            if t is None:
+                return None
+            fp, z = t
+            fm = sign * fp[::-1]
+            return jnp.stack(
+                [jnp.moveaxis(p, 0, -1) for p in (fp, fm, z)], axis=-1)
 
         return self.update(
-            states_re=tr(self.states_re), states_im=tr(self.states_im),
-            equilibrium_re=tr(self.equilibrium_re),
-            equilibrium_im=tr(self.equilibrium_im), lanes=False)
+            states_re=tr(self.states_re, 1), states_im=tr(self.states_im, -1),
+            equilibrium_re=tr(self.equilibrium_re, 1),
+            equilibrium_im=tr(self.equilibrium_im, -1), lanes=False)
 
     # -- complex views --
 
@@ -246,27 +259,36 @@ class StateMatrix:
     def states(self):
         """Complex state ladder, always viewed as (*batch, K, 3)."""
         if self.lanes:
+            fp, fm, z = self.planes
             return jnp.stack(
-                [jnp.moveaxis(_join(self.states_re[i], self.states_im[i]),
-                              0, -1) for i in range(3)], axis=-1)
+                [jnp.moveaxis(p, 0, -1) for p in (fp, fm, z)], axis=-1)
         return _join(self.states_re, self.states_im)
+
+    @property
+    def half_planes(self):
+        """Stored (Fp, Z) complex planes, each (K, *batch) (lanes mode)."""
+        assert self.lanes
+        return (_join(self.states_re[0], self.states_im[0]),
+                _join(self.states_re[1], self.states_im[1]))
 
     @property
     def planes(self):
         """(Fp, Fm, Z) complex planes, each (K, *batch) (lanes mode)."""
         if self.lanes:
-            return tuple(_join(self.states_re[i], self.states_im[i])
-                         for i in range(3))
+            fp = _join(self.states_re[0], self.states_im[0])
+            z = _join(self.states_re[1], self.states_im[1])
+            return fp, jnp.conj(fp[::-1]), z
         s = jnp.moveaxis(_join(self.states_re, self.states_im), (-2, -1), (1, 0))
         return s[0], s[1], s[2]
 
     @property
     def equilibrium(self):
         if self.lanes:
+            fp = _join(self.equilibrium_re[0], self.equilibrium_im[0])
+            z = _join(self.equilibrium_re[1], self.equilibrium_im[1])
             return jnp.stack(
-                [jnp.moveaxis(_join(self.equilibrium_re[i],
-                                    self.equilibrium_im[i]), 0, -1)
-                 for i in range(3)], axis=-1)
+                [jnp.moveaxis(p, 0, -1)
+                 for p in (fp, jnp.conj(fp[::-1]), z)], axis=-1)
         return _join(self.equilibrium_re, self.equilibrium_im)
 
     # -- structural properties --
@@ -334,15 +356,15 @@ class StateMatrix:
     @property
     def Z(self):
         if self.lanes:
-            return jnp.moveaxis(_join(self.states_re[2], self.states_im[2]),
+            return jnp.moveaxis(_join(self.states_re[1], self.states_im[1]),
                                 0, -1)
         return self.states[..., 2]
 
     @property
     def Z0(self):
         if self.lanes:
-            return _join(self.states_re[2][self.nstate],
-                         self.states_im[2][self.nstate])
+            return _join(self.states_re[1][self.nstate],
+                         self.states_im[1][self.nstate])
         if self.kdim < 4:
             return self.states[..., self.nstate, 2]
         return self.states[..., 2] * self.i0
@@ -387,7 +409,7 @@ class StateMatrix:
     @property
     def density(self):
         if self.lanes:
-            z = self.equilibrium_re[2]
+            z = self.equilibrium_re[1]
             return z[(z.shape[0] - 1) // 2]
         n = (self.equilibrium_re.shape[-2] - 1) // 2
         return self.equilibrium_re[..., n, 2]
@@ -396,8 +418,9 @@ class StateMatrix:
     def norm(self):
         """State-matrix norm over (F-, Z) components (reference utils.py:152)."""
         if self.lanes:
+            # |F-| sums equal |F+| sums under the conjugate-flip symmetry
             mag2 = sum(self.states_re[i] ** 2 + self.states_im[i] ** 2
-                       for i in (1, 2))
+                       for i in (0, 1))
             return jnp.sqrt(jnp.sum(mag2, axis=0))
         mag2 = self.states_re[..., 1:] ** 2 + self.states_im[..., 1:] ** 2
         return jnp.sqrt(jnp.sum(mag2, axis=(-2, -1)))
