@@ -115,7 +115,12 @@ def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
         ncap = int(nshift)
         return min(ncap, int(max_nstate)) if max_nstate else ncap
 
-    # lattice-box bound per dimension
+    # lattice-box bound per dimension.  Traced shift values (sequence
+    # built inside jit/shard_map) have no host values: skip the bound
+    # and use the cap directly.
+    if any(isinstance(getattr(op, "kleaf", None), jax.core.Tracer)
+           for op in shift_ops):
+        return int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
     kdim = max(op.kdim for op in shift_ops)
     sums = np.zeros(kdim)
     any_float = False
@@ -199,7 +204,7 @@ def _setup_table(sm: StateMatrix, sequence, shape=None) -> StateMatrix:
     sm = sm.setup_coords(kdim)
     all_int = all(
         isinstance(op.k, int)
-        or np.issubdtype(np.asarray(op.k).dtype, np.integer)
+        or np.issubdtype(op.k.dtype, np.integer)
         for op in shift_ops
     )
     if all_int:

@@ -20,6 +20,7 @@ coordinate table with the same static capacity; they live in shiftnd.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,14 @@ class S(base.Operator):
                 raise TypeError("Cannot have k == 0")
             self._kint = int(k)
             self.kleaf = None
+        elif isinstance(k, jax.core.Tracer):
+            # traced shift values (sequence built inside jit/shard_map):
+            # value checks are skipped; the caller must pass max_nstate
+            karr = jnp.atleast_2d(k)
+            if karr.shape[-1] not in (1, 2, 3, 4):
+                raise ValueError("k.shape[-1] must belong to [1, 2, 3, 4]")
+            self._kint = None
+            self.kleaf = karr
         else:
             karr = np.atleast_2d(np.asarray(k))
             if karr.shape[-1] not in (1, 2, 3, 4):
@@ -98,8 +107,12 @@ class S(base.Operator):
         self.kgrid = kgrid
         self.prune = prune
         if not name:
-            fmt = "" if self._kint is not None else ".2f"
-            name = common.repr_operator("S", ["k"], [k], [fmt])
+            if self._kint is not None:
+                name = common.repr_operator("S", ["k"], [k], [""])
+            elif isinstance(self.kleaf, np.ndarray):
+                name = common.repr_operator("S", ["k"], [k], [".2f"])
+            else:
+                name = "S(traced)"
         super().__init__(name=name, duration=duration)
 
     @property
@@ -111,12 +124,18 @@ class S(base.Operator):
         """
         if self._kint is not None:
             return self._kint
+        if isinstance(self.kleaf, jax.core.Tracer):
+            return self.kleaf
         return np.asarray(self.kleaf)
 
     @property
     def nshift(self) -> int:
         if self._kint is not None:
             return abs(self._kint)
+        if isinstance(self.kleaf, jax.core.Tracer):
+            # traced shifts carry no host value; the table capacity comes
+            # from max_nstate (engine._capacity skips the lattice bound)
+            return 0
         return int(np.round(np.max(np.abs(np.asarray(self.kleaf)))))
 
     @property
