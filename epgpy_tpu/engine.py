@@ -632,7 +632,11 @@ def simulate(
     if disp:
         LOGGER.info("simulate: %d-op program compiled as %s",
                     len(sequence), "/".join(k[0] for k in plan_kinds))
-    use_lanes = sm.coords is None  # coordinate tables keep batch-major
+    # coordinate tables keep batch-major; ops that may break the ladder
+    # symmetry (unverified user coefficients) disable the half-ladder
+    # lanes layout, which stores only the (F+, Z) planes
+    use_lanes = sm.coords is None and all(
+        getattr(op, "preserves_ladder_symmetry", True) for op in sequence)
     if use_jit:
         sm, values = _run_compiled(plan_kinds, payload, probes, sm, shape,
                                    use_lanes)

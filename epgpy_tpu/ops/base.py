@@ -76,6 +76,10 @@ class Operator:
     PARAMS: tuple = ()
     #: parameters with defined first/second derivatives (diff layer)
     PARAMETERS_ORDER1: frozenset = frozenset()
+    #: False when the op may break F-(k) == conj(F+(-k)) (e.g. user
+    #: coefficients with check=False): the engine then avoids the
+    #: half-ladder lanes layout, which stores only (F+, Z)
+    preserves_ladder_symmetry: bool = True
 
     def __init__(self, *, name: Optional[str] = None, duration=None,
                  order1=False, order2=False):

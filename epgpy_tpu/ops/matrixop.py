@@ -85,11 +85,16 @@ class MatrixOp(base.CombinableOperator):
             if mat.ndim == 2:
                 mat = mat[None]
             mat0 = None if mat0 is None else jnp.asarray(mat0)
+            self.preserves_ladder_symmetry = False
         else:
             mat = _format_matrix_np(mat, check=check)
             if mat0 is not None:
                 mat0 = _format_matrix_np(mat0, check=check)
                 mat, mat0 = np.broadcast_arrays(mat, mat0)
+            if not check:
+                conj_perm = np.conj(mat[..., (1, 0, 2), :][..., :, (1, 0, 2)])
+                self.preserves_ladder_symmetry = bool(
+                    np.allclose(mat, conj_perm))
         self.mat_re, self.mat_im = split_complex(mat)
         self.mat0_re, self.mat0_im = split_complex(mat0)
         self.diff_arrays = pack_diff_arrays(dmats, d2mats)

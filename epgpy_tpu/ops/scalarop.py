@@ -369,11 +369,17 @@ class ScalarOp(base.CombinableOperator):
             if arr.ndim == 1:
                 arr = arr[None]
             arr0 = None if arr0 is None else jnp.asarray(arr0)
+            # traced coefficients are unverified: disable the half-ladder
+            # lanes fast path (which assumes arr[1] == conj(arr[0]))
+            self.preserves_ladder_symmetry = False
         else:
             arr = _format_triplet_np(arr, check=check)
             if arr0 is not None:
                 arr0 = _format_triplet_np(arr0, check=check)
                 arr, arr0 = np.broadcast_arrays(arr, arr0)
+            if not check:
+                self.preserves_ladder_symmetry = bool(
+                    np.allclose(arr, np.conj(arr[..., (1, 0, 2)])))
         self.arr_re, self.arr_im = split_complex(arr)
         self.arr0_re, self.arr0_im = split_complex(arr0)
         self.diff_arrays = pack_diff_arrays(darrs, d2arrs)

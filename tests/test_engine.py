@@ -66,6 +66,27 @@ def test_scanned_float_shifts_match_unrolled():
     assert np.array_equal(a, b)
 
 
+def test_asymmetric_op_disables_half_lanes():
+    """ScalarOp(check=False) with asymmetric coefficients must NOT take
+    the half-ladder lanes path (which assumes F-(k) == conj(F+(-k)));
+    the engine falls back to the compat layout and applies the
+    asymmetric F- coefficient faithfully."""
+    asym = epg.ScalarOp(np.array([0.5, 0.25, 1.0]), check=False)
+    assert not asym.preserves_ladder_symmetry
+    seq = [epg.T(60, 30), epg.S(1), asym, epg.ADC, epg.Probe("states")]
+    _, states = epg.simulate(seq, probe=["F0", "states"])
+    # eager reference: direct op application in the compat layout
+    sm = epg.StateMatrix(nstate=1)
+    for op in (epg.T(60, 30), epg.S(1), asym):
+        sm = op(sm)
+    assert np.allclose(np.asarray(states)[0], np.asarray(sm.states),
+                       atol=1e-12)
+    # sanity: the asymmetric coefficient really was applied to F-
+    assert not np.allclose(np.asarray(sm.states),
+                           np.conj(np.asarray(sm.states)[..., ::-1, :]
+                                   [..., (1, 0, 2)]))
+
+
 def test_scanned_batch_varying_shifts_match_unrolled():
     """Batch-varying (shift-prune) trains: the coords table pre-expands
     to the full batch shape so the scan carry is invariant."""
