@@ -129,3 +129,21 @@ def test_hyperecho_shift_prune_batch_float():
     sig = _hyperecho_signal(gs, gs[::-1], max_nstate=120, kgrid=0.01)
     assert sig.shape[-1] == 2
     assert np.allclose(np.abs(sig), 1.0, atol=1e-8)
+
+
+def test_imaging_complex_modulation_b0():
+    """System(modulation = R2' + 2j*pi*B0-style) applies exp(-|t| Re) decay
+    AND a B0 phase ramp exp(2j pi Im t) through the accumulated-time
+    coordinate (reference epgpy/utils.py:63-74)."""
+    r2p, b0 = 0.05, 0.013  # 1/ms, kHz
+    seq = [epg.System(modulation=r2p + 1j * b0), epg.T(90, 90)]
+    for _ in range(5):
+        seq += [epg.C(2.0), epg.Imaging(np.zeros((1, 1)),
+                                        voxel_shape="point")]
+    sig = np.asarray(epg.simulate(seq, kgrid=0.1, max_nstate=8)).squeeze()
+    t = 2.0 * np.arange(1, 6)
+    # magnitude: pure T2' decay of the single k=0 state
+    assert np.allclose(np.abs(sig), np.exp(-r2p * t), atol=1e-10)
+    # phase: B0 ramp on top of the RF phase
+    dphi = np.angle(sig[1:] / sig[:-1])
+    assert np.allclose(dphi, 2 * np.pi * b0 * 2.0, atol=1e-10)
