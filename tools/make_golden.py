@@ -407,9 +407,92 @@ def gre2d():
             "pd_map": np.stack([wm, gm, csf])}
 
 
+def fuzz():
+    """Randomized mixed-operator sequences (combinational parity fuzz).
+
+    Samples 24 seeded random sequences over T/Phi/E/P/R/S(int)/SPOILER
+    with scalar or batched parameters, runs them through the reference,
+    and stores BOTH the op specs (JSON) and the signals: the test suite
+    rebuilds the same sequences against epgpy_tpu and compares at 1e-10
+    (tests/test_fuzz.py)."""
+    import json as _json
+    rng = np.random.default_rng(12345)
+    specs_all, signals = [], []
+    for si in range(24):
+        nops = int(rng.integers(6, 18))
+        specs = []
+        batched = bool(rng.random() < 0.5)
+        bshape = [int(rng.integers(2, 4))] if batched else []
+        nshift = 0
+        for _ in range(nops):
+            kind = rng.choice(
+                ["T", "E", "P", "R", "Phi", "S", "SPOILER", "ADC"],
+                p=[0.22, 0.22, 0.1, 0.08, 0.08, 0.16, 0.04, 0.10])
+            if kind == "T":
+                alpha = rng.uniform(5, 180, bshape) if batched and rng.random() < 0.5 \
+                    else float(rng.uniform(5, 180))
+                specs.append({"k": "T", "alpha": np.asarray(alpha).tolist(),
+                              "phi": float(rng.uniform(-180, 180))})
+            elif kind == "E":
+                T2 = rng.uniform(20, 200, bshape) if batched and rng.random() < 0.5 \
+                    else float(rng.uniform(20, 200))
+                specs.append({"k": "E", "tau": float(rng.uniform(1, 20)),
+                              "T1": float(rng.uniform(300, 2000)),
+                              "T2": np.asarray(T2).tolist(),
+                              "g": float(rng.uniform(-0.05, 0.05))})
+            elif kind == "P":
+                specs.append({"k": "P", "tau": float(rng.uniform(1, 10)),
+                              "g": float(rng.uniform(-0.1, 0.1))})
+            elif kind == "R":
+                specs.append({"k": "R", "rT": float(rng.uniform(0, 0.3)),
+                              "rL": float(rng.uniform(0, 0.3)),
+                              "r0": float(rng.uniform(0, 0.3))})
+            elif kind == "Phi":
+                specs.append({"k": "Phi", "phi": float(rng.uniform(-180, 180))})
+            elif kind == "S":
+                kk = int(rng.choice([-2, -1, 1, 2]))
+                nshift += abs(kk)
+                specs.append({"k": "S", "kint": kk})
+            else:
+                specs.append({"k": kind})
+        if not any(sp["k"] == "ADC" for sp in specs):
+            specs.append({"k": "ADC"})
+
+        seq = []
+        for sp in specs:
+            if sp["k"] == "T":
+                seq.append(ops.T(np.asarray(sp["alpha"]), sp["phi"]))
+            elif sp["k"] == "E":
+                seq.append(ops.E(sp["tau"], sp["T1"], np.asarray(sp["T2"]),
+                                 g=sp["g"]))
+            elif sp["k"] == "P":
+                seq.append(ops.P(sp["tau"], sp["g"]))
+            elif sp["k"] == "R":
+                seq.append(ops.R(sp["rT"], sp["rL"], r0=sp["r0"]))
+            elif sp["k"] == "Phi":
+                seq.append(ops.Phi(sp["phi"]))
+            elif sp["k"] == "S":
+                seq.append(ops.S(sp["kint"]))
+            elif sp["k"] == "SPOILER":
+                seq.append(ops.SPOILER)
+            else:
+                seq.append(ops.ADC)
+        sig = np.asarray(fun.simulate(seq, max_nstate=12))
+        specs_all.append(specs)
+        signals.append(sig.ravel())
+
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
+    "fuzz": fuzz,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
