@@ -59,3 +59,30 @@ def test_fuzz_sequence_parity(i):
     sig = np.asarray(epg.simulate(_build(_SPECS[i]), max_nstate=12))
     ref = _G[f"sig_re_{i:02d}"] + 1j * _G[f"sig_im_{i:02d}"]
     assert np.abs(sig.ravel() - ref).max() < 1e-10, f"sequence {i}"
+
+
+_GD = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_diff.npz"))
+_DSPECS = json.loads(bytes(_GD["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_DSPECS)))
+def test_fuzz_diff_parity(i):
+    """Random tracked-variable trains: our jacfwd Jacobians match the
+    reference's hand-derived operator chain rule at 1e-8."""
+    sp = _DSPECS[i]
+    seq = []
+    for n in range(sp["ntr"]):
+        if sp["alias"]:
+            o1 = {f"a{n}": "alpha"} if n < 3 else False
+        else:
+            o1 = "alpha" if n < 3 else False
+        seq += [
+            epg.T(sp["alphas"][n], sp["phi"], order1=o1),
+            epg.E(sp["taus"][n], sp["T1"], sp["T2"], order1=["T1", "T2"]),
+            epg.ADC, epg.S(1),
+        ]
+    jac = np.asarray(epg.simulate(
+        seq, max_nstate=6, probe=epg.Jacobian(sp["vars"])))
+    ref = _GD[f"jac_re_{i:02d}"] + 1j * _GD[f"jac_im_{i:02d}"]
+    assert np.abs(jac - ref).max() < 1e-8, f"sequence {i}"

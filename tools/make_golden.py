@@ -489,10 +489,59 @@ def fuzz():
     return out
 
 
+def fuzz_diff():
+    """Randomized differentiation parity: random trains with tracked
+    variables, reference analytic Jacobians vs our jacfwd
+    (tests/test_fuzz.py::test_fuzz_diff_parity)."""
+    import json as _json
+    rng = np.random.default_rng(777)
+    specs_all, jacs = [], []
+    for si in range(12):
+        ntr = int(rng.integers(3, 9))
+        use_alias = bool(rng.random() < 0.5)
+        specs = {"ntr": ntr, "alias": use_alias,
+                 "alphas": rng.uniform(10, 170, ntr).tolist(),
+                 "taus": rng.uniform(3, 15, ntr).tolist(),
+                 "T1": float(rng.uniform(400, 1800)),
+                 "T2": float(rng.uniform(30, 150)),
+                 "phi": float(rng.uniform(-90, 90))}
+        seq = []
+        varnames = ["T1", "T2"]
+        for i in range(ntr):
+            if use_alias:
+                aname = f"a{i}"
+                varnames.append(aname) if i < 3 else None
+                o1 = {aname: "alpha"} if i < 3 else False
+            else:
+                o1 = "alpha" if i < 3 else False
+            seq += [
+                ops.T(specs["alphas"][i], specs["phi"], order1=o1),
+                ops.E(specs["taus"][i], specs["T1"], specs["T2"],
+                      order1=["T1", "T2"]),
+                ops.ADC, ops.S(1),
+            ]
+        if not use_alias:
+            varnames.append("alpha")
+        from epgpy import diff as rdiff
+        jac = np.asarray(fun.simulate(
+            seq, max_nstate=6, probe=rdiff.Jacobian(varnames)))
+        specs["vars"] = varnames
+        specs_all.append(specs)
+        jacs.append(jac)
+
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, j in enumerate(jacs):
+        out[f"jac_re_{i:02d}"] = j.real
+        out[f"jac_im_{i:02d}"] = j.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
     "fuzz": fuzz,
+    "fuzz_diff": fuzz_diff,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
