@@ -86,3 +86,27 @@ def test_fuzz_diff_parity(i):
         seq, max_nstate=6, probe=epg.Jacobian(sp["vars"])))
     ref = _GD[f"jac_re_{i:02d}"] + 1j * _GD[f"jac_im_{i:02d}"]
     assert np.abs(jac - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GS = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_shift.npz"))
+_SSPECS = json.loads(bytes(_GS["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_SSPECS)))
+def test_fuzz_shift_parity(i):
+    """Random n-D / float shift-merge trains (the coordinate-table path:
+    scan-grouped kleaf shifts, pow2-padded sort, re/im-split payloads)
+    match the reference at 1e-8."""
+    sp = _SSPECS[i]
+    seq = [epg.T(90, 90)]
+    for it in sp["items"]:
+        kv = np.asarray(it["kv"])
+        if not sp["float"]:
+            kv = kv.astype(int)
+        seq += [epg.S(kv), epg.T(it["alpha"], it["phi"]),
+                epg.E(it["tau"], 1000.0, it["T2"]), epg.ADC]
+    sig = np.asarray(epg.simulate(
+        seq, max_nstate=200, kgrid=sp["kgrid"], probe=["F0", "Z0"]))
+    ref = _GS[f"sig_re_{i:02d}"] + 1j * _GS[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"

@@ -537,11 +537,57 @@ def fuzz_diff():
     return out
 
 
+def fuzz_shift():
+    """Randomized n-D / float shift-table parity: mixed int-vector and
+    float gridded shifts with T/E interleaved
+    (tests/test_fuzz.py::test_fuzz_shift_parity)."""
+    import json as _json
+    rng = np.random.default_rng(4242)
+    specs_all, signals = [], []
+    for si in range(12):
+        ntr = int(rng.integers(3, 7))
+        kdim = int(rng.choice([1, 2, 3]))
+        float_ks = bool(rng.random() < 0.6)
+        kgrid = float(rng.choice([0.25, 0.5, 1.0])) if float_ks else 1.0
+        specs = {"ntr": ntr, "kdim": kdim, "float": float_ks,
+                 "kgrid": kgrid, "items": []}
+        seq = [ops.T(90, 90)]
+        for i in range(ntr):
+            if float_ks:
+                kv = np.round(rng.uniform(-2.5, 2.5, (1, kdim)), 3)
+                while np.allclose(kv, 0):
+                    kv = np.round(rng.uniform(-2.5, 2.5, (1, kdim)), 3)
+            else:
+                kv = rng.integers(-2, 3, (1, kdim))
+                while np.all(kv == 0):
+                    kv = rng.integers(-2, 3, (1, kdim))
+            alpha = float(rng.uniform(15, 160))
+            phi = float(rng.uniform(-180, 180))
+            tau = float(rng.uniform(2, 12))
+            T2 = float(rng.uniform(30, 150))
+            specs["items"].append({
+                "kv": kv.tolist(), "alpha": alpha, "phi": phi,
+                "tau": tau, "T2": T2})
+            seq += [ops.S(kv if float_ks else kv.astype(int)),
+                    ops.T(alpha, phi), ops.E(tau, 1000.0, T2), ops.ADC]
+        sig = np.asarray(fun.simulate(
+            seq, max_nstate=200, kgrid=kgrid, probe=["F0", "Z0"]))
+        specs_all.append(specs)
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
     "fuzz": fuzz,
     "fuzz_diff": fuzz_diff,
+    "fuzz_shift": fuzz_shift,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
