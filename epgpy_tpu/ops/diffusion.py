@@ -127,10 +127,13 @@ class D(base.Operator):
             bL = compute_bmatrix(self.tau, k)
             bT = compute_bmatrix(self.tau, k - shift, k)
 
-        Dc = self.Dcoef
-        if Dc.ndim >= 2 and Dc.shape[-1] != kd:
-            Dc = Dc[..., :kd, :kd]
-        DL, DT = diffusion_operator(bL, bT, Dc)
+        # tensor D with lower-dimensional wavenumbers: the (kd, kd)
+        # b-matrix BROADCASTS against the (3, 3) tensor, exactly like the
+        # reference's expand_arrays + elementwise sum (epgpy/diffusion.py
+        # :131-145) -- for kd == 1 the attenuation uses b00 * sum(D).
+        # Mismatched non-broadcastable ranks (kd == 2 vs 3x3) error in
+        # the reference too.
+        DL, DT = diffusion_operator(bL, bT, self.Dcoef)
 
         states = sm.states
         Fp = states[..., 0] * DT.astype(states.dtype)

@@ -110,3 +110,39 @@ def test_fuzz_shift_parity(i):
         seq, max_nstate=200, kgrid=sp["kgrid"], probe=["F0", "Z0"]))
     ref = _GS[f"sig_re_{i:02d}"] + 1j * _GS[f"sig_im_{i:02d}"]
     assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GP = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_physics.npz"))
+_PSPECS = json.loads(bytes(_GP["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_PSPECS)))
+def test_fuzz_physics_parity(i):
+    """Random diffusion (scalar + tensor) and EPG-X (2-compartment)
+    trains match the reference at 1e-8."""
+    sp = _PSPECS[i]
+    if sp["kind"] == "D":
+        Dv = np.asarray(sp["D"])
+        if not sp["aniso"]:
+            Dv = float(Dv)
+        seq = [epg.T(90, 90)]
+        for it in sp["items"]:
+            seq += [epg.S(it["kint"]), epg.D(it["tau"], Dv, k=it["kint"]),
+                    epg.T(it["alpha"], 0), epg.ADC]
+        sig = np.asarray(epg.simulate(seq, kvalue=sp["kvalue"],
+                                      probe=["F0", "Z0"]))
+    else:
+        khi = epg.exchange_matrix(sp["k12"], axis=-1, ncomp=2,
+                                  densities=sp["densities"])
+        X = epg.X(sp["TR"], khi, axis=-1, T1=sp["T1"], T2=sp["T2"],
+                  g=sp["g"])
+        seq = []
+        for _ in range(sp["ntr"]):
+            seq += [epg.T(sp["alpha"], 0), epg.ADC, X, epg.S(1)]
+        init = (np.array([0, 0, 1.0])
+                * np.array(sp["densities"])[:, None, None])
+        sig = np.asarray(epg.simulate(seq, max_nstate=8, init=init,
+                                      density=sp["densities"]))
+    ref = _GP[f"sig_re_{i:02d}"] + 1j * _GP[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"

@@ -582,12 +582,77 @@ def fuzz_shift():
     return out
 
 
+def fuzz_physics():
+    """Randomized diffusion / exchange parity: D with scalar + tensor
+    diffusivities along int shift trains, X with random 2-compartment
+    rates/relaxation (tests/test_fuzz.py::test_fuzz_physics_parity)."""
+    import json as _json
+    from epgpy import exchange as rexch
+    rng = np.random.default_rng(2026)
+    specs_all, signals = [], []
+    for si in range(12):
+        kind = "X" if si % 2 else "D"
+        if kind == "D":
+            ntr = int(rng.integers(2, 6))
+            aniso = bool(rng.random() < 0.5)
+            if aniso:
+                Dv = np.diag(rng.uniform(0.2, 2.5, 3) * 1e-3)
+            else:
+                Dv = float(rng.uniform(0.2, 2.5) * 1e-3)
+            kvalue = float(rng.uniform(5e3, 5e4))
+            items = []
+            seq = [ops.T(90, 90)]
+            for _ in range(ntr):
+                kk = int(rng.choice([-2, -1, 1, 2]))
+                alpha = float(rng.uniform(30, 170))
+                tau = float(rng.uniform(2, 12))
+                items.append({"kint": kk, "alpha": alpha, "tau": tau})
+                seq += [ops.S(kk), ops.D(tau, Dv, k=kk), ops.T(alpha, 0),
+                        ops.ADC]
+            spec = {"kind": "D", "aniso": aniso,
+                    "D": np.asarray(Dv).tolist(), "kvalue": kvalue,
+                    "items": items}
+            sig = np.asarray(fun.simulate(seq, kvalue=kvalue,
+                                          probe=["F0", "Z0"]))
+        else:
+            ntr = int(rng.integers(3, 8))
+            k12 = float(rng.uniform(1e-4, 0.05))
+            dens = rng.uniform(0.2, 0.8)
+            densities = [float(dens), float(1 - dens)]
+            T1 = rng.uniform(300, 1800, 2).tolist()
+            T2 = rng.uniform(20, 150, 2).tolist()
+            g = [0.0, float(rng.uniform(-0.05, 0.05))]
+            TRv = float(rng.uniform(5, 20))
+            alpha = float(rng.uniform(5, 60))
+            khi = rexch.exchange_matrix(k12, axis=-1, ncomp=2,
+                                        densities=densities)
+            X = ops.X(TRv, khi, axis=-1, T1=T1, T2=T2, g=g)
+            seq = []
+            for _ in range(ntr):
+                seq += [ops.T(alpha, 0), ops.ADC, X, ops.S(1)]
+            init = np.array([0, 0, 1.0]) * np.array(densities)[:, None, None]
+            sig = np.asarray(fun.simulate(
+                seq, max_nstate=8, init=init, density=densities))
+            spec = {"kind": "X", "ntr": ntr, "k12": k12,
+                    "densities": densities, "T1": T1, "T2": T2, "g": g,
+                    "TR": TRv, "alpha": alpha}
+        specs_all.append(spec)
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
     "fuzz": fuzz,
     "fuzz_diff": fuzz_diff,
     "fuzz_shift": fuzz_shift,
+    "fuzz_physics": fuzz_physics,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
