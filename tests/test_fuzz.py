@@ -146,3 +146,51 @@ def test_fuzz_physics_parity(i):
                                       density=sp["densities"]))
     ref = _GP[f"sig_re_{i:02d}"] + 1j * _GP[f"sig_im_{i:02d}"]
     assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GM = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_modify.npz"))
+_MSPECS = json.loads(bytes(_GM["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_MSPECS)))
+def test_fuzz_modify_parity(i):
+    """Random trains rewritten by modify() (T1/T2 sweeps, off-resonance,
+    B1 attenuation) match the reference at 1e-10."""
+    sp = _MSPECS[i]
+    seq = [epg.T(90, 90)]
+    for n in range(sp["ntr"]):
+        seq += [epg.S(1, duration=sp["durs"][n]),
+                epg.T(sp["alphas"][n], sp["phis"][n]), epg.ADC]
+    kw = {"T1": sp["T1"], "T2": np.asarray(sp["T2"])}
+    if sp["g"] is not None:
+        kw["g"] = np.asarray(sp["g"])[None, :]
+    if sp["att"] is not None:
+        kw["att"] = sp["att"]
+    sig = np.asarray(epg.simulate(epg.modify(seq, **kw)))
+    ref = _GM[f"sig_re_{i:02d}"] + 1j * _GM[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-10, f"sequence {i}"
+
+
+_GT = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_time.npz"))
+_TSPECS = json.loads(bytes(_GT["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_TSPECS)))
+def test_fuzz_time_parity(i):
+    """Random accumulated-time (C) trains with shifts/rotations mixed in
+    (4th-coordinate T2' bookkeeping) match the reference at 1e-8."""
+    sp = _TSPECS[i]
+    seq = [epg.T(90, 90)]
+    for it in sp["items"]:
+        seq += [epg.C(it["tau"], it["r2"])]
+        if it["kind"] == "CS":
+            seq += [epg.S(it["kint"])]
+        elif it["kind"] == "CT":
+            seq += [epg.T(it["alpha"], 0)]
+        seq += [epg.E(2.0, 1000.0, 80.0), epg.ADC]
+    sig = np.asarray(epg.simulate(seq, max_nstate=40, kgrid=0.05,
+                                  probe="F0"))
+    ref = _GT[f"sig_re_{i:02d}"] + 1j * _GT[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"

@@ -646,6 +646,86 @@ def fuzz_physics():
     return out
 
 
+def fuzz_modify():
+    """Randomized modify() parity: random T/S(duration) trains rewritten
+    with T1/T2/g sweeps and B1 attenuation
+    (tests/test_fuzz.py::test_fuzz_modify_parity)."""
+    import json as _json
+    rng = np.random.default_rng(555)
+    specs_all, signals = [], []
+    for si in range(10):
+        ntr = int(rng.integers(3, 8))
+        specs = {"ntr": ntr,
+                 "alphas": rng.uniform(20, 170, ntr).tolist(),
+                 "phis": rng.uniform(-180, 180, ntr).tolist(),
+                 "durs": rng.uniform(1, 10, ntr).tolist(),
+                 "T1": float(rng.uniform(400, 1800)),
+                 "T2": rng.uniform(30, 150, 3).tolist(),
+                 "g": (rng.uniform(-0.02, 0.02, 2).tolist()
+                       if rng.random() < 0.5 else None),
+                 "att": (float(rng.uniform(0.6, 1.2))
+                         if rng.random() < 0.5 else None)}
+        seq = [ops.T(90, 90)]
+        for i in range(ntr):
+            seq += [ops.S(1, duration=specs["durs"][i]),
+                    ops.T(specs["alphas"][i], specs["phis"][i]),
+                    ops.ADC]
+        kw = {"T1": specs["T1"], "T2": np.asarray(specs["T2"])}
+        if specs["g"] is not None:
+            kw["g"] = np.asarray(specs["g"])[None, :]
+        if specs["att"] is not None:
+            kw["att"] = specs["att"]
+        seq = fun.modify(seq, **kw)
+        sig = np.asarray(fun.simulate(seq))
+        specs_all.append(specs)
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
+def fuzz_time():
+    """Randomized accumulated-time (C operator, 4th coordinate) parity:
+    random C/S/T/E trains with F0t-weighted readout
+    (tests/test_fuzz.py::test_fuzz_time_parity)."""
+    import json as _json
+    rng = np.random.default_rng(999)
+    specs_all, signals = [], []
+    for si in range(10):
+        ntr = int(rng.integers(3, 7))
+        items = []
+        seq = [ops.T(90, 90)]
+        for _ in range(ntr):
+            kind = str(rng.choice(["C", "CS", "CT"]))
+            tau = float(rng.uniform(0.5, 4.0))
+            r2 = float(rng.uniform(0.05, 0.4))
+            alpha = float(rng.uniform(30, 170))
+            kint = int(rng.choice([-1, 1]))
+            items.append({"kind": kind, "tau": tau, "r2": r2,
+                          "alpha": alpha, "kint": kint})
+            seq += [ops.C(tau, r2)]
+            if kind == "CS":
+                seq += [ops.S(kint)]
+            elif kind == "CT":
+                seq += [ops.T(alpha, 0)]
+            seq += [ops.E(2.0, 1000.0, 80.0), ops.ADC]
+        specs_all.append({"items": items})
+        # Z0 at kdim==4 is a growing masked ladder (not reducible to a
+        # stackable scalar in the reference): probe F0 only
+        sig = np.asarray(fun.simulate(seq, max_nstate=40, kgrid=0.05,
+                                      probe="F0"))
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
@@ -653,6 +733,8 @@ CASES = {
     "fuzz_diff": fuzz_diff,
     "fuzz_shift": fuzz_shift,
     "fuzz_physics": fuzz_physics,
+    "fuzz_modify": fuzz_modify,
+    "fuzz_time": fuzz_time,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
