@@ -27,7 +27,7 @@ from . import diff as _diff
 
 __all__ = [
     "Sequence", "Variable", "Constant", "Expression", "VirtualOperator",
-    "repeat", "operators", "functions",
+    "repeat", "operators", "functions", "math",
 ]
 
 
@@ -264,6 +264,8 @@ class _Functions:
 
 
 functions = _Functions()
+#: reference-compatible alias (reference epgpy/sequence.py exposes `math`)
+math = functions
 
 
 # -- virtual operators --

@@ -194,3 +194,50 @@ def test_fuzz_time_parity(i):
                                   probe="F0"))
     ref = _GT[f"sig_re_{i:02d}"] + 1j * _GT[f"sig_im_{i:02d}"]
     assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GE = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_expr.npz"))
+_ESPECS = json.loads(bytes(_GE["specs_json"]).decode())
+
+
+def _expr_build(node, V, M):
+    """Mirror of tools/make_golden.py:_expr_build (shared tree spec)."""
+    op = node[0]
+    if op == "var":
+        return V[node[1]]
+    if op == "const":
+        return node[1]
+    a = _expr_build(node[1], V, M)
+    if op == "exp":
+        return M.exp(a * (-0.2))
+    if op == "sqr":
+        return a * a
+    b = _expr_build(node[2], V, M)
+    if op == "add":
+        return a + b
+    if op == "sub":
+        return a - b
+    if op == "mul":
+        return a * b
+    return a / (b * b + 0.5)
+
+
+@pytest.mark.parametrize("i", range(len(_ESPECS)))
+def test_fuzz_expr_parity(i):
+    """Random expression-tree operator arguments: the reference's
+    symbolic chain rule and our jvp-backed Expression.derive produce the
+    same sequence Jacobians (1e-8)."""
+    from epgpy_tpu.sequence import Sequence, Variable, math, operators
+
+    sp = _ESPECS[i]
+    V = {"x": Variable("x"), "y": Variable("y")}
+    seq = []
+    for n in range(sp["ntr"]):
+        alpha = _expr_build(sp["trees_a"][n], V, math) * 10 + 20
+        tau = _expr_build(sp["trees_t"][n], V, math) * 0.5 + 2
+        seq += [operators.T(alpha, 90), operators.E(tau, 1000.0, 80.0),
+                "ADC", operators.S(1)]
+    sig, jac = Sequence(seq).jacobian(["x", "y"])(**sp["vals"])
+    ref = _GE[f"jac_re_{i:02d}"] + 1j * _GE[f"jac_im_{i:02d}"]
+    assert np.abs(np.asarray(jac) - ref).max() < 1e-8, f"sequence {i}"

@@ -726,6 +726,82 @@ def fuzz_time():
     return out
 
 
+def _expr_tree(rng, depth, vars_):
+    """Random expression tree spec; guaranteed to contain a variable."""
+    if depth <= 0 or rng.random() < 0.25:
+        return ["var", str(rng.choice(vars_))]
+    op = str(rng.choice(["add", "sub", "mul", "div", "exp", "sqr"]))
+    a = _expr_tree(rng, depth - 1, vars_)
+    if op in ("exp", "sqr"):
+        return [op, a]
+    if rng.random() < 0.3:
+        b = ["const", float(np.round(rng.uniform(0.5, 2.5), 3))]
+    else:
+        b = _expr_tree(rng, depth - 1, vars_)
+    return [op, a, b]
+
+
+def _expr_build(node, V, M):
+    """Build an expression from a tree spec with either side's primitives.
+
+    V: name -> Variable; M: math namespace (exp).  Shared by the golden
+    generator (reference) and tests/test_fuzz.py (epgpy_tpu)."""
+    op = node[0]
+    if op == "var":
+        return V[node[1]]
+    if op == "const":
+        return node[1]
+    a = _expr_build(node[1], V, M)
+    if op == "exp":
+        return M.exp(a * (-0.2))
+    if op == "sqr":
+        return a * a
+    b = _expr_build(node[2], V, M)
+    if op == "add":
+        return a + b
+    if op == "sub":
+        return a - b
+    if op == "mul":
+        return a * b
+    # div with a guarded denominator (b may be a plain float)
+    return a / (b * b + 0.5)
+
+
+def fuzz_expr():
+    """Randomized sequence-DSL expression parity: operator arguments are
+    random expression trees of shared variables; the reference's symbolic
+    chain rule vs our jvp-backed derive
+    (tests/test_fuzz.py::test_fuzz_expr_parity)."""
+    import json as _json
+    from epgpy.sequence import Sequence as RSeq, Variable as RVar
+    from epgpy.sequence import math as rmath, operators as rops_v
+    rng = np.random.default_rng(31415)
+    specs_all, jacs = [], []
+    for si in range(10):
+        ntr = int(rng.integers(2, 5))
+        trees_a = [_expr_tree(rng, 2, ["x", "y"]) for _ in range(ntr)]
+        trees_t = [_expr_tree(rng, 2, ["x", "y"]) for _ in range(ntr)]
+        vals = {"x": float(rng.uniform(0.5, 3.0)),
+                "y": float(rng.uniform(0.5, 3.0))}
+        V = {"x": RVar("x"), "y": RVar("y")}
+        seq = []
+        for i in range(ntr):
+            alpha = _expr_build(trees_a[i], V, rmath) * 10 + 20
+            tau = _expr_build(trees_t[i], V, rmath) * 0.5 + 2
+            seq += [rops_v.T(alpha, 90), rops_v.E(tau, 1000.0, 80.0),
+                    "ADC", rops_v.S(1)]
+        sig, jac = RSeq(seq).jacobian(["x", "y"])(**vals)
+        specs_all.append({"ntr": ntr, "trees_a": trees_a,
+                          "trees_t": trees_t, "vals": vals})
+        jacs.append(np.asarray(jac))
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, j in enumerate(jacs):
+        out[f"jac_re_{i:02d}"] = j.real
+        out[f"jac_im_{i:02d}"] = j.imag
+    return out
+
+
 CASES = {
     "cpmg": cpmg,
     "press": press,
@@ -735,6 +811,7 @@ CASES = {
     "fuzz_physics": fuzz_physics,
     "fuzz_modify": fuzz_modify,
     "fuzz_time": fuzz_time,
+    "fuzz_expr": fuzz_expr,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
