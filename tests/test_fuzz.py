@@ -241,3 +241,22 @@ def test_fuzz_expr_parity(i):
     sig, jac = Sequence(seq).jacobian(["x", "y"])(**sp["vals"])
     ref = _GE[f"jac_re_{i:02d}"] + 1j * _GE[f"jac_im_{i:02d}"]
     assert np.abs(np.asarray(jac) - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GR = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_rfpulse.npz"))
+_RSPECS = json.loads(bytes(_GR["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_RSPECS)))
+def test_fuzz_rfpulse_parity(i):
+    """Random shaped pulses (real and complex envelopes, explicit rf):
+    hard-pulse trains + modify(g=...) slice profiles match the reference
+    at 1e-8."""
+    sp = _RSPECS[i]
+    env = np.asarray(sp["env_re"]) + 1j * np.asarray(sp["env_im"])
+    pulse = epg.RFPulse(env, sp["dur"], rf=sp["rf"])
+    seq = epg.modify([pulse], g=np.asarray(sp["freqs"]), expand=False)
+    sig = np.asarray(epg.simulate(list(seq) + [epg.ADC]))
+    ref = _GR[f"sig_re_{i:02d}"] + 1j * _GR[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"

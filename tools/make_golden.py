@@ -767,6 +767,42 @@ def _expr_build(node, V, M):
     return a / (b * b + 0.5)
 
 
+def fuzz_rfpulse():
+    """Randomized shaped-pulse parity: random complex envelopes with
+    explicit rf scale (no calibration), slice profiles via modify(g=...)
+    (tests/test_fuzz.py::test_fuzz_rfpulse_parity)."""
+    import json as _json
+    from epgpy import rfpulse as rrf
+    import epgpy.functions as rfun
+    rng = np.random.default_rng(8080)
+    specs_all, signals = [], []
+    for si in range(8):
+        npts = int(rng.choice([16, 32, 48]))
+        x = np.linspace(-2.5, 2.5, npts)
+        env = np.sinc(x * rng.uniform(0.5, 1.5)) * np.hamming(npts)
+        if rng.random() < 0.5:  # complex envelope (quadratic phase)
+            env = env * np.exp(1j * rng.uniform(-1, 1) * x ** 2)
+        env = env / np.abs(env).max()
+        dur = float(rng.uniform(1.0, 4.0))
+        rf = float(rng.uniform(0.05, 0.3))
+        nfreq = 9
+        freqs = np.linspace(-1.5, 1.5, nfreq)
+        pulse = rrf.RFPulse(env, dur, rf=rf)
+        seq = rfun.modify([pulse], g=freqs, expand=False)
+        sig = np.asarray(rfun.simulate(list(seq) + [ops.ADC]))
+        specs_all.append({"env_re": env.real.tolist(),
+                          "env_im": env.imag.tolist(),
+                          "dur": dur, "rf": rf,
+                          "freqs": freqs.tolist()})
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 def fuzz_expr():
     """Randomized sequence-DSL expression parity: operator arguments are
     random expression trees of shared variables; the reference's symbolic
@@ -812,6 +848,7 @@ CASES = {
     "fuzz_modify": fuzz_modify,
     "fuzz_time": fuzz_time,
     "fuzz_expr": fuzz_expr,
+    "fuzz_rfpulse": fuzz_rfpulse,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
