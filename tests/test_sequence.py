@@ -176,3 +176,35 @@ def test_sequence_pickling():
     a = seq.signal(T2=49.0)
     b = seq2.signal(T2=49.0)
     assert np.abs(a - b).max() < 1e-12
+
+
+def test_sequence_crlb_gradient_fd():
+    """crlb(variables, gradient=params): the analytic CRLB gradient
+    (Hessian contraction, reference epgpy/stats.py:6-36) matches finite
+    differences of the CRLB value."""
+    a1, a2 = Variable("a1"), Variable("a2")
+    T2 = Variable("T2")
+
+    def build(seq_vars):
+        return Sequence([operators.T(90, 90)] + [
+            operators.E(5.0, 1000.0, T2), operators.S(1),
+            operators.T(seq_vars[0], 0),
+            operators.E(5.0, 1000.0, T2), operators.S(1), "ADC",
+            operators.E(5.0, 1000.0, T2), operators.S(1),
+            operators.T(seq_vars[1], 0),
+            operators.E(5.0, 1000.0, T2), operators.S(1), "ADC",
+        ])
+
+    seq = build([a1, a2])
+    vals = {"T2": 45.0, "a1": 120.0, "a2": 100.0}
+    crb, grad = seq.crlb(["T2"], gradient=["a1", "a2"])(**vals)
+    crb0 = seq.crlb(["T2"])(**vals)
+    assert np.allclose(np.asarray(crb), np.asarray(crb0))
+
+    eps = 1e-3
+    for j, name in enumerate(("a1", "a2")):
+        up = dict(vals); up[name] += eps
+        dn = dict(vals); dn[name] -= eps
+        fd = (np.asarray(seq.crlb(["T2"])(**up))
+              - np.asarray(seq.crlb(["T2"])(**dn))) / (2 * eps)
+        assert np.allclose(np.asarray(grad)[..., j], fd, rtol=1e-4), name
