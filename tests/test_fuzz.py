@@ -260,3 +260,37 @@ def test_fuzz_rfpulse_parity(i):
     sig = np.asarray(epg.simulate(list(seq) + [epg.ADC]))
     ref = _GR[f"sig_re_{i:02d}"] + 1j * _GR[f"sig_im_{i:02d}"]
     assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"
+
+
+_GH = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                           "fuzz_hessian.npz"))
+_HSPECS = json.loads(bytes(_GH["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_HSPECS)))
+def test_fuzz_hessian_parity(i):
+    """Random order2 trains: restricted (magnitude, T1, T2) x (per-pulse
+    alpha aliases + T1 + T2) Hessian blocks match the reference's
+    hand-derived second-order chain rule at 1e-7."""
+    sp = _HSPECS[i]
+    avars = [f"a{n}" for n in range(sp["ntr"])]
+    cross = [(a, p) for a in avars for p in ("T1", "T2")]
+    seq = []
+    for n in range(sp["ntr"]):
+        aname = avars[n]
+        seq += [
+            epg.T(sp["alphas"][n], sp["phi"],
+                  order1={aname: "alpha"},
+                  order2=[(aname, "T1"), (aname, "T2"),
+                          (aname, aname)]),
+            epg.E(sp["taus"][n], sp["T1"], sp["T2"],
+                  order1=["T1", "T2"],
+                  order2=[("T1", "T1"), ("T2", "T2"), ("T1", "T2")]
+                  + cross),
+            epg.ADC, epg.S(1),
+        ]
+    _, hess = epg.simulate(
+        seq, max_nstate=6,
+        probe=[epg.Jacobian(["T1"]), epg.Hessian(sp["vars1"], sp["vars2"])])
+    ref = _GH[f"hes_re_{i:02d}"] + 1j * _GH[f"hes_im_{i:02d}"]
+    assert np.abs(np.asarray(hess) - ref).max() < 1e-7, f"sequence {i}"

@@ -767,6 +767,58 @@ def _expr_build(node, V, M):
     return a / (b * b + 0.5)
 
 
+def fuzz_hessian():
+    """Randomized order2 parity: reference hand-derived Hessian chain
+    rule vs nested jacfwd over random short trains with restricted
+    vars1 x vars2 blocks (tests/test_fuzz.py::test_fuzz_hessian_parity)."""
+    import json as _json
+    from epgpy import diff as rdiff
+    rng = np.random.default_rng(60613)
+    specs_all, hessians = [], []
+    for si in range(8):
+        ntr = int(rng.integers(2, 5))
+        specs = {"ntr": ntr,
+                 "alphas": rng.uniform(20, 160, ntr).tolist(),
+                 "taus": rng.uniform(3, 12, ntr).tolist(),
+                 "T1": float(rng.uniform(500, 1500)),
+                 "T2": float(rng.uniform(40, 120)),
+                 "phi": float(rng.uniform(-60, 60))}
+        seq = []
+        avars = [f"a{i}" for i in range(ntr)]
+        # cross pairs must be declared on EVERY op they propagate through
+        # (reference cross-term accumulation), hence also on the E ops
+        cross = [(a, p) for a in avars for p in ("T1", "T2")]
+        import warnings as _warnings
+        _warnings.filterwarnings("ignore")
+        for i in range(ntr):
+            aname = avars[i]
+            seq += [
+                ops.T(specs["alphas"][i], specs["phi"],
+                      order1={aname: "alpha"},
+                      order2=[(aname, "T1"), (aname, "T2"),
+                              (aname, aname)]),
+                ops.E(specs["taus"][i], specs["T1"], specs["T2"],
+                      order1=["T1", "T2"],
+                      order2=[("T1", "T1"), ("T2", "T2"), ("T1", "T2")]
+                      + cross),
+                ops.ADC, ops.S(1),
+            ]
+        vars1 = ["magnitude", "T1", "T2"]
+        vars2 = avars + ["T1", "T2"]
+        sig, hess = fun.simulate(
+            seq, max_nstate=6,
+            probe=[rdiff.Jacobian(["T1"]), rdiff.Hessian(vars1, vars2)])
+        hess = np.asarray(hess)
+        specs_all.append({**specs, "vars1": vars1, "vars2": vars2})
+        hessians.append(hess)
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, h in enumerate(hessians):
+        out[f"hes_re_{i:02d}"] = h.real
+        out[f"hes_im_{i:02d}"] = h.imag
+    return out
+
+
 def fuzz_rfpulse():
     """Randomized shaped-pulse parity: random complex envelopes with
     explicit rf scale (no calibration), slice profiles via modify(g=...)
@@ -849,6 +901,7 @@ CASES = {
     "fuzz_time": fuzz_time,
     "fuzz_expr": fuzz_expr,
     "fuzz_rfpulse": fuzz_rfpulse,
+    "fuzz_hessian": fuzz_hessian,
     "rare_diffusion": rare_diffusion,
     "ssfp_dwi": ssfp_dwi,
     "gre2d": gre2d,
