@@ -172,10 +172,31 @@ def measure_table(sync):
         t0 = time.perf_counter()
         tsync(run())
         tbest = min(tbest, time.perf_counter() - t0)
-    return {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
-            "table_best_seconds": round(float(tbest), 4),
-            "table_warmup_seconds": round(float(twarm), 2),
-            "table_capacity": CAP}
+    out = {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
+           "table_best_seconds": round(float(tbest), 4),
+           "table_warmup_seconds": round(float(twarm), 2),
+           "table_capacity": CAP}
+
+    # reference throughput on the same float-shift train (NumPy shift-merge)
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            rng = np.random.default_rng(0)
+            rseq = [rops.T(90, 90)]
+            for i in range(NRF):
+                rseq += [rops.S(np.array([[rng.uniform(2, 10)]])),
+                         rops.T(40, 0), rops.E(5.0, 1000.0, T2s), rops.ADC]
+            t0 = time.perf_counter()
+            rfun.simulate(rseq, kgrid=0.5, max_nstate=CAP)
+            rdt = time.perf_counter() - t0
+            out["table_vs_baseline"] = round(rdt / tbest, 1)
+            out["table_ref_seconds"] = round(float(rdt), 3)
+        except Exception as exc:
+            out["table_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
 
 
 def main():
