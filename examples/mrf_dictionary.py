@@ -1,6 +1,7 @@
 """MR fingerprinting: dictionary generation + matching
 (reference examples/profiling/differentiation_mrf.py workflow)."""
 
+import os
 import time
 
 import numpy as np
@@ -12,12 +13,13 @@ from epgpy_tpu.parallel import dictionary_match
 
 def main():
     # variable flip-angle train
-    P = 500
+    P = int(os.environ.get("DICT_NPULSE", 500))
     FA = 10 + 50 * np.abs(np.sin(np.arange(P) * 2 * np.pi / 250))
 
     # T1 x T2 atom grid
-    T1 = np.linspace(200, 2000, 60)
-    T2 = np.linspace(20, 200, 60)
+    n = int(os.environ.get("DICT_NGRID", 60))
+    T1 = np.linspace(200, 2000, n)
+    T2 = np.linspace(20, 200, n)
     g = np.stack(np.meshgrid(T1, T2, indexing="ij"), -1).reshape(-1, 2)
     g = g[g[:, 1] < 0.8 * g[:, 0]]  # physical atoms only
     print(f"dictionary: {len(g)} atoms x {P} pulses")

@@ -62,6 +62,20 @@ def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
 
+def test_mrf_dictionary_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("DICT_NPULSE", "128")
+    monkeypatch.setenv("DICT_NGRID", "12")
+    _run("mrf_dictionary.py", monkeypatch, tmp_path)
+
+
+def test_sequence_optimization_smoke(monkeypatch, tmp_path):
+    _run("sequence_optimization.py", monkeypatch, tmp_path)
+
+
+def test_pulse_profile_smoke(monkeypatch, tmp_path):
+    _run("pulse_profile.py", monkeypatch, tmp_path)
+
+
 def test_optim_mse_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MSE_NTAU", "120")
     monkeypatch.setenv("MSE_MAXECHO", "3")
