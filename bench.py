@@ -199,6 +199,41 @@ def measure_table(sync):
     return out
 
 
+def measure_jacobian(FA, T1, T2, B1):
+    """Jacobian-dictionary throughput: dS/d(T1, T2, B1) for every atom.
+
+    The diff-path perf signal: one jvp of the batched program per
+    variable (4 scan passes total for signal + 3 derivatives)."""
+    import jax
+    from epgpy_tpu.models.mrf import fisp_mrf_jacobian
+
+    B = min(len(T1), int(os.environ.get("BENCH_JAC_ATOMS", 25600)))
+    T1j, T2j, B1j = T1[:B], T2[:B], B1[:B]
+
+    def run():
+        return fisp_mrf_jacobian(FA, TR, TE, T1j, T2j, B1j,
+                                 variables=("T1", "T2", "B1"),
+                                 nstate=NSTATE)
+
+    def jsync(out):
+        jax.block_until_ready(out)
+        (_, _), (dre, _) = out
+        return float(np.asarray(dre[-1, -1, -1]))
+
+    t0 = time.perf_counter()
+    jsync(run())
+    jwarm = time.perf_counter() - t0
+    jbest = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jsync(run())
+        jbest = min(jbest, time.perf_counter() - t0)
+    return {"jac_atoms_per_sec": round(B / jbest, 1),
+            "jac_best_seconds": round(float(jbest), 4),
+            "jac_warmup_seconds": round(float(jwarm), 2),
+            "jac_natoms": B, "jac_nvars": 3}
+
+
 def main():
     import jax
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -264,6 +299,11 @@ def main():
             engine.update(measure_table(sync))
         except Exception as exc:
             engine["table_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_JAC", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_jacobian(FA, T1, T2, B1))
+        except Exception as exc:
+            engine["jac_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
