@@ -418,7 +418,7 @@ def fuzz():
     import json as _json
     rng = np.random.default_rng(12345)
     specs_all, signals = [], []
-    for si in range(24):
+    for si in range(36):
         nops = int(rng.integers(6, 18))
         specs = []
         batched = bool(rng.random() < 0.5)
@@ -544,7 +544,7 @@ def fuzz_shift():
     import json as _json
     rng = np.random.default_rng(4242)
     specs_all, signals = [], []
-    for si in range(12):
+    for si in range(20):
         ntr = int(rng.integers(3, 7))
         kdim = int(rng.choice([1, 2, 3]))
         float_ks = bool(rng.random() < 0.6)
@@ -590,7 +590,7 @@ def fuzz_physics():
     from epgpy import exchange as rexch
     rng = np.random.default_rng(2026)
     specs_all, signals = [], []
-    for si in range(12):
+    for si in range(20):
         kind = "X" if si % 2 else "D"
         if kind == "D":
             ntr = int(rng.integers(2, 6))
@@ -653,7 +653,7 @@ def fuzz_modify():
     import json as _json
     rng = np.random.default_rng(555)
     specs_all, signals = [], []
-    for si in range(10):
+    for si in range(16):
         ntr = int(rng.integers(3, 8))
         specs = {"ntr": ntr,
                  "alphas": rng.uniform(20, 170, ntr).tolist(),
@@ -694,7 +694,7 @@ def fuzz_time():
     import json as _json
     rng = np.random.default_rng(999)
     specs_all, signals = [], []
-    for si in range(10):
+    for si in range(16):
         ntr = int(rng.integers(3, 7))
         items = []
         seq = [ops.T(90, 90)]
