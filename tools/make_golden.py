@@ -496,7 +496,7 @@ def fuzz_diff():
     import json as _json
     rng = np.random.default_rng(777)
     specs_all, jacs = [], []
-    for si in range(12):
+    for si in range(16):
         ntr = int(rng.integers(3, 9))
         use_alias = bool(rng.random() < 0.5)
         specs = {"ntr": ntr, "alias": use_alias,
@@ -775,7 +775,7 @@ def fuzz_hessian():
     from epgpy import diff as rdiff
     rng = np.random.default_rng(60613)
     specs_all, hessians = [], []
-    for si in range(8):
+    for si in range(12):
         ntr = int(rng.integers(2, 5))
         specs = {"ntr": ntr,
                  "alphas": rng.uniform(20, 160, ntr).tolist(),
@@ -828,7 +828,7 @@ def fuzz_rfpulse():
     import epgpy.functions as rfun
     rng = np.random.default_rng(8080)
     specs_all, signals = [], []
-    for si in range(8):
+    for si in range(10):
         npts = int(rng.choice([16, 32, 48]))
         x = np.linspace(-2.5, 2.5, npts)
         env = np.sinc(x * rng.uniform(0.5, 1.5)) * np.hamming(npts)
@@ -865,7 +865,7 @@ def fuzz_expr():
     from epgpy.sequence import math as rmath, operators as rops_v
     rng = np.random.default_rng(31415)
     specs_all, jacs = [], []
-    for si in range(10):
+    for si in range(14):
         ntr = int(rng.integers(2, 5))
         trees_a = [_expr_tree(rng, 2, ["x", "y"]) for _ in range(ntr)]
         trees_t = [_expr_tree(rng, 2, ["x", "y"]) for _ in range(ntr)]
