@@ -208,3 +208,22 @@ def test_sequence_crlb_gradient_fd():
         fd = (np.asarray(seq.crlb(["T2"])(**up))
               - np.asarray(seq.crlb(["T2"])(**dn))) / (2 * eps)
         assert np.allclose(np.asarray(grad)[..., j], fd, rtol=1e-4), name
+
+
+def test_confint_cband():
+    """confint(return_cband=True) also returns the prediction confidence
+    band (reference epgpy/stats.py:57-101 delta method)."""
+    T2 = Variable("T2")
+    seq = Sequence(
+        [operators.T(90, 90)]
+        + [operators.E(4.5, 1400.0, T2), operators.S(1), operators.T(150, 0),
+           operators.E(4.5, 1400.0, T2), operators.S(1), "ADC"] * 6
+    )
+    truth = seq.signal(T2=35.0)
+    rng = np.random.default_rng(1)
+    obs = truth + 1e-3 * rng.normal(size=truth.shape)
+    cints, cband = seq.confint(obs, ["T2"], return_cband=True)(T2=35.0)
+    assert np.isfinite(np.asarray(cints)).all()
+    cband = np.asarray(cband)
+    assert cband.shape[-1] == truth.shape[-1]
+    assert np.all(np.asarray(cband) >= 0)
