@@ -635,8 +635,13 @@ def simulate(
     # coordinate tables keep batch-major; ops that may break the ladder
     # symmetry (unverified user coefficients) disable the half-ladder
     # lanes layout, which stores only the (F+, Z) planes
-    use_lanes = sm.coords is None and all(
-        getattr(op, "preserves_ladder_symmetry", True) for op in sequence)
+    use_lanes = (
+        sm.coords is None
+        # init must have been verified symmetric (check=False / device
+        # inits skip the F-/Z symmetry checks -- ADVICE r2)
+        and sm.options.get("_sym_verified", False)
+        and all(getattr(op, "preserves_ladder_symmetry", True)
+                for op in sequence))
     if use_jit:
         sm, values = _run_compiled(plan_kinds, payload, probes, sm, shape,
                                    use_lanes)

@@ -59,6 +59,12 @@ class CombinedOp(base.CombinableOperator):
                 merged2.setdefault(pair, {})
         self.order1 = merged1
         self.order2 = merged2
+        # lanes half-ladder layout is only valid if EVERY constituent
+        # preserves F-(k) == conj(F+(-k)) -- an asymmetric check=False op
+        # merged via @/combine() must disable it for the whole product
+        self.preserves_ladder_symmetry = all(
+            getattr(op, "preserves_ladder_symmetry", True)
+            for op in self.ops)
 
     @classmethod
     def of(cls, first, second, *, name=None, duration=None):

@@ -93,8 +93,12 @@ class MatrixOp(base.CombinableOperator):
                 mat, mat0 = np.broadcast_arrays(mat, mat0)
             if not check:
                 conj_perm = np.conj(mat[..., (1, 0, 2), :][..., :, (1, 0, 2)])
-                self.preserves_ladder_symmetry = bool(
-                    np.allclose(mat, conj_perm))
+                sym = np.allclose(mat, conj_perm)
+                if mat0 is not None:
+                    conj_perm0 = np.conj(
+                        mat0[..., (1, 0, 2), :][..., :, (1, 0, 2)])
+                    sym = sym and np.allclose(mat0, conj_perm0)
+                self.preserves_ladder_symmetry = bool(sym)
         self.mat_re, self.mat_im = split_complex(mat)
         self.mat0_re, self.mat0_im = split_complex(mat0)
         self.diff_arrays = pack_diff_arrays(dmats, d2mats)

@@ -378,8 +378,13 @@ class ScalarOp(base.CombinableOperator):
                 arr0 = _format_triplet_np(arr0, check=check)
                 arr, arr0 = np.broadcast_arrays(arr, arr0)
             if not check:
-                self.preserves_ladder_symmetry = bool(
-                    np.allclose(arr, np.conj(arr[..., (1, 0, 2)])))
+                sym = np.allclose(arr, np.conj(arr[..., (1, 0, 2)]))
+                if arr0 is not None:
+                    # recovery term must satisfy the same conjugate
+                    # permutation, else lanes would drop a distinct arr0[1]
+                    sym = sym and np.allclose(
+                        arr0, np.conj(arr0[..., (1, 0, 2)]))
+                self.preserves_ladder_symmetry = bool(sym)
         self.arr_re, self.arr_im = split_complex(arr)
         self.arr0_re, self.arr0_im = split_complex(arr0)
         self.diff_arrays = pack_diff_arrays(darrs, d2arrs)

@@ -144,6 +144,14 @@ class StateMatrix:
         off = equilibrium.copy()
         off[..., c, 2] = 0
         self.options["_eq_center"] = bool(not off.any())
+        # static hint: were the init/equilibrium ladders actually verified
+        # to satisfy F-(k)=conj(F+(-k))?  check=False and device/traced
+        # inputs skip the check, so the half-ladder lanes layout (which
+        # silently symmetrizes by dropping F-) must not engage for them.
+        self.options["_sym_verified"] = bool(
+            check
+            and not isinstance(states, (jax.core.Tracer, jnp.ndarray))
+            and not isinstance(equilibrium, (jax.core.Tracer, jnp.ndarray)))
 
     # -- construction helpers --
 

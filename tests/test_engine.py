@@ -87,6 +87,62 @@ def test_asymmetric_op_disables_half_lanes():
                                    [..., (1, 0, 2)]))
 
 
+def test_asymmetric_combined_op_disables_half_lanes():
+    """combine()/@ must propagate preserves_ladder_symmetry from the
+    constituents (ADVICE r2 high): an asymmetric check=False ScalarOp
+    merged with E must not enable the lanes layout."""
+    asym = epg.ScalarOp(np.array([0.5, 0.25, 1.0]), check=False)
+    merged = epg.combine(asym, epg.E(5.0, 1000, 80))
+    assert not merged.preserves_ladder_symmetry
+    seq = [epg.T(60, 30), epg.S(1), merged, epg.Probe("states")]
+    (states,) = epg.simulate(seq, probe=["states"])
+    sm = epg.StateMatrix(nstate=1)
+    for op in (epg.T(60, 30), epg.S(1), asym, epg.E(5.0, 1000, 80)):
+        sm = op(sm)
+    assert np.allclose(np.asarray(states)[0], np.asarray(sm.states),
+                       atol=1e-12)
+    # @-composition takes the same path
+    assert not (asym @ epg.E(5.0, 1000, 80)).preserves_ladder_symmetry
+    # and a fully symmetric product keeps the fast path
+    assert (epg.E(5.0, 1000, 80) @ epg.T(30, 0)).preserves_ladder_symmetry
+
+
+def test_asymmetric_init_disables_half_lanes():
+    """StateMatrix(check=False) skips the F-/Z symmetry validation, so
+    the engine must not symmetrize such an init via the lanes layout
+    (ADVICE r2 medium)."""
+    init = np.array([[0.3 + 0.1j, 0.05, 0.2], [0, 0, 1.0], [0.4, 0.7j, 0.1]])
+    sm0 = epg.StateMatrix(init, check=False, nstate=2)
+    assert not sm0.options["_sym_verified"]
+    seq = [epg.T(45, 0), epg.E(5.0, 1000, 80), epg.Probe("states")]
+    (states,) = epg.simulate(seq, init=sm0, probe=["states"])
+    sm = sm0
+    for op in (epg.T(45, 0), epg.E(5.0, 1000, 80)):
+        sm = op(sm)
+    assert np.allclose(np.asarray(states)[0], np.asarray(sm.states),
+                       atol=1e-12)
+    # verified inits keep the hint
+    assert epg.StateMatrix(nstate=2).options["_sym_verified"]
+
+
+def test_asymmetric_recovery_disables_half_lanes():
+    """check=False symmetry sniffing must include arr0/mat0 (ADVICE r2
+    low): symmetric coefficients with an asymmetric recovery term must
+    not report preserves_ladder_symmetry."""
+    arr = np.array([0.5, 0.5, 0.8])
+    arr0 = np.array([0.1 + 0.2j, 0.3, 0.2])  # asymmetric recovery
+    op = epg.ScalarOp(arr, arr0, check=False)
+    assert not op.preserves_ladder_symmetry
+    # symmetric recovery keeps the fast path
+    arr0_sym = np.array([0.1 + 0.2j, 0.1 - 0.2j, 0.2])
+    assert epg.ScalarOp(arr, arr0_sym, check=False).preserves_ladder_symmetry
+    mat = np.diag([0.5, 0.5, 0.8]).astype(complex)
+    mat0 = np.zeros((3, 3), complex)
+    mat0[0, 2] = 0.3  # F+ <- Z recovery with no conjugate mirror
+    mop = epg.MatrixOp(mat, mat0, check=False)
+    assert not mop.preserves_ladder_symmetry
+
+
 def test_scanned_batch_varying_shifts_match_unrolled():
     """Batch-varying (shift-prune) trains: the coords table pre-expands
     to the full batch shape so the scan carry is invariant."""
