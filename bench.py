@@ -167,13 +167,27 @@ def measure_table(sync):
     t0 = time.perf_counter()
     tsync(run())
     twarm = time.perf_counter() - t0
-    tbest = np.inf
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        tsync(run())
-        tbest = min(tbest, time.perf_counter() - t0)
+
+    # per-train time via pipelined dispatch: a single launch+sync through
+    # the axon tunnel costs ~40 ms REGARDLESS of program content (measured
+    # with a trivial 10-step scan), which would swamp the actual train
+    # time; dispatch M trains back-to-back (async), sync once, and take
+    # the slope (T(M) - T(1)) / (M - 1) -- the steady-state per-train
+    # cost a dictionary service would see.
+    def timed(M):
+        best = np.inf
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(M)]
+            tsync(outs[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t9 = timed(1), timed(9)
+    tbest = max((t9 - t1) / 8, 1e-9)
     out = {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
            "table_best_seconds": round(float(tbest), 4),
+           "table_single_shot_seconds": round(float(t1), 4),
            "table_warmup_seconds": round(float(twarm), 2),
            "table_capacity": CAP}
 

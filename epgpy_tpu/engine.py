@@ -22,7 +22,7 @@ from __future__ import annotations
 import logging
 import math
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +147,97 @@ def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
     return max(min(bound, cap), 1)
 
 
+# dense-grid merge: memory bound on the ladder half-capacity (rows =
+# 2*bound+1 must cover the train's full wavenumber range)
+_DENSE_MAX_NSTATE = 8192
+
+
+def _dense_bound(sequence, kgrid, max_nstate, kvalue) -> Optional[int]:
+    """Half-capacity for the dense-grid 1-D merge, or None if ineligible.
+
+    The dense engine (ops/shiftdense.py) puts grid cell q at ladder row
+    q + K//2 and applies the Gao merge as masked rolls.  It is exact
+    only when (a) every shift is 1-D, shared across the batch, with
+    host-known values, and (b) the ladder covers the train's full
+    wavenumber range sum|k|*kvalue/kgrid, so the capacity trim of the
+    table engines can never trigger.  When eligible, this returns the
+    half-capacity the ladder must be sized to.
+    """
+    from .ops.shift import S
+    from .ops.base import System
+
+    if not kgrid or common.get_shape(kvalue):
+        return None
+    shift_ops = [op for op in sequence if isinstance(op, S)]
+    if not shift_ops:
+        return None
+    if any(getattr(op, "scalars", None) for op in sequence
+           if isinstance(op, System)):
+        return None  # kvalue/tvalue may change mid-train
+    total = 0.0
+    any_float = False
+    for op in shift_ops:
+        if op.kleaf is None:
+            total += abs(op._kint)
+            continue
+        if isinstance(op.kleaf, jax.core.Tracer):
+            return None
+        karr = np.atleast_2d(np.asarray(op.kleaf))
+        if karr.shape[-1] != 1 or math.prod(op.shape) > 1:
+            return None
+        if not np.issubdtype(karr.dtype, np.integer):
+            any_float = True
+        total += float(np.max(np.abs(karr)))
+    if not any_float:
+        return None
+    bound = int(math.floor(total * float(kvalue) / float(kgrid) + 0.5)) + 1
+    cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
+    if bound > cap or bound > _DENSE_MAX_NSTATE:
+        return None
+    return bound
+
+
+_PREAMBLE_CACHE: "dict[tuple, tuple]" = {}
+_PREAMBLE_CACHE_MAX = 32
+
+
+def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
+    """Cached per-sequence host analysis: (nshift, shape, ncap, dense).
+
+    Repeat simulate() calls on the same operator list (dictionary
+    services, optimization loops) would otherwise re-run the O(n_ops)
+    nshift/shape/capacity sweeps every call -- several ms of host time
+    per dispatch.  Keyed on operator identities; the cached entry pins
+    the operator list so ids cannot be reused while cached.
+    """
+    kv = None if common.get_shape(kvalue) else float(kvalue)
+    key = (tuple(id(op) for op in sequence), max_nstate, kgrid, kv)
+    hit = _PREAMBLE_CACHE.get(key)
+    if hit is not None:
+        return hit[:4]
+    nshift = getnshift(sequence)
+    shape = getshape(sequence)
+    ncap = _capacity(sequence, nshift, max_nstate, kgrid)
+    dense = _dense_bound(sequence, kgrid, max_nstate, kvalue)
+    while len(_PREAMBLE_CACHE) >= _PREAMBLE_CACHE_MAX:
+        _PREAMBLE_CACHE.pop(next(iter(_PREAMBLE_CACHE)))
+    _PREAMBLE_CACHE[key] = (nshift, shape, ncap, dense, list(sequence))
+    return nshift, shape, ncap, dense
+
+
+def _center_only_init(sm: StateMatrix) -> bool:
+    """True if the (host-side) initial states are confined to k=0."""
+    sre, sim = sm.states_re, sm.states_im
+    if sm.lanes or sm.coords is not None:
+        return False
+    if not isinstance(sre, np.ndarray) or not isinstance(sim, np.ndarray):
+        return False
+    c = sre.shape[-2] // 2
+    off = float(np.abs(sre).sum() - np.abs(sre[..., c, :]).sum())
+    offi = float(np.abs(sim).sum() - np.abs(sim[..., c, :]).sum())
+    return off == 0.0 and offi == 0.0
+
+
 def squeeze_sequence(sequence):
     """Merge runs of adjacent combinable linear operators into single ops.
 
@@ -181,7 +272,8 @@ def squeeze_sequence(sequence):
     return out
 
 
-def _setup_table(sm: StateMatrix, sequence, shape=None) -> StateMatrix:
+def _setup_table(sm: StateMatrix, sequence, shape=None,
+                 dense: bool = False) -> StateMatrix:
     """Attach the coordinate table up-front for table-shift sequences.
 
     Scan carries need a structure-invariant StateMatrix: the coords leaf
@@ -210,6 +302,10 @@ def _setup_table(sm: StateMatrix, sequence, shape=None) -> StateMatrix:
     if all_int:
         from .ops.shiftnd import _intdtype
         sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    if dense and not all_int:
+        # static hint for ops/shiftnd.apply_shift: rows ARE grid cells,
+        # merges run as masked rolls (ops/shiftdense.py)
+        sm = sm.update(options={**sm.options, "_dense_grid": True})
     batch_varying = any(
         math.prod(op.shape) > 1 for op in shift_ops
     )
@@ -563,9 +659,6 @@ def simulate(
     sequence = flatten_sequence(sequence)
     if squeeze:
         sequence = squeeze_sequence(sequence)
-    nshift = getnshift(sequence)
-    shape = getshape(sequence)
-    LOGGER.info("simulate: %d ops, nshift=%d, shape=%s", len(sequence), nshift, shape)
 
     if not any(isinstance(op, probe_mod.Probe) for op in sequence):
         raise ValueError("Cannot simulate sequence without at least one Probe/ADC")
@@ -589,7 +682,16 @@ def simulate(
             max_nstate = init.options.get("max_nstate")
         if kgrid is None:
             kgrid = init.options.get("kgrid")
-    ncap = _capacity(sequence, nshift, max_nstate, kgrid)
+    kvalue = options.get("kvalue")
+    if kvalue is None:
+        kvalue = init.kvalue if isinstance(init, StateMatrix) else 1.0
+    # nshift/shape/capacity + dense-grid eligibility (see _dense_bound)
+    nshift, shape, ncap, dense = _sequence_preamble(
+        sequence, max_nstate, kgrid, kvalue)
+    LOGGER.info("simulate: %d ops, nshift=%d, shape=%s",
+                len(sequence), nshift, shape)
+    if dense is not None:
+        ncap = dense
 
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(
@@ -600,10 +702,13 @@ def simulate(
         sm = init.update(options={**init.options, **options})
         sm = sm.resize(max(ncap, sm.nstate))
 
+    if dense is not None and not _center_only_init(sm):
+        dense = None
+
     # pre-attach the coordinate table when the sequence needs one, so the
     # state's pytree structure (and coord dtype) is invariant across ops
     # (scan carries require a fixed structure)
-    sm = _setup_table(sm, sequence, shape)
+    sm = _setup_table(sm, sequence, shape, dense=dense is not None)
 
     # differentiation path: Jacobian/Hessian probes -> (nested) jacfwd
     from . import diff as diff_mod
@@ -636,7 +741,9 @@ def simulate(
     # symmetry (unverified user coefficients) disable the half-ladder
     # lanes layout, which stores only the (F+, Z) planes
     use_lanes = (
-        sm.coords is None
+        # dense-grid tables run the merge on the lanes planes natively;
+        # other coordinate tables keep batch-major
+        (sm.coords is None or bool(sm.options.get("_dense_grid")))
         # init must have been verified symmetric (check=False / device
         # inits skip the F-/Z symmetry checks -- ADVICE r2)
         and sm.options.get("_sym_verified", False)

@@ -25,6 +25,7 @@ wavenumbers per cell (reference epgpy/shift.py:419-438).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,26 @@ import numpy as np
 from .. import config
 
 __all__ = ["apply_shift", "shiftnd_table", "shiftmerge_table"]
+
+# The shared-table merge has two interchangeable engines:
+#
+# * "sort"   -- argsort + segment-sum (original; the only choice under
+#               vmap, where per-element compare matrices would blow up);
+# * "matmul" -- sort/scatter/gather-free: all-pairs key comparisons give
+#               segment ids, and all data movement (duplicate-cell sums,
+#               symmetric top-k selection) is expressed as one-hot
+#               matmuls on the MXU.  On TPU the bitonic sort and any
+#               computed-index scatter/gather of the payload rows cost
+#               ~1.7 ms at 3C=3072 rows (see docs/performance.md
+#               negative results); the compare matrices + two one-hot
+#               matmuls replace all of it with dense MXU/VPU work.
+#
+# "matmul" is quadratic in the row count (all-pairs) and linear in the
+# batch width (matmul columns), so it is gated on both:
+_MATMUL_MERGE_MAX_ROWS = int(os.environ.get(
+    "EPGPY_TPU_MATMUL_MERGE_MAX_ROWS", 12288))
+_MATMUL_MERGE_MAX_COLS = int(os.environ.get(
+    "EPGPY_TPU_MATMUL_MERGE_MAX_COLS", 4096))
 
 
 def _intdtype():
@@ -178,11 +199,142 @@ def _take_states(merged, kept):
     return jnp.stack(comps, axis=-1)
 
 
-def shiftnd_table(states, coords, delta, C=None):
+# -- matmul merge engine (sort/scatter/gather-free) --
+
+
+def _mm(a, b):
+    """One-hot matmul on the physics path: full-precision passes (TPU
+    matmul defaults to bf16 passes -- CLAUDE.md fact 5)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _allpairs_cells(keys):
+    """Segment ids via all-pairs key comparisons (no sort).
+
+    Returns (seg, nseg, center, has_zero):
+      seg[i]  = number of DISTINCT key values < keys[i] -- i.e. the index
+                of candidate i's cell in the ascending-key cell ordering
+                (exactly the segment id the sorted merge derives);
+      nseg    = number of distinct cells;
+      center  = index of the key==0 cell (== #distinct negative keys;
+                first nonnegative cell when no zero key exists, matching
+                the sorted engine's searchsorted(ukeys, 0));
+      has_zero= whether a key==0 cell exists.
+    """
+    R = keys.shape[0]
+    i = jnp.arange(R)
+    key_i = keys[:, None]          # (R, 1)
+    key_j = keys[None, :]          # (1, R)
+    eq = key_j == key_i
+    # head: candidate is the first occurrence of its key (lowest index)
+    head = jnp.sum(eq & (i[None, :] < i[:, None]), axis=1) == 0
+    seg = jnp.sum((key_j < key_i) & head[None, :], axis=1)
+    nseg = jnp.sum(head)
+    center = jnp.sum(head & (keys < 0))
+    has_zero = jnp.any(keys == 0)
+    return seg, nseg, center, has_zero
+
+
+def _select_matrix(mag, nseg, center, has_zero, C, dtype):
+    """(C, R) one-hot selection matrix: symmetric magnitude top-k.
+
+    Row c of the result picks the merged cell landing in output slot c:
+    slot h=(C-1)//2 is the center (k=0) cell, slots h+1+r the kept
+    positive-key cells in ascending key order, slots h-1-r their mirror
+    cells (mirror of cell s is cell nseg-1-s: the cell key multiset is
+    symmetric).  Selection set is identical to the sorted engine's
+    stable argsort(-score)[:h] (ties broken by lowest cell index);
+    unused slots have all-zero rows (zero states, coords 0).
+    """
+    R = mag.shape[0]
+    s = jnp.arange(R)
+    h = (C - 1) // 2
+    valid = s < nseg
+    pos = (s > center) | ((s == center) & ~has_zero)
+    neginf = jnp.array(-jnp.inf, mag.dtype)
+    score = jnp.where(valid & pos, mag, neginf)
+    # stable top-h via all-pairs rank (beats = strictly greater, or
+    # equal with lower index)
+    beats = (score[None, :] > score[:, None]) | (
+        (score[None, :] == score[:, None]) & (s[None, :] < s[:, None]))
+    rank = jnp.sum(beats, axis=1)
+    keep = (rank < h) & (score > neginf)
+    ppos = jnp.cumsum(keep) - 1                     # rank among kept, by key
+    # mirror views: mk[t] = keep[nseg-1-t] etc. (flip + dynamic roll;
+    # out-of-range wraps hit keep==False rows, so no spurious picks)
+    mk = jnp.roll(keep[::-1], nseg - R)
+    mp = jnp.roll(ppos[::-1], nseg - R)
+    c = jnp.arange(C)[:, None]
+    G = ((keep[None, :] & (c == h + 1 + ppos[None, :]))
+         | (mk[None, :] & (c == h - 1 - mp[None, :]))
+         | ((c == h) & (s[None, :] == center)))
+    return G.astype(dtype)
+
+
+def _state_cols(states):
+    """Per-component (C, 2*Bflat) real matrices [re || im] and the
+    batch-shape restorer.  states: (*batch, C, 3) complex."""
+    bshape = states.shape[:-2]
+    Ccap = states.shape[-2]
+    cols = []
+    for j in range(3):
+        comp = jnp.moveaxis(states[..., j], -1, 0).reshape(Ccap, -1)
+        cols.append(jnp.concatenate([comp.real, comp.imag], axis=1))
+
+    def restore(mats):
+        B = max(1, math.prod(bshape))
+        comps = []
+        for m in mats:
+            cm = jax.lax.complex(m[:, :B], m[:, B:])
+            comps.append(jnp.moveaxis(cm.reshape((Ccap,) + bshape), 0, -1)
+                         if bshape else cm.reshape(Ccap))
+        return jnp.stack(comps, axis=-1)
+
+    return cols, restore
+
+
+def _merge_matmul(states, keys, extra, C_cap):
+    """Shared matmul-merge core.
+
+    states: (*batch, C, 3); keys: (3C,) candidate keys in [qL|qL+d|qL-d]
+    block order; extra: (3C, k) small per-candidate payload columns
+    (coords / weights).  Returns (new_states, extra_out (C, k)).
+    """
+    R = keys.shape[0]
+    dt = config.real_dtype()
+    seg, nseg, center, has_zero = _allpairs_cells(keys)
+    # one-hot cell matrix, split by candidate block: cell s sums the Z
+    # payload of its L-block member, F+ of its +delta member, F- of its
+    # -delta member (each block contributes at most one candidate)
+    M1 = (seg[None, :] == jnp.arange(R)[:, None]).astype(dt)   # (R, R)
+    (Fp, Fm, Z), restore = _state_cols(states)
+    mZ = _mm(M1[:, :C_cap], Z)
+    mFp = _mm(M1[:, C_cap:2 * C_cap], Fp)
+    mFm = _mm(M1[:, 2 * C_cap:], Fm)
+    mX = _mm(M1, extra.astype(dt))                             # (R, k)
+    mag = (jnp.sum(mZ * mZ, axis=1) + jnp.sum(mFp * mFp, axis=1)
+           + jnp.sum(mFm * mFm, axis=1))
+    G = _select_matrix(mag, nseg, center, has_zero, C_cap, dt)
+    new_states = restore((_mm(G, mFp), _mm(G, mFm), _mm(G, mZ)))
+    return new_states, _mm(G, mX)
+
+
+def _use_matmul(states, C_cap):
+    bflat = max(1, math.prod(states.shape[:-2]))
+    return (3 * C_cap <= _MATMUL_MERGE_MAX_ROWS
+            and 2 * bflat <= _MATMUL_MERGE_MAX_COLS)
+
+
+def shiftnd_table(states, coords, delta, C=None, method="auto"):
     """Integer n-D shift on a shared coordinate table.
 
     states: (..., C, 3) complex; coords: (C, d) int (shared across batch);
     delta: (d,) int.  Returns (states', coords') with the same shapes.
+    ``method``: "auto" (size-gated matmul engine with sort fallback),
+    "matmul", or "sort".  Both engines merge identical cell sets; the
+    matmul engine returns rows in ascending key order, the sort engine
+    in magnitude order (row order is internal state -- the center k=0
+    row sits at (C-1)//2 in both).
     """
     C_cap = states.shape[-2] if C is None else C
     d = coords.shape[-1]
@@ -195,6 +347,15 @@ def shiftnd_table(states, coords, delta, C=None):
     q2 = coords - delta
     cand_q = jnp.concatenate([qL, q1, q2], axis=0)          # (3C, d)
     keys = _encode_keys(cand_q)
+
+    if method == "matmul" or (method == "auto" and _use_matmul(states, C_cap)):
+        rdt = config.real_dtype()
+        extra = jnp.concatenate(
+            [cand_q.astype(rdt), jnp.ones((3 * C_cap, 1), rdt)], axis=1)
+        new_states, ex = _merge_matmul(states, keys, extra, C_cap)
+        cnt = jnp.maximum(ex[:, -1], 1.0)
+        new_coords = jnp.round(ex[:, :-1] / cnt[:, None]).astype(idt)
+        return new_states, new_coords
 
     payloads = dict(
         _component_payloads(states),
@@ -215,11 +376,13 @@ def shiftnd_table(states, coords, delta, C=None):
     return new_states, new_coords
 
 
-def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8):
+def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8,
+                     method="auto"):
     """Float wavenumber shift with gridded merging (Gao 2021).
 
     states: (..., C, 3); wavenums: (C, d) float shared; delta: (d,) float;
     grid: (d,) or scalar cell size.  Returns (states', wavenums').
+    ``method`` as in :func:`shiftnd_table`.
     """
     C_cap = states.shape[-2] if C is None else C
     rdt = config.real_dtype()
@@ -249,6 +412,13 @@ def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8):
     wFm = jnp.sum(jnp.abs(Fm), axis=bdims)
     w = jnp.concatenate([wZ, wFp, wFm], axis=0)             # (3C,)
     kcand = jnp.concatenate([kL, k1, k2], axis=0)           # (3C, d)
+
+    if method == "matmul" or (method == "auto" and _use_matmul(states, C_cap)):
+        extra = jnp.concatenate([kcand * w[:, None], w[:, None]], axis=1)
+        new_states, ex = _merge_matmul(states, keys, extra, C_cap)
+        wk = ex[:, -1]
+        new_k = ex[:, :-1] / jnp.where(wk > tol, wk, 1.0)[:, None]
+        return new_states, new_k
 
     payloads = dict(
         _component_payloads(states),
@@ -316,7 +486,6 @@ def apply_shift(op, sm):
         karr = jnp.pad(karr, [(0, 0)] * (karr.ndim - 1)
                        + [(0, sm.kdim - karr.shape[-1])])
 
-    states = sm.states
     coords = sm.coords
     batch_varying = math.prod(karr.shape[:-1]) > 1
     shared_coords = coords.ndim == 2 or all(s == 1 for s in coords.shape[:-2])
@@ -328,6 +497,25 @@ def apply_shift(op, sm):
     def _restore(c):
         # keep the coords leaf shape invariant (scan carries require it)
         return c.reshape(coords_shape[:-2] + c.shape)
+
+    dense = (not batch_varying and shared_coords and not int_path
+             and sm.options.get("_dense_grid") and sm.kdim == 1
+             and karr.size == 1)
+    if dense and sm.lanes:
+        # lanes-native dense merge: (Fp, Z) planes move directly, no
+        # canonical-view transposes (the engine keeps the half-ladder
+        # lanes layout alive for dense tables)
+        from .shiftdense import shiftmerge_dense_lanes
+        kgrid = sm.options.get("kgrid") or op.kgrid
+        ktvalue = sm.ktvalue
+        wav = (coords * ktvalue).reshape(-1)
+        dscal = (jnp.asarray(karr, config.real_dtype()) * ktvalue).reshape(())
+        planes, new_k = shiftmerge_dense_lanes(
+            sm.half_planes, wav, dscal, kgrid)
+        return sm.update(states_lanes=planes,
+                         coords=_restore(new_k / ktvalue))
+
+    states = sm.states
 
     if int_path and not batch_varying and shared_coords:
         new_states, new_coords = shiftnd_table(states, coords, karr.reshape(-1))
@@ -341,6 +529,16 @@ def apply_shift(op, sm):
 
     ktvalue = sm.ktvalue
     if not batch_varying and shared_coords:
+        if dense:
+            # dense-grid rows-are-cells fast path (engine-gated: 1-D,
+            # shared, no-trim -- see engine._dense_bound)
+            from .shiftdense import shiftmerge_dense
+            wav = (coords * ktvalue).reshape(-1)
+            dscal = (jnp.asarray(karr, config.real_dtype())
+                     * ktvalue).reshape(())
+            new_states, new_k = shiftmerge_dense(states, wav, dscal, kgrid)
+            return sm.update(states=new_states,
+                             coords=_restore(new_k / ktvalue))
         wavenums = coords * ktvalue
         delta = jnp.asarray(karr.reshape(-1), config.real_dtype()) * ktvalue
         new_states, new_k = shiftmerge_table(states, wavenums, delta, kgrid)
@@ -358,8 +556,11 @@ def apply_shift(op, sm):
     st = states.reshape((-1,) + states.shape[-2:])
     co = coords_full.reshape((-1,) + coords_full.shape[-2:])
     dl = delta_full.reshape((-1, delta_full.shape[-1]))
+    # per-element compare matrices would cost B*(3C)^2: keep the sort
+    # engine under vmap
     out_s, out_k = jax.vmap(
-        lambda s, c, d: shiftmerge_table(s, c, d, kgrid))(st, co, dl)
+        lambda s, c, d: shiftmerge_table(s, c, d, kgrid, method="sort"))(
+            st, co, dl)
     return sm.update(
         states=out_s.reshape(bshape + out_s.shape[-2:]),
         coords=out_k.reshape(bshape + out_k.shape[-2:]) / ktvalue,

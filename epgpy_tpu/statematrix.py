@@ -509,9 +509,12 @@ class StateMatrix:
                 return self
             zeros = jnp.zeros(self.coords.shape[:-1] + (diff,), self.coords.dtype)
             return self.update(coords=jnp.concatenate([self.coords, zeros], axis=-1))
-        ladder = jnp.arange(-n, n + 1, dtype=config.real_dtype())
-        coords = jnp.stack(
-            [ladder] + [jnp.zeros_like(ladder)] * (kdim - 1), axis=-1
+        # fresh ladder: build host-side (np) -- eager jnp ops here cost
+        # several device round-trips per simulate() call
+        rdt = np.float64 if config.x64_enabled() else np.float32
+        ladder = np.arange(-n, n + 1, dtype=rdt)
+        coords = np.stack(
+            [ladder] + [np.zeros_like(ladder)] * (kdim - 1), axis=-1
         )
         coords = coords.reshape((1,) * self.ndim + coords.shape)
         return self.update(coords=coords)

@@ -104,6 +104,75 @@ def test_shift_merge_golden():
     assert np.abs(sig - g["signal"]).max() < 1e-8
 
 
+def _force_table_engine(monkeypatch):
+    from epgpy_tpu import engine
+    monkeypatch.setattr(engine, "_dense_bound", lambda *a, **k: None)
+
+
+def test_dense_engine_matches_table_engine(monkeypatch):
+    """The dense-grid rows-are-cells merge (ops/shiftdense.py) must
+    reproduce the coordinate-table engines exactly when eligible (1-D
+    shared float shifts, capacity covering the full range)."""
+    from epgpy_tpu import engine
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(4, 8))
+        seq = [epg.T(90, 90)]
+        for i in range(n):
+            seq += [epg.S(float(rng.uniform(0.5, 5.0))),
+                    epg.T(float(rng.uniform(20, 70)), float(30 * i)),
+                    epg.E(5.0, 1000.0, np.linspace(50.0, 120.0, 3)),
+                    epg.ADC]
+        flat = engine.flatten_sequence(seq)
+        assert engine._dense_bound(flat, 0.5, 4096, 1.0) is not None
+        a = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=4096))
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(engine, "_dense_bound", lambda *a_, **k: None)
+            b = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=4096))
+        assert np.abs(a - b).max() < 1e-12
+
+
+def test_dense_engine_gating():
+    """Ineligible configurations must stay on the table engines: small
+    caps (trim possible), batch-varying shifts, n-D shifts, traced
+    values."""
+    from epgpy_tpu import engine
+    F = engine.flatten_sequence
+    base = [epg.T(90, 90), epg.S(3.7), epg.E(5, 1000, 80), epg.ADC]
+    assert engine._dense_bound(F(base), 0.5, 4096, 1.0) is not None
+    # cap below the range bound -> trim possible -> ineligible
+    assert engine._dense_bound(F(base), 0.5, 4, 1.0) is None
+    # no kgrid
+    assert engine._dense_bound(F(base), None, 4096, 1.0) is None
+    # batch-varying shift (shift-prune)
+    bv = [epg.T(90, 90), epg.S(np.array([[0.7], [1.3]])), epg.ADC]
+    assert engine._dense_bound(F(bv), 0.5, 4096, 1.0) is None
+    # n-D shift
+    nd = [epg.T(90, 90), epg.S(np.array([[1.2, 0.7]])), epg.ADC]
+    assert engine._dense_bound(F(nd), 0.5, 4096, 1.0) is None
+    # integer-only tables stay on the table engines
+    iv = [epg.T(90, 90), epg.S(np.array([[2]])), epg.ADC]
+    assert engine._dense_bound(F(iv), 0.5, 4096, 1.0) is None
+    # array kvalue
+    assert engine._dense_bound(F(base), 0.5, 4096, np.array([1.0, 2.0])) is None
+
+
+def test_dense_engine_diffusion_coords(monkeypatch):
+    """Weighted-mean wavenumbers feed diffusion b-factors identically
+    through the dense engine (coords consumers see the same means)."""
+    from epgpy_tpu import engine
+    seq = [epg.T(90, 90)]
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        seq += [epg.S(float(rng.uniform(1, 6))), epg.D(5.0, 2e-3),
+                epg.T(40, 0), epg.E(5.0, 1000.0, 80.0), epg.ADC]
+    a = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=2048))
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(engine, "_dense_bound", lambda *a_, **k: None)
+        b = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=2048))
+    assert np.abs(a - b).max() < 1e-12
+
+
 def test_press_golden():
     """PRESS voxel localization (Gao 2021 part 3.3): 3-D crushers + static
     gradient + DFT imaging at 4 ADCs matches the reference bit-near-exactly
