@@ -248,6 +248,222 @@ def measure_jacobian(FA, T1, T2, B1):
             "jac_natoms": B, "jac_nvars": 3}
 
 
+AUX_BASELINE_CACHE = os.path.join(HERE, "bench_aux_baseline.json")
+
+
+def _cached_ref_seconds(key, fn):
+    """Reference (NumPy) timings are stable and slow (the 3-D diffusion
+    train takes ~2 min): measure once, cache in bench_aux_baseline.json
+    keyed by workload tag; delete the file to re-measure."""
+    cache = {}
+    if os.path.exists(AUX_BASELINE_CACHE):
+        try:
+            with open(AUX_BASELINE_CACHE) as fh:
+                cache = json.load(fh)
+        except Exception:
+            cache = {}
+    if key in cache:
+        return float(cache[key])
+    dt = fn()
+    cache[key] = float(dt)
+    with open(AUX_BASELINE_CACHE, "w") as fh:
+        json.dump(cache, fh)
+    return float(dt)
+
+
+def _pipelined_best(run, sync, repeats, M=9):
+    """Per-run wall time via pipelined dispatch (see measure_table)."""
+    def timed(m):
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(m)]
+            sync(outs[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t1 = timed(1)
+    tM = timed(M)
+    return max((tM - t1) / (M - 1), 1e-9), t1
+
+
+def measure_exchange(sync):
+    """EPG-X two-pool MT-GRE train throughput (BASELINE config 4).
+
+    100-TR spoiled GRE with bound-pool saturation, exchange via the
+    kinetic-matrix X operator each TR, 256-atom free-pool T2 sweep
+    (reference epgpy/exchange.py:89-120 workload; MT helpers
+    epgpy/magnettransfer.py)."""
+    import epgpy_tpu as epg
+    from epgpy_tpu.utils import magnettransfer as mt
+
+    NTR, B = 100, 256
+    G = mt.absorption_rate(12e-3, "super-lorentzian", 2.0)
+    W = mt.saturation_rate(5.0, 10.0, G)
+    T2f = np.linspace(40.0, 120.0, B)
+    # compartments on the leading batch axis (append-broadcast rule),
+    # atom sweep appended: T2 (2, B)
+    T2 = np.stack([T2f, np.full(B, 0.012)], axis=0)
+    khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
+    Xop = epg.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
+                T2=T2)
+    sat = epg.R(0, rL=np.asarray([0.0, W * 5.0]), r0=None)
+    seq = []
+    for _ in range(NTR):
+        seq += [sat, epg.T(np.asarray([10.0, 0.0]), 0), epg.ADC, Xop,
+                epg.S(1)]
+    # start at thermal equilibrium of the two pools (= the init the
+    # reference example builds explicitly)
+    def run():
+        return epg.simulate(seq, max_nstate=10, density=[0.8, 0.2],
+                            asarray=False)
+
+    def xsync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    xsync(run())
+    xwarm = time.perf_counter() - t0
+    xbest, xsingle = _pipelined_best(run, xsync, REPEATS)
+    out = {"exchange_tr_atoms_per_sec": round(NTR * B / xbest, 1),
+           "exchange_best_seconds": round(float(xbest), 4),
+           "exchange_warmup_seconds": round(float(xwarm), 2)}
+
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.exchange as rex
+            import epgpy.evolution as rev
+            import epgpy.functions as rfun
+            # the reference magnettransfer module calls np.asfarray
+            # (removed in NumPy 2); reuse our W -- same published formula
+            rW = W
+            rkhi = rex.exchange_matrix(0.005, densities=[0.8, 0.2])
+            rX = rex.X(10.0, rkhi, axis=0,
+                       T1=np.asarray([1000.0, 1000.0]), T2=T2)
+            rsat = rev.R(0, rL=np.asarray([0.0, rW * 5.0]), r0=None)
+            rseq = []
+            for _ in range(NTR):
+                rseq += [rsat, rops.T(np.asarray([10.0, 0.0]), 0),
+                         rops.ADC, rX, rops.S(1)]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq, max_nstate=10, density=[0.8, 0.2])
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"exchange_{NTR}x{B}", _time_ref)
+            out["exchange_vs_baseline"] = round(rdt / xbest, 1)
+            out["exchange_ref_seconds"] = round(float(rdt), 3)
+        except Exception as exc:
+            out["exchange_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
+def measure_diffusion3d(sync):
+    """Anisotropic 3-D diffusion train throughput (BASELINE config 3).
+
+    30-TR train of float 3-D crusher shifts with tensor-D attenuation
+    during each gradient (reference epgpy/diffusion.py:86-147 b-matrix
+    workload over the shift-merge coordinate table), 64-atom T2 sweep."""
+    import epgpy_tpu as epg
+
+    NTR, B, CAP = 30, 64, 512
+    rng = np.random.default_rng(1)
+    T2s = np.linspace(40.0, 120.0, B)
+    Dt = np.diag([2e-3, 1e-3, 0.5e-3])
+    ks = [np.round(rng.uniform(-3, 3, size=(1, 3)), 2) for _ in range(NTR)]
+    seq = [epg.T(90, 90)]
+    for k in ks:
+        seq += [epg.S(k), epg.D(5.0, Dt, k=k), epg.T(40, 0),
+                epg.E(5.0, 1000.0, T2s), epg.ADC]
+
+    def run():
+        return epg.simulate(seq, kgrid=1.0, max_nstate=CAP, asarray=False)
+
+    def dsync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    dsync(run())
+    dwarm = time.perf_counter() - t0
+    dbest, _ = _pipelined_best(run, dsync, REPEATS)
+    out = {"diff3d_tr_atoms_per_sec": round(NTR * B / dbest, 1),
+           "diff3d_best_seconds": round(float(dbest), 4),
+           "diff3d_warmup_seconds": round(float(dwarm), 2)}
+
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.diffusion as rdif
+            import epgpy.functions as rfun
+            rseq = [rops.T(90, 90)]
+            for k in ks:
+                rseq += [rops.S(k), rdif.D(5.0, Dt, k=k), rops.T(40, 0),
+                         rops.E(5.0, 1000.0, T2s), rops.ADC]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq, kgrid=1.0, max_nstate=CAP)
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"diff3d_{NTR}x{B}x{CAP}", _time_ref)
+            out["diff3d_vs_baseline"] = round(rdt / dbest, 1)
+            out["diff3d_ref_seconds"] = round(float(rdt), 3)
+        except Exception as exc:
+            out["diff3d_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
+def measure_engine_diff(T1, T2, B1):
+    """General-engine differentiation throughput (the product surface
+    for CRLB work): engine.simulate with a Jacobian probe over a FISP
+    train, dS/d(T1, T2) per atom.  Driver-visible canary for the
+    diff.simulate_diff path (VERDICT r2 weak #2)."""
+    import epgpy_tpu as epg
+
+    NRF = 200
+    B = min(len(T1), int(os.environ.get("BENCH_DIFF_ATOMS", 4096)))
+    T1d = np.asarray(T1[:B], np.float64)
+    T2d = np.asarray(T2[:B], np.float64)
+    FA = make_train(NRF)
+    seq = []
+    for i in range(NRF):
+        seq += [
+            epg.T(float(FA[i]), 90.0),
+            epg.E(TE, T1d, T2d, order1=["T1", "T2"]),
+            epg.ADC,
+            epg.E(TR - TE, T1d, T2d, order1=["T1", "T2"]),
+            epg.S(1),
+        ]
+    probes = [epg.Jacobian(["magnitude", "T1", "T2"])]
+
+    def run():
+        return epg.simulate(seq, probe=probes, max_nstate=NSTATE,
+                            asarray=False)
+
+    def dsync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(leaf).ravel()[0].real)
+
+    import jax
+    t0 = time.perf_counter()
+    dsync(run())
+    dwarm = time.perf_counter() - t0
+    dbest = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        dsync(run())
+        dbest = min(dbest, time.perf_counter() - t0)
+    return {"diff_atoms_per_sec": round(B / dbest, 1),
+            "diff_best_seconds": round(float(dbest), 4),
+            "diff_warmup_seconds": round(float(dwarm), 2),
+            "diff_natoms": B, "diff_ntr": NRF}
+
+
 def main():
     import jax
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -318,6 +534,21 @@ def main():
             engine.update(measure_jacobian(FA, T1, T2, B1))
         except Exception as exc:
             engine["jac_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_DIFF", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_engine_diff(T1, T2, B1))
+        except Exception as exc:
+            engine["diff_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_exchange(sync))
+        except Exception as exc:
+            engine["exchange_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_DIFF3D", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_diffusion3d(sync))
+        except Exception as exc:
+            engine["diff3d_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",

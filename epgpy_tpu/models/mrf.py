@@ -289,11 +289,17 @@ def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
     idx = {"T1": 0, "T2": 1, "B1": 2}
     sel = tuple(idx[v] for v in variables)
 
-    # Atoms are independent, so dS_b/dtheta_b is one jvp of the BATCHED
-    # (K, B)-layout program with an all-ones tangent on that parameter --
-    # (1 + nvars) scan passes total.  A vmapped per-atom jacfwd instead
-    # puts the atom axis on the major dim ((B, K) states: K pads to 128
-    # lanes) and re-runs the primal per tangent -- measured ~60x slower.
+    # Atoms are independent, so dS_b/dtheta_b is a jvp of the BATCHED
+    # (K, B)-layout program with an all-ones tangent on that parameter.
+    # All nvars tangents push through ONE pass: vmap(jvp) over the
+    # tangent basis batches only the tangent half of the computation
+    # (the primal does not depend on the tangent inputs, so vmap leaves
+    # it unbatched and out_axes=None returns it once) -- 1 primal +
+    # one nvars-wide tangent sweep, instead of the nvars separate jvp
+    # calls that re-ran the primal each time (1 + 2*nvars passes).
+    # A vmapped per-atom jacfwd would be worse still: it puts the atom
+    # axis on the major dim ((B, K) states: K pads to 128 lanes) --
+    # measured ~60x slower.
     @partial(jax.jit, static_argnames=("sel",))
     def run(T1s, T2s, B1s, sel):
         def f(t1, t2, b1):
@@ -301,14 +307,18 @@ def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
                 FA, phi, TR, TE, t1, t2, b1, None, nstate=nstate,
                 demodulate=demodulate, inversion=inversion, normalize=False)
 
-        sig = f(T1s, T2s, B1s)
-        cols_re, cols_im = [], []
-        for v in sel:
-            tangents = [jnp.zeros_like(T1s)] * 3
-            tangents[v] = jnp.ones_like(T1s)
-            _, (dre, dim) = jax.jvp(f, (T1s, T2s, B1s), tuple(tangents))
-            cols_re.append(dre)
-            cols_im.append(dim)
-        return sig, (jnp.stack(cols_re, axis=-1), jnp.stack(cols_im, axis=-1))
+        ones = jnp.ones_like(T1s)
+        zeros = jnp.zeros_like(T1s)
+
+        def pushfwd(onehot):
+            tangents = tuple(
+                ones * onehot[sel.index(v)] if v in sel else zeros
+                for v in range(3))
+            return jax.jvp(f, (T1s, T2s, B1s), tangents)
+
+        basis = jnp.eye(len(sel), dtype=T1s.dtype)
+        sig, (dre, dim) = jax.vmap(
+            pushfwd, in_axes=0, out_axes=(None, 0))(basis)
+        return sig, (jnp.moveaxis(dre, 0, -1), jnp.moveaxis(dim, 0, -1))
 
     return run(T1s, T2s, B1s, sel)

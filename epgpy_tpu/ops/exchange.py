@@ -192,8 +192,21 @@ class X(base.Operator):
 
     @property
     def shape(self):
-        mshape = self._matshape()
-        return tuple(d for i, d in enumerate(mshape) if i != self.axis + 1)
+        # the mixing matrix inserts the j-compartment axis at axis+1
+        # (exchange_operator's final moveaxis); the op's batch shape is
+        # the matrix shape minus that axis (reference epgpy/exchange.py:
+        # 84-87).  Reproduce the moveaxis on a zero-strided dummy so the
+        # drop applies to the MATRIX layout, not the parameter layout
+        # (dropping from the parameter shape deleted an innocent batch
+        # axis when batch dims followed the compartment axis).
+        ps = self._matshape()
+        C = self.khi.shape[-1]
+        ax = self.axis
+        axn = ax % len(ps)
+        rest = tuple(d for i, d in enumerate(ps) if i != axn)
+        dummy = np.broadcast_to(0.0, rest + (C, C))
+        mshape = np.moveaxis(dummy, (-2, -1), (ax, ax + 1)).shape
+        return tuple(d for i, d in enumerate(mshape) if i != (ax + 1))
 
     def _matshape(self):
         shape = _broadcast_rev(
@@ -216,7 +229,15 @@ class X(base.Operator):
         _sre = sm.states_re[0] if sm.lanes else sm.states_re
         if not isinstance(_sre, jax.core.Tracer):
             dens = np.asarray(sm.density)
-            dens_b = np.broadcast_to(dens, sm.shape) if dens.ndim else dens
+            if dens.ndim:
+                # append-rule broadcast: density's axes lead, new batch
+                # axes pad on the RIGHT (not numpy's right-alignment)
+                dens_b = np.broadcast_to(
+                    dens.reshape(
+                        dens.shape + (1,) * (len(sm.shape) - dens.ndim)),
+                    sm.shape)
+            else:
+                dens_b = dens
             if np.ndim(dens_b) > ax and np.shape(dens_b)[ax] == ncomp:
                 tot = np.tensordot(
                     np.asarray(self.khi), np.moveaxis(dens_b, ax, -1),
@@ -260,6 +281,10 @@ def _apply_exchange_lanes(sm, mat, ax):
         e = jnp.asarray(_join_eq(sm, li), dtype=p.dtype)
         if p.shape[pax] == 1 and ncomp > 1:
             p = jnp.concatenate([p] * ncomp, axis=pax)
+        # append-rule alignment: plane batch axes TRAIL (K leads), so a
+        # compact equilibrium pads singleton axes on the right
+        if e.ndim < p.ndim:
+            e = e.reshape(e.shape + (1,) * (p.ndim - e.ndim))
         e = jnp.broadcast_to(e, p.shape)
         dev = p - e
         devs = [jax.lax.index_in_dim(dev, j, pax, keepdims=False)
@@ -291,6 +316,11 @@ def _apply_exchange(sm, mat, ax):
     ncomp = mat.shape[ax]
     states = sm.states
     eq = jnp.asarray(sm.equilibrium, dtype=states.dtype)
+    if eq.ndim < states.ndim:
+        # append-rule alignment: new batch axes pad on the RIGHT of the
+        # equilibrium's batch dims (the trailing (K, 3) stay state dims)
+        eq = eq.reshape(
+            eq.shape[:-2] + (1,) * (states.ndim - eq.ndim) + eq.shape[-2:])
     if states.shape[ax] == 1 and ncomp > 1:
         states = jnp.concatenate([states] * ncomp, axis=ax)
         eq = jnp.broadcast_to(eq, states.shape) if eq.shape[ax] == 1 else eq

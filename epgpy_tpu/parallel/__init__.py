@@ -14,11 +14,12 @@ equivalents here:
 
 from .mesh import make_mesh, atom_sharding
 from .crlb import (crlb_train_step, fingerprint_crlb_loss,
-                   mrf_design_loss, mrf_design_step)
+                   mrf_design_loss, mrf_design_step, mrf_design_slsqp)
 from .match import dictionary_match
 
 __all__ = [
     "make_mesh", "atom_sharding",
     "crlb_train_step", "fingerprint_crlb_loss",
+    "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
     "dictionary_match",
 ]

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ilt1d", "ilt1d_ls", "flt1d", "ilt1d_crb", "quasi_continuous"]
+__all__ = ["ilt1d", "ilt1d_ls", "flt1d", "ilt1d_crb", "quasi_continuous",
+           "get_bounds", "get_kernel", "get_resolution"]
 
 
 def _tsvd(M, tol=1e-5):
@@ -30,21 +31,57 @@ def _tsvd(M, tol=1e-5):
     return u[:, :keep], d[:keep], v[:keep]
 
 
-def get_bounds(times):
-    """Default recoverable rate range from the sampling window."""
+def get_bounds(times, tol=5e-1):
+    """Recoverable rate range from the sampling window.
+
+    A rate is observable if its decay loses at least ``tol`` of its
+    amplitude over the window (lower bound) and keeps at least ``tol``
+    over one sampling step (upper bound) -- reference
+    epgpy/utilities/ilt1d.py:21-28.
+    """
     times = np.asarray(times, float)
-    dt = times[1] - times[0]
-    span = times[-1] - times[0]
-    return (0.5 / span, 2.0 / dt)
+    mindt = float(np.min(np.diff(times)))
+    span = float(np.ptp(times))
+    return (-np.log1p(-tol) / span, -np.log(tol) / mindt)
 
 
-def ilt1d(times, signal, *, bounds=None, tol=1e-5, ls=True):
+def get_kernel(times, bounds, num):
+    """(rates, kernel): geometric rate grid and its exp(-t r) kernel
+    (reference epgpy/utilities/ilt1d.py:31-36)."""
+    times = np.asarray(times, float)
+    rates = np.geomspace(bounds[0], bounds[1], num)
+    return rates, np.exp(-np.outer(times, rates))
+
+
+def get_resolution(times, bounds, *, tol=1e-3, ncurve=100):
+    """Smallest geometric kernel that represents every decay in `bounds`
+    to within ``tol``: grow the rate count until the least-squares
+    projection error of a dense probe set drops below tolerance
+    (reference epgpy/utilities/ilt1d.py:39-58).  Returns (res, num)
+    with res the rate ratio between adjacent kernel columns.
+    """
+    probes = np.geomspace(bounds[0], bounds[1], ncurve)
+    y = np.exp(-np.outer(np.asarray(times, float), probes))
+    num = 2
+    while True:
+        rates, K = get_kernel(times, bounds, num)
+        coef, *_ = np.linalg.lstsq(K.T @ K, K.T @ y, rcond=None)
+        err = float(np.linalg.norm(K @ coef - y, axis=0).max())
+        if err < tol or num >= ncurve:
+            return rates[1] / rates[0], num
+        num += 1
+
+
+def ilt1d(times, signal, *, bounds=None, kernel=None, tol=1e-5, ls=True):
     """Inverse Laplace transform: (rates, amplitudes) of the decay mixture.
 
     Args:
         times: (Nt,) regular sample times.
         signal: (Nt,) real decay samples.
         bounds: (rmin, rmax) admissible rates; default from the window.
+        kernel: optional (Nt', num) exponential kernel (get_kernel);
+            its row count sizes the Hankel pencil window (reference
+            semantics) -- by default one is derived via get_resolution.
         ls: refine (rates, amplitudes) by nonlinear least squares.
     """
     t = np.asarray(times, float)
@@ -55,9 +92,12 @@ def ilt1d(times, signal, *, bounds=None, tol=1e-5, ls=True):
         raise ValueError("Non-regular time sampling")
     dt = t[1] - t[0]
     bounds = bounds or get_bounds(t)
+    if kernel is None:
+        _, num = get_resolution(t, bounds)
+        _, kernel = get_kernel(t, bounds, num)
 
-    # Hankel shift pencil
-    n = t.size
+    # Hankel shift pencil, window sized by the kernel's time support
+    n = min(kernel.shape[0], t.size)
     L = n // 2
     Y1 = np.stack([y[i:i + L] for i in range(L)], axis=1)
     Y2 = np.stack([y[i + 1:i + L + 1] for i in range(L)], axis=1)

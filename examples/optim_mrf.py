@@ -28,12 +28,17 @@ if os.environ.get("MRF_CPU"):
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
-from epgpy_tpu.parallel import make_mesh, mrf_design_step  # noqa: E402
+from epgpy_tpu.parallel import (make_mesh, mrf_design_step,  # noqa: E402
+                                mrf_design_slsqp)
 from epgpy_tpu.parallel.crlb import FA_BOUNDS, TR_BOUNDS  # noqa: E402
 
 nTR = int(os.environ.get("MRF_NTR", 400))
 STEPS = int(os.environ.get("MRF_STEPS", 30))
 NATOMS = int(os.environ.get("MRF_ATOMS", 16))
+# MRF_SOLVER=slsqp (default: the reference's exact solver, hard
+# constraints) or pg (projected gradient, soft smoothness penalty)
+SOLVER = os.environ.get("MRF_SOLVER", "slsqp")
+MAXITER = int(os.environ.get("MRF_MAXITER", 250))
 
 
 def initial_train(n):
@@ -70,30 +75,58 @@ def main():
     FA0, TR0 = initial_train(nTR)
     FA, TR = jnp.asarray(FA0), jnp.asarray(TR0)
 
-    step = jax.jit(lambda fa, tr: mrf_design_step(
-        fa, tr, T1s, T2s, mesh, nstate=10, smooth_weight=1e-3,
-        lr_fa=2.0, lr_tr=0.1))
-
     print(f"Optimize MRF sequence: nTR={nTR}, params={2 * nTR}, "
-          f"atoms={natoms} on {len(devices)} devices")
+          f"atoms={natoms} on {len(devices)} devices, solver={SOLVER}")
     tic = time.time()
     losses = []
-    for it in range(STEPS):
-        FA, TR, loss = step(FA, TR)
-        losses.append(float(loss))
-        if it % 5 == 0 or it == STEPS - 1:
-            print(f"({it}) crlb={losses[-1]:.6f} "
-                  f"(elapsed {time.time() - tic:.0f}s)")
+    if SOLVER == "slsqp":
+        # reference fidelity: SLSQP, hard |dFA| <= 1 + box constraints
+        # (reference examples/sequence/optim_mrf.py:119-156), run to
+        # convergence (ftol 1e-6 / MRF_MAXITER iterations)
+        from epgpy_tpu.parallel import mrf_design_loss
+
+        def cb(x):
+            losses.append(float(mrf_design_loss(
+                jnp.asarray(x[:nTR]), jnp.asarray(x[nTR:]),
+                T1s, T2s, mesh, nstate=10)))
+            it = len(losses)
+            if it % 10 == 0:
+                print(f"({it}) crlb={losses[-1]:.6f} "
+                      f"(elapsed {time.time() - tic:.0f}s)")
+
+        losses.append(float(mrf_design_loss(FA, TR, T1s, T2s, mesh,
+                                            nstate=10)))
+        FA_h, TR_h, res = mrf_design_slsqp(
+            FA0, TR0, T1s, T2s, mesh, maxiter=MAXITER, nstate=10,
+            callback=cb)
+        print(f"SLSQP: {res.message} after {res.nit} iterations")
+        dFA = np.diff(FA_h, prepend=FA_h[0])
+        if res.status == 0:
+            assert np.abs(dFA).max() <= 1.0 + 1e-9, "hard |dFA|<=1 violated"
+        elif np.abs(dFA).max() > 1.0 + 1e-9:
+            print(f"NOTE: run truncated before feasibility "
+                  f"(max|dFA|={np.abs(dFA).max():.3f}); raise MRF_MAXITER")
+    else:
+        step = jax.jit(lambda fa, tr: mrf_design_step(
+            fa, tr, T1s, T2s, mesh, nstate=10, smooth_weight=1e-3,
+            lr_fa=2.0, lr_tr=0.1))
+        for it in range(STEPS):
+            FA, TR, loss = step(FA, TR)
+            losses.append(float(loss))
+            if it % 5 == 0 or it == STEPS - 1:
+                print(f"({it}) crlb={losses[-1]:.6f} "
+                      f"(elapsed {time.time() - tic:.0f}s)")
+        FA_h, TR_h = np.asarray(FA), np.asarray(TR)
     dur = time.time() - tic
 
-    FA_h, TR_h = np.asarray(FA), np.asarray(TR)
     assert FA_h.min() >= FA_BOUNDS[0] - 1e-9 and FA_h.max() <= FA_BOUNDS[1] + 1e-9
     assert TR_h.min() >= TR_BOUNDS[0] - 1e-9 and TR_h.max() <= TR_BOUNDS[1] + 1e-9
     print(json.dumps({
         "metric": "mrf_design_crlb", "initial": round(losses[0], 4),
-        "final": round(losses[-1], 4), "steps": STEPS, "nTR": nTR,
+        "final": round(losses[-1], 4), "solver": SOLVER,
+        "iters": len(losses), "nTR": nTR,
         "nparams": 2 * nTR, "seconds": round(dur, 1),
-        "monotone": bool(all(a >= b for a, b in zip(losses, losses[1:]))),
+        "max_abs_dFA": round(float(np.abs(np.diff(FA_h)).max()), 4),
     }))
 
     try:

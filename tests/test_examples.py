@@ -54,6 +54,16 @@ def test_optim_mrf_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MRF_CPU", "1")
     monkeypatch.setenv("MRF_NTR", "24")
     monkeypatch.setenv("MRF_STEPS", "2")
+    monkeypatch.setenv("MRF_MAXITER", "4")
+    monkeypatch.setenv("MRF_ATOMS", "8")
+    _run("optim_mrf.py", monkeypatch, tmp_path)
+
+
+def test_optim_mrf_pg_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("MRF_CPU", "1")
+    monkeypatch.setenv("MRF_SOLVER", "pg")
+    monkeypatch.setenv("MRF_NTR", "24")
+    monkeypatch.setenv("MRF_STEPS", "2")
     monkeypatch.setenv("MRF_ATOMS", "8")
     _run("optim_mrf.py", monkeypatch, tmp_path)
 

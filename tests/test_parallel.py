@@ -53,7 +53,7 @@ def test_sharded_shift_prune_matches_single(cpu_devices):
     shard_mapped program needs no collectives and matches the
     single-device result bit-exactly."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     import epgpy_tpu as epg
 
     natoms = 16
@@ -70,13 +70,13 @@ def test_sharded_shift_prune_matches_single(cpu_devices):
     ref_re, ref_im = jax.jit(lambda: train(ks))()
 
     mesh = make_mesh(cpu_devices, axes=("atoms",))
-    # check_rep=False: the scan carry starts unvarying (equilibrium
+    # check_vma=False: the scan carry starts unvarying (equilibrium
     # constants) and becomes atoms-varying at the first per-atom shift,
     # which the static varying-axes checker cannot express
     sharded = jax.jit(shard_map(
         train, mesh=mesh, in_specs=(P("atoms"),),
         out_specs=(P(None, "atoms"), P(None, "atoms")),
-        check_rep=False,
+        check_vma=False,
     ))
     out_re, out_im = sharded(jnp.asarray(ks))
     assert np.array_equal(np.asarray(out_re), np.asarray(ref_re))
@@ -145,6 +145,39 @@ def test_general_engine_sharding_propagates(cpu_devices):
     assert not leaf.sharding.is_fully_replicated
     dec = epg.simulate(seq_sh)
     assert np.abs(dec - ref).max() < 1e-12
+
+
+def test_mrf_design_slsqp_hard_constraints(cpu_devices):
+    """SLSQP-driven design (reference optim_mrf.py:119-156 fidelity):
+    the |dFA| <= 1 smoothness constraint and the box bounds must hold
+    EXACTLY on the converged train (not softly), and the CRLB must not
+    increase."""
+    from epgpy_tpu.parallel import mrf_design_slsqp, mrf_design_loss
+    from epgpy_tpu.parallel.crlb import FA_BOUNDS, TR_BOUNDS
+
+    nTR = 48
+    mesh = make_mesh(cpu_devices, axes=("atoms",))
+    rng = np.random.default_rng(7)
+    # deliberately rough init: large FA jumps that SLSQP must smooth
+    FA0 = np.clip(30 + 25 * np.sin(np.arange(nTR) * 1.7)
+                  + rng.uniform(-5, 5, nTR), *FA_BOUNDS)
+    TR0 = np.clip(rng.uniform(11.5, 14.5, nTR), *TR_BOUNDS)
+    T1s = jnp.asarray(rng.uniform(400, 1600, 8))
+    T2s = jnp.asarray(rng.uniform(40, 120, 8))
+
+    loss0 = float(mrf_design_loss(jnp.asarray(FA0), jnp.asarray(TR0),
+                                  T1s, T2s, mesh, nstate=5))
+    FA, TR, res = mrf_design_slsqp(FA0, TR0, T1s, T2s, mesh,
+                                   maxiter=12, nstate=5)
+    dFA = np.diff(FA, prepend=FA[0])
+    assert np.abs(dFA).max() <= 1.0 + 1e-9, np.abs(dFA).max()
+    assert FA.min() >= FA_BOUNDS[0] - 1e-9
+    assert FA.max() <= FA_BOUNDS[1] + 1e-9
+    assert TR.min() >= TR_BOUNDS[0] - 1e-9
+    assert TR.max() <= TR_BOUNDS[1] + 1e-9
+    loss1 = float(mrf_design_loss(jnp.asarray(FA), jnp.asarray(TR),
+                                  T1s, T2s, mesh, nstate=5))
+    assert np.isfinite(loss1) and loss1 <= loss0 * (1 + 1e-9)
 
 
 def test_mrf_design_400tr(cpu_devices):

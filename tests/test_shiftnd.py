@@ -260,6 +260,34 @@ def test_exchange_nonconserving_raises():
         epg.X(10.0, khi.T * 0 + np.array([[1.0, 2.0], [3.0, 4.0]]))
 
 
+def test_exchange_atom_batch_after_compartments():
+    """X with an atom sweep appended after the compartment axis: the op
+    shape must keep the atom axis (r3 fix: the old shape property
+    dropped it, breaking the scan carry), and the GRE train must match
+    the per-atom loop."""
+    B = 3
+    T2f = np.linspace(40.0, 120.0, B)
+    T2 = np.stack([T2f, np.full(B, 0.012)], axis=0)      # (2, B)
+    khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
+    Xb = epg.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]), T2=T2)
+    assert Xb.shape == (2, B)
+
+    def train(xop):
+        seq = []
+        for _ in range(12):
+            seq += [epg.T(np.asarray([10.0, 0.0]), 0), epg.ADC, xop,
+                    epg.S(1)]
+        return np.asarray(epg.simulate(seq, max_nstate=5,
+                                       density=[0.8, 0.2]))
+
+    batched = train(Xb)
+    for b in range(B):
+        Xi = epg.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
+                   T2=T2[:, b])
+        single = train(Xi)
+        assert np.abs(batched[:, :, b] - single).max() < 1e-10
+
+
 def test_exchange_gre_golden():
     g = load_golden("exchange_gre")
     T1 = [1000.0, 500.0]

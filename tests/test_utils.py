@@ -36,6 +36,42 @@ def test_ilt1d_crb_and_spectrum():
     assert np.isclose(grid[np.argmax(spec)], r[0], rtol=0.1)
 
 
+def test_ilt1d_kernel_sizing_matches_reference():
+    """get_bounds / get_resolution / get_kernel reproduce the reference's
+    sampling-window sizing (reference epgpy/utilities/ilt1d.py:21-58),
+    incl. a short/coarse window where the old hardcoded defaults
+    disagreed."""
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "ref_ilt1d", "/root/reference/epgpy/utilities/ilt1d.py")
+    ref = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    for t in (np.linspace(0, 200, 120),      # well-sampled
+              np.linspace(0, 12, 9),         # short window
+              np.linspace(0, 400, 14)):      # coarse sampling
+        b = ilt.get_bounds(t)
+        rb = ref.get_bounds(t)
+        assert np.allclose(b, rb, rtol=1e-12), (b, rb)
+        res, num = ilt.get_resolution(t, b)
+        rres, rnum = ref.get_resolution(t, rb)
+        assert num == rnum and np.isclose(res, rres, rtol=1e-9)
+        rates, K = ilt.get_kernel(t, b, num)
+        rrates, rK = ref.get_kernel(t, rb, rnum)
+        assert np.allclose(rates, rrates) and np.allclose(K, rK)
+
+
+def test_ilt1d_custom_kernel_sizes_pencil():
+    """A user kernel with fewer time rows shrinks the Hankel pencil
+    window (reference: L = kernel.shape[0] // 2)."""
+    t = np.linspace(0, 200, 120)
+    y = 0.7 * np.exp(-t / 25) + 0.3 * np.exp(-t / 90)
+    _, kernel = ilt.get_kernel(t[:40], ilt.get_bounds(t), 12)
+    r, a = ilt.ilt1d(t, y, kernel=kernel)
+    # the shortened window still recovers both components
+    assert np.allclose(np.sort(1 / r), [25.0, 90.0], rtol=1e-3)
+
+
 def test_ilt1d_irregular_raises():
     t = np.asarray([0.0, 1.0, 3.0, 4.0])
     with pytest.raises(ValueError):
