@@ -702,7 +702,15 @@ def simulate(
         sm = init.update(options={**init.options, **options})
         sm = sm.resize(max(ncap, sm.nstate))
 
-    if dense is not None and not _center_only_init(sm):
+    # dense additionally requires exact ladder symmetry throughout: its
+    # +-1 roll windows assume antisymmetric mean wavenumbers, which an
+    # unverified asymmetric init or a symmetry-breaking op would violate
+    # (the table engines re-sort globally and handle those fine)
+    if dense is not None and not (
+            _center_only_init(sm)
+            and sm.options.get("_sym_verified", False)
+            and all(getattr(op, "preserves_ladder_symmetry", True)
+                    for op in sequence)):
         dense = None
 
     # pre-attach the coordinate table when the sequence needs one, so the

@@ -28,7 +28,12 @@ path, engine._dense_bound):
   can never trigger -- under that condition the table engines keep
   every cell and the dense grid computes the identical cell contents;
 * initial magnetization confined to the k=0 row (fresh equilibrium
-  inits), so the row->cell invariant holds from step 0.
+  inits), so the row->cell invariant holds from step 0;
+* exact ladder symmetry throughout (verified-symmetric init, every op
+  preserves F-(k)=conj(F+(-k))): the +-1 roll windows assume the mean
+  wavenumbers are exactly antisymmetric, which holds inductively for
+  symmetric states but not for check=False asymmetric data (the table
+  engines re-sort globally and handle those).
 
 Semantics: reference epgpy/shift.py:367-449 (shift-merge, Gao 2021
 three-dimensional spatially resolved phase graph, restricted to 1-D).

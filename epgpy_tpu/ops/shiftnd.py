@@ -437,19 +437,6 @@ def shiftmerge_table(states, wavenums, delta, grid, C=None, tol=1e-8,
     return new_states, new_k
 
 
-def _per_batch(fn):
-    """vmap a table kernel over all batch dims of (states, coords)."""
-    def wrapped(states, coords, *args):
-        bshape = states.shape[:-2]
-        st = states.reshape((-1,) + states.shape[-2:])
-        co = jnp.broadcast_to(
-            coords, bshape + coords.shape[-2:]).reshape((-1,) + coords.shape[-2:])
-        out_s, out_c = jax.vmap(lambda s, c: fn(s, c, *args))(st, co)
-        return (out_s.reshape(bshape + out_s.shape[-2:]),
-                out_c.reshape(bshape + out_c.shape[-2:]))
-    return wrapped
-
-
 def apply_shift(op, sm):
     """Dispatch S.apply for coordinate-table shifts (non-1D-integer paths).
 

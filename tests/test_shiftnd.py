@@ -157,6 +157,37 @@ def test_dense_engine_gating():
     assert engine._dense_bound(F(base), 0.5, 4096, np.array([1.0, 2.0])) is None
 
 
+def test_dense_engine_disabled_for_asymmetric_ops(monkeypatch):
+    """A symmetry-breaking check=False op in a float-shift train must
+    fall back to the table engines (the dense roll windows assume exact
+    ladder symmetry)."""
+    from epgpy_tpu.ops import shiftdense
+    calls = {"dense": 0}
+    orig = shiftdense.shiftmerge_dense_lanes
+    orig2 = shiftdense.shiftmerge_dense
+    monkeypatch.setattr(
+        shiftdense, "shiftmerge_dense_lanes",
+        lambda *a, **k: calls.__setitem__("dense", calls["dense"] + 1)
+        or orig(*a, **k))
+    monkeypatch.setattr(
+        shiftdense, "shiftmerge_dense",
+        lambda *a, **k: calls.__setitem__("dense", calls["dense"] + 1)
+        or orig2(*a, **k))
+
+    asym = epg.ScalarOp(np.array([0.5, 0.25, 1.0]), check=False)
+    seq = [epg.T(60, 30), epg.S(2.3), asym, epg.E(5.0, 1000, 80),
+           epg.S(1.7), epg.ADC]
+    sig_asym = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=512))
+    assert calls["dense"] == 0, "dense engine ran on asymmetric train"
+    assert np.all(np.isfinite(sig_asym))
+
+    # the same train without the asymmetric op DOES use dense
+    seq2 = [epg.T(60, 30), epg.S(2.3), epg.E(5.0, 1000, 80),
+            epg.S(1.7), epg.ADC]
+    epg.simulate(seq2, kgrid=0.5, max_nstate=512)
+    assert calls["dense"] > 0
+
+
 def test_dense_engine_diffusion_coords(monkeypatch):
     """Weighted-mean wavenumbers feed diffusion b-factors identically
     through the dense engine (coords consumers see the same means)."""
