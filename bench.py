@@ -168,23 +168,7 @@ def measure_table(sync):
     tsync(run())
     twarm = time.perf_counter() - t0
 
-    # per-train time via pipelined dispatch: a single launch+sync through
-    # the axon tunnel costs ~40 ms REGARDLESS of program content (measured
-    # with a trivial 10-step scan), which would swamp the actual train
-    # time; dispatch M trains back-to-back (async), sync once, and take
-    # the slope (T(M) - T(1)) / (M - 1) -- the steady-state per-train
-    # cost a dictionary service would see.
-    def timed(M):
-        best = np.inf
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            outs = [run() for _ in range(M)]
-            tsync(outs[-1])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t9 = timed(1), timed(9)
-    tbest = max((t9 - t1) / 8, 1e-9)
+    tbest, t1 = _pipelined_best(run, tsync, REPEATS)
     out = {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
            "table_best_seconds": round(float(tbest), 4),
            "table_single_shot_seconds": round(float(t1), 4),
@@ -272,7 +256,13 @@ def _cached_ref_seconds(key, fn):
 
 
 def _pipelined_best(run, sync, repeats, M=9):
-    """Per-run wall time via pipelined dispatch (see measure_table)."""
+    """Per-run wall time via pipelined dispatch.
+
+    A single launch+sync through the axon tunnel costs ~40 ms
+    regardless of program content; dispatch M runs back-to-back
+    (async), sync once, and take the slope (T(M) - T(1)) / (M - 1).
+    Under timing noise the slope can come out non-positive -- fall back
+    to the single-shot time then (never report a bogus near-zero)."""
     def timed(m):
         best = np.inf
         for _ in range(repeats):
@@ -283,7 +273,10 @@ def _pipelined_best(run, sync, repeats, M=9):
         return best
     t1 = timed(1)
     tM = timed(M)
-    return max((tM - t1) / (M - 1), 1e-9), t1
+    slope = (tM - t1) / (M - 1)
+    if slope <= 0:
+        return t1, t1
+    return slope, t1
 
 
 def measure_exchange(sync):

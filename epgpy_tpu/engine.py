@@ -201,6 +201,17 @@ _PREAMBLE_CACHE: "dict[tuple, tuple]" = {}
 _PREAMBLE_CACHE_MAX = 32
 
 
+def clear_caches():
+    """Drop the per-sequence preamble and plan caches.
+
+    Needed after anything that changes analysis results for the SAME
+    operator objects: monkeypatching _dense_bound/_capacity (tests), or
+    mutating an op's arrays in place (don't).  Keyed caching is on
+    operator identity -- see _sequence_preamble."""
+    _PREAMBLE_CACHE.clear()
+    _PLAN_CACHE.clear()
+
+
 def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
     """Cached per-sequence host analysis: (nshift, shape, ncap, dense).
 

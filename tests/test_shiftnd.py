@@ -104,9 +104,8 @@ def test_shift_merge_golden():
     assert np.abs(sig - g["signal"]).max() < 1e-8
 
 
-def _force_table_engine(monkeypatch):
-    from epgpy_tpu import engine
-    monkeypatch.setattr(engine, "_dense_bound", lambda *a, **k: None)
+def _fail_if_called(*a, **k):
+    raise AssertionError("dense engine ran while forced off")
 
 
 def test_dense_engine_matches_table_engine(monkeypatch):
@@ -128,7 +127,15 @@ def test_dense_engine_matches_table_engine(monkeypatch):
         a = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=4096))
         with pytest.MonkeyPatch.context() as mp:
             mp.setattr(engine, "_dense_bound", lambda *a_, **k: None)
+            # the preamble cache memoizes the dense decision by op
+            # identity: clear it so the monkeypatch takes effect
+            engine.clear_caches()
+            from epgpy_tpu.ops import shiftdense
+            mp.setattr(shiftdense, "shiftmerge_dense_lanes",
+                       _fail_if_called)
+            mp.setattr(shiftdense, "shiftmerge_dense", _fail_if_called)
             b = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=4096))
+        engine.clear_caches()
         assert np.abs(a - b).max() < 1e-12
 
 
@@ -200,7 +207,12 @@ def test_dense_engine_diffusion_coords(monkeypatch):
     a = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=2048))
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(engine, "_dense_bound", lambda *a_, **k: None)
+        engine.clear_caches()  # preamble cache would defeat the patch
+        from epgpy_tpu.ops import shiftdense
+        mp.setattr(shiftdense, "shiftmerge_dense_lanes", _fail_if_called)
+        mp.setattr(shiftdense, "shiftmerge_dense", _fail_if_called)
         b = np.asarray(epg.simulate(seq, kgrid=0.5, max_nstate=2048))
+    engine.clear_caches()
     assert np.abs(a - b).max() < 1e-12
 
 

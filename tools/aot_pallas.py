@@ -74,7 +74,6 @@ def main():
         t_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         payload = se.serialize(compiled)
-        blob = payload[0] if isinstance(payload, tuple) else payload
         with open(PATH, "wb") as fh:
             import pickle
             pickle.dump(payload, fh)
