@@ -180,6 +180,32 @@ def tracked_variables(sequence) -> List[str]:
     return out
 
 
+def _subst_key(op):
+    """Hashable value-signature of an op for substitution memoization.
+
+    Repeated sequences build a fresh-but-identical operator per TR
+    (e.g. 400 equal E ops); substituting each separately yields
+    *distinct* traced leaves, which defeats the planner's scan-constant
+    hoisting (engine._slot_invariant compares tracers by identity
+    only).  Memoizing on the host-value signature returns THE SAME
+    substituted object for value-identical ops, so invariant slots stay
+    hoisted in diff programs.  Returns None (no memoization) when any
+    leaf is non-host or the signature is unhashable.
+    """
+    try:
+        leaves, treedef = jax.tree.flatten(op)
+        sig = []
+        for leaf in leaves:
+            if isinstance(leaf, (jax.core.Tracer, jax.Array)):
+                return None
+            arr = np.asarray(leaf)
+            sig.append((arr.tobytes(), arr.shape, str(arr.dtype)))
+        spec = repr((getattr(op, "order1", None), getattr(op, "order2", None)))
+        return (type(op), str(treedef), tuple(sig), spec)
+    except (TypeError, ValueError):
+        return None
+
+
 def substitute(op, eps: Dict[str, jnp.ndarray]):
     """Copy `op` with tracked parameters shifted by the eps expansion.
 
@@ -328,7 +354,19 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
 
     def run_vec(eps_vec, sm_in):
         eps = {var: eps_vec[i] for i, var in enumerate(variables)}
-        seq2 = [substitute(op, eps) for op in sequence]
+        # memoize substitution by op value-signature: value-identical
+        # ops (one fresh-but-equal op per TR) must map to ONE
+        # substituted object so scan-constant hoisting survives
+        memo = {}
+        seq2 = []
+        for op in sequence:
+            key = _subst_key(op)
+            sub = memo.get(key) if key is not None else None
+            if sub is None:
+                sub = substitute(op, eps)
+                if key is not None:
+                    memo[key] = sub
+            seq2.append(sub)
         plan_kinds, payload = plan_builder(seq2)
         _, chunks = executor(plan_kinds, payload, eval_probes, sm_in)
         # chunks -> per-probe stacked outputs, complex split for autodiff

@@ -735,6 +735,12 @@ def simulate(
             isinstance(pb, (diff_mod.Jacobian, diff_mod.Hessian)) for pb in probes):
         if any(pb is None for pb in probes):
             raise ValueError("None probes are not supported with Jacobian/Hessian")
+        # NOTE (r3, measured): the diff programs deliberately run in the
+        # compat (*batch, K, 3) layout.  Converting to the half-ladder
+        # lanes layout -- a big win for the primal (6 vs 20 ms at 200 TR
+        # x 4096 atoms) -- makes the jacfwd programs 3x SLOWER (1276 vs
+        # 389 ms); the tangent rules interact badly with the per-op
+        # plane reconstruction.  See docs/performance.md.
         values = diff_mod.simulate_diff(
             sequence, probes, sm.broadcast(shape),
             plan_builder=lambda seq: _plan_and_payload(seq, scan=scan,
