@@ -164,6 +164,45 @@ def test_dense_engine_gating():
     assert engine._dense_bound(F(base), 0.5, 4096, np.array([1.0, 2.0])) is None
 
 
+@pytest.mark.parametrize("case", ["kvalue2", "kvalue03", "mixed", "gtrain"])
+def test_dense_engine_kvalue_mixed_gtrain(case):
+    """Dense engine parity vs the table engines across kvalue scaling,
+    mixed int/float shift trains, and gradient-derived (G) trains."""
+    from epgpy_tpu import engine
+    rng = np.random.default_rng(3)
+    opts = {"max_nstate": 4096}
+    if case in ("kvalue2", "kvalue03"):
+        seq = [epg.T(90, 90)]
+        for i in range(6):
+            seq += [epg.S(float(rng.uniform(1, 4))), epg.T(50, 20 * i),
+                    epg.E(6.0, 900.0, 75.0), epg.ADC]
+        opts["kgrid"] = 0.5 if case == "kvalue2" else 0.25
+        opts["kvalue"] = 2.0 if case == "kvalue2" else 0.3
+    elif case == "mixed":
+        seq = [epg.T(90, 90)]
+        for i in range(6):
+            k = int(rng.integers(1, 4)) if i % 2 else float(rng.uniform(0.5, 3))
+            seq += [epg.S(k), epg.T(45, 10 * i), epg.E(5.0, 1000.0, 80.0),
+                    epg.ADC]
+        opts["kgrid"] = 0.5
+    else:
+        seq = [epg.T(90, 90)]
+        for i in range(5):
+            seq += [epg.G(1.0 + 0.2 * i, 5.0), epg.T(40, 0),
+                    epg.E(5.0, 1000.0, 80.0), epg.ADC]
+        opts["kgrid"] = 50.0
+    kv = opts.get("kvalue", 1.0)
+    assert engine._dense_bound(engine.flatten_sequence(seq), opts["kgrid"],
+                               opts["max_nstate"], kv) is not None
+    a = np.asarray(epg.simulate(seq, **opts))
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(engine, "_dense_bound", lambda *a_, **k: None)
+        engine.clear_caches()
+        b = np.asarray(epg.simulate(seq, **opts))
+    engine.clear_caches()
+    assert np.abs(a - b).max() < 1e-12
+
+
 def test_dense_engine_disabled_for_asymmetric_ops(monkeypatch):
     """A symmetry-breaking check=False op in a float-shift train must
     fall back to the table engines (the dense roll windows assume exact
