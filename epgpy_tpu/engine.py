@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -225,15 +226,72 @@ def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
     key = (tuple(id(op) for op in sequence), max_nstate, kgrid, kv)
     hit = _PREAMBLE_CACHE.get(key)
     if hit is not None:
-        return hit[:4]
+        return hit[:5]
     nshift = getnshift(sequence)
     shape = getshape(sequence)
     ncap = _capacity(sequence, nshift, max_nstate, kgrid)
     dense = _dense_bound(sequence, kgrid, max_nstate, kvalue)
+    varying = (None if dense is not None
+               else _dense_varying_bound(sequence, kgrid, max_nstate, kvalue))
     while len(_PREAMBLE_CACHE) >= _PREAMBLE_CACHE_MAX:
         _PREAMBLE_CACHE.pop(next(iter(_PREAMBLE_CACHE)))
-    _PREAMBLE_CACHE[key] = (nshift, shape, ncap, dense, list(sequence))
-    return nshift, shape, ncap, dense
+    _PREAMBLE_CACHE[key] = (nshift, shape, ncap, dense, varying,
+                            list(sequence))
+    return nshift, shape, ncap, dense, varying
+
+
+def _dense_varying_bound(sequence, kgrid, max_nstate, kvalue):
+    """(half-capacity, shift half-window) for the batch-varying dense
+    merge (ops/shiftdense.shiftmerge_dense_varying_lanes), or None.
+
+    Same structural conditions as _dense_bound except shifts may vary
+    across the batch; additionally the per-step shift magnitude must
+    fit a bounded static window (the merge is a sum of 2*window+1
+    masked static rolls).
+    """
+    from .ops.shift import S
+    from .ops.base import System
+
+    if not kgrid or common.get_shape(kvalue):
+        return None
+    shift_ops = [op for op in sequence if isinstance(op, S)]
+    if not shift_ops:
+        return None
+    if any(getattr(op, "scalars", None) for op in sequence
+           if isinstance(op, System)):
+        return None
+    total = 0.0
+    step_max = 0.0
+    any_float = False
+    any_varying = False
+    for op in shift_ops:
+        if op.kleaf is None:
+            total += abs(op._kint)
+            step_max = max(step_max, abs(op._kint))
+            continue
+        if isinstance(op.kleaf, jax.core.Tracer):
+            return None
+        karr = np.atleast_2d(np.asarray(op.kleaf))
+        if karr.shape[-1] != 1:
+            return None
+        if math.prod(op.shape) > 1:
+            any_varying = True
+        if not np.issubdtype(karr.dtype, np.integer):
+            any_float = True
+        m = float(np.max(np.abs(karr)))
+        total += m
+        step_max = max(step_max, m)
+    if not any_float or not any_varying:
+        return None  # the shared dense engine handles the rest
+    kv = float(kvalue)
+    bound = int(math.floor(total * kv / float(kgrid) + 0.5)) + 1
+    window = int(math.ceil(step_max * kv / float(kgrid))) + 1
+    cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
+    if bound > cap or bound > _DENSE_MAX_NSTATE:
+        return None
+    # window only selects the kernel (masked rolls vs gathers), see
+    # ops/shiftdense.shiftmerge_dense_varying_lanes
+    return bound, window
 
 
 def _center_only_init(sm: StateMatrix) -> bool:
@@ -284,7 +342,7 @@ def squeeze_sequence(sequence):
 
 
 def _setup_table(sm: StateMatrix, sequence, shape=None,
-                 dense: bool = False) -> StateMatrix:
+                 dense: bool = False, varying_window=None) -> StateMatrix:
     """Attach the coordinate table up-front for table-shift sequences.
 
     Scan carries need a structure-invariant StateMatrix: the coords leaf
@@ -317,6 +375,9 @@ def _setup_table(sm: StateMatrix, sequence, shape=None,
         # static hint for ops/shiftnd.apply_shift: rows ARE grid cells,
         # merges run as masked rolls (ops/shiftdense.py)
         sm = sm.update(options={**sm.options, "_dense_grid": True})
+    elif varying_window and not all_int:
+        sm = sm.update(options={**sm.options,
+                                "_dense_grid_varying": int(varying_window)})
     batch_varying = any(
         math.prod(op.shape) > 1 for op in shift_ops
     )
@@ -697,12 +758,14 @@ def simulate(
     if kvalue is None:
         kvalue = init.kvalue if isinstance(init, StateMatrix) else 1.0
     # nshift/shape/capacity + dense-grid eligibility (see _dense_bound)
-    nshift, shape, ncap, dense = _sequence_preamble(
+    nshift, shape, ncap, dense, varying = _sequence_preamble(
         sequence, max_nstate, kgrid, kvalue)
     LOGGER.info("simulate: %d ops, nshift=%d, shape=%s",
                 len(sequence), nshift, shape)
     if dense is not None:
         ncap = dense
+    elif varying is not None:
+        ncap = varying[0]
 
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(
@@ -713,21 +776,24 @@ def simulate(
         sm = init.update(options={**init.options, **options})
         sm = sm.resize(max(ncap, sm.nstate))
 
-    # dense additionally requires exact ladder symmetry throughout: its
-    # +-1 roll windows assume antisymmetric mean wavenumbers, which an
-    # unverified asymmetric init or a symmetry-breaking op would violate
-    # (the table engines re-sort globally and handle those fine)
-    if dense is not None and not (
+    # the dense engines additionally require exact ladder symmetry
+    # throughout: their roll windows assume antisymmetric mean
+    # wavenumbers, which an unverified asymmetric init or a
+    # symmetry-breaking op would violate (the table engines re-sort
+    # globally and handle those fine)
+    if (dense is not None or varying is not None) and not (
             _center_only_init(sm)
             and sm.options.get("_sym_verified", False)
             and all(getattr(op, "preserves_ladder_symmetry", True)
                     for op in sequence)):
         dense = None
+        varying = None
 
     # pre-attach the coordinate table when the sequence needs one, so the
     # state's pytree structure (and coord dtype) is invariant across ops
     # (scan carries require a fixed structure)
-    sm = _setup_table(sm, sequence, shape, dense=dense is not None)
+    sm = _setup_table(sm, sequence, shape, dense=dense is not None,
+                      varying_window=None if varying is None else varying[1])
 
     # differentiation path: Jacobian/Hessian probes -> (nested) jacfwd
     from . import diff as diff_mod
@@ -768,7 +834,8 @@ def simulate(
     use_lanes = (
         # dense-grid tables run the merge on the lanes planes natively;
         # other coordinate tables keep batch-major
-        (sm.coords is None or bool(sm.options.get("_dense_grid")))
+        (sm.coords is None or bool(sm.options.get("_dense_grid"))
+         or bool(sm.options.get("_dense_grid_varying")))
         # init must have been verified symmetric (check=False / device
         # inits skip the F-/Z symmetry checks -- ADVICE r2)
         and sm.options.get("_sym_verified", False)

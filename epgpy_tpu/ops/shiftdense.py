@@ -42,6 +42,7 @@ three-dimensional spatially resolved phase graph, restricted to 1-D).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,18 @@ import jax.numpy as jnp
 from .. import config
 from .shiftnd import _intdtype
 
-__all__ = ["shiftmerge_dense", "shiftmerge_dense_lanes"]
+__all__ = ["shiftmerge_dense", "shiftmerge_dense_lanes",
+           "shiftmerge_dense_varying_lanes"]
+
+# masked-roll kernel vs gather kernel dispatch for batch-varying merges
+# (measured, 30-TR x 64-atom train, window 31, TPU v5e):
+#   rolls:  7.1 ms/train runtime, ~19 min one-time remote compile
+#   gather: 292 ms/train runtime, ~7 min compile
+#   vmapped sort: 705 ms/train, ~10+ min compile
+# the compile is paid once per program shape (persistent cache), so
+# rolls win for production shift windows; gathers beyond the threshold
+_VARYING_ROLL_MAX_WINDOW = int(os.environ.get(
+    "EPGPY_TPU_VARYING_ROLL_MAX_WINDOW", 32))
 
 
 def _shift_rows(x, s):
@@ -138,6 +150,132 @@ def shiftmerge_dense(states, wavenums, delta, grid, tol=1e-8):
     new_states = jnp.stack([restore(mFp), restore(mFm), restore(mZ)],
                            axis=-1)
     return new_states, new_k[:, None]
+
+
+def _roll_static(x, s):
+    """Zero-filled row shift by a STATIC amount (concat of slices)."""
+    if s == 0:
+        return x
+    D = x.shape[0]
+    if abs(s) >= D:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros((abs(s),) + x.shape[1:], x.dtype)
+    if s > 0:
+        return jnp.concatenate([pad, x[:-s]], axis=0)
+    return jnp.concatenate([x[-s:], pad], axis=0)
+
+
+def shiftmerge_dense_varying_lanes(half_planes, wavenums, delta, grid,
+                                   window, tol=1e-8):
+    """Batch-varying dense merge (the reference's shift-prune,
+    epgpy/shift.py:478-542) on the lanes planes.
+
+    Each atom has its own shift ``delta_b`` and its own per-row mean
+    wavenumbers: the per-(row, atom) target shift
+    ``t = round((k + delta_b)/grid) - cell`` is bounded by the
+    host-known window, so the move is a sum of ``2*window+1`` STATIC
+    zero-filled rolls with elementwise masks -- exact (pure data
+    movement and adds), no sort / scatter / gather / vmap, and
+    compiles in seconds where the vmapped sort merge took >10 min.
+
+    Per-element (not batch-summed) weights, matching the reference's
+    prune-path mean bookkeeping; the implied F- contributes per-atom
+    mirror flips exactly as in :func:`shiftmerge_dense_lanes` (the
+    reference's own prune path assumes the ladder symmetry:
+    ``sm2[..., 1] = sm2[..., ::-1, 0].conj()``).
+
+    half_planes: (Fp, Z) each (D, *batch); wavenums: (D, *batch) float;
+    delta: (*batch,) float; window: static int >= max |round(d/grid)|+1.
+    Returns ((Fp', Z'), wavenums' (D, *batch)).
+    """
+    Fp, Z = half_planes
+    D = Fp.shape[0]
+    h = D // 2
+    rdt = config.real_dtype()
+    idt = _intdtype()
+
+    kL = jnp.round(jnp.asarray(wavenums, rdt), 8)          # (D, *batch)
+    g = jnp.asarray(grid, rdt).reshape(())
+    delta = jnp.asarray(delta, rdt)
+    cells = (jnp.arange(D, dtype=idt) - h).reshape(
+        (D,) + (1,) * (Fp.ndim - 1))
+
+    kLs = 0.5 * (kL - kL[::-1])
+    qL = jnp.round(kLs / g).astype(idt)
+    eZ = qL - cells                                        # in {-1, 0, 1}
+    k1 = kL + delta[None]
+    t1 = jnp.round(k1 / g).astype(idt) - cells             # |t1| <= window
+
+    def move(arrs, shifts, smin, smax):
+        outs = [jnp.zeros_like(a) for a in arrs]
+        for s in range(smin, smax + 1):
+            m = shifts == s
+            for i, a in enumerate(arrs):
+                outs[i] = outs[i] + _roll_static(
+                    a * m.astype(a.real.dtype), s)
+        return outs
+
+    def move_gather(arrs, shifts, base):
+        """Same merge via 3 row-gathers from per-atom base offsets.
+
+        The per-(row, atom) shift is base_b + e with e in {-1, 0, 1}
+        (the mean stays within grid/2 of its cell center), so target
+        row r at atom b receives from sources r - base_b - e.  O(1)
+        gathers regardless of the shift window -- the masked-roll form
+        costs 2*window+1 rolls and its COMPILE time scales with the
+        window (measured 19 min at window=31 through the remote-compile
+        tunnel); runtime favors rolls (7 vs ~15 ms/train at window 31),
+        so apply_shift picks rolls for small windows, gathers beyond.
+        """
+        rows = jnp.arange(D, dtype=idt).reshape(
+            (D,) + (1,) * (base.ndim))
+        outs = [jnp.zeros_like(a) for a in arrs]
+        # complex channels split re/im: complex gather payloads compile
+        # ~20x slower on TPU (CLAUDE.md fact 12)
+        flat = []
+        rebuild = []
+        for a in arrs:
+            if jnp.iscomplexobj(a):
+                flat += [a.real, a.imag]
+                rebuild.append(2)
+            else:
+                flat.append(a)
+                rebuild.append(1)
+        acc = [jnp.zeros_like(f) for f in flat]
+        for e in (-1, 0, 1):
+            src = rows - base[None] - e
+            valid = (src >= 0) & (src < D)
+            srcc = jnp.clip(src, 0, D - 1)
+            srcb = jnp.broadcast_to(srcc, shifts.shape)
+            tsrc = jnp.take_along_axis(shifts, srcb, axis=0)
+            sel = (valid & (tsrc == base[None] + e))
+            for i, f in enumerate(flat):
+                selb = sel.astype(f.dtype)
+                acc[i] = acc[i] + jnp.take_along_axis(
+                    f, jnp.broadcast_to(srcc, f.shape), axis=0) * selb
+        i = 0
+        for j, n in enumerate(rebuild):
+            if n == 2:
+                outs[j] = jax.lax.complex(acc[i], acc[i + 1])
+                i += 2
+            else:
+                outs[j] = acc[i]
+                i += 1
+        return outs
+
+    wZ = jnp.abs(Z)
+    Z2, wZ2, kwZ2 = move([Z, wZ, wZ * kL], eZ, -1, 1)
+    wFp = jnp.abs(Fp)
+    if window <= _VARYING_ROLL_MAX_WINDOW:
+        Fp2, wFp2, kwFp2 = move([Fp, wFp, wFp * k1], t1, -window, window)
+    else:
+        m0 = jnp.round(delta / g).astype(idt)
+        Fp2, wFp2, kwFp2 = move_gather([Fp, wFp, wFp * k1], t1, m0)
+
+    w_out = wZ2 + wFp2 + wFp2[::-1]
+    kw_out = kwZ2 + kwFp2 - kwFp2[::-1]
+    new_k = kw_out / jnp.where(w_out > tol, w_out, 1.0)
+    return (Fp2, Z2), new_k
 
 
 def shiftmerge_dense_lanes(half_planes, wavenums, delta, grid, tol=1e-8):

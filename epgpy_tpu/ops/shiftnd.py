@@ -531,7 +531,27 @@ def apply_shift(op, sm):
         new_states, new_k = shiftmerge_table(states, wavenums, delta, kgrid)
         return sm.update(states=new_states, coords=_restore(new_k / ktvalue))
 
-    # per-batch variant (shift-prune): vmap over flattened batch elements
+    # per-batch variant (shift-prune): batch-varying dense rolls when
+    # engine-gated (lanes planes, host-bounded shift window), else the
+    # vmapped sort merge
+    win = sm.options.get("_dense_grid_varying")
+    if (win and sm.lanes and sm.kdim == 1 and karr.shape[-1] == 1
+            and not int_path):
+        from .shiftdense import shiftmerge_dense_varying_lanes
+        Fp, Z = sm.half_planes
+        bshape = Fp.shape[1:]
+        wav = jnp.moveaxis((coords * ktvalue)[..., 0], -1, 0)  # (D, *batch)
+        wav = jnp.broadcast_to(wav, Fp.shape)
+        dl = jnp.asarray(karr[..., 0], config.real_dtype()) * ktvalue[0]
+        dshape = dl.shape
+        if len(dshape) < len(bshape):   # append-broadcast shift batch dims
+            dl = dl.reshape(dshape + (1,) * (len(bshape) - len(dshape)))
+        dl = jnp.broadcast_to(dl, bshape)
+        planes, new_k = shiftmerge_dense_varying_lanes(
+            (Fp, Z), wav, dl, kgrid, int(win))
+        coords_out = jnp.moveaxis(new_k, 0, -1)[..., None] / ktvalue
+        return sm.update(states_lanes=planes, coords=coords_out)
+
     bshape = states.shape[:-2]
     delta = jnp.asarray(karr, config.real_dtype()) * ktvalue
     dshape = delta.shape[:-1]

@@ -203,6 +203,38 @@ def test_dense_engine_kvalue_mixed_gtrain(case):
     assert np.abs(a - b).max() < 1e-12
 
 
+@pytest.mark.parametrize("kernel", ["rolls", "gather"])
+def test_dense_varying_matches_vmapped_sort(kernel, monkeypatch):
+    """Batch-varying dense merge (both kernels: windowed masked rolls
+    and per-atom base gathers) reproduces the vmapped sort engine (the
+    reference's shift-prune) exactly when the capacity covers the full
+    per-atom range."""
+    from epgpy_tpu import engine
+    from epgpy_tpu.ops import shiftdense
+    monkeypatch.setattr(shiftdense, "_VARYING_ROLL_MAX_WINDOW",
+                        99 if kernel == "rolls" else 0)
+    rng = np.random.default_rng(21)
+    ks = rng.uniform(0.5, 3.0, size=(4, 1))
+    seq = [epg.T(90, 90)]
+    for i in range(5):
+        seq += [epg.S(ks * (1 + 0.1 * i)), epg.T(50, 20 * i),
+                epg.E(6.0, 900.0, 75.0), epg.ADC]
+    flat = engine.flatten_sequence(seq)
+    assert engine._dense_varying_bound(flat, 0.25, 4096, 1.0) is not None
+    engine.clear_caches()
+    a = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=4096))
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(engine, "_dense_varying_bound", lambda *a_, **k: None)
+        engine.clear_caches()
+        mp.setattr(shiftdense, "shiftmerge_dense_varying_lanes",
+                   _fail_if_called)
+        b = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=4096))
+    engine.clear_caches()
+    assert np.abs(a - b).max() < 1e-12
+    # trim-needing capacity falls back to the sort engine
+    assert engine._dense_varying_bound(flat, 0.25, 8, 1.0) is None
+
+
 def test_dense_engine_disabled_for_asymmetric_ops(monkeypatch):
     """A symmetry-breaking check=False op in a float-shift train must
     fall back to the table engines (the dense roll windows assume exact
