@@ -407,6 +407,61 @@ def measure_diffusion3d(sync):
     return out
 
 
+def measure_prune(sync):
+    """Batch-varying float-shift (shift-prune) train throughput.
+
+    20-TR train with per-atom shifts (the spatially-resolved imaging /
+    per-isochromat workloads): exercises the batch-varying dense merge
+    (ops/shiftdense.shiftmerge_dense_varying_lanes, windowed masked
+    rolls) vs reference epgpy/shift.py:478-542."""
+    import epgpy_tpu as epg
+
+    NTR, B, CAP = 40, 256, 512
+    rng = np.random.default_rng(2)
+    ks = rng.uniform(0.5, 3.0, size=(B, 1))
+    seq = [epg.T(90, 90)]
+    for i in range(NTR):
+        seq += [epg.S(ks * (1 + 0.05 * i)), epg.T(40, 0),
+                epg.E(5.0, 1000.0, 80.0), epg.ADC]
+
+    def run():
+        return epg.simulate(seq, kgrid=0.5, max_nstate=CAP, asarray=False)
+
+    def psync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    psync(run())
+    pwarm = time.perf_counter() - t0
+    pbest, _ = _pipelined_best(run, psync, REPEATS)
+    out = {"prune_tr_atoms_per_sec": round(NTR * B / pbest, 1),
+           "prune_best_seconds": round(float(pbest), 4),
+           "prune_warmup_seconds": round(float(pwarm), 2)}
+
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            rseq = [rops.T(90, 90)]
+            for i in range(NTR):
+                rseq += [rops.S(ks * (1 + 0.05 * i)), rops.T(40, 0),
+                         rops.E(5.0, 1000.0, 80.0), rops.ADC]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq, kgrid=0.5, max_nstate=CAP)
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"prune_{NTR}x{B}x{CAP}", _time_ref)
+            out["prune_vs_baseline"] = round(rdt / pbest, 1)
+            out["prune_ref_seconds"] = round(float(rdt), 3)
+        except Exception as exc:
+            out["prune_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def measure_engine_diff(T1, T2, B1):
     """General-engine differentiation throughput (the product surface
     for CRLB work): engine.simulate with a Jacobian probe over a FISP
@@ -536,6 +591,11 @@ def main():
             engine.update(measure_diffusion3d(sync))
         except Exception as exc:
             engine["diff3d_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_PRUNE", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_prune(sync))
+        except Exception as exc:
+            engine["prune_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
