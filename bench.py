@@ -407,13 +407,13 @@ def measure_diffusion3d(sync):
     return out
 
 
-def measure_prune(sync):
+def measure_prune():
     """Batch-varying float-shift (shift-prune) train throughput.
 
-    20-TR train with per-atom shifts (the spatially-resolved imaging /
-    per-isochromat workloads): exercises the batch-varying dense merge
-    (ops/shiftdense.shiftmerge_dense_varying_lanes, windowed masked
-    rolls) vs reference epgpy/shift.py:478-542."""
+    40-TR x 256-atom train with per-atom shifts (the spatially-resolved
+    imaging / per-isochromat workloads): exercises the batch-varying
+    dense merge (ops/shiftdense.shiftmerge_dense_varying_lanes,
+    windowed masked rolls) vs reference epgpy/shift.py:478-542."""
     import epgpy_tpu as epg
 
     NTR, B, CAP = 40, 256, 512
@@ -593,7 +593,7 @@ def main():
             engine["diff3d_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_PRUNE", "1") not in ("0", "false"):
         try:
-            engine.update(measure_prune(sync))
+            engine.update(measure_prune())
         except Exception as exc:
             engine["prune_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -200,8 +200,10 @@ def _subst_key(op):
                 return None
             arr = np.asarray(leaf)
             sig.append((arr.tobytes(), arr.shape, str(arr.dtype)))
-        spec = repr((getattr(op, "order1", None), getattr(op, "order2", None)))
-        return (type(op), str(treedef), tuple(sig), spec)
+        # order1/order2 specs live in the op's aux data (common.freeze_aux
+        # byte-encodes them), so the treedef (hashable, compares aux)
+        # already covers them
+        return (type(op), treedef, tuple(sig))
     except (TypeError, ValueError):
         return None
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import logging
 import math
-import os
 from functools import partial
 from typing import List, Optional
 
@@ -153,16 +152,19 @@ def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
 _DENSE_MAX_NSTATE = 8192
 
 
-def _dense_bound(sequence, kgrid, max_nstate, kvalue) -> Optional[int]:
-    """Half-capacity for the dense-grid 1-D merge, or None if ineligible.
+def _dense_analysis(sequence, kgrid, max_nstate, kvalue):
+    """Shared dense-engine eligibility sweep.
 
-    The dense engine (ops/shiftdense.py) puts grid cell q at ladder row
-    q + K//2 and applies the Gao merge as masked rolls.  It is exact
-    only when (a) every shift is 1-D, shared across the batch, with
-    host-known values, and (b) the ladder covers the train's full
-    wavenumber range sum|k|*kvalue/kgrid, so the capacity trim of the
-    table engines can never trigger.  When eligible, this returns the
-    half-capacity the ladder must be sized to.
+    The dense engines (ops/shiftdense.py) put grid cell q at ladder row
+    q + K//2 and apply the Gao merge as masked rolls/gathers.  They are
+    exact only when (a) every shift is 1-D with host-known values, and
+    (b) the ladder covers the train's full wavenumber range
+    sum|k|*kvalue/kgrid, so the capacity trim of the table engines can
+    never trigger.  Returns (bound, window, any_varying) when eligible
+    -- bound is the half-capacity the ladder must be sized to, window
+    the per-step shift half-window -- else None.  ONE sweep serves both
+    the shared and the batch-varying gate so eligibility rules cannot
+    drift apart.
     """
     from .ops.shift import S
     from .ops.base import System
@@ -176,26 +178,41 @@ def _dense_bound(sequence, kgrid, max_nstate, kvalue) -> Optional[int]:
            if isinstance(op, System)):
         return None  # kvalue/tvalue may change mid-train
     total = 0.0
+    step_max = 0.0
     any_float = False
+    any_varying = False
     for op in shift_ops:
         if op.kleaf is None:
             total += abs(op._kint)
+            step_max = max(step_max, abs(op._kint))
             continue
         if isinstance(op.kleaf, jax.core.Tracer):
             return None
         karr = np.atleast_2d(np.asarray(op.kleaf))
-        if karr.shape[-1] != 1 or math.prod(op.shape) > 1:
+        if karr.shape[-1] != 1:
             return None
+        if math.prod(op.shape) > 1:
+            any_varying = True
         if not np.issubdtype(karr.dtype, np.integer):
             any_float = True
-        total += float(np.max(np.abs(karr)))
+        m = float(np.max(np.abs(karr)))
+        total += m
+        step_max = max(step_max, m)
     if not any_float:
         return None
-    bound = int(math.floor(total * float(kvalue) / float(kgrid) + 0.5)) + 1
+    kv = float(kvalue)
+    bound = int(math.floor(total * kv / float(kgrid) + 0.5)) + 1
+    window = int(math.ceil(step_max * kv / float(kgrid))) + 1
     cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
     if bound > cap or bound > _DENSE_MAX_NSTATE:
         return None
-    return bound
+    return bound, window, any_varying
+
+
+def _dense_bound(sequence, kgrid, max_nstate, kvalue) -> Optional[int]:
+    """Half-capacity for the SHARED dense 1-D merge, or None."""
+    a = _dense_analysis(sequence, kgrid, max_nstate, kvalue)
+    return None if a is None or a[2] else a[0]
 
 
 _PREAMBLE_CACHE: "dict[tuple, tuple]" = {}
@@ -243,55 +260,9 @@ def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
 def _dense_varying_bound(sequence, kgrid, max_nstate, kvalue):
     """(half-capacity, shift half-window) for the batch-varying dense
     merge (ops/shiftdense.shiftmerge_dense_varying_lanes), or None.
-
-    Same structural conditions as _dense_bound except shifts may vary
-    across the batch; additionally the per-step shift magnitude must
-    fit a bounded static window (the merge is a sum of 2*window+1
-    masked static rolls).
-    """
-    from .ops.shift import S
-    from .ops.base import System
-
-    if not kgrid or common.get_shape(kvalue):
-        return None
-    shift_ops = [op for op in sequence if isinstance(op, S)]
-    if not shift_ops:
-        return None
-    if any(getattr(op, "scalars", None) for op in sequence
-           if isinstance(op, System)):
-        return None
-    total = 0.0
-    step_max = 0.0
-    any_float = False
-    any_varying = False
-    for op in shift_ops:
-        if op.kleaf is None:
-            total += abs(op._kint)
-            step_max = max(step_max, abs(op._kint))
-            continue
-        if isinstance(op.kleaf, jax.core.Tracer):
-            return None
-        karr = np.atleast_2d(np.asarray(op.kleaf))
-        if karr.shape[-1] != 1:
-            return None
-        if math.prod(op.shape) > 1:
-            any_varying = True
-        if not np.issubdtype(karr.dtype, np.integer):
-            any_float = True
-        m = float(np.max(np.abs(karr)))
-        total += m
-        step_max = max(step_max, m)
-    if not any_float or not any_varying:
-        return None  # the shared dense engine handles the rest
-    kv = float(kvalue)
-    bound = int(math.floor(total * kv / float(kgrid) + 0.5)) + 1
-    window = int(math.ceil(step_max * kv / float(kgrid))) + 1
-    cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
-    if bound > cap or bound > _DENSE_MAX_NSTATE:
-        return None
-    # window only selects the kernel (masked rolls vs gathers), see
-    # ops/shiftdense.shiftmerge_dense_varying_lanes
-    return bound, window
+    The window only selects the kernel (masked rolls vs gathers)."""
+    a = _dense_analysis(sequence, kgrid, max_nstate, kvalue)
+    return None if a is None or not a[2] else (a[0], a[1])
 
 
 def _center_only_init(sm: StateMatrix) -> bool:

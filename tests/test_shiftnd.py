@@ -235,6 +235,30 @@ def test_dense_varying_matches_vmapped_sort(kernel, monkeypatch):
     assert engine._dense_varying_bound(flat, 0.25, 8, 1.0) is None
 
 
+def test_dense_varying_multidim_batch():
+    """Batch-varying dense merge with a 2-D batch (per-atom shift block
+    x appended T2 sweep) matches the vmapped sort engine."""
+    from epgpy_tpu import engine
+    rng = np.random.default_rng(5)
+    ks = rng.uniform(0.5, 2.5, size=(3, 1, 1))   # op.shape (3, 1)
+    T2s = np.linspace(50.0, 110.0, 4)[None, :]   # (1, 4)
+    seq = [epg.T(90, 90)]
+    for i in range(4):
+        seq += [epg.S(ks * (1 + 0.1 * i)), epg.T(50, 15 * i),
+                epg.E(6.0, 900.0, T2s), epg.ADC]
+    flat = engine.flatten_sequence(seq)
+    assert engine._dense_varying_bound(flat, 0.25, 4096, 1.0) is not None
+    engine.clear_caches()
+    a = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=4096))
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(engine, "_dense_varying_bound", lambda *a_, **k: None)
+        engine.clear_caches()
+        b = np.asarray(epg.simulate(seq, kgrid=0.25, max_nstate=4096))
+    engine.clear_caches()
+    assert a.shape == (4, 3, 4)
+    assert np.abs(a - b).max() < 1e-12
+
+
 def test_dense_engine_disabled_for_asymmetric_ops(monkeypatch):
     """A symmetry-breaking check=False op in a float-shift train must
     fall back to the table engines (the dense roll windows assume exact
