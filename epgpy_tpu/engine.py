@@ -346,9 +346,14 @@ def _setup_table(sm: StateMatrix, sequence, shape=None,
         # static hint for ops/shiftnd.apply_shift: rows ARE grid cells,
         # merges run as masked rolls (ops/shiftdense.py)
         sm = sm.update(options={**sm.options, "_dense_grid": True})
+        LOGGER.info("table merges: dense-grid engine (rows are cells)")
     elif varying_window and not all_int:
         sm = sm.update(options={**sm.options,
                                 "_dense_grid_varying": int(varying_window)})
+        LOGGER.info("table merges: batch-varying dense engine (window=%d)",
+                    int(varying_window))
+    elif not all_int:
+        LOGGER.info("table merges: general table engine (matmul/sort)")
     batch_varying = any(
         math.prod(op.shape) > 1 for op in shift_ops
     )
