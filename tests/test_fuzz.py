@@ -294,3 +294,25 @@ def test_fuzz_hessian_parity(i):
         probe=[epg.Jacobian(["T1"]), epg.Hessian(sp["vars1"], sp["vars2"])])
     ref = _GH[f"hes_re_{i:02d}"] + 1j * _GH[f"hes_im_{i:02d}"]
     assert np.abs(np.asarray(hess) - ref).max() < 1e-7, f"sequence {i}"
+
+
+_GPR = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                            "fuzz_prune.npz"))
+_PRSPECS = json.loads(bytes(_GPR["specs_json"]).decode())
+
+
+@pytest.mark.parametrize("i", range(len(_PRSPECS)))
+def test_fuzz_prune_parity(i):
+    """Random BATCH-VARYING float-shift trains (per-atom shifts, the
+    reference's shift-prune path / our batch-varying dense merge) match
+    the reference at 1e-8."""
+    sp = _PRSPECS[i]
+    ks = np.asarray(sp["ks"])
+    seq = [epg.T(90, 90)]
+    for it in sp["items"]:
+        seq += [epg.S(ks * it["scale"]), epg.T(it["alpha"], it["phi"]),
+                epg.E(it["tau"], 1000.0, it["T2"]), epg.ADC]
+    sig = np.asarray(epg.simulate(
+        seq, max_nstate=256, kgrid=sp["kgrid"], probe=["F0", "Z0"]))
+    ref = _GPR[f"sig_re_{i:02d}"] + 1j * _GPR[f"sig_im_{i:02d}"]
+    assert np.abs(sig.ravel() - ref).max() < 1e-8, f"sequence {i}"

@@ -582,6 +582,44 @@ def fuzz_shift():
     return out
 
 
+def fuzz_prune():
+    """Randomized BATCH-VARYING float-shift (shift-prune) trains: each
+    atom carries its own per-TR shift magnitude -- the reference's
+    shiftprune path (epgpy/shift.py:478-542), our batch-varying dense
+    merge (tests/test_fuzz.py::test_fuzz_prune_parity)."""
+    import json as _json
+    rng = np.random.default_rng(777)
+    specs_all, signals = [], []
+    for si in range(10):
+        ntr = int(rng.integers(3, 7))
+        nb = int(rng.integers(2, 6))
+        kgrid = float(rng.choice([0.25, 0.5]))
+        ks = np.round(rng.uniform(0.4, 2.6, (nb, 1)), 3)
+        specs = {"ntr": ntr, "nb": nb, "kgrid": kgrid,
+                 "ks": ks.tolist(), "items": []}
+        seq = [ops.T(90, 90)]
+        for i in range(ntr):
+            scale = round(float(rng.uniform(0.8, 1.3)), 3)
+            alpha = float(rng.uniform(15, 160))
+            phi = float(rng.uniform(-180, 180))
+            tau = float(rng.uniform(2, 12))
+            T2 = float(rng.uniform(30, 150))
+            specs["items"].append({"scale": scale, "alpha": alpha,
+                                   "phi": phi, "tau": tau, "T2": T2})
+            seq += [ops.S(ks * scale), ops.T(alpha, phi),
+                    ops.E(tau, 1000.0, T2), ops.ADC]
+        sig = np.asarray(fun.simulate(
+            seq, max_nstate=256, kgrid=kgrid, probe=["F0", "Z0"]))
+        specs_all.append(specs)
+        signals.append(sig.ravel())
+    out = {"specs_json": np.frombuffer(
+        _json.dumps(specs_all).encode(), dtype=np.uint8)}
+    for i, sig in enumerate(signals):
+        out[f"sig_re_{i:02d}"] = sig.real
+        out[f"sig_im_{i:02d}"] = sig.imag
+    return out
+
+
 def fuzz_physics():
     """Randomized diffusion / exchange parity: D with scalar + tensor
     diffusivities along int shift trains, X with random 2-compartment
@@ -896,6 +934,7 @@ CASES = {
     "fuzz": fuzz,
     "fuzz_diff": fuzz_diff,
     "fuzz_shift": fuzz_shift,
+    "fuzz_prune": fuzz_prune,
     "fuzz_physics": fuzz_physics,
     "fuzz_modify": fuzz_modify,
     "fuzz_time": fuzz_time,
