@@ -486,24 +486,24 @@ def measure_engine_diff(T1, T2, B1):
     probes = [epg.Jacobian(["magnitude", "T1", "T2"])]
 
     def run():
+        # asarray=False keeps the Jacobian on device ({"__c_re","__c_im"}
+        # dicts); with asarray=True the metric would mostly time the
+        # ~20 MB device->host copy through the tunnel (measured 660 ms
+        # d2h vs 36 ms device compute), not the diff program
         return epg.simulate(seq, probe=probes, max_nstate=NSTATE,
                             asarray=False)
 
     def dsync(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(np.asarray(leaf).ravel()[0].real)
+        # one-element read: forces completion without a bulk transfer
+        return float(np.asarray(out["__c_re"][-1, -1, -1]))
 
-    import jax
     t0 = time.perf_counter()
     dsync(run())
     dwarm = time.perf_counter() - t0
-    dbest = np.inf
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        dsync(run())
-        dbest = min(dbest, time.perf_counter() - t0)
+    dbest, dsingle = _pipelined_best(run, dsync, REPEATS, M=5)
     return {"diff_atoms_per_sec": round(B / dbest, 1),
             "diff_best_seconds": round(float(dbest), 4),
+            "diff_single_seconds": round(float(dsingle), 4),
             "diff_warmup_seconds": round(float(dwarm), 2),
             "diff_natoms": B, "diff_ntr": NRF}
 

@@ -789,6 +789,7 @@ def simulate(
                                                         cache=False),
             executor=_execute_plan,
             jacobian_chunk=jacobian_chunk,
+            asarray=asarray,
         )
         times = get_adc_times(sequence)
         if len(values) == 1:

@@ -309,3 +309,36 @@ def test_hessian_chunked_matches_unchunked():
     for chunk in (1, 3):
         sig_c, hess_c = epg.simulate(seq, probe=probes, jacobian_chunk=chunk)
         assert np.abs(hess_c - hess_u).max() < 1e-12, f"chunk={chunk}"
+
+
+def test_diff_asarray_false_device_outputs():
+    """asarray=False keeps Jacobian/Hessian outputs on device as
+    {"__c_re","__c_im"} dicts (the regular simulate encoding; complex
+    cannot cross the program boundary on TPU) and skips the internal
+    device->host copy; decoded values match the asarray=True path
+    bitwise.  Covers fused and chunked programs."""
+    import jax
+
+    T2 = 40.0
+    P = 3
+    names = [f"a_{i}" for i in range(P)]
+    seq = [epg.T(90, 90)]
+    for i in range(P):
+        seq += [epg.E(5.0, 1000.0, T2, order1={"T2": "T2"}),
+                epg.S(1),
+                epg.T(140.0 + i, 0.0, order1={names[i]: "alpha"}),
+                epg.E(5.0, 1000.0, T2, order1={"T2": "T2"}),
+                epg.S(1), epg.ADC]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T2"] + names),
+              epg.Hessian(["magnitude", "T2"], names)]
+    host = epg.simulate(seq, probe=probes)
+    for chunk in (None, 2):
+        dev = epg.simulate(seq, probe=probes, asarray=False,
+                           jacobian_chunk=chunk)
+        assert len(dev) == len(host) == 3
+        for h, d in zip(host, dev):
+            assert isinstance(d, dict) and set(d) == {"__c_re", "__c_im"}
+            assert isinstance(d["__c_re"], jax.Array)
+            dec = np.asarray(d["__c_re"]) + 1j * np.asarray(d["__c_im"])
+            assert dec.shape == h.shape
+            assert np.abs(dec - h).max() == 0.0, f"chunk={chunk}"
