@@ -501,11 +501,50 @@ def measure_engine_diff(T1, T2, B1):
     dsync(run())
     dwarm = time.perf_counter() - t0
     dbest, dsingle = _pipelined_best(run, dsync, REPEATS, M=5)
-    return {"diff_atoms_per_sec": round(B / dbest, 1),
-            "diff_best_seconds": round(float(dbest), 4),
-            "diff_single_seconds": round(float(dsingle), 4),
-            "diff_warmup_seconds": round(float(dwarm), 2),
-            "diff_natoms": B, "diff_ntr": NRF}
+    out = {"diff_atoms_per_sec": round(B / dbest, 1),
+           "diff_best_seconds": round(float(dbest), 4),
+           "diff_single_seconds": round(float(dsingle), 4),
+           "diff_warmup_seconds": round(float(dwarm), 2),
+           "diff_natoms": B, "diff_ntr": NRF}
+
+    # reference baseline: same train + Jacobian probe at a reduced atom
+    # count (reference cost is linear in atoms), cached like the others
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            BR = 64
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            import epgpy.diff as rdiff
+            T1r = np.asarray(T1[:BR], np.float64)
+            T2r = np.asarray(T2[:BR], np.float64)
+            rseq = []
+            for i in range(NRF):
+                rseq += [
+                    rops.T(float(FA[i]), 90.0),
+                    rops.E(TE, T1r, T2r, order1=["T1", "T2"]),
+                    rops.ADC,
+                    rops.E(TR - TE, T1r, T2r, order1=["T1", "T2"]),
+                    rops.S(1),
+                ]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(
+                    rseq, max_nstate=NSTATE,
+                    probe=[rdiff.Jacobian(["magnitude", "T1", "T2"])])
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"diff_{NRF}x{BR}x{NSTATE}", _time_ref)
+            ref_atoms_per_sec = BR / rdt
+            out["diff_vs_baseline"] = round(
+                (B / dbest) / ref_atoms_per_sec, 1)
+            out["diff_ref_seconds"] = round(float(rdt), 3)
+            out["diff_ref_natoms"] = BR
+        except Exception as exc:
+            out["diff_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
 
 
 def main():

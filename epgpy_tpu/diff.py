@@ -364,14 +364,33 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
     dtype = jnp.result_type(jax.tree.leaves(sm)[0])
     dummy = nvars  # extra eps slot absorbing padded tangent columns
 
-    def run_vec(eps_vec, sm_in):
+    # device-array op leaves must be ARGUMENTS of the compiled programs,
+    # not closure constants: a jit-captured constant loses its sharding
+    # (GSPMD replicates it), so a user who shards op parameters over an
+    # atom mesh would silently get a replicated Jacobian.  Host leaves
+    # stay closed over -- that keeps the value-signature substitution
+    # memoization (scan-constant hoisting) intact for the common case.
+    _seq_leaves, _seq_treedef = jax.tree.flatten(list(sequence))
+    _dev_pos = tuple(i for i, l in enumerate(_seq_leaves)
+                     if isinstance(l, jax.Array))
+
+    def _rebuild(dev_vals):
+        """Sequence with device leaves replaced by traced `dev_vals`."""
+        if not _dev_pos:
+            return sequence
+        ls = list(_seq_leaves)
+        for p, v in zip(_dev_pos, dev_vals):
+            ls[p] = v
+        return jax.tree.unflatten(_seq_treedef, ls)
+
+    def run_vec(eps_vec, sm_in, dev_vals):
         eps = {var: eps_vec[i] for i, var in enumerate(variables)}
         # memoize substitution by op value-signature: value-identical
         # ops (one fresh-but-equal op per TR) must map to ONE
         # substituted object so scan-constant hoisting survives
         memo = {}
         seq2 = []
-        for op in sequence:
+        for op in _rebuild(dev_vals):
             key = _subst_key(op)
             sub = memo.get(key) if key is not None else None
             if sub is None:
@@ -424,25 +443,25 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
         idx_1_arr = None if idx_1 is None else jnp.asarray(idx_1)
         idx_2_arr = None if idx_2 is None else jnp.asarray(idx_2)
 
-        def value_prog(sm_in):
-            return run_vec(zero_vec, sm_in)
+        def value_prog(sm_in, dev_vals):
+            return run_vec(zero_vec, sm_in, dev_vals)
 
-        def jac_prog(offset, sm_in):
+        def jac_prog(offset, sm_in, dev_vals):
             pos = jax.lax.dynamic_slice(idx_j_arr, (offset,), (cj,))
 
             def g(chunk):
-                return run_vec(zero_vec.at[pos].add(chunk), sm_in)
+                return run_vec(zero_vec.at[pos].add(chunk), sm_in, dev_vals)
 
             return jax.jacfwd(g)(jnp.zeros((cj,), dtype))
 
-        def hess_prog(off1, off2, sm_in):
+        def hess_prog(off1, off2, sm_in, dev_vals):
             pos1 = jax.lax.dynamic_slice(idx_1_arr, (off1,), (c1,))
             pos2 = jax.lax.dynamic_slice(idx_2_arr, (off2,), (c2,))
 
             def g2(e1, e2):
                 # independent tangent sets; shared variables get both
                 return run_vec(zero_vec.at[pos1].add(e1).at[pos2].add(e2),
-                               sm_in)
+                               sm_in, dev_vals)
 
             # inner jacfwd appends the vars1 axis, outer the vars2 axis:
             # block leaves are (..., c1, c2)
@@ -451,10 +470,11 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
 
         if not jacobian_chunk:
             # single fused program: one dispatch per call
-            def fused(sm_in):
-                value = value_prog(sm_in)
-                jac = jac_prog(0, sm_in) if nvars else None
-                hess = hess_prog(0, 0, sm_in) if need_hessian else None
+            def fused(sm_in, dev_vals):
+                value = value_prog(sm_in, dev_vals)
+                jac = jac_prog(0, sm_in, dev_vals) if nvars else None
+                hess = (hess_prog(0, 0, sm_in, dev_vals)
+                        if need_hessian else None)
                 return value, jac, hess
 
             cached = ("fused", jax.jit(fused), list(sequence), tuple(probes))
@@ -476,24 +496,26 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
         return jax.tree.map(
             lambda *xs: xp.concatenate(xs, axis=axis), *parts)
 
+    dev_vals = [_seq_leaves[p] for p in _dev_pos]
+
     if cached[0] == "fused":
-        value, jac, hess = fetch(cached[1](sm))
+        value, jac, hess = fetch(cached[1](sm, dev_vals))
     else:
         _, value_fn, jac_fn, hess_fn = cached[:4]
         # asarray mode: one batched host fetch per chunk call: device_get
         # prefetches all leaves' d2h copies before blocking (one
         # round-trip, not one per variable -- critical through a slow
         # host link)
-        value = fetch(value_fn(sm))
+        value = fetch(value_fn(sm, dev_vals))
         jac = None
         if nvars:
-            jac = _cat([fetch(jac_fn(k * cj, sm))
+            jac = _cat([fetch(jac_fn(k * cj, sm, dev_vals))
                         for k in range(nchunks_j)], axis=-1)
         hess = None
         if need_hessian:
             rows = []
             for a in range(nchunks_1):
-                row = [fetch(hess_fn(a * c1, b * c2, sm))
+                row = [fetch(hess_fn(a * c1, b * c2, sm, dev_vals))
                        for b in range(nchunks_2)]
                 rows.append(_cat(row, axis=-1))
             hess = _cat(rows, axis=-2)
