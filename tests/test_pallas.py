@@ -39,6 +39,35 @@ def test_pallas_padding():
     assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
 
 
+@pytest.mark.parametrize("use_df", [False, True])
+@pytest.mark.parametrize("demod", [False, True])
+def test_pallas_half_ladder_matches_full(use_df, demod):
+    """Folded half-ladder kernel vs literal 2N+1-row kernel.
+
+    The fold relies on the FISP conjugate symmetry F-(k)=conj(F+(-k));
+    off-resonance and demodulation both preserve it.  On real TPU the
+    two kernels are bitwise identical over 1000 TRs; interpret mode
+    (this test) only guarantees f32-epsilon agreement.
+    """
+    P, B = 60, 128
+    rng = np.random.default_rng(3)
+    FA = rng.uniform(5, 70, P)
+    phi = rng.uniform(0, 360, P)
+    TRs = rng.uniform(11, 16, P)
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 300, B)
+    B1 = rng.uniform(0.8, 1.2, B)
+    dfs = rng.uniform(-50, 50, B) * 1e-3 if use_df else None
+    kw = dict(nstate=7, btile=128, pchunk=128, demodulate=demod,
+              interpret=True)
+    re0, im0 = fisp_dictionary_pallas(FA, phi, TRs, 4.0, T1, T2, B1, dfs,
+                                      half_ladder=False, **kw)
+    re1, im1 = fisp_dictionary_pallas(FA, phi, TRs, 4.0, T1, T2, B1, dfs,
+                                      half_ladder=True, **kw)
+    assert np.abs(np.asarray(re0) - np.asarray(re1)).max() < 1e-6
+    assert np.abs(np.asarray(im0) - np.asarray(im1)).max() < 1e-6
+
+
 def test_pallas_off_resonance_parity():
     P, B = 64, 128
     FA = np.linspace(10, 60, P)
