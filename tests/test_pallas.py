@@ -3,8 +3,9 @@
 import numpy as np
 import pytest
 
-from epgpy_tpu.models.mrf import fisp_mrf_dictionary
-from epgpy_tpu.models.pallas_fisp import fisp_dictionary_pallas
+from epgpy_tpu.models.mrf import fisp_mrf_dictionary, fisp_mrf_jacobian
+from epgpy_tpu.models.pallas_fisp import (fisp_dictionary_pallas,
+                                          fisp_jacobian_pallas)
 
 
 def test_pallas_interpret_parity():
@@ -80,3 +81,36 @@ def test_pallas_off_resonance_parity():
                                       btile=128, pchunk=128, interpret=True)
     assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
     assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+
+
+@pytest.mark.parametrize("demod", [False, True])
+def test_pallas_jacobian_matches_jvp(demod):
+    """Fused Pallas (primal + dT1/dT2/dB1 tangent) kernel vs vmap(jvp).
+
+    The hand-derived tangent propagation must agree with autodiff of
+    the XLA scan.  RF-spoiling phases keep both signal components (and
+    all six derivative planes) nonzero.  The kernel is f32; the jvp
+    model runs f64 under the test config, so tolerances are f32-eps
+    relative to each derivative's magnitude.
+    """
+    P, B, NS = 80, 24, 8
+    rng = np.random.default_rng(7)
+    FA = rng.uniform(5, 70, P)
+    phi = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360.0
+    TRs = rng.uniform(11, 16, P)
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 300, B)
+    B1 = rng.uniform(0.8, 1.2, B)
+    (re0, im0), (dre0, dim0) = fisp_mrf_jacobian(
+        FA, TRs, 4.0, T1, T2, B1, phi=phi, variables=("T1", "T2", "B1"),
+        nstate=NS, demodulate=demod)
+    (re1, im1), (dre1, dim1) = fisp_jacobian_pallas(
+        FA, phi, TRs, 4.0, T1, T2, B1, nstate=NS, btile=128, pchunk=80,
+        demodulate=demod, interpret=True)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+    # scale T1/T2 columns by typical parameter size: d/dT1 ~ 1e-4
+    scale = np.array([1e3, 1e2, 1.0])
+    for d0, d1 in ((dre0, dre1), (dim0, dim1)):
+        err = np.abs(np.asarray(d0) * scale - np.asarray(d1) * scale).max()
+        assert err < 1e-4, err
