@@ -25,9 +25,9 @@ import jax.numpy as jnp
 __all__ = ["fisp_dictionary_pallas", "fisp_jacobian_pallas"]
 
 
-def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref, df_ref,
-            out_re_ref, out_im_ref, st_ref, *, nstate, pchunk, demodulate,
-            use_df):
+def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
+            df_ref, out_re_ref, out_im_ref, st_ref, *, nstate, pchunk,
+            demodulate, use_df, use_inv):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -38,7 +38,19 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref, df_ref,
     @pl.when(pc == 0)
     def _init():
         st_ref[...] = jnp.zeros_like(st_ref)
-        st_ref[4, NS, :] = jnp.ones_like(st_ref[4, NS, :])  # ZR plane, k=0
+        if use_inv:
+            # inversion prep: 180*B1 pulse about phi=0, then TI relaxation
+            # (matches mrf._dictionary_program rotate+relax: F+(0)=-i sin(a),
+            # Z(0)=cos(a), decayed/recovered over TI)
+            ai = jnp.pi * b1_ref[0, :]
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / t1_ref[0, :])
+            E2i = jnp.exp(-TI / t2_ref[0, :])
+            st_ref[1, NS, :] = -jnp.sin(ai) * E2i          # FpI
+            st_ref[3, NS, :] = jnp.sin(ai) * E2i           # FmI = conj
+            st_ref[4, NS, :] = jnp.cos(ai) * E1i + 1.0 - E1i
+        else:
+            st_ref[4, NS, :] = jnp.ones_like(st_ref[4, NS, :])  # ZR, k=0
 
     # k=0 row mask (scatter-add is not lowerable on TPU Pallas)
     rowmask = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) == NS).astype(
@@ -150,9 +162,9 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref, df_ref,
     jax.lax.fori_loop(0, pchunk, step, 0)
 
 
-def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
-                 df_ref, out_re_ref, out_im_ref, st_ref, *, nstate, pchunk,
-                 demodulate, use_df):
+def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
+                 b1_ref, df_ref, out_re_ref, out_im_ref, st_ref, *, nstate,
+                 pchunk, demodulate, use_df, use_inv):
     """Folded half-ladder variant: (A, B, Z) planes of N+1 rows.
 
     The FISP evolution preserves the EPG conjugate symmetry
@@ -180,7 +192,19 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
     @pl.when(pc == 0)
     def _init():
         st_ref[...] = jnp.zeros_like(st_ref)
-        st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # ZR plane, k=0
+        if use_inv:
+            # 180*B1 prep at phi=0 + TI relaxation; folded layout keeps
+            # A(0)=B(0)=F+(0) (F-(0)=conj is implied)
+            ai = jnp.pi * b1_ref[0, :]
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / t1_ref[0, :])
+            E2i = jnp.exp(-TI / t2_ref[0, :])
+            fpi = -jnp.sin(ai) * E2i
+            st_ref[1, 0, :] = fpi                          # AI
+            st_ref[3, 0, :] = fpi                          # BI = AI at k=0
+            st_ref[4, 0, :] = jnp.cos(ai) * E1i + 1.0 - E1i
+        else:
+            st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # ZR, k=0
 
     # k=0 row mask (scatter-add is not lowerable on TPU Pallas)
     rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
@@ -281,10 +305,11 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
     jax.lax.fori_loop(0, pchunk, step, 0)
 
 
-def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
-                out_re_ref, out_im_ref,
+def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
+                b1_ref, out_re_ref, out_im_ref,
                 d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
-                db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate):
+                db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate,
+                use_inv):
     """Fused primal + (dT1, dT2, dB1) tangent propagation, folded ladder.
 
     Forward-mode derivative of `_kernel_half` with the tangent state
@@ -309,7 +334,30 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
     @pl.when(pc == 0)
     def _init():
         st_ref[...] = jnp.zeros_like(st_ref)
-        st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # primal Z(0) = 1
+        if use_inv:
+            # inversion prep + its (dT1, dT2, dB1) tangents (closed form)
+            T1v, T2v = t1_ref[0, :], t2_ref[0, :]
+            ai = jnp.pi * b1_ref[0, :]
+            sai, cai = jnp.sin(ai), jnp.cos(ai)
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / T1v)
+            E2i = jnp.exp(-TI / T2v)
+            fpi = -sai * E2i
+            st_ref[1, 0, :] = fpi                          # AI
+            st_ref[3, 0, :] = fpi                          # BI
+            st_ref[4, 0, :] = cai * E1i + 1.0 - E1i
+            dE1i = E1i * TI / (T1v * T1v)
+            dE2i = E2i * TI / (T2v * T2v)
+            st_ref[10, 0, :] = (cai - 1.0) * dE1i          # dT1: ZR
+            dfpi = -sai * dE2i
+            st_ref[13, 0, :] = dfpi                        # dT2: AI
+            st_ref[15, 0, :] = dfpi                        # dT2: BI
+            bfpi = -cai * jnp.pi * E2i
+            st_ref[19, 0, :] = bfpi                        # dB1: AI
+            st_ref[21, 0, :] = bfpi                        # dB1: BI
+            st_ref[22, 0, :] = -sai * jnp.pi * E1i         # dB1: ZR
+        else:
+            st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # Z(0) = 1
 
     rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
     T1 = t1_ref[0, :]
@@ -444,13 +492,15 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref, b1_ref,
                                    "interpret"))
 def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
                          btile=512, pchunk=None, demodulate=False,
-                         interpret=False):
+                         inversion=None, interpret=False):
     """Fingerprints + dS/d(T1, T2, B1) via one fused Pallas kernel.
 
     Returns ((re, im), (dre, dim)): (B, P) fingerprints and (B, P, 3)
     derivatives ordered (T1, T2, B1) — the layout of
     models/mrf.fisp_mrf_jacobian (reference cost anchor:
-    epgpy diff.py order1 propagation, SURVEY §3.2).
+    epgpy diff.py order1 propagation, SURVEY §3.2).  `inversion` (TI in
+    ms) prepends a 180*B1 inversion prep whose tangents are seeded in
+    closed form.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -483,11 +533,12 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     T1p, T2p, B1p = padb(T1s), padb(T2s), padb(B1s)
     nP, nB = Pp // pchunk, Bp // btile
     args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    args += [jnp.full((1, 1), TE, f32)]
+    args += [jnp.full((1, 1), TE, f32),
+             jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)]
     args += [x.reshape(1, -1) for x in (T1p, T2p, B1p)]
 
     kernel = partial(_kernel_jac, nstate=nstate, pchunk=pchunk,
-                     demodulate=demodulate)
+                     demodulate=demodulate, use_inv=inversion is not None)
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
@@ -496,6 +547,7 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
             pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
             pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
             pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
@@ -517,8 +569,8 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate", "interpret", "half_ladder"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                            nstate=10, btile=512, pchunk=None,
-                           demodulate=False, interpret=False,
-                           half_ladder=True):
+                           demodulate=False, inversion=None,
+                           interpret=False, half_ladder=True):
     """FISP MRF dictionary via the fused Pallas kernel.
 
     Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,)).
@@ -585,12 +637,14 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     B1p = B1p.reshape(1, Bp)
     DFp = DFp.reshape(1, Bp)
     TE_arr = jnp.full((1, 1), TE, f32)
+    TI_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
 
     grid = (nB, nP)
 
     kernel = partial(_kernel_half if half_ladder else _kernel,
                      nstate=nstate, pchunk=pchunk,
-                     demodulate=demodulate, use_df=use_df)
+                     demodulate=demodulate, use_df=use_df,
+                     use_inv=inversion is not None)
     # folded half-ladder: 6 planes of N+1 rows (vs 2N+1)
     krows = nstate + 1 if half_ladder else K
     out_re, out_im = pl.pallas_call(
@@ -602,6 +656,7 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
             pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
             pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
             # per-atom vectors: (1, Bp) arrays, (1, btile) VMEM blocks
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
@@ -620,6 +675,6 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(FA_p, phi_p, TR_p, TE_arr, T1p, T2p, B1p, DFp)
+    )(FA_p, phi_p, TR_p, TE_arr, TI_arr, T1p, T2p, B1p, DFp)
 
     return out_re[:P, :B].T, out_im[:P, :B].T

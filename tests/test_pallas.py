@@ -114,3 +114,47 @@ def test_pallas_jacobian_matches_jvp(demod):
     for d0, d1 in ((dre0, dre1), (dim0, dim1)):
         err = np.abs(np.asarray(d0) * scale - np.asarray(d1) * scale).max()
         assert err < 1e-4, err
+
+
+@pytest.mark.parametrize("half", [False, True])
+def test_pallas_inversion_prep(half):
+    """Inversion prep (180*B1 pulse + TI relaxation) seeded in closed
+    form in the kernel init matches the model's rotate+relax prep."""
+    P, B, NS = 60, 16, 8
+    rng = np.random.default_rng(5)
+    FA = rng.uniform(5, 70, P)
+    phi = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360.0
+    TRs = rng.uniform(11, 16, P)
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 300, B)
+    B1 = rng.uniform(0.8, 1.2, B)
+    re0, im0 = fisp_mrf_dictionary(FA, TRs, 4.0, T1, T2, B1, phi=phi,
+                                   nstate=NS, inversion=18.0)
+    re1, im1 = fisp_dictionary_pallas(FA, phi, TRs, 4.0, T1, T2, B1,
+                                      nstate=NS, btile=128, inversion=18.0,
+                                      interpret=True, half_ladder=half)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+
+
+def test_pallas_jacobian_inversion_tangents():
+    """The closed-form inversion tangent seeds (dT1 recovery, dT2 decay,
+    dB1 flip-angle) must agree with autodiff through the model's prep."""
+    P, B, NS = 60, 16, 8
+    rng = np.random.default_rng(5)
+    FA = rng.uniform(5, 70, P)
+    phi = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360.0
+    TRs = rng.uniform(11, 16, P)
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 300, B)
+    B1 = rng.uniform(0.8, 1.2, B)
+    (_, _), (dre0, dim0) = fisp_mrf_jacobian(
+        FA, TRs, 4.0, T1, T2, B1, phi=phi, variables=("T1", "T2", "B1"),
+        nstate=NS, inversion=18.0)
+    (_, _), (dre1, dim1) = fisp_jacobian_pallas(
+        FA, phi, TRs, 4.0, T1, T2, B1, nstate=NS, btile=128,
+        inversion=18.0, interpret=True)
+    scale = np.array([1e3, 1e2, 1.0])
+    for d0, d1 in ((dre0, dre1), (dim0, dim1)):
+        err = np.abs(np.asarray(d0) * scale - np.asarray(d1) * scale).max()
+        assert err < 1e-4, err
