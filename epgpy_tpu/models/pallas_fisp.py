@@ -566,11 +566,13 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     return (re, im), (dre, dim)
 
 
-@partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate", "interpret", "half_ladder"))
+@partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
+                                   "normalize", "interpret", "half_ladder"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                            nstate=10, btile=512, pchunk=None,
                            demodulate=False, inversion=None,
-                           interpret=False, half_ladder=True):
+                           normalize=False, interpret=False,
+                           half_ladder=True):
     """FISP MRF dictionary via the fused Pallas kernel.
 
     Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,)).
@@ -677,4 +679,11 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
         interpret=interpret,
     )(FA_p, phi_p, TR_p, TE_arr, TI_arr, T1p, T2p, B1p, DFp)
 
-    return out_re[:P, :B].T, out_im[:P, :B].T
+    re, im = out_re[:P, :B].T, out_im[:P, :B].T
+    if normalize:
+        # unit-norm fingerprints (matched-filter dictionary search);
+        # XLA epilogue, fuses with the crop/transpose
+        nrm = jnp.sqrt(jnp.sum(re * re + im * im, axis=-1, keepdims=True))
+        scale = jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+        re, im = re * scale, im * scale
+    return re, im

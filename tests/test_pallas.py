@@ -158,3 +158,20 @@ def test_pallas_jacobian_inversion_tangents():
     for d0, d1 in ((dre0, dre1), (dim0, dim1)):
         err = np.abs(np.asarray(d0) * scale - np.asarray(d1) * scale).max()
         assert err < 1e-4, err
+
+
+def test_pallas_normalize():
+    """normalize=True returns unit-norm fingerprints, matching the model."""
+    P, B = 50, 32
+    FA = np.linspace(10, 60, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    re0, im0 = fisp_mrf_dictionary(FA, 12.0, 5.0, T1, T2, nstate=4,
+                                   normalize=True)
+    re1, im1 = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, T1, T2,
+                                      np.ones(B), nstate=4, btile=128,
+                                      normalize=True, interpret=True)
+    nrm = np.sqrt((np.asarray(re1) ** 2 + np.asarray(im1) ** 2).sum(-1))
+    assert np.allclose(nrm, 1.0, atol=1e-5)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
