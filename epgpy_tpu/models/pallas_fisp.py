@@ -22,7 +22,43 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fisp_dictionary_pallas", "fisp_jacobian_pallas"]
+__all__ = ["fisp_dictionary_pallas", "fisp_jacobian_pallas",
+           "fisp_dictionary_pallas_sharded"]
+
+
+def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
+                                   *, mesh, axis="atoms", **kw):
+    """Atom-sharded Pallas dictionary over a device mesh.
+
+    GSPMD cannot partition a `pallas_call`, so the kernel is wrapped in
+    `jax.shard_map`: each device runs the full VMEM-resident kernel on
+    its local atom shard (embarrassingly parallel — no collectives).
+    The atom count must divide the `axis` size of `mesh`.  Pulse-train
+    arrays are replicated; returns (re, im) sharded on the atom axis.
+
+    kw is forwarded to `fisp_dictionary_pallas` (nstate, btile, ...).
+    Must be called under jit on the axon TPU backend (eager shard_map
+    is UNIMPLEMENTED there); jitting is also what enables the sharded
+    result to feed downstream GSPMD stages without a host round-trip.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    use_df = dfs is not None
+
+    def local(t1, t2, b1, df):
+        return fisp_dictionary_pallas(FA, phi, TR, TE, t1, t2, b1,
+                                      df if use_df else None, **kw)
+
+    spec = PS(axis)
+    out_spec = PS(axis, None)
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(spec, spec, spec, spec),
+                      out_specs=(out_spec, out_spec),
+                      check_vma=False)
+    T1s = jnp.asarray(T1s, jnp.float32)
+    dfz = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, jnp.float32)
+    return jax.jit(f)(T1s, jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32), dfz)
 
 
 def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
