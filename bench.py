@@ -229,11 +229,50 @@ def measure_jacobian(FA, T1, T2, B1):
             dt = (jsync(run()), time.perf_counter() - t0)[1]
             if dt < jbest:
                 jbest, jwarm, jkernel = dt, warm, name
-    return {"jac_atoms_per_sec": round(B / jbest, 1),
-            "jac_best_seconds": round(float(jbest), 4),
-            "jac_warmup_seconds": round(float(jwarm), 2),
-            "jac_kernel": jkernel,
-            "jac_natoms": B, "jac_nvars": 3}
+    out = {"jac_atoms_per_sec": round(B / jbest, 1),
+           "jac_best_seconds": round(float(jbest), 4),
+           "jac_warmup_seconds": round(float(jwarm), 2),
+           "jac_kernel": jkernel,
+           "jac_natoms": B, "jac_nvars": 3}
+
+    # reference baseline: its native analytic order1 propagation on the
+    # same 1000-TR train at a reduced atom count (cost linear in atoms).
+    # Conservative ratio: the reference differentiates (T1, T2) only --
+    # B1 is not a global variable there -- while we also carry dB1.
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            BR = 64
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            import epgpy.diff as rdiff
+            T1r = np.asarray(T1[:BR], np.float64)
+            T2r = np.asarray(T2[:BR], np.float64)
+            rseq = []
+            for i in range(len(FA)):
+                rseq += [
+                    rops.T(float(FA[i]), 90.0),
+                    rops.E(TE, T1r, T2r, order1=["T1", "T2"]),
+                    rops.ADC,
+                    rops.E(TR - TE, T1r, T2r, order1=["T1", "T2"]),
+                    rops.S(1),
+                ]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq, max_nstate=NSTATE,
+                              probe=[rdiff.Jacobian(["T1", "T2"])])
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"jac_{len(FA)}x{BR}x{NSTATE}",
+                                      _time_ref)
+            out["jac_vs_baseline"] = round((B / jbest) / (BR / rdt), 1)
+            out["jac_ref_seconds"] = round(float(rdt), 3)
+            out["jac_ref_natoms"] = BR
+        except Exception as exc:
+            out["jac_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
 
 
 AUX_BASELINE_CACHE = os.path.join(HERE, "bench_aux_baseline.json")
