@@ -23,7 +23,32 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fisp_dictionary_pallas", "fisp_jacobian_pallas",
-           "fisp_dictionary_pallas_sharded"]
+           "fisp_dictionary_pallas_sharded", "fisp_jacobian_pallas_sharded"]
+
+
+def fisp_jacobian_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, *,
+                                 mesh, axis="atoms", **kw):
+    """Atom-sharded fused Jacobian kernel over a device mesh.
+
+    Like `fisp_dictionary_pallas_sharded` but for the primal+tangent
+    kernel: each device propagates its atom shard's 24 folded planes in
+    VMEM (CRLB / dictionary-fitting maps at multi-chip scale, no
+    collectives).  Returns ((re, im), (dre, dim)) sharded on atoms.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1, t2, b1):
+        return fisp_jacobian_pallas(FA, phi, TR, TE, t1, t2, b1, **kw)
+
+    spec = PS(axis)
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(spec, spec, spec),
+                      out_specs=((PS(axis, None),) * 2,
+                                 (PS(axis, None, None),) * 2),
+                      check_vma=False)
+    return jax.jit(f)(jnp.asarray(T1s, jnp.float32),
+                      jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32))
 
 
 def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,

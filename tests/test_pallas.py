@@ -199,3 +199,59 @@ def test_pallas_sharded_dictionary_matches_single():
     assert re1.shape == (B, P)
     assert np.array_equal(np.asarray(re0), np.asarray(re1))
     assert np.array_equal(np.asarray(im0), np.asarray(im1))
+
+
+def test_pallas_sharded_jacobian_matches_single():
+    """shard_map'd Jacobian kernel over an 8-device atom mesh."""
+    import jax
+    from jax.sharding import Mesh
+    from epgpy_tpu.models.pallas_fisp import (fisp_jacobian_pallas,
+                                              fisp_jacobian_pallas_sharded)
+
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, ("atoms",))
+    P, B = 40, 64
+    FA = np.linspace(10, 60, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    B1 = np.linspace(0.8, 1.2, B)
+    kw = dict(nstate=4, btile=128, interpret=True)
+    (re0, im0), (dre0, dim0) = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, **kw)
+    (re1, im1), (dre1, dim1) = fisp_jacobian_pallas_sharded(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, mesh=mesh, **kw)
+    assert dre1.shape == (B, P, 3)
+    assert np.array_equal(np.asarray(re0), np.asarray(re1))
+    assert np.array_equal(np.asarray(dre0), np.asarray(dre1))
+    assert np.array_equal(np.asarray(dim0), np.asarray(dim1))
+
+
+def test_pallas_fuzz_configs():
+    """Randomized config sweep: (nstate, P, B, phi mode, TI, df, demod)
+    against the scan model in interpret mode."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        NS = int(rng.integers(1, 12))
+        P = int(rng.integers(16, 90))
+        B = int(rng.integers(3, 40))
+        FA = rng.uniform(5, 80, P)
+        phi = (rng.uniform(0, 360, P) if trial % 2 == 0
+               else float(rng.uniform(0, 360)))
+        TRs = rng.uniform(10, 18, P)
+        TE = float(rng.uniform(2, 6))
+        T1 = rng.uniform(200, 2500, B)
+        T2 = rng.uniform(20, 400, B)
+        B1 = rng.uniform(0.7, 1.3, B)
+        inv = float(rng.uniform(5, 40)) if rng.random() < 0.5 else None
+        dfs = rng.uniform(-0.05, 0.05, B) if rng.random() < 0.5 else None
+        demod = bool(rng.random() < 0.5)
+        re0, im0 = fisp_mrf_dictionary(FA, TRs, TE, T1, T2, B1, dfs=dfs,
+                                       phi=phi, nstate=NS, inversion=inv,
+                                       demodulate=demod)
+        re1, im1 = fisp_dictionary_pallas(FA, phi, TRs, TE, T1, T2, B1, dfs,
+                                          nstate=NS, btile=128,
+                                          inversion=inv, demodulate=demod,
+                                          interpret=True)
+        err = max(np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max(),
+                  np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max())
+        assert err < 2e-5, (trial, NS, P, B, inv, demod, err)
