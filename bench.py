@@ -122,7 +122,11 @@ def measure_engine(FA, T1, T2, B1, sync):
         ]
 
     def run():
-        return epg.simulate(seq, max_nstate=NSTATE, asarray=False)
+        # fisp_kernel=False pins the scan planner: this metric is the
+        # regression canary for the GENERAL engine (lanes layout, scan
+        # grouping); the auto kernel dispatch is measured separately
+        return epg.simulate(seq, max_nstate=NSTATE, asarray=False,
+                            fisp_kernel=False)
 
     def esync(out):
         return float(np.asarray(out["__c_re"][-1, -1]))
@@ -131,9 +135,27 @@ def measure_engine(FA, T1, T2, B1, sync):
     esync(run())
     ewarm = time.perf_counter() - t0
     ebest, _ = _pipelined_best(run, esync, REPEATS, M=5)
-    return {"engine_atoms_per_sec": round(len(T1) / ebest, 1),
-            "engine_best_seconds": round(float(ebest), 4),
-            "engine_warmup_seconds": round(float(ewarm), 2)}
+    out = {"engine_atoms_per_sec": round(len(T1) / ebest, 1),
+           "engine_best_seconds": round(float(ebest), 4),
+           "engine_warmup_seconds": round(float(ewarm), 2)}
+
+    # the same operator train through the default path: on TPU the
+    # whole-sequence FISP dispatch routes it to the fused Pallas kernel
+    # (what a simulate() user actually gets)
+    import jax
+    if jax.devices()[0].platform != "cpu":
+        def run_auto():
+            return epg.simulate(seq, max_nstate=NSTATE, asarray=False)
+
+        t0 = time.perf_counter()
+        esync(run_auto())
+        dwarm = time.perf_counter() - t0
+        dbest, _ = _pipelined_best(run_auto, esync, REPEATS, M=5)
+        out.update({
+            "engine_dispatch_atoms_per_sec": round(len(T1) / dbest, 1),
+            "engine_dispatch_best_seconds": round(float(dbest), 4),
+            "engine_dispatch_warmup_seconds": round(float(dwarm), 2)})
+    return out
 
 
 def measure_table(sync):

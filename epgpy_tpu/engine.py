@@ -94,6 +94,7 @@ DEFAULT_TABLE_NSTATE = 255
 _KNOWN_OPTIONS = frozenset({
     "max_nstate", "kgrid", "prune", "kvalue", "tvalue", "density",
     "equilibrium", "coords", "nstate", "shape", "check", "system",
+    "fisp_kernel",
 })
 
 
@@ -738,6 +739,43 @@ def simulate(
         sequence, max_nstate, kgrid, kvalue)
     LOGGER.info("simulate: %d ops, nshift=%d, shape=%s",
                 len(sequence), nshift, shape)
+
+    # whole-sequence kernel dispatch: an exact FISP train with plain
+    # ADCs, equilibrium init and default options routes to the fused
+    # VMEM-resident Pallas kernel (see fisp_dispatch).  "auto" engages
+    # on TPU in f32 mode only (the kernel is f32; x64 runs keep the
+    # general planner's precision); fisp_kernel=False opts out;
+    # "force" engages anywhere via the interpret-mode kernel (tests).
+    fisp_opt = options.pop("fisp_kernel", "auto")
+    if (fisp_opt not in (False, None) and probe is None and probes is None
+            and callback is None and init is None and jit
+            and kgrid is None and kvalue == 1.0
+            and not (set(options) - {"max_nstate"})):
+        from . import config
+        _default_dev = jax.config.jax_default_device
+        on_tpu = (_default_dev or jax.devices()[0]).platform != "cpu"
+        force = fisp_opt == "force"
+        if force or (on_tpu and not config.x64_enabled()):
+            from . import fisp_dispatch
+            fparams = fisp_dispatch.match_fisp(sequence)
+            if fparams is not None:
+                if disp:
+                    LOGGER.info(
+                        "simulate: FISP train -> fused Pallas kernel "
+                        "(fisp-kernel engine, %d TR, nstate=%d)",
+                        len(fparams["FA"]), ncap)
+                enc = fisp_dispatch.run_fisp_kernel(
+                    fparams, ncap, interpret=force and not on_tpu)
+                values = (enc,)
+                times = get_adc_times(sequence)
+                if asarray:
+                    values = _decode_complex_np(values)
+                    values = tuple(_to_numpy_probe(v) for v in values)
+                    times = np.asarray(times)
+                values = values[0]
+                if adc_time:
+                    return times, values
+                return values
     if dense is not None:
         ncap = dense
     elif varying is not None:

@@ -1,0 +1,225 @@
+"""Whole-sequence kernel dispatch: FISP trains -> the fused Pallas kernel.
+
+The general engine compiles any operator list into scanned XLA programs
+(engine._build_plan).  For the most common MRF workload -- a FISP train
+``[T(fa_i, phi_i), E(TE, T1, T2), ADC, E(TR_i - TE, T1, T2), S(1)] * N``
+-- a far better TPU program exists: the VMEM-resident folded half-ladder
+kernel (models/pallas_fisp), which holds the whole state ladder in VMEM
+across the train instead of round-tripping it through HBM every TR
+(~2.8x the scan-planned engine at dictionary scale, ~7000x the reference
+NumPy loop).  This module recognizes that shape at the raw-operator
+level and routes ``simulate()`` to the kernel -- the TPU analog of
+library-level pattern fusion (users keep the fully general operator API
+and get the hand-fused kernel when their sequence has the fused form).
+
+Matching is strict: exact op types, plain ADC, integer unit shift,
+equilibrium init, no differentiation, no coordinate grid.  Anything
+else falls through to the general planner.  Observability: simulate()
+logs ``fisp-kernel`` at INFO when the dispatch engages (like the
+table-merge engine logs); opt out per call with
+``simulate(..., fisp_kernel=False)``.
+
+Reference anchor: the workload of epgpy's MRF examples
+(/root/reference/examples/sequence/optim_mrf.py:62-90); the reference
+has no analogous fusion -- every op is a NumPy matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import numpy as np
+
+import jax
+
+LOGGER = logging.getLogger(__name__)
+
+__all__ = ["match_fisp", "run_fisp_kernel", "clear_cache"]
+
+#: per-sequence match memo, keyed on operator identities (same pattern
+#: as engine._sequence_preamble): dictionary services call simulate()
+#: repeatedly on one op list, and the rank-1 flip factorization is
+#: O(N_pulses x N_atoms) of host work.  Entries pin the operator list
+#: so ids cannot be reused while cached.
+_MATCH_CACHE: dict = {}
+_MATCH_CACHE_MAX = 64
+
+
+def clear_cache():
+    _MATCH_CACHE.clear()
+
+
+def _scalar(x):
+    """Return float(x) if x is a host scalar (0-d/()/(1,)), else None."""
+    if x is None:
+        return None
+    if isinstance(x, (int, float)):
+        return float(x)
+    arr = np.asarray(x)
+    if arr.ndim == 0 or arr.size == 1:
+        return float(arr.reshape(()))
+    return None
+
+
+def _vec_or_scalar(x):
+    """Host value as a 1-D float array, or None if traced/ndim>1."""
+    try:
+        arr = np.asarray(x, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if arr.ndim > 1:
+        return None
+    return np.atleast_1d(arr)
+
+
+def _no_diff(op):
+    return not getattr(op, "order1", None) and not getattr(op, "order2", None)
+
+
+def match_fisp(sequence):
+    """Match ``[T, E, ADC, E, S(1)] * N`` and extract kernel parameters.
+
+    Returns ``dict(FA, phi, TR, TE, T1, T2, B1)`` (host arrays; FA/phi/TR
+    of length N) or ``None``.  Handles per-atom flip scaling when every
+    T's alpha is a common (B,) vector scaled per pulse (a rank-1
+    ``outer(FA, B1)`` train, the B1-dictionary pattern).  Results
+    (including non-matches) are memoized on operator identities.
+    """
+    if len(sequence) < 10 or len(sequence) % 5:
+        return None
+    key = tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_fisp_impl(sequence)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+def _match_fisp_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    N = len(sequence) // 5
+
+    alphas, phis, te_taus, tr_taus = [], [], [], []
+    T1 = T2 = None
+    for i in range(N):
+        t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
+        if (type(t_op) is not T or type(e1) is not E or type(adc) is not Adc
+                or type(e2) is not E or type(s) is not S):
+            return None
+        if not all(map(_no_diff, (t_op, e1, adc, e2, s))):
+            return None
+        if t_op.axes is not None or e1.axes is not None or e2.axes is not None:
+            return None
+        # plain ADC only (no phase/reduce/weights, F0 attribute)
+        if (adc.attr != "F0" or adc.phase is not None or adc.weights is not None
+                or adc.reduce not in (None, False)):
+            return None
+        # unit integer shift
+        if getattr(s, "_kint", None) != 1:
+            return None
+        ph = _scalar(t_op.phi)
+        tte = _scalar(e1.tau)
+        ttr = _scalar(e2.tau)
+        if ph is None or tte is None or ttr is None:
+            return None
+        if _scalar(e1.g) != 0.0 or _scalar(e2.g) != 0.0:
+            return None
+        for e in (e1, e2):
+            t1v, t2v = _vec_or_scalar(e.T1), _vec_or_scalar(e.T2)
+            if t1v is None or t2v is None:
+                return None
+            if T1 is None:
+                T1, T2 = t1v, t2v
+            elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+                return None
+        a = _vec_or_scalar(t_op.alpha)
+        if a is None:
+            return None
+        alphas.append(a)
+        phis.append(ph)
+        te_taus.append(tte)
+        tr_taus.append(ttr)
+
+    if len(set(te_taus)) != 1:          # TE must be constant
+        return None
+    TE = te_taus[0]
+    TR = np.asarray(tr_taus) + TE
+
+    # factor the flip train: scalar alphas -> B1 = 1; otherwise require a
+    # rank-1 outer(FA, B1) structure (common vector scaled per pulse)
+    if all(a.size == 1 for a in alphas):
+        FA = np.asarray([float(a[0]) for a in alphas])
+        B1 = np.ones(1)
+    else:
+        # streaming rank-1 check: per-row least-squares coefficient
+        # against the largest row, O(B) temporaries only (a stacked
+        # (N, B) f64 matrix is ~1 GB at dictionary scale and costs tens
+        # of seconds of host time).  tolerance: a few f32 ulps -- user
+        # trains are often built as float32 products fl(FA_i * B1_b),
+        # which rounds each entry independently (~1e-7 relative), so
+        # exact rank-1 never holds
+        bshape = np.broadcast_shapes(*(x.shape for x in alphas))
+        rows = [np.broadcast_to(a, bshape) for a in alphas]     # views
+        mags = [float(np.abs(r).max()) for r in rows]
+        ref = rows[int(np.argmax(mags))].astype(np.float64)
+        nref2 = float(ref @ ref)
+        refmax = np.abs(ref).max()
+        if nref2 == 0.0:
+            return None
+        FA = np.empty(N)
+        for i, r in enumerate(rows):
+            c = float(r @ ref) / nref2
+            if np.abs(r - c * ref).max() > 1e-5 * max(abs(c) * refmax,
+                                                      1e-30):
+                return None
+            FA[i] = c
+        scale = refmax
+        B1 = ref / scale                # only FA*B1 enters the kernel
+        FA = FA * scale
+
+    B = int(np.broadcast_shapes(T1.shape, T2.shape, B1.shape)[0])
+    return {
+        "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
+        "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
+        "B1": np.broadcast_to(B1, (B,)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret"))
+def _run_jit(FA, phi, TR, TE, T1, T2, B1, *, nstate, interpret):
+    from .models.pallas_fisp import fisp_dictionary_pallas
+
+    re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
+                                    nstate=nstate, interpret=interpret)
+    return re.T, im.T                           # (N, B): ADC axis first
+
+
+def run_fisp_kernel(params, nstate, *, interpret=False):
+    """Run the fused kernel; return the echo train in engine layout.
+
+    Output matches the general engine's single-ADC probe encoding:
+    ``{"__c_re": (N, B), "__c_im": (N, B)}`` device arrays (complex
+    never crosses the program boundary on the axon backend).  The
+    device copies of the host param arrays are cached on the params
+    dict (which _MATCH_CACHE pins): repeated simulate() calls on one
+    train must not re-pay the ~1 MB h2d tunnel transfer (~25 MB/s), and
+    one jitted entry point keeps the Pallas persistent-cache key stable
+    and folds the crop/transpose into the program.
+    """
+    dev = params.get("_dev")
+    if dev is None:
+        f32 = np.float32
+        dev = jax.device_put(tuple(
+            np.asarray(params[k], f32)
+            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1")))
+        params["_dev"] = dev
+    re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret)
+    return {"__c_re": re, "__c_im": im}

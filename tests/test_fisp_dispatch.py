@@ -1,0 +1,124 @@
+"""FISP train -> fused Pallas kernel dispatch (fisp_dispatch module).
+
+The general engine recognizes exact FISP trains and routes them to the
+VMEM-resident kernel; anything off-pattern must fall through to the
+scan planner.  Tests force the dispatch with fisp_kernel="force"
+(interpret-mode kernel on CPU) and compare against fisp_kernel=False.
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import fisp_dispatch
+
+
+def _train(P=40, B=6, *, b1=None, phi_var=True, te=4.0, g=0.0, adc_kw=None,
+           shift=1, t2_mismatch=False):
+    rng = np.random.default_rng(3)
+    FA = rng.uniform(5, 70, P)
+    phis = ((0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360
+            if phi_var else np.full(P, 90.0))
+    TRs = rng.uniform(11, 16, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    seq = []
+    for i in range(P):
+        alpha = FA[i] * b1 if b1 is not None else float(FA[i])
+        T2b = T2 + (1.0 if t2_mismatch and i == P // 2 else 0.0)
+        seq += [
+            epg.T(alpha, float(phis[i])),
+            epg.E(te, T1, T2, g),
+            epg.ADC if adc_kw is None else epg.Adc(**adc_kw),
+            epg.E(float(TRs[i]) - te, T1, T2b, g),
+            epg.S(shift),
+        ]
+    return seq
+
+
+def test_match_extracts_params():
+    seq = _train(P=24, B=5)
+    params = fisp_dispatch.match_fisp(seq)
+    assert params is not None
+    assert params["FA"].shape == (24,)
+    assert params["TE"] == 4.0
+    assert params["T1"].shape == (5,)
+    assert np.all(params["B1"] == 1.0)
+
+
+def test_match_rank1_b1_factorization():
+    B1 = np.linspace(0.8, 1.2, 5)
+    seq = _train(P=24, B=5, b1=B1)
+    params = fisp_dispatch.match_fisp(seq)
+    assert params is not None
+    # only the product FA_i * B1_b is identified; check it round-trips
+    outer = np.outer(params["FA"], params["B1"])
+    rng = np.random.default_rng(3)
+    FA = rng.uniform(5, 70, 24)
+    assert np.allclose(outer, np.outer(FA, B1), rtol=1e-10)
+
+
+@pytest.mark.parametrize("mutate", [
+    dict(g=0.01),                       # off-resonance E not supported
+    dict(adc_kw=dict(phase=30.0)),      # phased ADC
+    dict(shift=2),                      # non-unit shift
+    dict(t2_mismatch=True),             # T2 changes mid-train
+])
+def test_no_match_off_pattern(mutate):
+    assert fisp_dispatch.match_fisp(_train(P=16, B=4, **mutate)) is None
+
+
+def test_no_match_extra_prep_or_reorder():
+    seq = _train(P=16, B=4)
+    assert fisp_dispatch.match_fisp([epg.T(180, 0)] + seq) is None
+    swapped = seq[:5] + [seq[6], seq[5]] + seq[7:]
+    assert fisp_dispatch.match_fisp(swapped) is None
+
+
+def test_dispatch_matches_planner():
+    seq = _train(P=40, B=6)
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_dispatch_matches_planner_b1_batch():
+    seq = _train(P=40, B=6, b1=np.linspace(0.8, 1.2, 6))
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_dispatch_adc_time_and_device_outputs():
+    seq = _train(P=16, B=4)
+    t, sig = epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                          adc_time=True)
+    assert len(t) == 16 and sig.shape == (16, 4)
+    enc = epg.simulate(seq, max_nstate=6, fisp_kernel="force", asarray=False)
+    assert set(enc) == {"__c_re", "__c_im"}
+    assert enc["__c_re"].shape == (16, 4)
+
+
+def test_auto_mode_does_not_dispatch_on_cpu(monkeypatch):
+    """Under the test config (CPU, x64) "auto" must use the planner."""
+    called = []
+    monkeypatch.setattr(fisp_dispatch, "run_fisp_kernel",
+                        lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+                            AssertionError("dispatched")))
+    seq = _train(P=12, B=3)
+    sig = epg.simulate(seq, max_nstate=6)
+    assert not called and sig.shape == (12, 3)
+
+
+def test_dispatch_conditions_fall_through(monkeypatch):
+    """Custom probe / init / kgrid / diff must bypass the kernel even
+    when forced."""
+    boom = lambda *a, **k: (_ for _ in ()).throw(AssertionError("dispatched"))
+    monkeypatch.setattr(fisp_dispatch, "run_fisp_kernel", boom)
+    seq = _train(P=12, B=3)
+    epg.simulate(seq, max_nstate=6, fisp_kernel="force", probe="F0")
+    epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                 init=[0.0, 0.0, 0.5])
+    sm0 = epg.StateMatrix([0, 0, 1])
+    epg.simulate(seq, max_nstate=6, fisp_kernel="force", init=sm0)
