@@ -86,7 +86,7 @@ def match_fisp(sequence):
     ``outer(FA, B1)`` train, the B1-dictionary pattern).  Results
     (including non-matches) are memoized on operator identities.
     """
-    if len(sequence) < 10 or len(sequence) % 5:
+    if len(sequence) < 10 or len(sequence) % 5 not in (0, 2):
         return None
     key = tuple(id(op) for op in sequence)
     hit = _MATCH_CACHE.get(key)
@@ -104,6 +104,25 @@ def _match_fisp_impl(sequence):
     from .ops.evolution import E
     from .ops.shift import S
     from .ops.probe import Adc
+
+    # optional inversion prep: [T(180-family, phi), E(TI)] prefix (the
+    # reference MRF pattern, e.g. examples/sequence/optim_mrf.py:28-29).
+    # The kernel's prep is a 180*B1 pulse about phi=0 + TI relaxation;
+    # validated against the extracted train B1 below.
+    prep = None
+    if len(sequence) % 5 == 2:
+        t0, e0 = sequence[0], sequence[1]
+        if type(t0) is not T or type(e0) is not E:
+            return None
+        if not (_no_diff(t0) and _no_diff(e0)):
+            return None
+        if t0.axes is not None or e0.axes is not None:
+            return None
+        TI = _scalar(e0.tau)
+        if TI is None or _scalar(e0.g) != 0.0:
+            return None
+        prep = (t0, e0, TI)
+        sequence = sequence[2:]
 
     N = len(sequence) // 5
 
@@ -185,20 +204,49 @@ def _match_fisp_impl(sequence):
         B1 = ref / scale                # only FA*B1 enters the kernel
         FA = FA * scale
 
+    TI = None
+    if prep is not None:
+        # the kernel's prep is a 180*B1 pulse about phi=0: accept a
+        # scalar exact-180 prep (phi-free -- sin(pi)=0 -- but only when
+        # the train B1 is trivially 1), or a vector prep proportional
+        # to the train's B1 direction with phi=0, renormalizing the
+        # (FA, B1) factorization so B1 = prep_alpha/180 exactly.
+        t0, e0, TI = prep
+        t1v, t2v = _vec_or_scalar(e0.T1), _vec_or_scalar(e0.T2)
+        if (t1v is None or t2v is None or not np.array_equal(T1, t1v)
+                or not np.array_equal(T2, t2v)):
+            return None
+        a0 = _vec_or_scalar(t0.alpha)
+        ph0 = _scalar(t0.phi)
+        if a0 is None or ph0 is None:
+            return None
+        if a0.size == 1 and float(a0[0]) == 180.0 and np.all(B1 == 1.0):
+            pass
+        elif ph0 % 360.0 == 0.0:
+            c = float(a0.mean()) / (180.0 * float(B1.mean()))
+            if c <= 0 or np.abs(a0 - 180.0 * c * B1).max() > 1e-5 * 180.0:
+                return None
+            B1 = c * B1
+            FA = FA / c
+        else:
+            return None
+
     B = int(np.broadcast_shapes(T1.shape, T2.shape, B1.shape)[0])
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
-        "B1": np.broadcast_to(B1, (B,)),
+        "B1": np.broadcast_to(B1, (B,)), "TI": TI,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("nstate", "interpret"))
-def _run_jit(FA, phi, TR, TE, T1, T2, B1, *, nstate, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("nstate", "interpret", "use_inv"))
+def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret, use_inv):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
-                                    nstate=nstate, interpret=interpret)
+                                    nstate=nstate, interpret=interpret,
+                                    inversion=TI if use_inv else None)
     return re.T, im.T                           # (N, B): ADC axis first
 
 
@@ -217,9 +265,12 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
     dev = params.get("_dev")
     if dev is None:
         f32 = np.float32
+        TI = params.get("TI")
         dev = jax.device_put(tuple(
             np.asarray(params[k], f32)
-            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1")))
+            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
+            + (np.asarray(0.0 if TI is None else TI, f32),))
         params["_dev"] = dev
-    re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret)
+    re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret,
+                      use_inv=params.get("TI") is not None)
     return {"__c_re": re, "__c_im": im}

@@ -100,6 +100,52 @@ def test_dispatch_adc_time_and_device_outputs():
     assert enc["__c_re"].shape == (16, 4)
 
 
+def test_match_inversion_prep():
+    seq = [epg.T(180, 90), epg.E(18.0, np.linspace(300, 1500, 4),
+                                 np.linspace(30, 120, 4))] + _train(P=16, B=4)
+    params = fisp_dispatch.match_fisp(seq)
+    assert params is not None and params["TI"] == 18.0
+    # no prep -> TI is None
+    assert fisp_dispatch.match_fisp(_train(P=16, B=4))["TI"] is None
+
+
+def test_inversion_prep_matches_planner():
+    T1 = np.linspace(300, 1500, 4); T2 = np.linspace(30, 120, 4)
+    seq = [epg.T(180, 90), epg.E(18.0, T1, T2)] + _train(P=30, B=4)
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert sig_k.shape == (30, 4)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_inversion_prep_b1_scaled_matches_planner():
+    """Vector prep 180*B1 about phi=0: kernel's B1-scaled inversion."""
+    T1 = np.linspace(300, 1500, 4); T2 = np.linspace(30, 120, 4)
+    B1 = np.linspace(0.85, 1.15, 4)
+    seq = [epg.T(180.0 * B1, 0), epg.E(18.0, T1, T2)] + _train(
+        P=30, B=4, b1=B1)
+    params = fisp_dispatch.match_fisp(seq)
+    assert params is not None and params["TI"] == 18.0
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_inversion_prep_off_pattern_no_match():
+    T1 = np.linspace(300, 1500, 4); T2 = np.linspace(30, 120, 4)
+    B1 = np.linspace(0.85, 1.15, 4)
+    train = _train(P=16, B=4, b1=B1)
+    # vector prep about phi != 0: kernel prep axis is fixed at phi=0
+    assert fisp_dispatch.match_fisp(
+        [epg.T(180.0 * B1, 90), epg.E(18.0, T1, T2)] + train) is None
+    # prep not proportional to the train's B1 direction
+    assert fisp_dispatch.match_fisp(
+        [epg.T(180.0 * B1[::-1], 0), epg.E(18.0, T1, T2)] + train) is None
+    # prep relaxation with different T1
+    assert fisp_dispatch.match_fisp(
+        [epg.T(180, 90), epg.E(18.0, T1 + 1, T2)] + _train(P=16, B=4)) is None
+
+
 def test_auto_mode_does_not_dispatch_on_cpu(monkeypatch):
     """Under the test config (CPU, x64) "auto" must use the planner."""
     called = []
