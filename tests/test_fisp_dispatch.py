@@ -146,6 +146,58 @@ def test_inversion_prep_off_pattern_no_match():
         [epg.T(180, 90), epg.E(18.0, T1 + 1, T2)] + _train(P=16, B=4)) is None
 
 
+@pytest.mark.parametrize("case", range(12))
+def test_fuzz_dispatch_parity_or_fallthrough(case):
+    """Random FISP-family trains: whatever the matcher decides, the
+    user-visible signal must equal the planner's.  Half the cases are
+    on-pattern variants (b1 batches, inversion preps, varying TR);
+    half carry a random off-pattern mutation and must fall through."""
+    rng = np.random.default_rng(100 + case)
+    P = int(rng.integers(8, 30))
+    B = int(rng.integers(2, 7))
+    b1 = np.linspace(0.8, 1.2, B) if rng.random() < 0.5 else None
+    kw = dict(phi_var=rng.random() < 0.5, te=float(rng.uniform(2, 6)))
+    seq = _train(P=P, B=B, b1=b1, **kw)
+    T1 = np.linspace(300, 1500, B); T2 = np.linspace(30, 120, B)
+    if rng.random() < 0.5:
+        prep_a = 180.0 * b1 if (b1 is not None and rng.random() < 0.5) else 180.0
+        prep_phi = 0.0 if np.ndim(prep_a) else float(rng.choice([0., 90.]))
+        seq = [epg.T(prep_a, prep_phi),
+               epg.E(float(rng.uniform(5, 30)), T1, T2)] + seq
+    mutated = case % 2 == 1
+    if mutated:
+        mut = rng.integers(0, 4)
+        if mut == 0:      # one E gets off-resonance
+            j = [i for i, op in enumerate(seq) if type(op) is epg.E]
+            k = int(rng.choice(j))
+            seq[k] = epg.E(seq[k].tau, seq[k].T1, seq[k].T2, 0.013)
+        elif mut == 1:    # one shift becomes 2
+            j = [i for i, op in enumerate(seq) if type(op) is epg.S]
+            seq[int(rng.choice(j))] = epg.S(2)
+        elif mut == 2:    # a spoiler inserted mid-train
+            seq.insert(len(seq) // 2 // 5 * 5, epg.SPOILER)
+        else:             # one flip loses the rank-1 structure
+            j = [i for i, op in enumerate(seq) if type(op) is epg.T
+                 and np.ndim(op.alpha)]
+            if j:
+                k = int(rng.choice(j))
+                a = np.asarray(seq[k].alpha).copy()
+                a[0] *= 1.01
+                seq[k] = epg.T(a, seq[k].phi)
+            else:
+                seq[int(rng.integers(0, len(seq) // 5)) * 5 + 2] = \
+                    epg.Adc(phase=20.0)
+    # a mutation may still be structurally on-pattern (e.g. mut==3 on a
+    # scalar train re-phases one ADC instead); parity is the invariant,
+    # not whether the matcher engaged
+    sig_k = np.asarray(epg.simulate(list(seq), max_nstate=10,
+                                    fisp_kernel="force"))
+    sig_e = np.asarray(epg.simulate(list(seq), max_nstate=10,
+                                    fisp_kernel=False))
+    assert sig_k.shape == sig_e.shape
+    assert np.abs(sig_k - sig_e).max() < 2e-5
+
+
 def test_auto_mode_does_not_dispatch_on_cpu(monkeypatch):
     """Under the test config (CPU, x64) "auto" must use the planner."""
     called = []
