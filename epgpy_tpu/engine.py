@@ -752,8 +752,9 @@ def simulate(
             and kgrid is None and kvalue == 1.0
             and not (set(options) - {"max_nstate"})):
         from . import config
-        _default_dev = jax.config.jax_default_device
-        on_tpu = (_default_dev or jax.devices()[0]).platform != "cpu"
+        # jax_default_device may be a Device or a platform string
+        _dev = jax.config.jax_default_device or jax.devices()[0]
+        on_tpu = getattr(_dev, "platform", _dev) != "cpu"
         force = fisp_opt == "force"
         if force or (on_tpu and not config.x64_enabled()):
             from . import fisp_dispatch

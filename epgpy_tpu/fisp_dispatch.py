@@ -50,12 +50,22 @@ def clear_cache():
     _MATCH_CACHE.clear()
 
 
+def _is_device(x):
+    """Device/traced leaves disqualify the op: np.asarray on them is a
+    d2h tunnel transfer (~25 ms each; never in a loop — CLAUDE.md), and
+    traced values can't be matched host-side at all.  Such trains fall
+    through to the scan planner, which handles traced leaves natively."""
+    return isinstance(x, (jax.Array, jax.core.Tracer))
+
+
 def _scalar(x):
     """Return float(x) if x is a host scalar (0-d/()/(1,)), else None."""
     if x is None:
         return None
     if isinstance(x, (int, float)):
         return float(x)
+    if _is_device(x):
+        return None
     arr = np.asarray(x)
     if arr.ndim == 0 or arr.size == 1:
         return float(arr.reshape(()))
@@ -64,6 +74,8 @@ def _scalar(x):
 
 def _vec_or_scalar(x):
     """Host value as a 1-D float array, or None if traced/ndim>1."""
+    if _is_device(x):
+        return None
     try:
         arr = np.asarray(x, dtype=np.float64)
     except (TypeError, ValueError):
@@ -181,10 +193,13 @@ def _match_fisp_impl(sequence):
         # streaming rank-1 check: per-row least-squares coefficient
         # against the largest row, O(B) temporaries only (a stacked
         # (N, B) f64 matrix is ~1 GB at dictionary scale and costs tens
-        # of seconds of host time).  tolerance: a few f32 ulps -- user
+        # of seconds of host time).  tolerance 1e-6 (~8 f32 ulps): user
         # trains are often built as float32 products fl(FA_i * B1_b),
-        # which rounds each entry independently (~1e-7 relative), so
-        # exact rank-1 never holds
+        # which rounds each entry independently (~1.2e-7 relative), so
+        # exact rank-1 never holds -- but genuine per-atom structure
+        # (slice-profile / calibration corrections) must NOT be silently
+        # approximated away, so the margin stays within one decade of
+        # the rounding floor
         bshape = np.broadcast_shapes(*(x.shape for x in alphas))
         rows = [np.broadcast_to(a, bshape) for a in alphas]     # views
         mags = [float(np.abs(r).max()) for r in rows]
@@ -196,7 +211,7 @@ def _match_fisp_impl(sequence):
         FA = np.empty(N)
         for i, r in enumerate(rows):
             c = float(r @ ref) / nref2
-            if np.abs(r - c * ref).max() > 1e-5 * max(abs(c) * refmax,
+            if np.abs(r - c * ref).max() > 1e-6 * max(abs(c) * refmax,
                                                       1e-30):
                 return None
             FA[i] = c
@@ -224,7 +239,7 @@ def _match_fisp_impl(sequence):
             pass
         elif ph0 % 360.0 == 0.0:
             c = float(a0.mean()) / (180.0 * float(B1.mean()))
-            if c <= 0 or np.abs(a0 - 180.0 * c * B1).max() > 1e-5 * 180.0:
+            if c <= 0 or np.abs(a0 - 180.0 * c * B1).max() > 1e-6 * 180.0:
                 return None
             B1 = c * B1
             FA = FA / c

@@ -115,6 +115,19 @@ class StateMatrix:
         else:
             states = _format_states(init, check=check)
 
+        # static hint: were the init/equilibrium ladders actually
+        # verified to satisfy F-(k)=conj(F+(-k))?  check=False and
+        # device/traced inputs skip the check, so the half-ladder lanes
+        # layout (which silently symmetrizes by dropping F-) must not
+        # engage for them.  MUST be decided here: _pad_ladder_np below
+        # converts device ladders to NumPy (np.pad), which would make
+        # the post-padding isinstance test vacuously pass.
+        def _host_checked(x):
+            return not isinstance(x, (jax.core.Tracer, jnp.ndarray))
+
+        sym_verified = bool(check and _host_checked(states)
+                            and _host_checked(equilibrium))
+
         # common ladder size
         K = max(states.shape[-2], equilibrium.shape[-2])
         if nstate is not None:
@@ -140,18 +153,16 @@ class StateMatrix:
         # static sparsity hint: equilibrium supported only on the Z row at
         # k=0 (the overwhelmingly common case) -- lets relaxation recovery
         # apply as a single-row add instead of a full-ladder FMA
-        c = equilibrium.shape[-2] // 2
-        off = equilibrium.copy()
-        off[..., c, 2] = 0
-        self.options["_eq_center"] = bool(not off.any())
-        # static hint: were the init/equilibrium ladders actually verified
-        # to satisfy F-(k)=conj(F+(-k))?  check=False and device/traced
-        # inputs skip the check, so the half-ladder lanes layout (which
-        # silently symmetrizes by dropping F-) must not engage for them.
-        self.options["_sym_verified"] = bool(
-            check
-            and not isinstance(states, (jax.core.Tracer, jnp.ndarray))
-            and not isinstance(equilibrium, (jax.core.Tracer, jnp.ndarray)))
+        if isinstance(equilibrium, (jax.core.Tracer, jnp.ndarray)):
+            # can't inspect device/traced values host-side: disable the
+            # single-row recovery fast path (conservative, correct)
+            self.options["_eq_center"] = False
+        else:
+            c = equilibrium.shape[-2] // 2
+            off = equilibrium.copy()
+            off[..., c, 2] = 0
+            self.options["_eq_center"] = bool(not off.any())
+        self.options["_sym_verified"] = sym_verified
 
     # -- construction helpers --
 
@@ -594,9 +605,13 @@ def _pad_ladder_np(arr, K: int):
     diff = (K - cur) // 2
     if (K - cur) % 2 != 0:
         raise ValueError(f"Ladder sizes must share parity: {cur} -> {K}")
+    # traced/device ladders must stay in jnp: np.pad would force a d2h
+    # transfer (complex d2h is UNIMPLEMENTED on the axon TPU backend)
+    # and breaks under jit tracing
+    xp = jnp if isinstance(arr, (jax.core.Tracer, jnp.ndarray)) else np
     if diff > 0:
         pad = [(0, 0)] * (arr.ndim - 2) + [(diff, diff), (0, 0)]
-        return np.pad(arr, pad)
+        return xp.pad(arr, pad)
     return arr[..., -diff:cur + diff, :]
 
 

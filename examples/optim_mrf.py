@@ -85,17 +85,21 @@ def main():
         # convergence (ftol 1e-6 / MRF_MAXITER iterations)
         from epgpy_tpu.parallel import mrf_design_loss
 
+        # must be jitted: eager shard_map raises UNIMPLEMENTED on the
+        # axon TPU backend (the solver's own value_and_grad is jitted
+        # inside mrf_design_slsqp)
+        loss_fn = jax.jit(lambda fa, tr: mrf_design_loss(
+            fa, tr, T1s, T2s, mesh, nstate=10))
+
         def cb(x):
-            losses.append(float(mrf_design_loss(
-                jnp.asarray(x[:nTR]), jnp.asarray(x[nTR:]),
-                T1s, T2s, mesh, nstate=10)))
+            losses.append(float(loss_fn(jnp.asarray(x[:nTR]),
+                                        jnp.asarray(x[nTR:]))))
             it = len(losses)
             if it % 10 == 0:
                 print(f"({it}) crlb={losses[-1]:.6f} "
                       f"(elapsed {time.time() - tic:.0f}s)")
 
-        losses.append(float(mrf_design_loss(FA, TR, T1s, T2s, mesh,
-                                            nstate=10)))
+        losses.append(float(loss_fn(FA, TR)))
         FA_h, TR_h, res = mrf_design_slsqp(
             FA0, TR0, T1s, T2s, mesh, maxiter=MAXITER, nstate=10,
             callback=cb)

@@ -125,6 +125,40 @@ def test_asymmetric_init_disables_half_lanes():
     assert epg.StateMatrix(nstate=2).options["_sym_verified"]
 
 
+def test_padded_device_init_disables_half_lanes():
+    """A device-array init whose ladder is padded (nstate > given rows)
+    used to be converted to NumPy by the padding and then marked
+    _sym_verified; the lanes layout would silently symmetrize it."""
+    import jax.numpy as jnp
+
+    init = np.array([[0.3 + 0.1j, 0.05, 0.2], [0, 0, 1.0],
+                     [0.4, 0.7j, 0.1]])
+    sm0 = epg.StateMatrix(jnp.asarray(init), nstate=2)   # pads 3 -> 5 rows
+    assert not sm0.options["_sym_verified"]
+    seq = [epg.T(45, 0), epg.E(5.0, 1000, 80), epg.Probe("states")]
+    (states,) = epg.simulate(seq, init=sm0, probe=["states"])
+    sm = epg.StateMatrix(init, check=False, nstate=2)
+    for op in (epg.T(45, 0), epg.E(5.0, 1000, 80)):
+        sm = op(sm)
+    assert np.allclose(np.asarray(states)[0], np.asarray(sm.states),
+                       atol=1e-12)
+
+
+def test_default_device_string_form(monkeypatch):
+    """jax_default_device may legally be a platform string; the FISP
+    dispatch gate must not assume a Device object."""
+    import jax
+
+    jax.config.update("jax_default_device", "cpu")
+    try:
+        seq = [epg.T(30, 90), epg.E(4.0, 1000, 80), epg.ADC,
+               epg.E(8.0, 1000, 80), epg.S(1)] * 2
+        sig = epg.simulate(seq, max_nstate=4)
+        assert sig.shape[0] == 2 and np.all(np.isfinite(np.abs(sig)))
+    finally:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def test_asymmetric_recovery_disables_half_lanes():
     """check=False symmetry sniffing must include arr0/mat0 (ADVICE r2
     low): symmetric coefficients with an asymmetric recovery term must
