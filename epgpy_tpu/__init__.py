@@ -48,6 +48,9 @@ from .ops import (
     transition, evolution, shift, diffusion, exchange, probe, rfpulse,
 )
 from . import statematrix, common, engine as functions
+# `from epgpy import operators` parity (reference epgpy/operators.py is
+# the combined operator namespace; here the ops package plays that role)
+from . import ops as operators
 
 #: reference epgpy/utils.py:5 -- np.newaxis alias used in probe expressions
 NAX = None

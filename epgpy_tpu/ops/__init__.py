@@ -14,8 +14,14 @@ from .exchange import X, exchange_matrix
 from .combined import CombinedOp, combine
 from .rfpulse import RFPulse
 from .probe import Probe, Adc, ADC, DFT, Imaging
+# reference epgpy/operators.py also re-exports the diff probes and the
+# DiffOperator base (`from epgpy import operators` drop-in parity);
+# imported late to avoid a cycle (diff.py imports ops.probe)
+from ..diff import Jacobian, Hessian
+from .base import Operator as DiffOperator
 
 __all__ = [
+    "Jacobian", "Hessian", "DiffOperator",
     "Operator", "EmptyOperator", "MultiOperator", "CombinableOperator",
     "Wait", "Offset", "Spoiler", "Reset", "PD", "System",
     "NULL", "SPOILER", "RESET",
