@@ -558,9 +558,12 @@ def measure_engine_diff(T1, T2, B1):
         # asarray=False keeps the Jacobian on device ({"__c_re","__c_im"}
         # dicts); with asarray=True the metric would mostly time the
         # ~20 MB device->host copy through the tunnel (measured 660 ms
-        # d2h vs 36 ms device compute), not the diff program
+        # d2h vs 36 ms device compute), not the diff program.
+        # fisp_kernel=False pins the jacfwd planner path (this metric is
+        # the simulate_diff regression canary; the auto Jacobian-kernel
+        # dispatch is measured separately below)
         return epg.simulate(seq, probe=probes, max_nstate=NSTATE,
-                            asarray=False)
+                            asarray=False, fisp_kernel=False)
 
     def dsync(out):
         # one-element read: forces completion without a bulk transfer
@@ -575,6 +578,24 @@ def measure_engine_diff(T1, T2, B1):
            "diff_single_seconds": round(float(dsingle), 4),
            "diff_warmup_seconds": round(float(dwarm), 2),
            "diff_natoms": B, "diff_ntr": NRF}
+
+    # the same train through the default path: on TPU the diff dispatch
+    # routes Adc/Jacobian probes to the fused primal+tangent Pallas
+    # kernel (what a simulate() user actually gets; ~4x the planner)
+    import jax
+    if jax.devices()[0].platform != "cpu":
+        def run_auto():
+            return epg.simulate(seq, probe=probes, max_nstate=NSTATE,
+                                asarray=False)
+
+        t0 = time.perf_counter()
+        dsync(run_auto())
+        jwarm = time.perf_counter() - t0
+        jbest, _ = _pipelined_best(run_auto, dsync, REPEATS, M=5)
+        out.update({
+            "diff_dispatch_atoms_per_sec": round(B / jbest, 1),
+            "diff_dispatch_best_seconds": round(float(jbest), 4),
+            "diff_dispatch_warmup_seconds": round(float(jwarm), 2)})
 
     # reference baseline: same train + Jacobian probe at a reduced atom
     # count (reference cost is linear in atoms), cached like the others

@@ -747,36 +747,39 @@ def simulate(
     # general planner's precision); fisp_kernel=False opts out;
     # "force" engages anywhere via the interpret-mode kernel (tests).
     fisp_opt = options.pop("fisp_kernel", "auto")
-    if (fisp_opt not in (False, None) and probe is None and probes is None
-            and callback is None and init is None and jit
-            and kgrid is None and kvalue == 1.0
-            and not (set(options) - {"max_nstate"})):
+    _fisp_force = fisp_opt == "force"
+    _fisp_tpu = False
+    _fisp_on = (fisp_opt not in (False, None) and callback is None
+                and init is None and jit and kgrid is None
+                and kvalue == 1.0 and not (set(options) - {"max_nstate"}))
+    if _fisp_on:
         from . import config
         # jax_default_device may be a Device or a platform string
         _dev = jax.config.jax_default_device or jax.devices()[0]
-        on_tpu = getattr(_dev, "platform", _dev) != "cpu"
-        force = fisp_opt == "force"
-        if force or (on_tpu and not config.x64_enabled()):
-            from . import fisp_dispatch
-            fparams = fisp_dispatch.match_fisp(sequence)
-            if fparams is not None:
-                if disp:
-                    LOGGER.info(
-                        "simulate: FISP train -> fused Pallas kernel "
-                        "(fisp-kernel engine, %d TR, nstate=%d)",
-                        len(fparams["FA"]), ncap)
-                enc = fisp_dispatch.run_fisp_kernel(
-                    fparams, ncap, interpret=force and not on_tpu)
-                values = (enc,)
-                times = get_adc_times(sequence)
-                if asarray:
-                    values = _decode_complex_np(values)
-                    values = tuple(_to_numpy_probe(v) for v in values)
-                    times = np.asarray(times)
-                values = values[0]
-                if adc_time:
-                    return times, values
-                return values
+        _fisp_tpu = getattr(_dev, "platform", _dev) != "cpu"
+        _fisp_on = _fisp_force or (_fisp_tpu and not config.x64_enabled())
+    if _fisp_on and probe is None and probes is None:
+        from . import fisp_dispatch
+        fparams = fisp_dispatch.match_fisp(sequence)
+        if fparams is not None:
+            if disp:
+                LOGGER.info(
+                    "simulate: FISP train -> fused Pallas kernel "
+                    "(fisp-kernel engine, %d TR, nstate=%d)",
+                    len(fparams["FA"]), ncap)
+            enc = fisp_dispatch.run_fisp_kernel(
+                fparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+            values = (enc,)
+            times = get_adc_times(sequence)
+            if asarray:
+                values = _decode_complex_np(values)
+                values = tuple(_to_numpy_probe(v) for v in values)
+                times = np.asarray(times)
+            values = values[0]
+            if adc_time:
+                return times, values
+            return values
+    _preamble_ncap = ncap
     if dense is not None:
         ncap = dense
     elif varying is not None:
@@ -816,6 +819,34 @@ def simulate(
             isinstance(pb, (diff_mod.Jacobian, diff_mod.Hessian)) for pb in probes):
         if any(pb is None for pb in probes):
             raise ValueError("None probes are not supported with Jacobian/Hessian")
+        # Jacobian dispatch: a FISP train with canonical T1/T2 tracking
+        # and Adc/Jacobian(F0) probes routes to the fused primal+tangent
+        # Pallas kernel (one VMEM-resident pass instead of jacfwd over
+        # the scanned planner program)
+        if _fisp_on:
+            from . import fisp_dispatch
+            fparams = fisp_dispatch.match_fisp(sequence)
+            specs = None if fparams is None else \
+                fisp_dispatch.match_jacobian_probes(probes,
+                                                    fparams.get("vars"))
+            if specs is not None:
+                if disp:
+                    LOGGER.info(
+                        "simulate: FISP diff train -> fused Pallas "
+                        "Jacobian kernel (%d TR, nstate=%d)",
+                        len(fparams["FA"]), _preamble_ncap)
+                values = fisp_dispatch.run_fisp_jacobian(
+                    fparams, _preamble_ncap, specs,
+                    interpret=_fisp_force and not _fisp_tpu)
+                times = get_adc_times(sequence)
+                if asarray:
+                    values = _decode_complex_np(values)
+                    values = tuple(_to_numpy_probe(v) for v in values)
+                if len(values) == 1:
+                    values = values[0]
+                if adc_time:
+                    return np.asarray(times), values
+                return values
         # NOTE (r3, measured): the diff programs deliberately run in the
         # compat (*batch, K, 3) layout.  Converting to the half-ladder
         # lanes layout -- a big win for the primal (6 vs 20 ms at 200 TR

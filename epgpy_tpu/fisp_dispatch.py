@@ -32,10 +32,12 @@ import logging
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 LOGGER = logging.getLogger(__name__)
 
-__all__ = ["match_fisp", "run_fisp_kernel", "clear_cache"]
+__all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
+           "run_fisp_jacobian", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -89,6 +91,28 @@ def _no_diff(op):
     return not getattr(op, "order1", None) and not getattr(op, "order2", None)
 
 
+def _canonical_order1(op):
+    """E-op order1 as a sorted tuple of tracked (T1/T2) names, or None.
+
+    The fused Jacobian kernel propagates dS/d(T1, T2) for the GLOBAL
+    atom parameters, which corresponds to order1 specs where the
+    variable IS the parameter with unit coefficient (the common
+    ``order1=["T1", "T2"]`` form).  Aliased variables, chain-rule
+    coefficients, other parameters (g/tau) and order2 disqualify the
+    train (fall through to the general jacfwd path)."""
+    if getattr(op, "order2", None):
+        return None
+    o1 = getattr(op, "order1", None)
+    if not o1:
+        return ()
+    names = []
+    for var, cfs in o1.items():
+        if var not in ("T1", "T2") or cfs != {var: 1.0}:
+            return None
+        names.append(var)
+    return tuple(sorted(names))
+
+
 def match_fisp(sequence):
     """Match ``[T, E, ADC, E, S(1)] * N`` and extract kernel parameters.
 
@@ -126,7 +150,7 @@ def _match_fisp_impl(sequence):
         t0, e0 = sequence[0], sequence[1]
         if type(t0) is not T or type(e0) is not E:
             return None
-        if not (_no_diff(t0) and _no_diff(e0)):
+        if not _no_diff(t0) or _canonical_order1(e0) is None:
             return None
         if t0.axes is not None or e0.axes is not None:
             return None
@@ -140,12 +164,23 @@ def _match_fisp_impl(sequence):
 
     alphas, phis, te_taus, tr_taus = [], [], [], []
     T1 = T2 = None
+    tracked = None
     for i in range(N):
         t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
         if (type(t_op) is not T or type(e1) is not E or type(adc) is not Adc
                 or type(e2) is not E or type(s) is not S):
             return None
-        if not all(map(_no_diff, (t_op, e1, adc, e2, s))):
+        if not all(map(_no_diff, (t_op, adc, s))):
+            return None
+        # E ops may carry canonical T1/T2 order1 tracking (the Jacobian
+        # dispatch consumes it; it is value-neutral for the primal) --
+        # but the spec must be IDENTICAL on every E, incl. the prep
+        c1, c2 = _canonical_order1(e1), _canonical_order1(e2)
+        if c1 is None or c1 != c2:
+            return None
+        if tracked is None:
+            tracked = c1
+        elif tracked != c1:
             return None
         if t_op.axes is not None or e1.axes is not None or e2.axes is not None:
             return None
@@ -231,6 +266,10 @@ def _match_fisp_impl(sequence):
         if (t1v is None or t2v is None or not np.array_equal(T1, t1v)
                 or not np.array_equal(T2, t2v)):
             return None
+        if _canonical_order1(e0) != tracked:
+            # the kernel seeds prep tangents in closed form, i.e. the
+            # prep relaxation IS differentiated: tracking must agree
+            return None
         a0 = _vec_or_scalar(t0.alpha)
         ph0 = _scalar(t0.phi)
         if a0 is None or ph0 is None:
@@ -250,8 +289,88 @@ def _match_fisp_impl(sequence):
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
-        "B1": np.broadcast_to(B1, (B,)), "TI": TI,
+        "B1": np.broadcast_to(B1, (B,)), "TI": TI, "vars": tracked,
     }
+
+
+def match_jacobian_probes(probes, tracked):
+    """Map a simulate() probe tuple onto fused-Jacobian kernel outputs.
+
+    Accepts only plain Adc probes and ``Jacobian`` probes over
+    ``{"magnitude"} | tracked`` (probe="F0").  Returns a tuple of
+    per-probe specs -- ``("sig",)`` or ``("jac", names)`` -- or None.
+    ``"magnitude"`` maps to the signal itself (dS/d|M0| = S: the probes'
+    pseudo-variable, diff.py).  Hessians and eval-string probes fall
+    through to the general jacfwd path.
+    """
+    from . import diff
+    from .ops.probe import Adc
+
+    tracked = set(tracked or ())
+    specs = []
+    have_jac = False
+    for pb in probes:
+        if isinstance(pb, diff.Hessian):
+            return None
+        if isinstance(pb, diff.Jacobian):
+            if getattr(pb, "probe_attr", None) != "F0":
+                return None
+            names = tuple(pb.variables)
+            if any(v != "magnitude" and v not in tracked for v in names):
+                return None
+            specs.append(("jac", names))
+            have_jac = True
+        elif (type(pb) is Adc and pb.attr == "F0" and pb.phase is None
+                and pb.weights is None and pb.reduce in (None, False)):
+            specs.append(("sig",))
+        else:
+            return None
+    return tuple(specs) if have_jac else None
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "use_inv", "specs"))
+def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret,
+                 use_inv, specs):
+    from .models.pallas_fisp import fisp_jacobian_pallas
+
+    (re, im), (dre, dim) = fisp_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, nstate=nstate, interpret=interpret,
+        inversion=TI if use_inv else None)
+    # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1)
+    col = {"magnitude": (re, im),
+           "T1": (dre[..., 0], dim[..., 0]),
+           "T2": (dre[..., 1], dim[..., 1])}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": re.T, "__c_im": im.T})       # (N, B)
+        else:
+            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
+            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
+            outs.append({"__c_re": jnp.swapaxes(rs, 0, 1),      # (N, B, k)
+                         "__c_im": jnp.swapaxes(ims, 0, 1)})
+    return tuple(outs)
+
+
+def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
+    """Run the fused Jacobian kernel for matched diff probes.
+
+    Returns the simulate_diff-format tuple over probes of
+    ``{"__c_re", "__c_im"}`` device dicts (signal: (N, B); Jacobian:
+    (N, B, nvars) with columns in probe-variable order)."""
+    dev = params.get("_dev")
+    if dev is None:
+        f32 = np.float32
+        TI = params.get("TI")
+        dev = jax.device_put(tuple(
+            np.asarray(params[k], f32)
+            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
+            + (np.asarray(0.0 if TI is None else TI, f32),))
+        params["_dev"] = dev
+    return _run_jac_jit(*dev, nstate=max(int(nstate), 1),
+                        interpret=interpret,
+                        use_inv=params.get("TI") is not None, specs=specs)
 
 
 @functools.partial(jax.jit,

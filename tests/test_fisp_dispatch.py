@@ -198,6 +198,112 @@ def test_fuzz_dispatch_parity_or_fallthrough(case):
     assert np.abs(sig_k - sig_e).max() < 2e-5
 
 
+def _diff_train(P=24, B=4, *, order1=("T1", "T2"), b1=None, prep=False,
+                prep_order1="same"):
+    rng = np.random.default_rng(7)
+    FA = rng.uniform(10, 60, P)
+    TRs = rng.uniform(11, 16, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    o1 = list(order1)
+    seq = []
+    if prep:
+        po = o1 if prep_order1 == "same" else prep_order1
+        seq += [epg.T(180, 90), epg.E(18.0, T1, T2, order1=po)]
+    for i in range(P):
+        alpha = FA[i] * b1 if b1 is not None else float(FA[i])
+        seq += [
+            epg.T(alpha, 90.0),
+            epg.E(4.0, T1, T2, order1=o1),
+            epg.ADC,
+            epg.E(float(TRs[i]) - 4.0, T1, T2, order1=o1),
+            epg.S(1),
+        ]
+    return seq
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(),                                     # plain T1/T2 Jacobian
+    dict(b1=np.linspace(0.85, 1.15, 4)),        # rank-1 B1 batch
+    dict(prep=True),                            # inversion prep tracked
+    dict(order1=("T1",)),                       # single variable
+])
+def test_jacobian_dispatch_matches_jacfwd(cfg):
+    order1 = cfg.get("order1", ("T1", "T2"))
+    names = ["magnitude"] + list(order1)
+    seq = _diff_train(P=24, B=4, **cfg)
+    assert fisp_dispatch.match_fisp(list(seq))["vars"] == tuple(sorted(order1))
+    probes = [epg.ADC, epg.Jacobian(names)]
+    sig_k, jac_k = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel=False)
+    assert jac_k.shape == jac_e.shape == sig_e.shape + (len(names),)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    for c in range(len(names)):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        scale = max(np.abs(ee).max(), 1e-12)
+        assert np.abs(ek - ee).max() / scale < 2e-5, names[c]
+
+
+def test_jacobian_dispatch_single_probe_and_device_outputs():
+    seq = _diff_train(P=16, B=3)
+    jac = epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                       probe=epg.Jacobian(["T2", "magnitude"]))
+    assert jac.shape == (16, 3, 2)
+    enc = epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                       probe=epg.Jacobian(["T1"]), asarray=False)
+    assert enc["__c_re"].shape == (16, 3, 1)
+    t, jac2 = epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                           probe=epg.Jacobian(["T1"]), adc_time=True)
+    assert len(t) == 16 and jac2.shape == (16, 3, 1)
+
+
+def test_jacobian_dispatch_fall_through(monkeypatch):
+    """Off-pattern diff specs must run the general jacfwd path even when
+    forced: Hessians, aliased variables, inconsistent tracking, probed
+    vars that aren't tracked."""
+    boom = lambda *a, **k: (_ for _ in ()).throw(AssertionError("dispatched"))
+    monkeypatch.setattr(fisp_dispatch, "run_fisp_jacobian", boom)
+    T1 = np.linspace(300, 1500, 3); T2 = np.linspace(30, 120, 3)
+
+    # Hessian probe
+    seq = _diff_train(P=12, B=3)
+    epg.simulate(seq, max_nstate=6, fisp_kernel="force",
+                 probe=[epg.Jacobian(["T1"]), epg.Hessian(["T1"], ["T2"])])
+    # aliased variable name
+    seq2 = []
+    for i in range(12):
+        seq2 += [epg.T(30, 90), epg.E(4.0, T1, T2, order1={"t1v": "T1"}),
+                 epg.ADC, epg.E(8.0, T1, T2, order1={"t1v": "T1"}), epg.S(1)]
+    epg.simulate(seq2, max_nstate=6, fisp_kernel="force",
+                 probe=epg.Jacobian(["t1v"]))
+    # probed variable not tracked by the (matched) train
+    seq3 = _diff_train(P=12, B=3, order1=("T1",))
+    epg.simulate(seq3, max_nstate=6, fisp_kernel="force",
+                 probe=epg.Jacobian(["T2"]))
+    # inconsistent tracking between the two E ops of one TR
+    seq4 = _diff_train(P=12, B=3)
+    seq4[1] = epg.E(4.0, T1, T2, order1=["T1"])
+    assert fisp_dispatch.match_fisp(list(seq4)) is None
+    epg.simulate(seq4, max_nstate=6, fisp_kernel="force",
+                 probe=epg.Jacobian(["T1"]))
+    # untracked inversion prep on a tracked train
+    seq5 = _diff_train(P=12, B=3, prep=True, prep_order1=())
+    assert fisp_dispatch.match_fisp(list(seq5)) is None
+
+
+def test_diff_annotations_do_not_break_primal_dispatch():
+    """order1 tracking is value-neutral: the primal dispatch may engage
+    on a diff-annotated train (no diff probes requested)."""
+    seq = _diff_train(P=16, B=3)
+    params = fisp_dispatch.match_fisp(list(seq))
+    assert params is not None and params["vars"] == ("T1", "T2")
+    sig_k = epg.simulate(seq, max_nstate=6, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=6, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
 def test_auto_mode_does_not_dispatch_on_cpu(monkeypatch):
     """Under the test config (CPU, x64) "auto" must use the planner."""
     called = []
