@@ -162,7 +162,7 @@ def _match_fisp_impl(sequence):
 
     N = len(sequence) // 5
 
-    alphas, phis, te_taus, tr_taus = [], [], [], []
+    alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
     T1 = T2 = None
     tracked = None
     for i in range(N):
@@ -184,10 +184,14 @@ def _match_fisp_impl(sequence):
             return None
         if t_op.axes is not None or e1.axes is not None or e2.axes is not None:
             return None
-        # plain ADC only (no phase/reduce/weights, F0 attribute)
-        if (adc.attr != "F0" or adc.phase is not None or adc.weights is not None
+        # ADC: F0, no weights/reduce; phase must be absent or a host
+        # scalar (checked against -phi below: receiver demodulation)
+        ph_adc = None if adc.phase is None else _scalar(adc.phase)
+        if (adc.attr != "F0" or (adc.phase is not None and ph_adc is None)
+                or adc.weights is not None
                 or adc.reduce not in (None, False)):
             return None
+        adc_phases.append(ph_adc)
         # unit integer shift
         if getattr(s, "_kint", None) != 1:
             return None
@@ -218,6 +222,19 @@ def _match_fisp_impl(sequence):
         return None
     TE = te_taus[0]
     TR = np.asarray(tr_taus) + TE
+
+    # ADC phases: all absent -> plain readout; all equal to -phi_i
+    # (mod 360) -> the kernel's receiver demodulation (e^{-i phi_p});
+    # anything else is off-pattern
+    if all(p is None for p in adc_phases):
+        demod = False
+    elif any(p is None for p in adc_phases):
+        return None
+    else:
+        d = (np.asarray(adc_phases) + np.asarray(phis)) % 360.0
+        if (np.minimum(d, 360.0 - d) > 1e-6).any():
+            return None
+        demod = True
 
     # factor the flip train: scalar alphas -> B1 = 1; otherwise require a
     # rank-1 outer(FA, B1) structure (common vector scaled per pulse)
@@ -290,6 +307,7 @@ def _match_fisp_impl(sequence):
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
         "B1": np.broadcast_to(B1, (B,)), "TI": TI, "vars": tracked,
+        "demod": demod,
     }
 
 
@@ -329,14 +347,14 @@ def match_jacobian_probes(probes, tracked):
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
-                                             "use_inv", "specs"))
+                                             "use_inv", "specs", "demod"))
 def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret,
-                 use_inv, specs):
+                 use_inv, specs, demod=False):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, nstate=nstate, interpret=interpret,
-        inversion=TI if use_inv else None)
+        demodulate=demod, inversion=TI if use_inv else None)
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1)
     col = {"magnitude": (re, im),
            "T1": (dre[..., 0], dim[..., 0]),
@@ -370,16 +388,20 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
         params["_dev"] = dev
     return _run_jac_jit(*dev, nstate=max(int(nstate), 1),
                         interpret=interpret,
-                        use_inv=params.get("TI") is not None, specs=specs)
+                        use_inv=params.get("TI") is not None, specs=specs,
+                        demod=bool(params.get("demod")))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nstate", "interpret", "use_inv"))
-def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret, use_inv):
+                   static_argnames=("nstate", "interpret", "use_inv",
+                                    "demod"))
+def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret, use_inv,
+             demod=False):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
                                     nstate=nstate, interpret=interpret,
+                                    demodulate=demod,
                                     inversion=TI if use_inv else None)
     return re.T, im.T                           # (N, B): ADC axis first
 
@@ -406,5 +428,6 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
             + (np.asarray(0.0 if TI is None else TI, f32),))
         params["_dev"] = dev
     re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret,
-                      use_inv=params.get("TI") is not None)
+                      use_inv=params.get("TI") is not None,
+                      demod=bool(params.get("demod")))
     return {"__c_re": re, "__c_im": im}

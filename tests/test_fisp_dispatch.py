@@ -198,6 +198,41 @@ def test_fuzz_dispatch_parity_or_fallthrough(case):
     assert np.abs(sig_k - sig_e).max() < 2e-5
 
 
+def test_demodulated_adc_matches_planner():
+    """Adc(phase=-phi_i) is the kernel's receiver demodulation; both the
+    primal and the Jacobian dispatch must reproduce the planner."""
+    rng = np.random.default_rng(5)
+    P, B = 24, 4
+    FA = rng.uniform(10, 60, P)
+    phis = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360
+    T1 = np.linspace(300, 1500, B); T2 = np.linspace(30, 120, B)
+    seq, dseq = [], []
+    for i in range(P):
+        block = [epg.T(float(FA[i]), float(phis[i])),
+                 epg.E(4.0, T1, T2),
+                 epg.Adc(phase=-float(phis[i])),
+                 epg.E(8.0, T1, T2), epg.S(1)]
+        seq += block
+        dseq += [block[0], epg.E(4.0, T1, T2, order1=["T1", "T2"]),
+                 block[2], epg.E(8.0, T1, T2, order1=["T1", "T2"]),
+                 epg.S(1)]
+    assert fisp_dispatch.match_fisp(list(seq))["demod"] is True
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    _, jac_k = epg.simulate(dseq, max_nstate=8, probe=probes,
+                            fisp_kernel="force")
+    _, jac_e = epg.simulate(dseq, max_nstate=8, probe=probes,
+                            fisp_kernel=False)
+    for c in range(3):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 2e-5
+    # a phase NOT equal to -phi is off-pattern
+    seq[2] = epg.Adc(phase=-float(phis[0]) + 10.0)
+    assert fisp_dispatch.match_fisp(list(seq)) is None
+
+
 def _diff_train(P=24, B=4, *, order1=("T1", "T2"), b1=None, prep=False,
                 prep_order1="same"):
     rng = np.random.default_rng(7)
