@@ -55,9 +55,10 @@ from . import ops as operators
 #: reference epgpy/utils.py:5 -- np.newaxis alias used in probe expressions
 NAX = None
 
-#: the reference's DiffOperator base (epgpy/diff.py:40); here every
-#: operator accepts order1/order2 specs, so the base Operator is the alias
-DiffOperator = Operator
+#: the reference's DiffOperator base (epgpy/diff.py:20): the marker
+#: class that ScalarOp/MatrixOp/S (hence all physics ops) inherit and
+#: probes/Wait/Spoiler do not -- isinstance filters select the same set
+from .ops.base import DiffOperator
 
 
 def check_states(states):

@@ -655,11 +655,16 @@ def _is_cnode(n):
 
 
 def _decode_complex_np(tree):
-    """Decode to host numpy (complex where encoded)."""
+    """Decode to host numpy (complex where encoded).
+
+    ONE batched jax.device_get for the whole tree first: per-leaf
+    np.asarray pays ~25 ms tunnel latency per transfer with no overlap
+    (never fetch device leaves in a loop -- CLAUDE.md)."""
+    host = jax.device_get(tree)
     return jax.tree.map(
         lambda n: np.asarray(n["__c_re"]) + 1j * np.asarray(n["__c_im"])
         if _is_cnode(n) else np.asarray(n),
-        tree, is_leaf=_is_cnode,
+        host, is_leaf=_is_cnode,
     )
 
 
@@ -825,10 +830,16 @@ def simulate(
         # the scanned planner program)
         if _fisp_on:
             from . import fisp_dispatch
-            fparams = fisp_dispatch.match_fisp(sequence)
-            specs = None if fparams is None else \
-                fisp_dispatch.match_jacobian_probes(probes,
-                                                    fparams.get("vars"))
+            # cheap probe-shape pre-check against the maximal var set:
+            # Hessian/eval-string probes reject in O(#probes) without
+            # paying the host-side train factorization
+            specs = fisp_dispatch.match_jacobian_probes(
+                probes, ("T1", "T2"))
+            if specs is not None:
+                fparams = fisp_dispatch.match_fisp(sequence)
+                specs = None if fparams is None else \
+                    fisp_dispatch.match_jacobian_probes(
+                        probes, fparams.get("vars"))
             if specs is not None:
                 if disp:
                     LOGGER.info(

@@ -107,7 +107,18 @@ def _canonical_order1(op):
         return ()
     names = []
     for var, cfs in o1.items():
-        if var not in ("T1", "T2") or cfs != {var: 1.0}:
+        if var not in ("T1", "T2") or set(cfs) != {var}:
+            return None
+        c = cfs[var]
+        # coefficient must be the host scalar 1.0 (array/device/traced
+        # chain-rule coefficients disqualify -- never raise here: the
+        # matcher must FALL THROUGH on exotic specs, not crash)
+        if _is_device(c) or np.ndim(c) != 0:
+            return None
+        try:
+            if float(c) != 1.0:
+                return None
+        except (TypeError, ValueError):
             return None
         names.append(var)
     return tuple(sorted(names))
@@ -371,12 +382,10 @@ def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret,
     return tuple(outs)
 
 
-def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
-    """Run the fused Jacobian kernel for matched diff probes.
-
-    Returns the simulate_diff-format tuple over probes of
-    ``{"__c_re", "__c_im"}`` device dicts (signal: (N, B); Jacobian:
-    (N, B, nvars) with columns in probe-variable order)."""
+def _device_params(params):
+    """Device copies of the host param arrays, cached on the params dict
+    (which _MATCH_CACHE pins): repeated simulate() calls on one train
+    must not re-pay the ~1 MB h2d tunnel transfer (~25 MB/s)."""
     dev = params.get("_dev")
     if dev is None:
         f32 = np.float32
@@ -386,6 +395,16 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
             for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
             + (np.asarray(0.0 if TI is None else TI, f32),))
         params["_dev"] = dev
+    return dev
+
+
+def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
+    """Run the fused Jacobian kernel for matched diff probes.
+
+    Returns the simulate_diff-format tuple over probes of
+    ``{"__c_re", "__c_im"}`` device dicts (signal: (N, B); Jacobian:
+    (N, B, nvars) with columns in probe-variable order)."""
+    dev = _device_params(params)
     return _run_jac_jit(*dev, nstate=max(int(nstate), 1),
                         interpret=interpret,
                         use_inv=params.get("TI") is not None, specs=specs,
@@ -412,21 +431,11 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
     Output matches the general engine's single-ADC probe encoding:
     ``{"__c_re": (N, B), "__c_im": (N, B)}`` device arrays (complex
     never crosses the program boundary on the axon backend).  The
-    device copies of the host param arrays are cached on the params
-    dict (which _MATCH_CACHE pins): repeated simulate() calls on one
-    train must not re-pay the ~1 MB h2d tunnel transfer (~25 MB/s), and
-    one jitted entry point keeps the Pallas persistent-cache key stable
-    and folds the crop/transpose into the program.
+    device copies of the host param arrays are cached (_device_params),
+    and one jitted entry point keeps the Pallas persistent-cache key
+    stable and folds the crop/transpose into the program.
     """
-    dev = params.get("_dev")
-    if dev is None:
-        f32 = np.float32
-        TI = params.get("TI")
-        dev = jax.device_put(tuple(
-            np.asarray(params[k], f32)
-            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
-            + (np.asarray(0.0 if TI is None else TI, f32),))
-        params["_dev"] = dev
+    dev = _device_params(params)
     re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret,
                       use_inv=params.get("TI") is not None,
                       demod=bool(params.get("demod")))

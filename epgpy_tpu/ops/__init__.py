@@ -18,7 +18,7 @@ from .probe import Probe, Adc, ADC, DFT, Imaging
 # DiffOperator base (`from epgpy import operators` drop-in parity);
 # imported late to avoid a cycle (diff.py imports ops.probe)
 from ..diff import Jacobian, Hessian
-from .base import Operator as DiffOperator
+from .base import DiffOperator
 
 __all__ = [
     "Jacobian", "Hessian", "DiffOperator",

@@ -240,6 +240,18 @@ class MultiOperator(Operator):
         return len(self.operators)
 
 
+class DiffOperator(Operator):
+    """Marker base for operators with derivative (order1/order2) support.
+
+    Mirrors the reference hierarchy (epgpy/diff.py:20: ScalarOp,
+    MatrixOp and S -- hence every physics op -- inherit DiffOperator,
+    while probes/Wait/Spoiler do not), so ported code filtering with
+    ``isinstance(op, DiffOperator)`` selects the same operator set.
+    The order1/order2 parsing itself lives in Operator.__init__; this
+    class adds no behavior.
+    """
+
+
 class CombinableOperator(Operator):
     """Mixin: linear operators mergeable into one precomputed operator.
 

@@ -67,7 +67,7 @@ def apply_matrices(sm, mat, mat0):
 
 
 @base.register_op
-class MatrixOp(base.CombinableOperator):
+class MatrixOp(base.DiffOperator, base.CombinableOperator):
     """3x3 per-state operator: ``states = mat @ states [+ mat0 @ equilibrium]``.
 
     `dmats`/`d2mats` supply custom first/second derivative matrices keyed

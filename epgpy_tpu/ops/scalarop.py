@@ -351,7 +351,7 @@ def apply_diff_arrays_to(new, lin, quad, fields=("arr", "arr0")):
 
 
 @base.register_op
-class ScalarOp(base.CombinableOperator):
+class ScalarOp(base.DiffOperator, base.CombinableOperator):
     """Diagonal operator: ``states = arr * states [+ arr0 * equilibrium]``.
 
     `darrs`/`d2arrs` supply custom first/second derivative coefficient

@@ -67,7 +67,7 @@ def shift1d_lanes(planes, n: int):
 
 
 @base.register_op
-class S(base.Operator):
+class S(base.DiffOperator):
     """Integer 1-D gradient shift (n-D and float handled by subpackage).
 
     Integer scalar shifts are STATIC (the 1-D path is a static

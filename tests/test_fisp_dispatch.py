@@ -328,6 +328,33 @@ def test_jacobian_dispatch_fall_through(monkeypatch):
     assert fisp_dispatch.match_fisp(list(seq5)) is None
 
 
+def test_array_chain_rule_coefficient_falls_through():
+    """order1 chain-rule coefficients that are arrays must not crash the
+    matcher (dict __eq__ on arrays raises) -- they fall through."""
+    T1 = np.linspace(300, 1500, 3); T2 = np.linspace(30, 120, 3)
+    o1 = {"T1": {"T1": np.ones(3)}}
+    seq = []
+    for i in range(12):
+        seq += [epg.T(30, 90), epg.E(4.0, T1, T2, order1=o1), epg.ADC,
+                epg.E(8.0, T1, T2, order1=o1), epg.S(1)]
+    assert fisp_dispatch.match_fisp(list(seq)) is None
+    sig = epg.simulate(seq, max_nstate=6, fisp_kernel="force")
+    assert sig.shape == (12, 3)
+
+
+def test_diffoperator_marker_hierarchy():
+    """isinstance(op, DiffOperator) selects the reference's operator
+    set: physics ops yes, probes/Wait/Spoiler no."""
+    from epgpy_tpu import operators
+    D = operators.DiffOperator
+    for op in (epg.T(30, 0), epg.E(5.0, 1000, 80), epg.S(1),
+               epg.ScalarOp([1, 1, 1]), epg.G(1.0, 10.0), epg.C(1.0)):
+        assert isinstance(op, D), op
+    for op in (epg.ADC, epg.Adc(phase=10.0), epg.SPOILER, epg.RESET,
+               epg.NULL, epg.Wait(1.0), epg.Probe("F0")):
+        assert not isinstance(op, D), op
+
+
 def test_diff_annotations_do_not_break_primal_dispatch():
     """order1 tracking is value-neutral: the primal dispatch may engage
     on a diff-annotated train (no diff probes requested)."""
