@@ -34,6 +34,16 @@ def test_example_smoke(name, monkeypatch, tmp_path):
     _run(name, monkeypatch, tmp_path)
 
 
+def test_mrf_fit_refine_smoke(monkeypatch, tmp_path):
+    """Dictionary match + Gauss-Newton refinement: the refined (T1, T2)
+    must beat the grid match (asserted inside the example)."""
+    monkeypatch.setenv("FIT_NPULSE", "60")
+    monkeypatch.setenv("FIT_NGRID", "16")
+    monkeypatch.setenv("FIT_NVOX", "16")
+    monkeypatch.setenv("FIT_ITERS", "4")
+    _run("mrf_fit_refine.py", monkeypatch, tmp_path)
+
+
 def test_profiling_differentiation_mrf_smoke(monkeypatch, tmp_path):
     """Flagship diff example (scaled down; full 400-TR run documented in
     docs/PERFORMANCE.md)."""
