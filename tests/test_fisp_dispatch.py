@@ -366,6 +366,58 @@ def test_diff_annotations_do_not_break_primal_dispatch():
     assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
 
 
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_jacobian_dispatch_parity(case):
+    """Random diff-annotated FISP-family trains with Jacobian probes:
+    dispatch or planner, the outputs must agree.  Half the cases carry
+    off-pattern mutations (aliased vars, mixed tracking, demod phases,
+    Hessians) and must still return planner-exact results."""
+    rng = np.random.default_rng(300 + case)
+    P = int(rng.integers(8, 20))
+    B = int(rng.integers(2, 6))
+    FA = rng.uniform(10, 60, P)
+    phis = ((0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360
+            if rng.random() < 0.5 else np.full(P, 90.0))
+    T1 = np.linspace(300, 1500, B); T2 = np.linspace(30, 120, B)
+    b1 = np.linspace(0.85, 1.15, B) if rng.random() < 0.4 else None
+    demod = rng.random() < 0.4
+    o1 = [["T1", "T2"], ["T1"], ["T2"]][
+        int(rng.choice(3, p=[0.6, 0.2, 0.2]))]
+    seq = []
+    for i in range(P):
+        alpha = FA[i] * b1 if b1 is not None else float(FA[i])
+        adc = (epg.Adc(phase=-float(phis[i])) if demod else epg.ADC)
+        seq += [epg.T(alpha, float(phis[i])),
+                epg.E(4.0, T1, T2, order1=o1), adc,
+                epg.E(8.0, T1, T2, order1=o1), epg.S(1)]
+    mutated = case % 2 == 1
+    if mutated:
+        mut = rng.integers(0, 3)
+        if mut == 0:    # alias one E's variable name
+            seq[1] = epg.E(4.0, T1, T2, order1={"x": "T1"})
+        elif mut == 1:  # drop tracking on one E
+            seq[3] = epg.E(float(seq[3].tau), T1, T2)
+        else:           # perturb one demod/adc phase
+            seq[2] = epg.Adc(phase=33.0)
+    probe_vars = ["magnitude"] + o1 if rng.random() < 0.5 else list(o1)
+    probes = [epg.ADC, epg.Jacobian(probe_vars)]
+    try:
+        sig_k, jac_k = epg.simulate(list(seq), max_nstate=8, probe=probes,
+                                    fisp_kernel="force")
+        sig_e, jac_e = epg.simulate(list(seq), max_nstate=8, probe=probes,
+                                    fisp_kernel=False)
+    except ValueError:
+        # mutated diff specs may be invalid for BOTH paths equally
+        with pytest.raises(ValueError):
+            epg.simulate(list(seq), max_nstate=8, probe=probes,
+                         fisp_kernel=False)
+        return
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    for c in range(len(probe_vars)):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 5e-5
+
+
 def test_auto_mode_does_not_dispatch_on_cpu(monkeypatch):
     """Under the test config (CPU, x64) "auto" must use the planner."""
     called = []
