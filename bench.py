@@ -344,6 +344,62 @@ def _pipelined_best(run, sync, repeats, M=9):
     return slope, t1
 
 
+def measure_mse():
+    """The reference's ONE published benchmark (BASELINE.md row 1):
+    18-echo MSE, 100 T2 x 50 B1 = 5,000 signals, ~108 operator
+    applications -- 0.69 s on the reference author's laptop
+    (reference docs/basics.md:250-267).  Exact same sequence here."""
+    import epgpy_tpu as epg
+
+    necho, num_t2, num_b1 = 18, 100, 50
+    TE, T1v = 9.5, 1400.0
+    T2 = np.linspace(20, 60, num_t2)
+    att = np.linspace(0.2, 1, num_b1)
+    seq = [epg.T(90, 90)] + [
+        epg.S(1), epg.E(TE / 2, T1v, [T2]), epg.T(180 * att, 0),
+        epg.S(1), epg.E(TE / 2, T1v, [T2]), epg.ADC] * necho
+    nsig = num_t2 * num_b1
+
+    def run():
+        return epg.simulate(seq, asarray=False)
+
+    def msync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    msync(run())
+    mwarm = time.perf_counter() - t0
+    mbest, msingle = _pipelined_best(run, msync, REPEATS)
+    out = {"mse_signals_per_sec": round(nsig / mbest, 1),
+           "mse_best_seconds": round(float(mbest), 4),
+           "mse_single_shot_seconds": round(float(msingle), 4),
+           "mse_warmup_seconds": round(float(mwarm), 2),
+           "mse_published_ref_seconds": 0.69}
+
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            rseq = [rops.T(90, 90)] + [
+                rops.S(1), rops.E(TE / 2, T1v, [T2]),
+                rops.T(180 * att, 0),
+                rops.S(1), rops.E(TE / 2, T1v, [T2]), rops.ADC] * necho
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq)
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"mse_{necho}x{nsig}", _time_ref)
+            out["mse_vs_baseline"] = round(rdt / mbest, 1)
+            out["mse_ref_seconds"] = round(float(rdt), 3)
+        except Exception as exc:
+            out["mse_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def measure_exchange(sync):
     """EPG-X two-pool MT-GRE train throughput (BASELINE config 4).
 
@@ -710,6 +766,11 @@ def main():
             engine.update(measure_engine_diff(T1, T2, B1))
         except Exception as exc:
             engine["diff_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_MSE", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_mse())
+        except Exception as exc:
+            engine["mse_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false"):
         try:
             engine.update(measure_exchange(sync))
