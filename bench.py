@@ -186,7 +186,7 @@ def measure_table(sync):
     tsync(run())
     twarm = time.perf_counter() - t0
 
-    tbest, t1 = _pipelined_best(run, tsync, REPEATS)
+    tbest, t1 = _pipelined_best(run, tsync, 2 * REPEATS)
     out = {"table_tr_atoms_per_sec": round(NRF * B / tbest, 1),
            "table_best_seconds": round(float(tbest), 4),
            "table_single_shot_seconds": round(float(t1), 4),
@@ -369,7 +369,7 @@ def measure_mse():
     t0 = time.perf_counter()
     msync(run())
     mwarm = time.perf_counter() - t0
-    mbest, msingle = _pipelined_best(run, msync, REPEATS)
+    mbest, msingle = _pipelined_best(run, msync, 2 * REPEATS)
     out = {"mse_signals_per_sec": round(nsig / mbest, 1),
            "mse_best_seconds": round(float(mbest), 4),
            "mse_single_shot_seconds": round(float(msingle), 4),
@@ -437,7 +437,7 @@ def measure_exchange(sync):
     t0 = time.perf_counter()
     xsync(run())
     xwarm = time.perf_counter() - t0
-    xbest, xsingle = _pipelined_best(run, xsync, REPEATS)
+    xbest, xsingle = _pipelined_best(run, xsync, 2 * REPEATS)
     out = {"exchange_tr_atoms_per_sec": round(NTR * B / xbest, 1),
            "exchange_best_seconds": round(float(xbest), 4),
            "exchange_warmup_seconds": round(float(xwarm), 2)}
@@ -502,7 +502,7 @@ def measure_diffusion3d(sync):
     t0 = time.perf_counter()
     dsync(run())
     dwarm = time.perf_counter() - t0
-    dbest, _ = _pipelined_best(run, dsync, REPEATS)
+    dbest, _ = _pipelined_best(run, dsync, 2 * REPEATS)
     out = {"diff3d_tr_atoms_per_sec": round(NTR * B / dbest, 1),
            "diff3d_best_seconds": round(float(dbest), 4),
            "diff3d_warmup_seconds": round(float(dwarm), 2)}
@@ -558,7 +558,7 @@ def measure_prune():
     t0 = time.perf_counter()
     psync(run())
     pwarm = time.perf_counter() - t0
-    pbest, _ = _pipelined_best(run, psync, REPEATS)
+    pbest, _ = _pipelined_best(run, psync, 2 * REPEATS)
     out = {"prune_tr_atoms_per_sec": round(NTR * B / pbest, 1),
            "prune_best_seconds": round(float(pbest), 4),
            "prune_warmup_seconds": round(float(pwarm), 2)}

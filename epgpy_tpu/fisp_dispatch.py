@@ -12,11 +12,15 @@ level and routes ``simulate()`` to the kernel -- the TPU analog of
 library-level pattern fusion (users keep the fully general operator API
 and get the hand-fused kernel when their sequence has the fused form).
 
-Matching is strict: exact op types, plain ADC, integer unit shift,
-equilibrium init, no differentiation, no coordinate grid.  Anything
-else falls through to the general planner.  Observability: simulate()
-logs ``fisp-kernel`` at INFO when the dispatch engages (like the
-table-merge engine logs); opt out per call with
+Matching is strict: exact op types, integer unit shift, equilibrium
+init, no coordinate grid.  Within that, the matcher covers the real MRF
+pattern space: rank-1 ``outer(FA, B1)`` flip batches, ``[T(180-family),
+E(TI)]`` inversion preps, demodulated readouts (``Adc(phase=-phi_i)``),
+and canonical ``order1=["T1","T2"]`` differentiation (Jacobian probes
+route to the fused primal+tangent kernel, ``fisp_jacobian_pallas``).
+Anything else falls through to the general planner.  Observability:
+simulate() logs ``fisp-kernel`` at INFO when the dispatch engages (like
+the table-merge engine logs); opt out per call with
 ``simulate(..., fisp_kernel=False)``.
 
 Reference anchor: the workload of epgpy's MRF examples
