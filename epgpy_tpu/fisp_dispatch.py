@@ -178,7 +178,7 @@ def _match_fisp_impl(sequence):
     N = len(sequence) // 5
 
     alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
-    T1 = T2 = None
+    T1 = T2 = DF = None
     tracked = None
     for i in range(N):
         t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
@@ -215,7 +215,15 @@ def _match_fisp_impl(sequence):
         ttr = _scalar(e2.tau)
         if ph is None or tte is None or ttr is None:
             return None
-        if _scalar(e1.g) != 0.0 or _scalar(e2.g) != 0.0:
+        # off-resonance: a constant per-atom (or scalar) g on both E ops
+        # maps onto the kernel's dfs axis (E.g == model dfs, pinned by
+        # tests/test_mrf.py:test_fisp_off_resonance_matches_engine)
+        g1, g2 = _vec_or_scalar(e1.g), _vec_or_scalar(e2.g)
+        if g1 is None or g2 is None or not np.array_equal(g1, g2):
+            return None
+        if DF is None:
+            DF = g1
+        elif not np.array_equal(DF, g1):
             return None
         for e in (e1, e2):
             t1v, t2v = _vec_or_scalar(e.T1), _vec_or_scalar(e.T2)
@@ -317,12 +325,13 @@ def _match_fisp_impl(sequence):
         else:
             return None
 
-    B = int(np.broadcast_shapes(T1.shape, T2.shape, B1.shape)[0])
+    B = int(np.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)[0])
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
         "B1": np.broadcast_to(B1, (B,)), "TI": TI, "vars": tracked,
         "demod": demod,
+        "df": np.broadcast_to(DF, (B,)) if DF.any() else None,
     }
 
 
@@ -363,8 +372,11 @@ def match_jacobian_probes(probes, tracked):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "specs", "demod"))
-def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret,
+def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
                  use_inv, specs, demod=False):
+    # DF accepted for _device_params tuple symmetry; the Jacobian kernel
+    # has no dfs support -- the engine gates df trains off this path
+    del DF
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
@@ -394,10 +406,13 @@ def _device_params(params):
     if dev is None:
         f32 = np.float32
         TI = params.get("TI")
+        df = params.get("df")
         dev = jax.device_put(tuple(
             np.asarray(params[k], f32)
             for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
-            + (np.asarray(0.0 if TI is None else TI, f32),))
+            + (np.asarray(0.0 if TI is None else TI, f32),
+               np.zeros_like(params["T1"], f32) if df is None
+               else np.asarray(df, f32)))
         params["_dev"] = dev
     return dev
 
@@ -417,12 +432,13 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
 
 @functools.partial(jax.jit,
                    static_argnames=("nstate", "interpret", "use_inv",
-                                    "demod"))
-def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, *, nstate, interpret, use_inv,
-             demod=False):
+                                    "demod", "use_df"))
+def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
+             use_inv, demod=False, use_df=False):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
+                                    DF if use_df else None,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
                                     inversion=TI if use_inv else None)
@@ -442,5 +458,6 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
     dev = _device_params(params)
     re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret,
                       use_inv=params.get("TI") is not None,
-                      demod=bool(params.get("demod")))
+                      demod=bool(params.get("demod")),
+                      use_df=params.get("df") is not None)
     return {"__c_re": re, "__c_im": im}

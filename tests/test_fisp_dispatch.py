@@ -59,13 +59,49 @@ def test_match_rank1_b1_factorization():
 
 
 @pytest.mark.parametrize("mutate", [
-    dict(g=0.01),                       # off-resonance E not supported
-    dict(adc_kw=dict(phase=30.0)),      # phased ADC
+    dict(adc_kw=dict(phase=30.0)),      # phased ADC (not -phi demod)
     dict(shift=2),                      # non-unit shift
     dict(t2_mismatch=True),             # T2 changes mid-train
 ])
 def test_no_match_off_pattern(mutate):
     assert fisp_dispatch.match_fisp(_train(P=16, B=4, **mutate)) is None
+
+
+def test_off_resonance_matches_and_parity():
+    """Constant per-atom (or scalar) E.g maps onto the kernel's dfs axis
+    (B0-map dictionaries); mismatched g between E ops is off-pattern."""
+    # scalar df
+    seq = _train(P=24, B=4, g=0.03)
+    params = fisp_dispatch.match_fisp(list(seq))
+    assert params is not None and np.allclose(params["df"], 0.03)
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    # per-atom df vector
+    dfv = np.linspace(-0.05, 0.05, 4)
+    seq2 = _train(P=24, B=4, g=dfv)
+    params2 = fisp_dispatch.match_fisp(list(seq2))
+    assert params2 is not None and np.allclose(params2["df"], dfv)
+    sig_k2 = epg.simulate(seq2, max_nstate=8, fisp_kernel="force")
+    sig_e2 = epg.simulate(seq2, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k2) - np.asarray(sig_e2)).max() < 1e-5
+    # g on only one E of a TR -> off-pattern
+    seq3 = _train(P=16, B=4)
+    seq3[1] = epg.E(4.0, seq3[1].T1, seq3[1].T2, 0.01)
+    assert fisp_dispatch.match_fisp(list(seq3)) is None
+    # df trains with Jacobian probes stay on the planner (no kernel dfs)
+    T1 = np.linspace(300, 1500, 4); T2 = np.linspace(30, 120, 4)
+    seqd = []
+    for i in range(16):
+        seqd += [epg.T(30, 90), epg.E(4.0, T1, T2, 0.02, order1=["T1"]),
+                 epg.ADC, epg.E(8.0, T1, T2, 0.02, order1=["T1"]),
+                 epg.S(1)]
+    import unittest.mock as mock
+    with mock.patch.object(fisp_dispatch, "run_fisp_jacobian",
+                           side_effect=AssertionError("dispatched")):
+        jac = epg.simulate(seqd, max_nstate=6, fisp_kernel="force",
+                           probe=epg.Jacobian(["T1"]))
+    assert jac.shape == (16, 4, 1)
 
 
 def test_no_match_extra_prep_or_reorder():
