@@ -837,9 +837,6 @@ def simulate(
                 probes, ("T1", "T2"))
             if specs is not None:
                 fparams = fisp_dispatch.match_fisp(sequence)
-                # the Jacobian kernel has no off-resonance support
-                if fparams is not None and fparams.get("df") is not None:
-                    fparams = None
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))

@@ -371,16 +371,15 @@ def match_jacobian_probes(probes, tracked):
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
-                                             "use_inv", "specs", "demod"))
+                                             "use_inv", "specs", "demod",
+                                             "use_df"))
 def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-                 use_inv, specs, demod=False):
-    # DF accepted for _device_params tuple symmetry; the Jacobian kernel
-    # has no dfs support -- the engine gates df trains off this path
-    del DF
+                 use_inv, specs, demod=False, use_df=False):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
-        FA, phi, TR, TE, T1, T2, B1, nstate=nstate, interpret=interpret,
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret,
         demodulate=demod, inversion=TI if use_inv else None)
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1)
     col = {"magnitude": (re, im),
@@ -427,7 +426,8 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
     return _run_jac_jit(*dev, nstate=max(int(nstate), 1),
                         interpret=interpret,
                         use_inv=params.get("TI") is not None, specs=specs,
-                        demod=bool(params.get("demod")))
+                        demod=bool(params.get("demod")),
+                        use_df=params.get("df") is not None)
 
 
 @functools.partial(jax.jit,

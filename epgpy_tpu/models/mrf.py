@@ -271,7 +271,7 @@ def load_dictionary(path):
         return {k: data[k] for k in data.files}
 
 
-def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
+def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, dfs=None, *, phi=90.0,
                       variables=("T1", "T2"), nstate: int = 10,
                       demodulate: bool = False, inversion=None):
     """Per-atom fingerprint derivatives dS/d(variables).
@@ -279,11 +279,14 @@ def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
     variables: subset of ("T1", "T2", "B1").  Returns
     ((re, im), (dre, dim)) with fingerprints (B, P) and derivatives
     (B, P, nvars) -- the inputs to CRLB maps and dictionary-free fitting.
+    `dfs` is an optional (B,) per-atom off-resonance (kHz; not a
+    differentiation variable -- the phase is parameter-independent).
     """
     rdtype = config.real_dtype()
     T1s = jnp.asarray(T1s, rdtype)
     T2s = jnp.asarray(T2s, rdtype)
     B1s = jnp.ones_like(T1s) if B1s is None else jnp.asarray(B1s, rdtype)
+    dfs = None if dfs is None else jnp.asarray(dfs, rdtype)
     FA = jnp.asarray(FA, rdtype)
     TE = jnp.asarray(TE, rdtype)
     idx = {"T1": 0, "T2": 1, "B1": 2}
@@ -304,7 +307,7 @@ def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, *, phi=90.0,
     def run(T1s, T2s, B1s, sel):
         def f(t1, t2, b1):
             return _dictionary_program(
-                FA, phi, TR, TE, t1, t2, b1, None, nstate=nstate,
+                FA, phi, TR, TE, t1, t2, b1, dfs, nstate=nstate,
                 demodulate=demodulate, inversion=inversion, normalize=False)
 
         ones = jnp.ones_like(T1s)

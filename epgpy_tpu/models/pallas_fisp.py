@@ -26,8 +26,8 @@ __all__ = ["fisp_dictionary_pallas", "fisp_jacobian_pallas",
            "fisp_dictionary_pallas_sharded", "fisp_jacobian_pallas_sharded"]
 
 
-def fisp_jacobian_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, *,
-                                 mesh, axis="atoms", **kw):
+def fisp_jacobian_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
+                                 *, mesh, axis="atoms", **kw):
     """Atom-sharded fused Jacobian kernel over a device mesh.
 
     Like `fisp_dictionary_pallas_sharded` but for the primal+tangent
@@ -37,18 +37,22 @@ def fisp_jacobian_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, *,
     """
     from jax.sharding import PartitionSpec as PS
 
-    def local(t1, t2, b1):
-        return fisp_jacobian_pallas(FA, phi, TR, TE, t1, t2, b1, **kw)
+    use_df = dfs is not None
+
+    def local(t1, t2, b1, df):
+        return fisp_jacobian_pallas(FA, phi, TR, TE, t1, t2, b1,
+                                    df if use_df else None, **kw)
 
     spec = PS(axis)
     f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(spec, spec, spec),
+                      in_specs=(spec, spec, spec, spec),
                       out_specs=((PS(axis, None),) * 2,
                                  (PS(axis, None, None),) * 2),
                       check_vma=False)
-    return jax.jit(f)(jnp.asarray(T1s, jnp.float32),
-                      jnp.asarray(T2s, jnp.float32),
-                      jnp.asarray(B1s, jnp.float32))
+    T1s = jnp.asarray(T1s, jnp.float32)
+    dfz = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, jnp.float32)
+    return jax.jit(f)(T1s, jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32), dfz)
 
 
 def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
@@ -367,10 +371,10 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
 
 
 def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
-                b1_ref, out_re_ref, out_im_ref,
+                b1_ref, df_ref, out_re_ref, out_im_ref,
                 d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
                 db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate,
-                use_inv):
+                use_inv, use_df):
     """Fused primal + (dT1, dT2, dB1) tangent propagation, folded ladder.
 
     Forward-mode derivative of `_kernel_half` with the tangent state
@@ -424,11 +428,17 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     T1 = t1_ref[0, :]
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
     TE = te_ref[0, 0]
     base = pc * pchunk
     E1te = jnp.exp(-TE / T1)
     E2te = jnp.exp(-TE / T2)
     dE2te = E2te * TE / (T2 * T2)      # d/dT2
+    if use_df:
+        # off-resonance phase is parameter-independent: it multiplies
+        # the F-plane coefficients (cF, dcF) and the echo uniformly
+        ang_te = 2 * jnp.pi * DF * TE
+        pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
 
     def step(i, _):
         P = [st_ref[j] for j in range(6)]           # primal planes
@@ -465,6 +475,23 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         rec = 1.0 - cZ            # == (1-E1te) E1b + (1-E1b) exactly
         dcZ = cZ * TRi / (T1 * T1)          # d/dT1
         dcF = cF * TRi / (T2 * T2)          # d/dT2
+        if use_df:
+            ang = 2 * jnp.pi * DF * TRi
+            cpR, cpI = jnp.cos(ang), jnp.sin(ang)
+            cFr, cFi = cF * cpR, cF * cpI
+            dcFr, dcFi = dcF * cpR, dcF * cpI
+
+        def fmul(re, im):
+            """(cF e^{i 2pi df TR}) * (re + i im) -- the F-plane decay."""
+            if use_df:
+                return cFr * re - cFi * im, cFr * im + cFi * re
+            return cF * re, cF * im
+
+        def dfmul(re, im):
+            """d/dT2 of the F coefficient times (re + i im)."""
+            if use_df:
+                return dcFr * re - dcFi * im, dcFr * im + dcFi * re
+            return dcF * re, dcF * im
 
         def rot_A(c2, a1r, a1i, a2r, a2i, pl6):
             AR, AI, BR, BI, ZR, ZI = pl6
@@ -503,8 +530,12 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         cRB = rot_B(dcos2, dm01r, dm01i, dm02r, dm02i, P)
         cSZ = rot_Z(dca, dm20r, dm20i, dm21r, dm21i, P)
 
-        # echoes: e = E2te * RA[0] (+ demod); invariant B(0)=A(0)
+        # echoes: e = E2te * (e^{i 2pi df TE}) * RA[0] (+ demod);
+        # invariant B(0)=A(0); the df phase is parameter-independent so
+        # it applies to the tangent echoes identically
         def demod_write(re_ref, im_ref, eR, eI):
+            if use_df:
+                eR, eI = eR * pteR - eI * pteI, eI * pteR + eR * pteI
             if demodulate:
                 eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
             re_ref[i, :] = eR
@@ -530,19 +561,27 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
             st_ref[s0 + 5] = nZI
 
         # primal update
-        shift6(cF * RA[0], cF * RA[1], cF * RB[0], cF * RB[1],
+        pAr, pAi = fmul(RA[0], RA[1])
+        pBr, pBi = fmul(RB[0], RB[1])
+        shift6(pAr, pAi, pBr, pBi,
                cZ * SZ[0] + rowmask * rec, cZ * SZ[1], 0)
         # dT1: only cZ and rec = 1 - cZ carry tangents
-        shift6(cF * tRA[0][0], cF * tRA[0][1], cF * tRB[0][0], cF * tRB[0][1],
+        t1Ar, t1Ai = fmul(tRA[0][0], tRA[0][1])
+        t1Br, t1Bi = fmul(tRB[0][0], tRB[0][1])
+        shift6(t1Ar, t1Ai, t1Br, t1Bi,
                cZ * tSZ[0][0] + dcZ * SZ[0] - rowmask * dcZ,
                cZ * tSZ[0][1] + dcZ * SZ[1], 6)
         # dT2: only cF (and E2te on the echo) carries tangents
-        shift6(cF * tRA[1][0] + dcF * RA[0], cF * tRA[1][1] + dcF * RA[1],
-               cF * tRB[1][0] + dcF * RB[0], cF * tRB[1][1] + dcF * RB[1],
+        t2Ar, t2Ai = fmul(tRA[1][0], tRA[1][1])
+        x2Ar, x2Ai = dfmul(RA[0], RA[1])
+        t2Br, t2Bi = fmul(tRB[1][0], tRB[1][1])
+        x2Br, x2Bi = dfmul(RB[0], RB[1])
+        shift6(t2Ar + x2Ar, t2Ai + x2Ai, t2Br + x2Br, t2Bi + x2Bi,
                cZ * tSZ[1][0], cZ * tSZ[1][1], 12)
         # dB1: only the rotation coefficients carry tangents
-        shift6(cF * (tRA[2][0] + cRA[0]), cF * (tRA[2][1] + cRA[1]),
-               cF * (tRB[2][0] + cRB[0]), cF * (tRB[2][1] + cRB[1]),
+        bAr, bAi = fmul(tRA[2][0] + cRA[0], tRA[2][1] + cRA[1])
+        bBr, bBi = fmul(tRB[2][0] + cRB[0], tRB[2][1] + cRB[1])
+        shift6(bAr, bAi, bBr, bBi,
                cZ * (tSZ[2][0] + cSZ[0]), cZ * (tSZ[2][1] + cSZ[1]), 18)
         return 0
 
@@ -551,8 +590,8 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
                                    "interpret"))
-def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
-                         btile=512, pchunk=None, demodulate=False,
+def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
+                         nstate=10, btile=512, pchunk=None, demodulate=False,
                          inversion=None, interpret=False):
     """Fingerprints + dS/d(T1, T2, B1) via one fused Pallas kernel.
 
@@ -561,7 +600,9 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     models/mrf.fisp_mrf_jacobian (reference cost anchor:
     epgpy diff.py order1 propagation, SURVEY §3.2).  `inversion` (TI in
     ms) prepends a 180*B1 inversion prep whose tangents are seeded in
-    closed form.
+    closed form.  `dfs` is the optional (B,) per-atom off-resonance
+    (kHz): the phase is parameter-independent, so tangent planes rotate
+    with the same complex F coefficients as the primal.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -574,6 +615,8 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
     T1s = jnp.asarray(T1s, f32)
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
+    use_df = dfs is not None
+    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
     B = T1s.shape[0]
 
     if pchunk is None:
@@ -591,15 +634,16 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
 
     FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
     TR_p = padp(TR, jnp.asarray(TE, f32) + 1.0)
-    T1p, T2p, B1p = padb(T1s), padb(T2s), padb(B1s)
+    T1p, T2p, B1p, DFp = padb(T1s), padb(T2s), padb(B1s), padb(DFs)
     nP, nB = Pp // pchunk, Bp // btile
     args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
     args += [jnp.full((1, 1), TE, f32),
              jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)]
-    args += [x.reshape(1, -1) for x in (T1p, T2p, B1p)]
+    args += [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
 
     kernel = partial(_kernel_jac, nstate=nstate, pchunk=pchunk,
-                     demodulate=demodulate, use_inv=inversion is not None)
+                     demodulate=demodulate, use_inv=inversion is not None,
+                     use_df=use_df)
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
@@ -612,6 +656,7 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, *, nstate=10,
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
         ],
         out_specs=[pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b))] * 8,
         out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * 8,

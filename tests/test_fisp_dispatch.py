@@ -89,19 +89,24 @@ def test_off_resonance_matches_and_parity():
     seq3 = _train(P=16, B=4)
     seq3[1] = epg.E(4.0, seq3[1].T1, seq3[1].T2, 0.01)
     assert fisp_dispatch.match_fisp(list(seq3)) is None
-    # df trains with Jacobian probes stay on the planner (no kernel dfs)
+    # df trains with Jacobian probes dispatch too (kernel dfs support):
+    # the off-resonance phase is parameter-independent, so tangent
+    # columns rotate with the primal -- parity vs the jacfwd planner
     T1 = np.linspace(300, 1500, 4); T2 = np.linspace(30, 120, 4)
     seqd = []
     for i in range(16):
-        seqd += [epg.T(30, 90), epg.E(4.0, T1, T2, 0.02, order1=["T1"]),
-                 epg.ADC, epg.E(8.0, T1, T2, 0.02, order1=["T1"]),
+        seqd += [epg.T(30, 90),
+                 epg.E(4.0, T1, T2, dfv, order1=["T1", "T2"]),
+                 epg.ADC, epg.E(8.0, T1, T2, dfv, order1=["T1", "T2"]),
                  epg.S(1)]
-    import unittest.mock as mock
-    with mock.patch.object(fisp_dispatch, "run_fisp_jacobian",
-                           side_effect=AssertionError("dispatched")):
-        jac = epg.simulate(seqd, max_nstate=6, fisp_kernel="force",
-                           probe=epg.Jacobian(["T1"]))
-    assert jac.shape == (16, 4, 1)
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    _, jac_k = epg.simulate(seqd, max_nstate=6, fisp_kernel="force",
+                            probe=probes)
+    _, jac_e = epg.simulate(seqd, max_nstate=6, fisp_kernel=False,
+                            probe=probes)
+    for c in range(3):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 2e-5
 
 
 def test_no_match_extra_prep_or_reorder():

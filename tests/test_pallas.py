@@ -83,6 +83,33 @@ def test_pallas_off_resonance_parity():
     assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
 
 
+def test_pallas_jacobian_off_resonance_matches_jvp():
+    """Jacobian kernel with dfs: the off-resonance phase multiplies the
+    F coefficients and echo uniformly (parameter-independent), so every
+    tangent plane must match autodiff of the df-aware scan program."""
+    P, B, NS = 60, 16, 6
+    rng = np.random.default_rng(11)
+    FA = rng.uniform(5, 70, P)
+    phi = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360.0
+    TRs = rng.uniform(11, 16, P)
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 300, B)
+    B1 = rng.uniform(0.8, 1.2, B)
+    dfs = rng.uniform(-0.05, 0.05, B)
+    (re0, im0), (dre0, dim0) = fisp_mrf_jacobian(
+        FA, TRs, 4.0, T1, T2, B1, dfs, phi=phi,
+        variables=("T1", "T2", "B1"), nstate=NS)
+    (re1, im1), (dre1, dim1) = fisp_jacobian_pallas(
+        FA, phi, TRs, 4.0, T1, T2, B1, dfs, nstate=NS, btile=128,
+        pchunk=60, interpret=True)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+    scale = np.array([1e3, 1e2, 1.0])
+    for d0, d1 in ((dre0, dre1), (dim0, dim1)):
+        err = np.abs(np.asarray(d0) * scale - np.asarray(d1) * scale).max()
+        assert err < 1e-4, err
+
+
 @pytest.mark.parametrize("demod", [False, True])
 def test_pallas_jacobian_matches_jvp(demod):
     """Fused Pallas (primal + dT1/dT2/dB1 tangent) kernel vs vmap(jvp).
