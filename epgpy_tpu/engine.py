@@ -765,6 +765,7 @@ def simulate(
         _fisp_on = _fisp_force or (_fisp_tpu and not config.x64_enabled())
     if _fisp_on and probe is None and probes is None:
         from . import fisp_dispatch
+        enc = None
         fparams = fisp_dispatch.match_fisp(sequence)
         if fparams is not None:
             if disp:
@@ -774,6 +775,17 @@ def simulate(
                     len(fparams["FA"]), ncap)
             enc = fisp_dispatch.run_fisp_kernel(
                 fparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+        else:
+            mparams = fisp_dispatch.match_mse(sequence)
+            if mparams is not None:
+                if disp:
+                    LOGGER.info(
+                        "simulate: CPMG train -> fused Pallas kernel "
+                        "(mse-kernel engine, %d echoes, nstate=%d)",
+                        len(mparams["FA"]), ncap)
+                enc = fisp_dispatch.run_mse_kernel(
+                    mparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+        if enc is not None:
             values = (enc,)
             times = get_adc_times(sequence)
             if asarray:

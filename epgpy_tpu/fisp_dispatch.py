@@ -14,7 +14,8 @@ and get the hand-fused kernel when their sequence has the fused form).
 
 Matching is strict: exact op types, integer unit shift, equilibrium
 init, no coordinate grid.  Within that, the matcher covers the real MRF
-pattern space: rank-1 ``outer(FA, B1)`` flip batches, ``[T(180-family),
+pattern space: per-pulse TR *and* TE (canonical MRF-FISP, Jiang 2015),
+rank-1 ``outer(FA, B1)`` flip batches, ``[T(180-family),
 E(TI)]`` inversion preps, demodulated readouts (``Adc(phase=-phi_i)``),
 and canonical ``order1=["T1","T2"]`` differentiation (Jacobian probes
 route to the fused primal+tangent kernel, ``fisp_jacobian_pallas``).
@@ -41,7 +42,8 @@ import jax.numpy as jnp
 LOGGER = logging.getLogger(__name__)
 
 __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
-           "run_fisp_jacobian", "clear_cache"]
+           "run_fisp_jacobian", "match_mse", "run_mse_kernel",
+           "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -91,6 +93,16 @@ def _vec_or_scalar(x):
     return np.atleast_1d(arr)
 
 
+def _host_nd(x):
+    """Host value as a float array of any rank, or None if traced."""
+    if _is_device(x):
+        return None
+    try:
+        return np.atleast_1d(np.asarray(x, dtype=np.float64))
+    except (TypeError, ValueError):
+        return None
+
+
 def _no_diff(op):
     return not getattr(op, "order1", None) and not getattr(op, "order2", None)
 
@@ -128,14 +140,64 @@ def _canonical_order1(op):
     return tuple(sorted(names))
 
 
+def _append_rows(arrs, bshape):
+    """Right-pad (append-broadcast rule) and broadcast each array to
+    `bshape`, flattened -- views, no copies."""
+    nd = len(bshape)
+    return [np.broadcast_to(a.reshape(a.shape + (1,) * (nd - a.ndim)),
+                            bshape).reshape(-1) for a in arrs]
+
+
+def _rank1_factor(alphas):
+    """Factor a list of batch-or-scalar flip rows into rank-1
+    ``outer(FA, B1)``; returns (FA, B1) host arrays or None.  B1 keeps
+    the rows' (append-rule) broadcast batch shape.
+
+    Scalar-only rows get B1 = [1].  Otherwise a streaming rank-1 check:
+    per-row least-squares coefficient against the largest row, O(B)
+    temporaries only (a stacked (N, B) f64 matrix is ~1 GB at
+    dictionary scale and costs tens of seconds of host time).
+    Tolerance 1e-6 (~8 f32 ulps): user trains are often built as
+    float32 products fl(FA_i * B1_b), which rounds each entry
+    independently (~1.2e-7 relative), so exact rank-1 never holds --
+    but genuine per-atom structure (slice-profile / calibration
+    corrections) must NOT be silently approximated away, so the margin
+    stays within one decade of the rounding floor.
+    """
+    from . import common
+
+    N = len(alphas)
+    if all(a.size == 1 for a in alphas):
+        return (np.asarray([float(a.reshape(-1)[0]) for a in alphas]),
+                np.ones(1))
+    bshape = common.broadcast_shapes(*(x.shape for x in alphas))
+    rows = _append_rows(alphas, bshape)                     # views
+    mags = [float(np.abs(r).max()) for r in rows]
+    ref = rows[int(np.argmax(mags))].astype(np.float64)
+    nref2 = float(ref @ ref)
+    refmax = np.abs(ref).max()
+    if nref2 == 0.0:
+        return None
+    FA = np.empty(N)
+    for i, r in enumerate(rows):
+        c = float(r @ ref) / nref2
+        if np.abs(r - c * ref).max() > 1e-6 * max(abs(c) * refmax, 1e-30):
+            return None
+        FA[i] = c
+    scale = refmax
+    # only FA*B1 enters the kernel
+    return FA * scale, (ref / scale).reshape(bshape)
+
+
 def match_fisp(sequence):
     """Match ``[T, E, ADC, E, S(1)] * N`` and extract kernel parameters.
 
     Returns ``dict(FA, phi, TR, TE, T1, T2, B1)`` (host arrays; FA/phi/TR
-    of length N) or ``None``.  Handles per-atom flip scaling when every
-    T's alpha is a common (B,) vector scaled per pulse (a rank-1
-    ``outer(FA, B1)`` train, the B1-dictionary pattern).  Results
-    (including non-matches) are memoized on operator identities.
+    of length N; TE a scalar for constant-TE trains, else length N) or
+    ``None``.  Handles per-atom flip scaling when every T's alpha is a
+    common (B,) vector scaled per pulse (a rank-1 ``outer(FA, B1)``
+    train, the B1-dictionary pattern).  Results (including non-matches)
+    are memoized on operator identities.
     """
     if len(sequence) < 10 or len(sequence) % 5 not in (0, 2):
         return None
@@ -241,10 +303,12 @@ def _match_fisp_impl(sequence):
         te_taus.append(tte)
         tr_taus.append(ttr)
 
-    if len(set(te_taus)) != 1:          # TE must be constant
-        return None
-    TE = te_taus[0]
-    TR = np.asarray(tr_taus) + TE
+    te_arr = np.asarray(te_taus)
+    # constant TE keeps the kernels' hoisted TE-decay factors (and a
+    # stable jit cache key); per-pulse TE (canonical MRF-FISP, Jiang
+    # 2015: TR and TE both vary) maps onto the kernels' var_te path
+    TE = float(te_arr[0]) if (te_arr == te_arr[0]).all() else te_arr
+    TR = np.asarray(tr_taus) + te_arr
 
     # ADC phases: all absent -> plain readout; all equal to -phi_i
     # (mod 360) -> the kernel's receiver demodulation (e^{-i phi_p});
@@ -259,40 +323,11 @@ def _match_fisp_impl(sequence):
             return None
         demod = True
 
-    # factor the flip train: scalar alphas -> B1 = 1; otherwise require a
-    # rank-1 outer(FA, B1) structure (common vector scaled per pulse)
-    if all(a.size == 1 for a in alphas):
-        FA = np.asarray([float(a[0]) for a in alphas])
-        B1 = np.ones(1)
-    else:
-        # streaming rank-1 check: per-row least-squares coefficient
-        # against the largest row, O(B) temporaries only (a stacked
-        # (N, B) f64 matrix is ~1 GB at dictionary scale and costs tens
-        # of seconds of host time).  tolerance 1e-6 (~8 f32 ulps): user
-        # trains are often built as float32 products fl(FA_i * B1_b),
-        # which rounds each entry independently (~1.2e-7 relative), so
-        # exact rank-1 never holds -- but genuine per-atom structure
-        # (slice-profile / calibration corrections) must NOT be silently
-        # approximated away, so the margin stays within one decade of
-        # the rounding floor
-        bshape = np.broadcast_shapes(*(x.shape for x in alphas))
-        rows = [np.broadcast_to(a, bshape) for a in alphas]     # views
-        mags = [float(np.abs(r).max()) for r in rows]
-        ref = rows[int(np.argmax(mags))].astype(np.float64)
-        nref2 = float(ref @ ref)
-        refmax = np.abs(ref).max()
-        if nref2 == 0.0:
-            return None
-        FA = np.empty(N)
-        for i, r in enumerate(rows):
-            c = float(r @ ref) / nref2
-            if np.abs(r - c * ref).max() > 1e-6 * max(abs(c) * refmax,
-                                                      1e-30):
-                return None
-            FA[i] = c
-        scale = refmax
-        B1 = ref / scale                # only FA*B1 enters the kernel
-        FA = FA * scale
+    # factor the flip train into rank-1 outer(FA, B1)
+    fab = _rank1_factor(alphas)
+    if fab is None:
+        return None
+    FA, B1 = fab
 
     TI = None
     if prep is not None:
@@ -333,6 +368,149 @@ def _match_fisp_impl(sequence):
         "demod": demod,
         "df": np.broadcast_to(DF, (B,)) if DF.any() else None,
     }
+
+
+def match_mse(sequence):
+    """Match CPMG / multi-spin-echo trains and extract kernel params.
+
+    Pattern: ``[T(exc)] + [E, S(1), T(ref_i), E, S(1), ADC] * E`` with
+    the E/S pair in either order within each half (they commute exactly:
+    the shift moves only F states, relaxation decay is k-independent and
+    recovery always lands at k=0).  This is the reference's published
+    benchmark family (reference docs/basics.md:250-267, sequence built
+    in examples/basics/mse.py): echo spacings may vary per echo,
+    refocusing angles may be a rank-1 ``outer(FA, B1)`` batch (the
+    ``T(180*att, 0)`` attenuation sweep).  Scalar excitation only;
+    g must be 0 on every E; differentiation specs fall through (no
+    fused CPMG tangent kernel).  Returns a param dict or None; results
+    memoized on operator identities alongside the FISP matches.
+    """
+    if len(sequence) < 13 or len(sequence) % 6 != 1:
+        return None
+    key = ("mse",) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_mse_impl(sequence)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+def _match_mse_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    exc = sequence[0]
+    if type(exc) is not T or not _no_diff(exc) or exc.axes is not None:
+        return None
+    exc_a, exc_p = _scalar(exc.alpha), _scalar(exc.phi)
+    if exc_a is None or exc_p is None:
+        return None
+
+    def half(op1, op2):
+        """(E, S) or (S, E) half; returns the E op or None."""
+        if type(op1) is E and type(op2) is S:
+            e, s = op1, op2
+        elif type(op1) is S and type(op2) is E:
+            s, e = op1, op2
+        else:
+            return None
+        if not _no_diff(e) or not _no_diff(s) or e.axes is not None:
+            return None
+        if getattr(s, "_kint", None) != 1:
+            return None
+        if _scalar(e.g) != 0.0:
+            return None
+        return e
+
+    nech = len(sequence) // 6
+    alphas, phis, tau1s, tau2s = [], [], [], []
+    T1 = T2 = None
+    for i in range(nech):
+        o1, o2, t_op, o4, o5, adc = sequence[1 + 6 * i:7 + 6 * i]
+        e1, e2 = half(o1, o2), half(o4, o5)
+        if e1 is None or e2 is None:
+            return None
+        if (type(adc) is not Adc or adc.attr != "F0"
+                or adc.phase is not None or adc.weights is not None
+                or adc.reduce not in (None, False) or not _no_diff(adc)):
+            return None
+        if (type(t_op) is not T or not _no_diff(t_op)
+                or t_op.axes is not None):
+            return None
+        ph = _scalar(t_op.phi)
+        t1v1, t2v1 = _scalar(e1.tau), _scalar(e2.tau)
+        if ph is None or t1v1 is None or t2v1 is None:
+            return None
+        for e in (e1, e2):
+            t1v, t2v = _host_nd(e.T1), _host_nd(e.T2)
+            if t1v is None or t2v is None:
+                return None
+            if T1 is None:
+                T1, T2 = t1v, t2v
+            elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+                return None
+        a = _host_nd(t_op.alpha)
+        if a is None:
+            return None
+        alphas.append(a)
+        phis.append(ph)
+        tau1s.append(t1v1)
+        tau2s.append(t2v1)
+
+    fab = _rank1_factor(alphas)
+    if fab is None:
+        return None
+    FA, B1 = fab
+
+    # n-D batch grids (the reference's published config is a 2-D
+    # T2 x attenuation sweep) flatten to the kernel's atom axis; the
+    # runner restores the append-broadcast shape on the outputs
+    from . import common
+    if not common.broadcastable(T1.shape, T2.shape, B1.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape)
+    T1f, T2f, B1f = _append_rows((T1, T2, B1), bshape)
+    return {
+        "exc": (exc_a, exc_p), "FA": FA, "phi": np.asarray(phis),
+        "tau1": np.asarray(tau1s), "tau2": np.asarray(tau2s),
+        "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "bshape",
+                                             "interpret"))
+def _run_mse_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
+                 nstate, bshape, interpret):
+    from .models.pallas_mse import cpmg_dictionary_pallas
+
+    re, im = cpmg_dictionary_pallas((exc_a, exc_p), FA, phi, tau1, tau2,
+                                    T1, T2, B1, nstate=nstate,
+                                    interpret=interpret)
+    E = re.shape[1]
+    # ADC axis first; restore the append-broadcast batch shape
+    return (re.T.reshape((E,) + bshape), im.T.reshape((E,) + bshape))
+
+
+def run_mse_kernel(params, nstate, *, interpret=False):
+    """Run the fused CPMG kernel; return the echo train in engine layout
+    (``{"__c_re": (E, *batch), "__c_im": (E, *batch)}`` device arrays)."""
+    dev = params.get("_dev")
+    if dev is None:
+        f32 = np.float32
+        dev = jax.device_put(tuple(
+            np.asarray(x, f32) for x in params["exc"]) + tuple(
+            np.asarray(params[k], f32)
+            for k in ("FA", "phi", "tau1", "tau2", "T1", "T2", "B1")))
+        params["_dev"] = dev
+    re, im = _run_mse_jit(*dev, nstate=max(int(nstate), 1),
+                          bshape=tuple(params["shape"]),
+                          interpret=interpret)
+    return {"__c_re": re, "__c_im": im}
 
 
 def match_jacobian_probes(probes, tracked):

@@ -51,7 +51,8 @@ def fisp_mrf_signal(FA, phi, TR, TE, T1, T2, B1=1.0, *, nstate: int = 10,
         FA: (P,) flip angles in degrees.
         phi: scalar or (P,) RF phases in degrees.
         TR: scalar or (P,) repetition times (ms).
-        TE: scalar echo time (ms).
+        TE: scalar or (P,) echo times (ms) -- canonical MRF-FISP trains
+            (Jiang 2015) vary TE alongside TR.
         T1, T2: scalar relaxation times (ms).
         B1: scalar relative transmit field.
         nstate: ladder half-size (static capacity).
@@ -68,6 +69,7 @@ def fisp_mrf_signal(FA, phi, TR, TE, T1, T2, B1=1.0, *, nstate: int = 10,
     P = FA.shape[0]
     phi = jnp.broadcast_to(jnp.asarray(phi, rdtype), (P,))
     TR = jnp.broadcast_to(jnp.asarray(TR, rdtype), (P,))
+    TE = jnp.broadcast_to(jnp.asarray(TE, rdtype), (P,))
     K = 2 * nstate + 1
 
     states = jnp.zeros((K, 3), cdtype).at[nstate, 2].set(1.0)
@@ -78,18 +80,19 @@ def fisp_mrf_signal(FA, phi, TR, TE, T1, T2, B1=1.0, *, nstate: int = 10,
         states = _relax(states, jnp.asarray(inversion, rdtype), T1, T2, nstate)
 
     def step(states, xs):
-        fa, ph, tr = xs
+        fa, ph, tr, te = xs
         mat = rotation_operator(fa * B1, ph)[0].astype(cdtype)
         states = jnp.einsum("ij,kj->ki", mat, states, precision="highest")
-        states = _relax(states, TE, T1, T2, nstate)
+        states = _relax(states, te, T1, T2, nstate)
         echo = states[nstate, 0]
         if demodulate:
             echo = echo * jnp.exp(-1j * jnp.deg2rad(ph)).astype(cdtype)
-        states = _relax(states, tr - TE, T1, T2, nstate)
+        states = _relax(states, tr - te, T1, T2, nstate)
         states = shift1d(states[None], 1)[0]
         return states, echo
 
-    _, echoes = jax.lax.scan(step, states, (jnp.asarray(FA, rdtype), phi, TR))
+    _, echoes = jax.lax.scan(step, states,
+                             (jnp.asarray(FA, rdtype), phi, TR, TE))
     return echoes.real, echoes.imag
 
 
@@ -139,13 +142,17 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
     P = FA.shape[0]
     phi_b = jnp.broadcast_to(jnp.asarray(phi, rdtype), (P,))
     TR_b = jnp.broadcast_to(jnp.asarray(TR, rdtype), (P,))
+    TE = jnp.asarray(TE, rdtype)
+    var_te = TE.ndim == 1  # per-pulse echo times (canonical MRF-FISP)
 
-    E1_te = jnp.exp(-TE / T1s)
-    E2_te = jnp.exp(-TE / T2s)
-    # off-resonance: F+ accumulates exp(+2i pi df tau) (reference
-    # epgpy/evolution.py:230-256 sign convention); F- the conjugate
-    pe_te = (jnp.exp(2j * jnp.pi * dfs * TE).astype(cdtype)
-             if dfs is not None else None)
+    def te_terms(te):
+        # off-resonance: F+ accumulates exp(+2i pi df tau) (reference
+        # epgpy/evolution.py:230-256 sign convention); F- the conjugate
+        return (jnp.exp(-te / T1s), jnp.exp(-te / T2s),
+                jnp.exp(2j * jnp.pi * dfs * te).astype(cdtype)
+                if dfs is not None else None)
+
+    const_te = None if var_te else te_terms(TE)
 
     def rotate(states, fa_scaled, ph):
         Fp, Fm, Z = states
@@ -179,13 +186,18 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
         # symmetry F-(k) = conj(F+(-k)) and reconstructed with a row flip
         # (lax.rev is cheap in XLA, unlike Pallas TPU) -- the scan carry
         # and the per-TR update shrink from 3 to 2 planes.
-        fa, ph, tr = xs
+        if var_te:
+            fa, ph, tr, te = xs
+            E1_te, E2_te, pe_te = te_terms(te)
+        else:
+            (fa, ph, tr), te = xs, TE
+            E1_te, E2_te, pe_te = const_te
         Fp, Z = carry
         Fm = jnp.conj(Fp[::-1])
         m00, m01, m02, m10, m11, m12, m20, m21, m22 = _rotation_elems(
             fa * B1s, ph)
-        E1b = jnp.exp(-(tr - TE) / T1s)
-        E2b = jnp.exp(-(tr - TE) / T2s)
+        E1b = jnp.exp(-(tr - te) / T1s)
+        E2b = jnp.exp(-(tr - te) / T2s)
         cF = (E2_te * E2b).astype(cdtype)
         cZ = (E1_te * E1b).astype(cdtype)
         rec = ((1.0 - E1_te) * E1b + (1.0 - E1b)).astype(cdtype)
@@ -200,7 +212,7 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
 
         cFp = cF
         if pe_te is not None:
-            pe_tr = jnp.exp(2j * jnp.pi * dfs * (tr - TE)).astype(cdtype)
+            pe_tr = jnp.exp(2j * jnp.pi * dfs * (tr - te)).astype(cdtype)
             cFp = cF * pe_te * pe_tr
         nFp = (m00 * cFp) * Fp + (m01 * cFp) * Fm + (m02 * cFp) * Z
         nZ = (m20 * cZ) * Fp + (m21 * cZ) * Fm + (m22 * cZ) * Z
@@ -209,8 +221,10 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
         nFp = jnp.concatenate([zrow, nFp[:-1, :]], axis=0)
         return (nFp, nZ), echo
 
-    _, echoes = jax.lax.scan(step, (states[0], states[2]),
-                             (jnp.asarray(FA, rdtype), phi_b, TR_b))
+    xs = (jnp.asarray(FA, rdtype), phi_b, TR_b)
+    if var_te:
+        xs += (jnp.broadcast_to(TE, (P,)),)
+    _, echoes = jax.lax.scan(step, (states[0], states[2]), xs)
     re, im = echoes.real.T, echoes.imag.T                 # (B, P)
     if normalize:
         nrm = jnp.sqrt(jnp.sum(re * re + im * im, axis=-1, keepdims=True))
@@ -226,7 +240,8 @@ def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, dfs=None, *, phi=90.0,
     """Generate a FISP MRF dictionary: one fingerprint per atom.
 
     Args:
-        FA: (P,) flip-angle train (deg); TR: scalar/(P,) (ms); TE: scalar.
+        FA: (P,) flip-angle train (deg); TR: scalar/(P,) (ms);
+            TE: scalar or (P,) (ms).
         T1s, T2s, B1s: (B,) per-atom parameters (B1s defaults to ones).
         dfs: optional (B,) per-atom off-resonance (kHz) -- the 4th
             dictionary dimension of pSSFP-style MRF.

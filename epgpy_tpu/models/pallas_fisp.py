@@ -92,7 +92,7 @@ def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
 
 def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
             df_ref, out_re_ref, out_im_ref, st_ref, *, nstate, pchunk,
-            demodulate, use_df, use_inv):
+            demodulate, use_df, use_inv, var_te=False):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -124,12 +124,21 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
     DF = df_ref[0, :]
-    TE = te_ref[0, 0]
     base = pc * pchunk  # absolute pulse offset (params are full arrays)
-    E1te = jnp.exp(-TE / T1)
-    E2te = jnp.exp(-TE / T2)
+    if not var_te:
+        # constant echo time: hoist the TE-decay factors out of the loop
+        TE = te_ref[0, 0]
+        E1te = jnp.exp(-TE / T1)
+        E2te = jnp.exp(-TE / T2)
 
     def step(i, _):
+        if var_te:
+            # per-pulse echo times (canonical MRF-FISP varies TE with TR)
+            te = te_ref[0, base + i]
+            e1te = jnp.exp(-te / T1)
+            e2te = jnp.exp(-te / T2)
+        else:
+            te, e1te, e2te = TE, E1te, E2te
         FpR, FpI = st_ref[0], st_ref[1]
         FmR, FmI = st_ref[2], st_ref[3]
         ZR, ZI = st_ref[4], st_ref[5]
@@ -157,25 +166,25 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
 
         # both relaxations fold into the coefficients (k-independent decay
         # commutes with the shift); one fused plane pass per TR
-        rem = tr_ref[0, base + i] - TE
+        rem = tr_ref[0, base + i] - te
         E1b = jnp.exp(-rem / T1)
         E2b = jnp.exp(-rem / T2)
-        cF = E2te * E2b
-        cZ = E1te * E1b
-        rec = (1.0 - E1te) * E1b + (1.0 - E1b)
+        cF = e2te * E2b
+        cZ = e1te * E1b
+        rec = (1.0 - e1te) * E1b + (1.0 - E1b)
 
         # off-resonance: F+ coefficients rotate by e^{+2i pi df tau},
         # F- by the conjugate (k-independent -> folds into coefficients)
         if use_df:
-            ang_te = 2 * jnp.pi * DF * TE
+            ang_te = 2 * jnp.pi * DF * te
             pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
-            ang = 2 * jnp.pi * DF * (TE + rem)
+            ang = 2 * jnp.pi * DF * (te + rem)
             pR, pI = jnp.cos(ang), jnp.sin(ang)
         # echo from the k=0 row only (post-rotation, post-TE decay)
         eR, eI = cmul(m01r, m01i, FmR[NS, :], FmI[NS, :])
         e2R, e2I = cmul(m02r, m02i, ZR[NS, :], ZI[NS, :])
-        eR = (cos2 * FpR[NS, :] + eR + e2R) * E2te
-        eI = (cos2 * FpI[NS, :] + eI + e2I) * E2te
+        eR = (cos2 * FpR[NS, :] + eR + e2R) * e2te
+        eI = (cos2 * FpI[NS, :] + eI + e2I) * e2te
         if use_df:
             eR, eI = cmul(pteR, pteI, eR, eI)
         if demodulate:
@@ -229,7 +238,7 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
 
 def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
                  b1_ref, df_ref, out_re_ref, out_im_ref, st_ref, *, nstate,
-                 pchunk, demodulate, use_df, use_inv):
+                 pchunk, demodulate, use_df, use_inv, var_te=False):
     """Folded half-ladder variant: (A, B, Z) planes of N+1 rows.
 
     The FISP evolution preserves the EPG conjugate symmetry
@@ -277,12 +286,19 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
     DF = df_ref[0, :]
-    TE = te_ref[0, 0]
     base = pc * pchunk
-    E1te = jnp.exp(-TE / T1)
-    E2te = jnp.exp(-TE / T2)
+    if not var_te:
+        TE = te_ref[0, 0]
+        E1te = jnp.exp(-TE / T1)
+        E2te = jnp.exp(-TE / T2)
 
     def step(i, _):
+        if var_te:
+            te = te_ref[0, base + i]
+            e1te = jnp.exp(-te / T1)
+            e2te = jnp.exp(-te / T2)
+        else:
+            te, e1te, e2te = TE, E1te, E2te
         AR, AI = st_ref[0], st_ref[1]   # F+(k), k >= 0
         BR, BI = st_ref[2], st_ref[3]   # F+(-k), k >= 0
         ZR, ZI = st_ref[4], st_ref[5]   # Z(k), k >= 0
@@ -303,23 +319,23 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         def cmul(cr, ci, xr, xi):
             return cr * xr - ci * xi, cr * xi + ci * xr
 
-        rem = tr_ref[0, base + i] - TE
+        rem = tr_ref[0, base + i] - te
         E1b = jnp.exp(-rem / T1)
         E2b = jnp.exp(-rem / T2)
-        cF = E2te * E2b
-        cZ = E1te * E1b
-        rec = (1.0 - E1te) * E1b + (1.0 - E1b)
+        cF = e2te * E2b
+        cZ = e1te * E1b
+        rec = (1.0 - e1te) * E1b + (1.0 - E1b)
 
         if use_df:
-            ang_te = 2 * jnp.pi * DF * TE
+            ang_te = 2 * jnp.pi * DF * te
             pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
-            ang = 2 * jnp.pi * DF * (TE + rem)
+            ang = 2 * jnp.pi * DF * (te + rem)
             pR, pI = jnp.cos(ang), jnp.sin(ang)
         # echo from the k=0 row (F-(0) = conj(F+(0)) = conj(A(0)))
         eR, eI = cmul(m01r, m01i, AR[0, :], -AI[0, :])
         e2R, e2I = cmul(m02r, m02i, ZR[0, :], ZI[0, :])
-        eR = (cos2 * AR[0, :] + eR + e2R) * E2te
-        eI = (cos2 * AI[0, :] + eI + e2I) * E2te
+        eR = (cos2 * AR[0, :] + eR + e2R) * e2te
+        eI = (cos2 * AI[0, :] + eI + e2I) * e2te
         if use_df:
             eR, eI = cmul(pteR, pteI, eR, eI)
         if demodulate:
@@ -374,7 +390,7 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
                 b1_ref, df_ref, out_re_ref, out_im_ref,
                 d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
                 db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate,
-                use_inv, use_df):
+                use_inv, use_df, var_te=False):
     """Fused primal + (dT1, dT2, dB1) tangent propagation, folded ladder.
 
     Forward-mode derivative of `_kernel_half` with the tangent state
@@ -429,18 +445,33 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
     DF = df_ref[0, :]
-    TE = te_ref[0, 0]
     base = pc * pchunk
-    E1te = jnp.exp(-TE / T1)
-    E2te = jnp.exp(-TE / T2)
-    dE2te = E2te * TE / (T2 * T2)      # d/dT2
-    if use_df:
-        # off-resonance phase is parameter-independent: it multiplies
-        # the F-plane coefficients (cF, dcF) and the echo uniformly
-        ang_te = 2 * jnp.pi * DF * TE
-        pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
+    if not var_te:
+        TE = te_ref[0, 0]
+        E1te = jnp.exp(-TE / T1)
+        E2te = jnp.exp(-TE / T2)
+        dE2te = E2te * TE / (T2 * T2)      # d/dT2
+        if use_df:
+            # off-resonance phase is parameter-independent: it multiplies
+            # the F-plane coefficients (cF, dcF) and the echo uniformly
+            ang_te = 2 * jnp.pi * DF * TE
+            pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
 
     def step(i, _):
+        if var_te:
+            te = te_ref[0, base + i]
+            e1te = jnp.exp(-te / T1)
+            e2te = jnp.exp(-te / T2)
+            de2te = e2te * te / (T2 * T2)
+            if use_df:
+                ang = 2 * jnp.pi * DF * te
+                pter, ptei = jnp.cos(ang), jnp.sin(ang)
+        else:
+            te, e1te, e2te, de2te = TE, E1te, E2te, dE2te
+            if use_df:
+                pter, ptei = pteR, pteI
+        if not use_df:
+            pter = ptei = None
         P = [st_ref[j] for j in range(6)]           # primal planes
         tans = [[st_ref[6 * v + j] for j in range(6)] for v in (1, 2, 3)]
 
@@ -467,11 +498,11 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         dm21r, dm21i = -0.5 * sp * dsa, 0.5 * cp * dsa
 
         TRi = tr_ref[0, base + i]
-        rem = TRi - TE
+        rem = TRi - te
         E1b = jnp.exp(-rem / T1)
         E2b = jnp.exp(-rem / T2)
-        cF = E2te * E2b
-        cZ = E1te * E1b
+        cF = e2te * E2b
+        cZ = e1te * E1b
         rec = 1.0 - cZ            # == (1-E1te) E1b + (1-E1b) exactly
         dcZ = cZ * TRi / (T1 * T1)          # d/dT1
         dcF = cF * TRi / (T2 * T2)          # d/dT2
@@ -535,21 +566,21 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         # it applies to the tangent echoes identically
         def demod_write(re_ref, im_ref, eR, eI):
             if use_df:
-                eR, eI = eR * pteR - eI * pteI, eI * pteR + eR * pteI
+                eR, eI = eR * pter - eI * ptei, eI * pter + eR * ptei
             if demodulate:
                 eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
             re_ref[i, :] = eR
             im_ref[i, :] = eI
 
-        demod_write(out_re_ref, out_im_ref, E2te * RA[0][0, :], E2te * RA[1][0, :])
+        demod_write(out_re_ref, out_im_ref, e2te * RA[0][0, :], e2te * RA[1][0, :])
         demod_write(d1_re_ref, d1_im_ref,
-                    E2te * tRA[0][0][0, :], E2te * tRA[0][1][0, :])
+                    e2te * tRA[0][0][0, :], e2te * tRA[0][1][0, :])
         demod_write(d2_re_ref, d2_im_ref,
-                    E2te * tRA[1][0][0, :] + dE2te * RA[0][0, :],
-                    E2te * tRA[1][1][0, :] + dE2te * RA[1][0, :])
+                    e2te * tRA[1][0][0, :] + de2te * RA[0][0, :],
+                    e2te * tRA[1][1][0, :] + de2te * RA[1][0, :])
         demod_write(db_re_ref, db_im_ref,
-                    E2te * (tRA[2][0][0, :] + cRA[0][0, :]),
-                    E2te * (tRA[2][1][0, :] + cRA[1][0, :]))
+                    e2te * (tRA[2][0][0, :] + cRA[0][0, :]),
+                    e2te * (tRA[2][1][0, :] + cRA[1][0, :]))
 
         def shift6(nAR, nAI, nBR, nBI, nZR, nZI, s0):
             zrow = jnp.zeros_like(nAR[:1])
@@ -612,6 +643,8 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     P = FA.shape[0]
     phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
     TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
+    TE = jnp.asarray(TE, f32)
+    var_te = TE.ndim == 1  # per-pulse echo times
     T1s = jnp.asarray(T1s, f32)
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
@@ -633,17 +666,20 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                 if Pp > P else x)
 
     FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    TR_p = padp(TR, jnp.asarray(TE, f32) + 1.0)
+    # padded pulses are FA=0 no-ops; their fills only need rem = TR-TE > 0
+    TR_p = padp(TR, 2.0) if var_te else padp(TR, TE + 1.0)
+    TE_arr = (padp(jnp.broadcast_to(TE, (P,)), 1.0).reshape(1, -1)
+              if var_te else jnp.full((1, 1), TE, f32))
     T1p, T2p, B1p, DFp = padb(T1s), padb(T2s), padb(B1s), padb(DFs)
     nP, nB = Pp // pchunk, Bp // btile
     args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    args += [jnp.full((1, 1), TE, f32),
+    args += [TE_arr,
              jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)]
     args += [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
 
     kernel = partial(_kernel_jac, nstate=nstate, pchunk=pchunk,
                      demodulate=demodulate, use_inv=inversion is not None,
-                     use_df=use_df)
+                     use_df=use_df, var_te=var_te)
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
@@ -681,7 +717,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                            half_ladder=True):
     """FISP MRF dictionary via the fused Pallas kernel.
 
-    Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,)).
+    Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,);
+    TE scalar or per-pulse (P,) -- canonical MRF-FISP varies both).
     B is padded to a multiple of `btile`; P to a multiple of `pchunk`
     when chunking (multiples of 128: TPU block divisibility).
 
@@ -709,6 +746,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     P = FA.shape[0]
     phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
     TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
+    TE = jnp.asarray(TE, f32)
+    var_te = TE.ndim == 1  # per-pulse echo times
     T1s = jnp.asarray(T1s, f32)
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
@@ -733,7 +772,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
     # params as 2-D arrays: rank-1 VMEM blocks must be 128-multiples
     FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    TR_p = padp(TR, jnp.asarray(TE, f32) + 1.0)
+    # padded pulses are FA=0 no-ops; their fills only need rem = TR-TE > 0
+    TR_p = padp(TR, 2.0) if var_te else padp(TR, TE + 1.0)
     T1p, T2p, B1p = padb(T1s), padb(T2s), padb(B1s)
     DFp = padb(DFs)
     nP, nB = Pp // pchunk, Bp // btile
@@ -744,7 +784,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     T2p = T2p.reshape(1, Bp)
     B1p = B1p.reshape(1, Bp)
     DFp = DFp.reshape(1, Bp)
-    TE_arr = jnp.full((1, 1), TE, f32)
+    TE_arr = (padp(jnp.broadcast_to(TE, (P,)), 1.0).reshape(1, Pp)
+              if var_te else jnp.full((1, 1), TE, f32))
     TI_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
 
     grid = (nB, nP)
@@ -752,7 +793,7 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     kernel = partial(_kernel_half if half_ladder else _kernel,
                      nstate=nstate, pchunk=pchunk,
                      demodulate=demodulate, use_df=use_df,
-                     use_inv=inversion is not None)
+                     use_inv=inversion is not None, var_te=var_te)
     # folded half-ladder: 6 planes of N+1 rows (vs 2N+1)
     krows = nstate + 1 if half_ladder else K
     out_re, out_im = pl.pallas_call(

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused CPMG / multi-spin-echo trains.
+
+The reference's one published benchmark is an 18-echo MSE over 5,000
+signals (reference docs/basics.md:250-267; sequence built in
+examples/basics/mse.py).  Per echo the train is
+
+    E(tau1) -> S(1) -> T(ref_fa_i * B1, ref_phi_i) -> E(tau2) -> S(1) -> ADC
+
+after one excitation ``T(exc_alpha, exc_phi)`` from equilibrium.  Like
+the FISP kernel (pallas_fisp.py) this holds the whole folded half-ladder
+(A(k)=F+(k), B(k)=F+(-k), Z(k), k >= 0) in VMEM scratch across the
+train and streams only the echoes out; E and S are applied rowwise (no
+reversal -- the conjugate symmetry F-(k) = conj(F+(-k)) is preserved by
+rotation/relaxation/shift from an equilibrium start).
+
+Unlike FISP there are TWO relaxation+shift stages per refocusing pulse
+and the readout sits at k=0 after the second shift.  Echo spacings may
+vary per echo (tau1/tau2 are SMEM arrays); refocusing angles may be
+per-atom B1-scaled (rank-1 ``outer(FA, B1)``, e.g. the reference's
+``T(180*att, 0)`` attenuation sweep).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cpmg_dictionary_pallas"]
+
+
+def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
+                t2_ref, b1_ref, out_re_ref, out_im_ref, st_ref, *,
+                nstate, nech):
+    import jax.numpy as jnp
+
+    H = nstate + 1
+    f32 = jnp.float32
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+
+    # excitation from equilibrium, closed form: F+(0) = -i e^{i p} sin a,
+    # Z(0) = cos a (folded layout keeps B(0) = A(0))
+    ea = exc_ref[0, 0] * (jnp.pi / 180.0)
+    ep = exc_ref[0, 1] * (jnp.pi / 180.0)
+    ones = jnp.ones_like(T1)
+    st_ref[...] = jnp.zeros_like(st_ref)
+    st_ref[0, 0, :] = jnp.sin(ep) * jnp.sin(ea) * ones       # AR
+    st_ref[1, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones      # AI
+    st_ref[2, 0, :] = jnp.sin(ep) * jnp.sin(ea) * ones       # BR = AR at k=0
+    st_ref[3, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones      # BI
+    st_ref[4, 0, :] = jnp.cos(ea) * ones                     # ZR
+
+    def cmul(cr, ci, xr, xi):
+        return cr * xr - ci * xi, cr * xi + ci * xr
+
+    def step(i, _):
+        AR, AI = st_ref[0], st_ref[1]
+        BR, BI = st_ref[2], st_ref[3]
+        ZR, ZI = st_ref[4], st_ref[5]
+
+        def relax(tau, AR, AI, BR, BI, ZR, ZI):
+            E1 = jnp.exp(-tau / T1)
+            E2 = jnp.exp(-tau / T2)
+            return (AR * E2, AI * E2, BR * E2, BI * E2,
+                    ZR * E1 + rowmask * (1.0 - E1), ZI * E1)
+
+        def shift(AR, AI, BR, BI):
+            # unit ladder shift folded through k=0:
+            # A(k) <- A(k-1) for k>=1, A(0) <- F+(-1) = B(1);
+            # B(k) <- B(k+1), zero-fill the k=N edge
+            zrow = jnp.zeros_like(AR[:1])
+            nAR = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
+            nAI = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
+            nBR = jnp.concatenate([BR[1:], zrow], axis=0)
+            nBI = jnp.concatenate([BI[1:], zrow], axis=0)
+            return nAR, nAI, nBR, nBI
+
+        # E(tau1) -> S(1)
+        AR, AI, BR, BI, ZR, ZI = relax(tau1_ref[0, i], AR, AI, BR, BI, ZR, ZI)
+        AR, AI, BR, BI = shift(AR, AI, BR, BI)
+
+        # refocusing rotation (Weigel matrix, same forms as _kernel_half)
+        a = fa_ref[0, i] * B1 * (jnp.pi / 180.0)
+        ph = phi_ref[0, i] * (jnp.pi / 180.0)
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+        m01r, m01i = c2p * sin2, s2p * sin2
+        m02r, m02i = sp * sa, -cp * sa
+        m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
+        m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
+
+        # nA(k) = cos2 A(k) + m01 conj(B(k)) + m02 Z(k)
+        ar, ai = cmul(m01r, m01i, BR, -BI)
+        dr, di = cmul(m02r, m02i, ZR, ZI)
+        nAR = cos2 * AR + ar + dr
+        nAI = cos2 * AI + ai + di
+        # nB(k) = cos2 B(k) + m01 conj(A(k)) + m02 conj(Z(k))
+        ar, ai = cmul(m01r, m01i, AR, -AI)
+        dr, di = cmul(m02r, m02i, ZR, -ZI)
+        nBR = cos2 * BR + ar + dr
+        nBI = cos2 * BI + ai + di
+        # nZ(k) = m20 A(k) + m21 conj(B(k)) + ca Z(k)
+        ar, ai = cmul(m20r, m20i, AR, AI)
+        br_, bi_ = cmul(m21r, m21i, BR, -BI)
+        nZR = ar + br_ + ca * ZR
+        nZI = ai + bi_ + ca * ZI
+
+        # E(tau2) -> S(1) -> echo = F0 = A(0)
+        nAR, nAI, nBR, nBI, nZR, nZI = relax(tau2_ref[0, i],
+                                             nAR, nAI, nBR, nBI, nZR, nZI)
+        nAR, nAI, nBR, nBI = shift(nAR, nAI, nBR, nBI)
+        out_re_ref[i, :] = nAR[0, :]
+        out_im_ref[i, :] = nAI[0, :]
+
+        st_ref[0], st_ref[1] = nAR, nAI
+        st_ref[2], st_ref[3] = nBR, nBI
+        st_ref[4], st_ref[5] = nZR, nZI
+        return 0
+
+    jax.lax.fori_loop(0, nech, step, 0)
+
+
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
+                           nstate, btile=512, interpret=False):
+    """CPMG echo trains via the fused Pallas kernel.
+
+    Args:
+        exc: (alpha, phi) of the excitation pulse (degrees, host scalars).
+        FA, phi: (E,) refocusing flip angles / phases (deg; FA scales with
+            the per-atom B1).
+        tau1, tau2: (E,) pre-/post-refocusing relaxation times (ms).
+        T1s, T2s, B1s: (B,) per-atom parameters.
+        nstate: ladder half-size (static capacity; >= 2*E for exactness).
+
+    Returns (re, im): (B, E) float32 echo trains.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    FA = jnp.asarray(FA, f32)
+    E = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (E,))
+    tau1 = jnp.broadcast_to(jnp.asarray(tau1, f32), (E,))
+    tau2 = jnp.broadcast_to(jnp.asarray(tau2, f32), (E,))
+    T1s = jnp.asarray(T1s, f32)
+    T2s = jnp.asarray(T2s, f32)
+    B1s = jnp.asarray(B1s, f32)
+    B = T1s.shape[0]
+
+    Bp = -(-B // btile) * btile
+
+    def padb(x):
+        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
+
+    exc_arr = jnp.stack([jnp.asarray(exc[0], f32),
+                         jnp.asarray(exc[1], f32)]).reshape(1, 2)
+    args = [exc_arr] + [x.reshape(1, E) for x in (FA, phi, tau1, tau2)]
+    args += [padb(x).reshape(1, Bp) for x in (T1s, T2s, B1s)]
+
+    kernel = partial(_kernel_mse, nstate=nstate, nech=E)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # exc
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # FA
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau1
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau2
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T1
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T2
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # B1
+        ],
+        out_specs=[
+            pl.BlockSpec((E, btile), lambda b: (0, b)),
+            pl.BlockSpec((E, btile), lambda b: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, Bp), f32),
+            jax.ShapeDtypeStruct((E, Bp), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((6, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    return out_re[:, :B].T, out_im[:, :B].T

@@ -20,6 +20,7 @@ def _train(P=40, B=6, *, b1=None, phi_var=True, te=4.0, g=0.0, adc_kw=None,
     phis = ((0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360
             if phi_var else np.full(P, 90.0))
     TRs = rng.uniform(11, 16, P)
+    tes = np.broadcast_to(np.asarray(te, float), (P,))  # scalar or per-pulse
     T1 = np.linspace(300, 1500, B)
     T2 = np.linspace(30, 120, B)
     seq = []
@@ -28,9 +29,9 @@ def _train(P=40, B=6, *, b1=None, phi_var=True, te=4.0, g=0.0, adc_kw=None,
         T2b = T2 + (1.0 if t2_mismatch and i == P // 2 else 0.0)
         seq += [
             epg.T(alpha, float(phis[i])),
-            epg.E(te, T1, T2, g),
+            epg.E(float(tes[i]), T1, T2, g),
             epg.ADC if adc_kw is None else epg.Adc(**adc_kw),
-            epg.E(float(TRs[i]) - te, T1, T2b, g),
+            epg.E(float(TRs[i]) - float(tes[i]), T1, T2b, g),
             epg.S(shift),
         ]
     return seq
@@ -131,6 +132,37 @@ def test_dispatch_matches_planner_b1_batch():
     assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
 
 
+def test_variable_te_matches_planner():
+    """Canonical MRF-FISP (Jiang 2015) varies TE alongside TR: the
+    matcher maps per-pulse TE onto the kernels' var_te axis."""
+    rng = np.random.default_rng(11)
+    tev = rng.uniform(2.0, 5.5, 32)
+    seq = _train(P=32, B=5, te=tev)
+    params = fisp_dispatch.match_fisp(list(seq))
+    assert params is not None and np.allclose(params["TE"], tev)
+    sig_k = epg.simulate(seq, max_nstate=8, fisp_kernel="force")
+    sig_e = epg.simulate(seq, max_nstate=8, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    # constant-TE trains still extract a scalar (hoisted kernel path)
+    assert np.ndim(fisp_dispatch.match_fisp(_train(P=16, B=4))["TE"]) == 0
+
+
+def test_variable_te_jacobian_dispatch():
+    rng = np.random.default_rng(12)
+    tev = rng.uniform(2.0, 5.0, 20)
+    seq = _diff_train(P=20, B=4, te=tev)
+    names = ["magnitude", "T1", "T2"]
+    probes = [epg.ADC, epg.Jacobian(names)]
+    sig_k, jac_k = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    for c in range(len(names)):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 2e-5
+
+
 def test_dispatch_adc_time_and_device_outputs():
     seq = _train(P=16, B=4)
     t, sig = epg.simulate(seq, max_nstate=6, fisp_kernel="force",
@@ -197,7 +229,9 @@ def test_fuzz_dispatch_parity_or_fallthrough(case):
     P = int(rng.integers(8, 30))
     B = int(rng.integers(2, 7))
     b1 = np.linspace(0.8, 1.2, B) if rng.random() < 0.5 else None
-    kw = dict(phi_var=rng.random() < 0.5, te=float(rng.uniform(2, 6)))
+    te = (rng.uniform(2, 6, P) if rng.random() < 0.4
+          else float(rng.uniform(2, 6)))
+    kw = dict(phi_var=rng.random() < 0.5, te=te)
     seq = _train(P=P, B=B, b1=b1, **kw)
     T1 = np.linspace(300, 1500, B); T2 = np.linspace(30, 120, B)
     if rng.random() < 0.5:
@@ -275,10 +309,11 @@ def test_demodulated_adc_matches_planner():
 
 
 def _diff_train(P=24, B=4, *, order1=("T1", "T2"), b1=None, prep=False,
-                prep_order1="same"):
+                prep_order1="same", te=4.0):
     rng = np.random.default_rng(7)
     FA = rng.uniform(10, 60, P)
     TRs = rng.uniform(11, 16, P)
+    tes = np.broadcast_to(np.asarray(te, float), (P,))
     T1 = np.linspace(300, 1500, B)
     T2 = np.linspace(30, 120, B)
     o1 = list(order1)
@@ -290,9 +325,9 @@ def _diff_train(P=24, B=4, *, order1=("T1", "T2"), b1=None, prep=False,
         alpha = FA[i] * b1 if b1 is not None else float(FA[i])
         seq += [
             epg.T(alpha, 90.0),
-            epg.E(4.0, T1, T2, order1=o1),
+            epg.E(float(tes[i]), T1, T2, order1=o1),
             epg.ADC,
-            epg.E(float(TRs[i]) - 4.0, T1, T2, order1=o1),
+            epg.E(float(TRs[i]) - float(tes[i]), T1, T2, order1=o1),
             epg.S(1),
         ]
     return seq
@@ -481,3 +516,100 @@ def test_dispatch_conditions_fall_through(monkeypatch):
                  init=[0.0, 0.0, 0.5])
     sm0 = epg.StateMatrix([0, 0, 1])
     epg.simulate(seq, max_nstate=6, fisp_kernel="force", init=sm0)
+
+
+# ---- CPMG / multi-spin-echo dispatch (the reference's published
+# benchmark family: docs/basics.md 18-echo MSE) ----
+
+
+def _mse_train(necho=12, B=5, *, order="SE", esp=9.0, att=None,
+               ref=(150.0, 0.0), exc=(90.0, 90.0), t1=1400.0,
+               vary_esp=False, t2=None):
+    rng = np.random.default_rng(21)
+    T2 = np.linspace(30, 120, B) if t2 is None else t2
+    alpha = ref[0] if att is None else ref[0] * att
+    seq = [epg.T(*exc)]
+    for i in range(necho):
+        tau1 = float(rng.uniform(3, 6)) if vary_esp else esp / 2
+        tau2 = float(rng.uniform(3, 6)) if vary_esp else esp / 2
+        e1, e2 = epg.E(tau1, t1, T2), epg.E(tau2, t1, T2)
+        t = epg.T(alpha, ref[1])
+        if order == "SE":
+            seq += [epg.S(1), e1, t, epg.S(1), e2, epg.ADC]
+        else:
+            seq += [e1, epg.S(1), t, e2, epg.S(1), epg.ADC]
+    return seq
+
+
+def test_mse_match_published_config():
+    """The reference's one published benchmark: 18-echo MSE over a 2-D
+    T2 x attenuation grid (reference docs/basics.md:250-267)."""
+    necho, TE, T1v = 18, 9.5, 1400.0
+    T2 = np.linspace(20, 60, 20)
+    att = np.linspace(0.2, 1, 8)
+    seq = [epg.T(90, 90)] + [
+        epg.S(1), epg.E(TE / 2, T1v, [T2]), epg.T(180 * att, 0),
+        epg.S(1), epg.E(TE / 2, T1v, [T2]), epg.ADC] * necho
+    p = fisp_dispatch.match_mse(list(seq))
+    assert p is not None
+    assert p["shape"] == (8, 20) and p["T1"].shape == (160,)
+    assert np.allclose(np.outer(p["FA"], p["B1"]).reshape(necho, 8, -1),
+                       (180 * att)[None, :, None])
+    sig_k = epg.simulate(seq, fisp_kernel="force")
+    sig_e = epg.simulate(seq, fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape == (necho, 8, 20)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+@pytest.mark.parametrize("order", ["SE", "ES"])
+def test_mse_dispatch_matches_planner(order):
+    """Both (S, E) and (E, S) halves match (they commute exactly) and
+    reproduce the planner, incl. varying echo spacings."""
+    seq = _mse_train(necho=14, B=5, order=order, vary_esp=True)
+    sig_k = epg.simulate(seq, fisp_kernel="force")
+    sig_e = epg.simulate(seq, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_mse_dispatch_b1_refocusing():
+    att = np.linspace(0.5, 1.1, 6)
+    seq = _mse_train(necho=12, B=6, att=att, ref=(180.0, 0.0))
+    p = fisp_dispatch.match_mse(list(seq))
+    assert p is not None
+    sig_k = epg.simulate(seq, fisp_kernel="force")
+    sig_e = epg.simulate(seq, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+def test_mse_off_pattern_fall_through():
+    base = _mse_train(necho=10, B=4)
+    # non-unit shift
+    s = list(base); s[1] = epg.S(2)
+    assert fisp_dispatch.match_mse(s) is None
+    # off-resonance on one E
+    s = list(base); e = s[2]
+    s[2] = epg.E(e.tau, e.T1, e.T2, 0.01)
+    assert fisp_dispatch.match_mse(s) is None
+    # diff tracking anywhere
+    s = list(base); e = s[2]
+    s[2] = epg.E(e.tau, e.T1, e.T2, order1=["T2"])
+    assert fisp_dispatch.match_mse(s) is None
+    # phased ADC
+    s = list(base); s[6] = epg.Adc(phase=30.0)
+    assert fisp_dispatch.match_mse(s) is None
+    # vector excitation
+    s = [epg.T(np.array([90.0, 85.0, 80.0, 75.0]), 90)] + base[1:]
+    assert fisp_dispatch.match_mse(s) is None
+    # T2 changing mid-train
+    s = _mse_train(necho=10, B=4)
+    e = s[2]
+    s[8] = epg.E(e.tau, e.T1, np.asarray(e.T2) + 1.0)
+    assert fisp_dispatch.match_mse(s) is None
+    # FISP trains are not MSE and vice versa
+    assert fisp_dispatch.match_mse(_train(P=16, B=4)) is None
+    assert fisp_dispatch.match_fisp(base) is None
+    # parity holds anyway on a mutated train (fall-through to planner)
+    s = list(base); s[1] = epg.S(2)
+    a = np.asarray(epg.simulate(s, fisp_kernel="force"))
+    b = np.asarray(epg.simulate(s, fisp_kernel=False))
+    assert np.abs(a - b).max() < 2e-10

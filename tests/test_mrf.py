@@ -73,6 +73,31 @@ def test_variable_tr():
     assert np.asarray(re).shape == (1, 16)
 
 
+def test_variable_te_matches_engine():
+    """Per-pulse TE (canonical MRF-FISP varies TE with TR) == the
+    general engine run on the equivalent operator train (f64, 1e-10)."""
+    P = 16
+    rng = np.random.default_rng(9)
+    FA = np.linspace(15, 55, P)
+    TRs = rng.uniform(11, 16, P)
+    TEs = rng.uniform(2.0, 5.0, P)
+    T1v, T2v = 900.0, 70.0
+    re, im = mrf.fisp_mrf_dictionary(FA, TRs, TEs, [T1v], [T2v], nstate=6)
+    sig = np.asarray(re)[0] + 1j * np.asarray(im)[0]
+    seq = []
+    for i in range(P):
+        seq += [epg.T(FA[i], 90), epg.E(TEs[i], T1v, T2v), epg.ADC,
+                epg.E(TRs[i] - TEs[i], T1v, T2v), epg.S(1)]
+    ref = np.asarray(epg.simulate(seq, max_nstate=6, fisp_kernel=False))[:, 0]
+    assert np.abs(sig - ref).max() < 1e-10
+    # scalar TE and a constant TE vector are the same program output
+    rc, ic = mrf.fisp_mrf_dictionary(FA, TRs, 4.0, [T1v], [T2v], nstate=6)
+    rv, iv = mrf.fisp_mrf_dictionary(FA, TRs, np.full(P, 4.0), [T1v], [T2v],
+                                     nstate=6)
+    assert np.abs(np.asarray(rc) - np.asarray(rv)).max() < 1e-14
+    assert np.abs(np.asarray(ic) - np.asarray(iv)).max() < 1e-14
+
+
 def test_sharded_dictionary(cpu_devices):
     """Atom axis sharded over the 8-device CPU mesh == single device."""
     import jax

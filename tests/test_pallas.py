@@ -40,6 +40,54 @@ def test_pallas_padding():
     assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
 
 
+@pytest.mark.parametrize("half", [True, False])
+def test_pallas_variable_te(half):
+    """Per-pulse TE (canonical MRF-FISP) through both kernels: the
+    var_te path reads TE from SMEM per step instead of hoisting the
+    TE-decay factors."""
+    P, B = 37, 96
+    rng = np.random.default_rng(4)
+    FA = rng.uniform(5, 70, P)
+    TRs = rng.uniform(11, 16, P)
+    TEs = rng.uniform(2.0, 5.0, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    dfs = np.linspace(-0.05, 0.05, B)
+    re0, im0 = fisp_mrf_dictionary(FA, TRs, TEs, T1, T2, dfs=dfs, nstate=6,
+                                   inversion=18.0)
+    re1, im1 = fisp_dictionary_pallas(FA, 90.0, TRs, TEs, T1, T2, np.ones(B),
+                                      dfs, nstate=6, btile=128,
+                                      inversion=18.0, interpret=True,
+                                      half_ladder=half)
+    assert np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max() < 1e-5
+    assert np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max() < 1e-5
+
+
+def test_pallas_jacobian_variable_te():
+    P, B = 24, 64
+    rng = np.random.default_rng(6)
+    FA = rng.uniform(10, 60, P)
+    phi = (0.5 * 117.0 * np.arange(P) * (np.arange(P) + 1)) % 360
+    TRs = rng.uniform(11, 16, P)
+    TEs = rng.uniform(2.0, 5.0, P)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    (kr, ki), (kdr, kdi) = fisp_jacobian_pallas(
+        FA, phi, TRs, TEs, T1, T2, np.ones(B), nstate=6, btile=64,
+        interpret=True)
+    (mr, mi), (mdr, mdi) = fisp_mrf_jacobian(
+        FA, TRs, TEs, T1, T2, phi=phi, variables=("T1", "T2", "B1"),
+        nstate=6)
+    assert np.abs(np.asarray(kr) - np.asarray(mr, np.float32)).max() < 1e-5
+    assert np.abs(np.asarray(ki) - np.asarray(mi, np.float32)).max() < 1e-5
+    # one complex-magnitude scale per variable (re/im alone can be ~0)
+    scale = np.maximum(np.abs(np.asarray(mdr)), np.abs(np.asarray(mdi))
+                       ).max(axis=(0, 1))
+    err = np.abs(np.asarray(kdr) - np.asarray(mdr, np.float32)).max(axis=(0, 1))
+    erri = np.abs(np.asarray(kdi) - np.asarray(mdi, np.float32)).max(axis=(0, 1))
+    assert (np.maximum(err, erri) / scale < 1e-4).all()
+
+
 @pytest.mark.parametrize("use_df", [False, True])
 @pytest.mark.parametrize("demod", [False, True])
 def test_pallas_half_ladder_matches_full(use_df, demod):
