@@ -847,18 +847,25 @@ def simulate(
             # paying the host-side train factorization
             specs = fisp_dispatch.match_jacobian_probes(
                 probes, ("T1", "T2"))
+            runner = None
             if specs is not None:
                 fparams = fisp_dispatch.match_fisp(sequence)
+                if fparams is None:
+                    fparams = fisp_dispatch.match_mse(sequence)
+                    runner = fisp_dispatch.run_mse_jacobian
+                else:
+                    runner = fisp_dispatch.run_fisp_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
             if specs is not None:
                 if disp:
                     LOGGER.info(
-                        "simulate: FISP diff train -> fused Pallas "
-                        "Jacobian kernel (%d TR, nstate=%d)",
-                        len(fparams["FA"]), _preamble_ncap)
-                values = fisp_dispatch.run_fisp_jacobian(
+                        "simulate: %s diff train -> fused Pallas "
+                        "Jacobian kernel (%d pulses, nstate=%d)",
+                        "CPMG" if runner is fisp_dispatch.run_mse_jacobian
+                        else "FISP", len(fparams["FA"]), _preamble_ncap)
+                values = runner(
                     fparams, _preamble_ncap, specs,
                     interpret=_fisp_force and not _fisp_tpu)
                 times = get_adc_times(sequence)

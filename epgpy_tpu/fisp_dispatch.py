@@ -43,7 +43,7 @@ LOGGER = logging.getLogger(__name__)
 
 __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
-           "clear_cache"]
+           "run_mse_jacobian", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -381,8 +381,10 @@ def match_mse(sequence):
     in examples/basics/mse.py): echo spacings may vary per echo,
     refocusing angles may be a rank-1 ``outer(FA, B1)`` batch (the
     ``T(180*att, 0)`` attenuation sweep).  Scalar excitation only;
-    g must be 0 on every E; differentiation specs fall through (no
-    fused CPMG tangent kernel).  Returns a param dict or None; results
+    g must be 0 on every E.  E ops may carry canonical
+    ``order1=["T1","T2"]`` tracking (identical on every E): Jacobian
+    probes then route to the fused primal+tangent kernel
+    (``run_mse_jacobian``).  Returns a param dict or None; results
     memoized on operator identities alongside the FISP matches.
     """
     if len(sequence) < 13 or len(sequence) % 6 != 1:
@@ -412,14 +414,19 @@ def _match_mse_impl(sequence):
         return None
 
     def half(op1, op2):
-        """(E, S) or (S, E) half; returns the E op or None."""
+        """(E, S) or (S, E) half; returns the E op or None.
+
+        The E op may carry canonical T1/T2 order1 tracking (consumed by
+        the Jacobian dispatch, value-neutral for the primal) -- the spec
+        must be IDENTICAL on every E, enforced in the loop below."""
         if type(op1) is E and type(op2) is S:
             e, s = op1, op2
         elif type(op1) is S and type(op2) is E:
             s, e = op1, op2
         else:
             return None
-        if not _no_diff(e) or not _no_diff(s) or e.axes is not None:
+        if (_canonical_order1(e) is None or not _no_diff(s)
+                or e.axes is not None):
             return None
         if getattr(s, "_kint", None) != 1:
             return None
@@ -430,10 +437,18 @@ def _match_mse_impl(sequence):
     nech = len(sequence) // 6
     alphas, phis, tau1s, tau2s = [], [], [], []
     T1 = T2 = None
+    tracked = None
     for i in range(nech):
         o1, o2, t_op, o4, o5, adc = sequence[1 + 6 * i:7 + 6 * i]
         e1, e2 = half(o1, o2), half(o4, o5)
         if e1 is None or e2 is None:
+            return None
+        c1, c2 = _canonical_order1(e1), _canonical_order1(e2)
+        if c1 != c2:
+            return None
+        if tracked is None:
+            tracked = c1
+        elif tracked != c1:
             return None
         if (type(adc) is not Adc or adc.attr != "F0"
                 or adc.phase is not None or adc.weights is not None
@@ -478,7 +493,7 @@ def _match_mse_impl(sequence):
     return {
         "exc": (exc_a, exc_p), "FA": FA, "phi": np.asarray(phis),
         "tau1": np.asarray(tau1s), "tau2": np.asarray(tau2s),
-        "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape,
+        "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape, "vars": tracked,
     }
 
 
@@ -496,9 +511,9 @@ def _run_mse_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
     return (re.T.reshape((E,) + bshape), im.T.reshape((E,) + bshape))
 
 
-def run_mse_kernel(params, nstate, *, interpret=False):
-    """Run the fused CPMG kernel; return the echo train in engine layout
-    (``{"__c_re": (E, *batch), "__c_im": (E, *batch)}`` device arrays)."""
+def _mse_device_params(params):
+    """Device copies of the CPMG host params, cached on the params dict
+    (same rationale as _device_params)."""
     dev = params.get("_dev")
     if dev is None:
         f32 = np.float32
@@ -507,10 +522,59 @@ def run_mse_kernel(params, nstate, *, interpret=False):
             np.asarray(params[k], f32)
             for k in ("FA", "phi", "tau1", "tau2", "T1", "T2", "B1")))
         params["_dev"] = dev
+    return dev
+
+
+def run_mse_kernel(params, nstate, *, interpret=False):
+    """Run the fused CPMG kernel; return the echo train in engine layout
+    (``{"__c_re": (E, *batch), "__c_im": (E, *batch)}`` device arrays)."""
+    dev = _mse_device_params(params)
     re, im = _run_mse_jit(*dev, nstate=max(int(nstate), 1),
                           bshape=tuple(params["shape"]),
                           interpret=interpret)
     return {"__c_re": re, "__c_im": im}
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "bshape", "specs",
+                                             "interpret"))
+def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
+                     nstate, bshape, specs, interpret):
+    from .models.pallas_mse import cpmg_jacobian_pallas
+
+    (re, im), (dre, dim) = cpmg_jacobian_pallas(
+        (exc_a, exc_p), FA, phi, tau1, tau2, T1, T2, B1,
+        nstate=nstate, interpret=interpret)
+    E = re.shape[1]
+    # re/im: (B, E); dre/dim: (B, E, 3) ordered (T1, T2, B1); outputs
+    # carry the ADC axis first with the append-broadcast batch restored
+    col = {"magnitude": (re, im),
+           "T1": (dre[..., 0], dim[..., 0]),
+           "T2": (dre[..., 1], dim[..., 1])}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": re.T.reshape((E,) + bshape),
+                         "__c_im": im.T.reshape((E,) + bshape)})
+        else:
+            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
+            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
+            k = len(spec[1])
+            outs.append(
+                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape((E,) + bshape + (k,)),
+                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape((E,) + bshape + (k,))})
+    return tuple(outs)
+
+
+def run_mse_jacobian(params, nstate, specs, *, interpret=False):
+    """Run the fused CPMG Jacobian kernel for matched diff probes.
+
+    Returns the simulate_diff-format tuple over probes of
+    ``{"__c_re", "__c_im"}`` device dicts (signal: (E, *batch);
+    Jacobian: (E, *batch, nvars) in probe-variable order)."""
+    dev = _mse_device_params(params)
+    return _run_mse_jac_jit(*dev, nstate=max(int(nstate), 1),
+                            bshape=tuple(params["shape"]), specs=specs,
+                            interpret=interpret)
 
 
 def match_jacobian_probes(probes, tracked):

@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cpmg_dictionary_pallas"]
+__all__ = ["cpmg_dictionary_pallas", "cpmg_jacobian_pallas"]
 
 
 def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
@@ -194,3 +194,221 @@ def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
     )(*args)
 
     return out_re[:, :B].T, out_im[:, :B].T
+
+
+def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
+                    t2_ref, b1_ref, out_re_ref, out_im_ref,
+                    d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+                    db_re_ref, db_im_ref, st_ref, *, nstate, nech):
+    """Fused CPMG primal + (dT1, dT2, dB1) tangent propagation.
+
+    Forward-mode derivative of `_kernel_mse`, following the layout of
+    pallas_fisp._kernel_jac: 24 VMEM planes of N+1 rows (primal A/B/Z
+    re+im at indices 0-5, then 6 planes per tangent variable).  The
+    coefficient tangents are sparse per stage: T1 only perturbs the E1
+    decay and the k=0 recovery (drec = -dE1), T2 only the E2 decay, B1
+    only the refocusing-rotation coefficients (the scalar excitation is
+    exact, so all tangents start at zero).  Unlike FISP there are TWO
+    relax+shift stages per refocusing pulse and the echo is read
+    directly from A(0) after the second shift -- no extra decay factor
+    on the tangent echoes.
+    """
+    import jax.numpy as jnp
+
+    H = nstate + 1
+    f32 = jnp.float32
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+
+    # excitation from equilibrium (closed form); tangents start at zero
+    ea = exc_ref[0, 0] * (jnp.pi / 180.0)
+    ep = exc_ref[0, 1] * (jnp.pi / 180.0)
+    ones = jnp.ones_like(T1)
+    st_ref[...] = jnp.zeros_like(st_ref)
+    st_ref[0, 0, :] = jnp.sin(ep) * jnp.sin(ea) * ones
+    st_ref[1, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones
+    st_ref[2, 0, :] = jnp.sin(ep) * jnp.sin(ea) * ones
+    st_ref[3, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones
+    st_ref[4, 0, :] = jnp.cos(ea) * ones
+
+    def cmul(cr, ci, xr, xi):
+        return cr * xr - ci * xi, cr * xi + ci * xr
+
+    def relax_shift(tau, sets):
+        """E(tau) then S(1) on (primal, dT1, dT2, dB1) plane sets.
+
+        Tangent rules (d/dT1 hits E1 and rec = rowmask*(1-E1); d/dT2
+        hits E2; dB1 passes through): each evaluated from the incoming
+        primal planes, then everything shifts identically (the shift is
+        linear and parameter-free)."""
+        E1 = jnp.exp(-tau / T1)
+        E2 = jnp.exp(-tau / T2)
+        dE1 = E1 * tau / (T1 * T1)
+        dE2 = E2 * tau / (T2 * T2)
+        P, G1, G2, GB = sets
+        out_P = (P[0] * E2, P[1] * E2, P[2] * E2, P[3] * E2,
+                 P[4] * E1 + rowmask * (1.0 - E1), P[5] * E1)
+        out_1 = (G1[0] * E2, G1[1] * E2, G1[2] * E2, G1[3] * E2,
+                 G1[4] * E1 + P[4] * dE1 - rowmask * dE1,
+                 G1[5] * E1 + P[5] * dE1)
+        out_2 = (G2[0] * E2 + P[0] * dE2, G2[1] * E2 + P[1] * dE2,
+                 G2[2] * E2 + P[2] * dE2, G2[3] * E2 + P[3] * dE2,
+                 G2[4] * E1, G2[5] * E1)
+        out_b = (GB[0] * E2, GB[1] * E2, GB[2] * E2, GB[3] * E2,
+                 GB[4] * E1, GB[5] * E1)
+
+        def shift(s):
+            AR, AI, BR, BI, ZR, ZI = s
+            zrow = jnp.zeros_like(AR[:1])
+            return (jnp.concatenate([BR[1:2], AR[:-1]], axis=0),
+                    jnp.concatenate([BI[1:2], AI[:-1]], axis=0),
+                    jnp.concatenate([BR[1:], zrow], axis=0),
+                    jnp.concatenate([BI[1:], zrow], axis=0),
+                    ZR, ZI)
+
+        return tuple(shift(s) for s in (out_P, out_1, out_2, out_b))
+
+    def rot_A(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
+        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
+        return re, im
+
+    def rot_B(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
+        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
+        return re, im
+
+    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
+        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
+        return re, im
+
+    def step(i, _):
+        sets = tuple(tuple(st_ref[6 * s + j] for j in range(6))
+                     for s in range(4))
+
+        # E(tau1) -> S(1)
+        sets = relax_shift(tau1_ref[0, i], sets)
+
+        # refocusing rotation: a = FA_i * B1 (same Weigel forms as the
+        # primal kernel); the dB1 set adds a coefficient-derivative
+        # pass over the primal planes
+        rad = jnp.pi / 180.0
+        fa = fa_ref[0, i]
+        a = fa * B1 * rad
+        ph = phi_ref[0, i] * rad
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+        m01r, m01i = c2p * sin2, s2p * sin2
+        m02r, m02i = sp * sa, -cp * sa
+        m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
+        m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
+        da = fa * rad
+        dsa, dca = ca * da, -sa * da
+        dcos2, dsin2 = -0.5 * sa * da, 0.5 * sa * da
+        dm01r, dm01i = c2p * dsin2, s2p * dsin2
+        dm02r, dm02i = sp * dsa, -cp * dsa
+        dm20r, dm20i = -0.5 * sp * dsa, -0.5 * cp * dsa
+        dm21r, dm21i = -0.5 * sp * dsa, 0.5 * cp * dsa
+
+        def rot(s):
+            ar, ai = rot_A(cos2, m01r, m01i, m02r, m02i, s)
+            br, bi = rot_B(cos2, m01r, m01i, m02r, m02i, s)
+            zr, zi = rot_Z(ca, m20r, m20i, m21r, m21i, s)
+            return (ar, ai, br, bi, zr, zi)
+
+        P, G1, G2, GB = sets
+        rGB = rot(GB)
+        car, cai = rot_A(dcos2, dm01r, dm01i, dm02r, dm02i, P)
+        cbr, cbi = rot_B(dcos2, dm01r, dm01i, dm02r, dm02i, P)
+        czr, czi = rot_Z(dca, dm20r, dm20i, dm21r, dm21i, P)
+        rGB = (rGB[0] + car, rGB[1] + cai, rGB[2] + cbr, rGB[3] + cbi,
+               rGB[4] + czr, rGB[5] + czi)
+        sets = (rot(P), rot(G1), rot(G2), rGB)
+
+        # E(tau2) -> S(1) -> echo = A(0) per set
+        sets = relax_shift(tau2_ref[0, i], sets)
+        for (s, rr, ii) in zip(sets, (out_re_ref, d1_re_ref, d2_re_ref,
+                                      db_re_ref),
+                               (out_im_ref, d1_im_ref, d2_im_ref,
+                                db_im_ref)):
+            rr[i, :] = s[0][0, :]
+            ii[i, :] = s[1][0, :]
+        for s in range(4):
+            for j in range(6):
+                st_ref[6 * s + j] = sets[s][j]
+        return 0
+
+    jax.lax.fori_loop(0, nech, step, 0)
+
+
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+def cpmg_jacobian_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
+                         nstate, btile=256, interpret=False):
+    """CPMG echo trains + dS/d(T1, T2, B1) via one fused Pallas kernel.
+
+    Same arguments as `cpmg_dictionary_pallas`.  Returns
+    ``((re, im), (dre, dim))``: (B, E) echo trains and (B, E, 3)
+    derivatives ordered (T1, T2, B1) -- the layout of
+    pallas_fisp.fisp_jacobian_pallas (reference cost anchor: epgpy
+    diff.py order1 propagation, SURVEY §3.2).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    FA = jnp.asarray(FA, f32)
+    E = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (E,))
+    tau1 = jnp.broadcast_to(jnp.asarray(tau1, f32), (E,))
+    tau2 = jnp.broadcast_to(jnp.asarray(tau2, f32), (E,))
+    T1s = jnp.asarray(T1s, f32)
+    T2s = jnp.asarray(T2s, f32)
+    B1s = jnp.asarray(B1s, f32)
+    B = T1s.shape[0]
+
+    Bp = -(-B // btile) * btile
+
+    def padb(x):
+        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
+
+    exc_arr = jnp.stack([jnp.asarray(exc[0], f32),
+                         jnp.asarray(exc[1], f32)]).reshape(1, 2)
+    args = [exc_arr] + [x.reshape(1, E) for x in (FA, phi, tau1, tau2)]
+    args += [padb(x).reshape(1, Bp) for x in (T1s, T2s, B1s)]
+
+    kernel = partial(_kernel_mse_jac, nstate=nstate, nech=E)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # exc
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # FA
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau1
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau2
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T1
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T2
+            pl.BlockSpec((1, btile), lambda b: (0, b)),     # B1
+        ],
+        out_specs=[pl.BlockSpec((E, btile), lambda b: (0, b))] * 8,
+        out_shape=[jax.ShapeDtypeStruct((E, Bp), f32)] * 8,
+        scratch_shapes=[pltpu.VMEM((24, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    sig = (outs[0][:, :B].T, outs[1][:, :B].T)
+    dre = jnp.stack([outs[2][:, :B].T, outs[4][:, :B].T,
+                     outs[6][:, :B].T], axis=-1)
+    dim = jnp.stack([outs[3][:, :B].T, outs[5][:, :B].T,
+                     outs[7][:, :B].T], axis=-1)
+    return sig, (dre, dim)

@@ -613,3 +613,64 @@ def test_mse_off_pattern_fall_through():
     a = np.asarray(epg.simulate(s, fisp_kernel="force"))
     b = np.asarray(epg.simulate(s, fisp_kernel=False))
     assert np.abs(a - b).max() < 2e-10
+
+
+def _mse_diff_train(necho=10, B=6, *, order1=("T1", "T2"), grid=False):
+    rng = np.random.default_rng(25)
+    T1v = 1400.0
+    o1 = list(order1)
+    if grid:
+        T2 = [np.linspace(20, 60, 5)]       # (1, 5) -- 2-D batch grid
+        att = np.linspace(0.2, 1, 4)        # (4,)
+    else:
+        T2 = np.linspace(30, 120, B)
+        att = np.linspace(0.6, 1.1, B)
+    seq = [epg.T(90, 90)]
+    for i in range(necho):
+        seq += [epg.E(float(rng.uniform(3, 6)), T1v, T2, order1=o1),
+                epg.S(1), epg.T(160 * att, 20.0),
+                epg.E(float(rng.uniform(3, 6)), T1v, T2, order1=o1),
+                epg.S(1), epg.ADC]
+    return seq
+
+
+@pytest.mark.parametrize("grid", [False, True])
+def test_mse_jacobian_dispatch(grid):
+    """Adc/Jacobian probes on tracked CPMG trains route to the fused
+    primal+tangent kernel; parity with the planner's jacfwd, incl. the
+    2-D (attenuation x T2) batch grid of the published benchmark."""
+    seq = _mse_diff_train(grid=grid)
+    p = fisp_dispatch.match_mse(list(seq))
+    assert p is not None and p["vars"] == ("T1", "T2")
+    names = ["magnitude", "T1", "T2"]
+    probes = [epg.ADC, epg.Jacobian(names)]
+    sig_k, jac_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
+    assert np.asarray(jac_k).shape == np.asarray(jac_e).shape
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    for c in range(len(names)):
+        ek, ee = np.asarray(jac_k)[..., c], np.asarray(jac_e)[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 2e-5
+
+
+def test_mse_jacobian_off_pattern_fall_through():
+    # aliased variable name disqualifies the train
+    T2 = np.linspace(30, 120, 4)
+    seq = [epg.T(90, 90)] + [
+        epg.S(1), epg.E(5.0, 1400.0, T2, order1={"tee2": {"T2": 1.0}}),
+        epg.T(160, 0), epg.S(1),
+        epg.E(5.0, 1400.0, T2, order1={"tee2": {"T2": 1.0}}),
+        epg.ADC] * 6
+    assert fisp_dispatch.match_mse(list(seq)) is None
+    # tracking must be identical on every E
+    seq = _mse_diff_train(necho=6, B=4)
+    e = seq[1]
+    seq[7] = epg.E(e.tau, e.T1, e.T2, order1=["T2"])
+    assert fisp_dispatch.match_mse(list(seq)) is None
+    # probe variables outside {magnitude} | tracked fall through to the
+    # planner (B1 is not an E-op parameter) -- parity must still hold
+    seq = _mse_diff_train(necho=6, B=4, order1=("T2",))
+    probes = [epg.Jacobian(["T1", "T2"])]
+    jac_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
+    jac_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
+    assert np.abs(np.asarray(jac_k) - np.asarray(jac_e)).max() < 2e-10

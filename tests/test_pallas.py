@@ -330,3 +330,53 @@ def test_pallas_fuzz_configs():
         err = max(np.abs(np.asarray(re0, np.float32) - np.asarray(re1)).max(),
                   np.abs(np.asarray(im0, np.float32) - np.asarray(im1)).max())
         assert err < 2e-5, (trial, NS, P, B, inv, demod, err)
+
+
+def test_pallas_mse_jacobian():
+    """Fused CPMG primal+tangent kernel vs the engine's jacfwd planner
+    (dT1/dT2) and central finite differences on the primal kernel (dB1)."""
+    import epgpy_tpu as epg
+    from epgpy_tpu.models.pallas_mse import (cpmg_dictionary_pallas,
+                                             cpmg_jacobian_pallas)
+
+    rng = np.random.default_rng(5)
+    necho, B = 10, 8
+    T1v = 1400.0
+    T2 = np.linspace(30, 120, B)
+    att = np.linspace(0.6, 1.1, B)
+    FAr, phr = 160.0, 20.0
+    tau1 = rng.uniform(3, 6, necho)
+    tau2 = rng.uniform(3, 6, necho)
+
+    seq = [epg.T(90, 90)]
+    for i in range(necho):
+        seq += [epg.E(float(tau1[i]), T1v, T2, order1=["T1", "T2"]),
+                epg.S(1), epg.T(FAr * att, phr),
+                epg.E(float(tau2[i]), T1v, T2, order1=["T1", "T2"]),
+                epg.S(1), epg.ADC]
+    sig_e, jac_e = epg.simulate(
+        seq, probe=[epg.ADC, epg.Jacobian(["T1", "T2"])], fisp_kernel=False)
+    sig_e, jac_e = np.asarray(sig_e), np.asarray(jac_e)
+
+    (kr, ki), (kdr, kdi) = cpmg_jacobian_pallas(
+        (90.0, 90.0), np.full(necho, FAr), np.full(necho, phr), tau1, tau2,
+        np.full(B, T1v), T2, att, nstate=2 * necho, btile=64, interpret=True)
+    ks = np.asarray(kr).T + 1j * np.asarray(ki).T            # (E, B)
+    assert np.abs(ks - sig_e).max() < 1e-5
+    kj = np.asarray(kdr) + 1j * np.asarray(kdi)              # (B, E, 3)
+    for c in range(2):                                       # T1, T2
+        ek, ee = kj[..., c].T, jac_e[..., c]
+        assert np.abs(ek - ee).max() / max(np.abs(ee).max(), 1e-12) < 1e-4
+
+    # dB1 against central differences on the primal kernel
+    eps = 1e-3
+
+    def primal(b1):
+        r, i = cpmg_dictionary_pallas(
+            (90.0, 90.0), np.full(necho, FAr), np.full(necho, phr), tau1,
+            tau2, np.full(B, T1v), T2, b1, nstate=2 * necho, btile=64,
+            interpret=True)
+        return np.asarray(r) + 1j * np.asarray(i)
+
+    fd = (primal(att + eps) - primal(att - eps)) / (2 * eps)
+    assert np.abs(kj[..., 2] - fd).max() / np.abs(fd).max() < 1e-3
