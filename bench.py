@@ -376,6 +376,35 @@ def measure_mse():
            "mse_warmup_seconds": round(float(mwarm), 2),
            "mse_published_ref_seconds": 0.69}
 
+    # Jacobian dispatch on the same train: tracked E ops + Adc/Jacobian
+    # probes route to the fused CPMG primal+tangent kernel; in-window
+    # A/B against the planner's jacfwd (fisp_kernel=False)
+    dseq = [epg.T(90, 90)] + [
+        epg.S(1), epg.E(TE / 2, T1v, [T2], order1=["T1", "T2"]),
+        epg.T(180 * att, 0),
+        epg.S(1), epg.E(TE / 2, T1v, [T2], order1=["T1", "T2"]),
+        epg.ADC] * necho
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+
+    def run_jac():
+        return epg.simulate(dseq, probe=probes, asarray=False)
+
+    def jsync(o):
+        return float(np.asarray(o[1]["__c_re"]).ravel()[0])
+
+    jsync(run_jac())
+    jbest, _ = _pipelined_best(run_jac, jsync, 2 * REPEATS)
+    out["mse_jac_signals_per_sec"] = round(nsig / jbest, 1)
+    out["mse_jac_best_seconds"] = round(float(jbest), 4)
+    t0 = time.perf_counter()
+    jsync(epg.simulate(dseq, probe=probes, asarray=False,
+                       fisp_kernel=False))
+    t0 = time.perf_counter()                  # warm planner, then time it
+    jsync(epg.simulate(dseq, probe=probes, asarray=False,
+                       fisp_kernel=False))
+    jplanner = time.perf_counter() - t0
+    out["mse_jac_vs_planner"] = round(jplanner / jbest, 1)
+
     ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
     if os.path.isdir(ref_path):
         try:
