@@ -145,3 +145,12 @@ def test_pssfp_offres_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("PSSFP_NSTATE", "1400")
     monkeypatch.setenv("PSSFP_TOL", "0.12")
     _run("pssfp_offres.py", monkeypatch, tmp_path)
+
+
+def test_mse_t2_b1_mapping_smoke(monkeypatch, tmp_path):
+    """Joint (T2, B1) EPG fit from CPMG echoes (fused Jacobian kernel)
+    must halve the mono-exponential T2 error (asserted inside)."""
+    monkeypatch.setenv("MSE_NECHO", "12")
+    monkeypatch.setenv("MSE_NVOX", "16")
+    monkeypatch.setenv("MSE_ITERS", "12")
+    _run("mse_t2_b1_mapping.py", monkeypatch, tmp_path)
