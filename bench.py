@@ -439,21 +439,30 @@ def measure_exchange(sync):
     import epgpy_tpu as epg
     from epgpy_tpu.utils import magnettransfer as mt
 
-    NTR, B = 100, 256
+    # device time is FLAT in B up to >=8k atoms (launch/dispatch floor
+    # ~5-8 ms dominates at 256): measure TPU throughput at a batch that
+    # actually exercises the device, the reference at a small batch,
+    # and compare per-atom throughputs (same pattern as the jac metric)
+    NTR, B, REF_B = 100, 8192, 512
     G = mt.absorption_rate(12e-3, "super-lorentzian", 2.0)
     W = mt.saturation_rate(5.0, 10.0, G)
-    T2f = np.linspace(40.0, 120.0, B)
-    # compartments on the leading batch axis (append-broadcast rule),
-    # atom sweep appended: T2 (2, B)
-    T2 = np.stack([T2f, np.full(B, 0.012)], axis=0)
-    khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
-    Xop = epg.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
-                T2=T2)
-    sat = epg.R(0, rL=np.asarray([0.0, W * 5.0]), r0=None)
-    seq = []
-    for _ in range(NTR):
-        seq += [sat, epg.T(np.asarray([10.0, 0.0]), 0), epg.ADC, Xop,
-                epg.S(1)]
+
+    def build(nb):
+        T2f = np.linspace(40.0, 120.0, nb)
+        # compartments on the leading batch axis (append-broadcast
+        # rule), atom sweep appended: T2 (2, nb)
+        T2 = np.stack([T2f, np.full(nb, 0.012)], axis=0)
+        khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
+        Xop = epg.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
+                    T2=T2)
+        sat = epg.R(0, rL=np.asarray([0.0, W * 5.0]), r0=None)
+        seq = []
+        for _ in range(NTR):
+            seq += [sat, epg.T(np.asarray([10.0, 0.0]), 0), epg.ADC, Xop,
+                    epg.S(1)]
+        return seq, T2
+
+    seq, T2 = build(B)
     # start at thermal equilibrium of the two pools (= the init the
     # reference example builds explicitly)
     def run():
@@ -482,9 +491,11 @@ def measure_exchange(sync):
             # the reference magnettransfer module calls np.asfarray
             # (removed in NumPy 2); reuse our W -- same published formula
             rW = W
+            rT2f = np.linspace(40.0, 120.0, REF_B)
+            rT2 = np.stack([rT2f, np.full(REF_B, 0.012)], axis=0)
             rkhi = rex.exchange_matrix(0.005, densities=[0.8, 0.2])
             rX = rex.X(10.0, rkhi, axis=0,
-                       T1=np.asarray([1000.0, 1000.0]), T2=T2)
+                       T1=np.asarray([1000.0, 1000.0]), T2=rT2)
             rsat = rev.R(0, rL=np.asarray([0.0, rW * 5.0]), r0=None)
             rseq = []
             for _ in range(NTR):
@@ -496,9 +507,11 @@ def measure_exchange(sync):
                 rfun.simulate(rseq, max_nstate=10, density=[0.8, 0.2])
                 return time.perf_counter() - t0
 
-            rdt = _cached_ref_seconds(f"exchange_{NTR}x{B}", _time_ref)
-            out["exchange_vs_baseline"] = round(rdt / xbest, 1)
+            rdt = _cached_ref_seconds(f"exchange_{NTR}x{REF_B}", _time_ref)
+            out["exchange_vs_baseline"] = round(
+                (B / xbest) / (REF_B / rdt), 1)
             out["exchange_ref_seconds"] = round(float(rdt), 3)
+            out["exchange_ref_natoms"] = REF_B
         except Exception as exc:
             out["exchange_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
     return out
