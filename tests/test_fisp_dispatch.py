@@ -674,3 +674,75 @@ def test_mse_jacobian_off_pattern_fall_through():
     jac_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
     jac_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
     assert np.abs(np.asarray(jac_k) - np.asarray(jac_e)).max() < 2e-10
+
+
+@pytest.mark.parametrize("case", range(20))
+def test_fuzz_mse_dispatch_parity_or_fallthrough(case):
+    """Random CPMG-family trains (mixed E/S half orders, varying echo
+    spacings, rank-1 attenuation batches, optional T1/T2 tracking with
+    Jacobian probes); half carry a random off-pattern mutation.  As in
+    the FISP fuzz, parity with the planner is the invariant -- not
+    whether the matcher engaged."""
+    rng = np.random.default_rng(300 + case)
+    necho = int(rng.integers(4, 14))
+    B = int(rng.integers(2, 7))
+    T1v = float(rng.uniform(800, 1800))
+    T2 = np.linspace(30, 120, B)
+    att = np.linspace(0.6, 1.05, B) if rng.random() < 0.5 else None
+    alpha = float(rng.uniform(120, 180)) * (att if att is not None else 1.0)
+    phr = float(rng.choice([0.0, 90.0]))
+    tracked = rng.random() < 0.5
+    o1 = ["T1", "T2"] if tracked else None
+    seq = [epg.T(float(rng.uniform(60, 90)), 90)]
+    for i in range(necho):
+        e1 = epg.E(float(rng.uniform(3, 6)), T1v, T2, order1=o1)
+        e2 = epg.E(float(rng.uniform(3, 6)), T1v, T2, order1=o1)
+        t = epg.T(alpha, phr)
+        if rng.random() < 0.5:
+            seq += [epg.S(1), e1, t, epg.S(1), e2, epg.ADC]
+        else:
+            seq += [e1, epg.S(1), t, e2, epg.S(1), epg.ADC]
+    if case % 2 == 1:
+        mut = rng.integers(0, 5)
+        if mut == 0:      # one shift becomes 2
+            j = [i for i, op in enumerate(seq) if type(op) is epg.S]
+            seq[int(rng.choice(j))] = epg.S(2)
+        elif mut == 1:    # one E gets off-resonance
+            j = [i for i, op in enumerate(seq) if type(op) is epg.E]
+            k = int(rng.choice(j))
+            seq[k] = epg.E(seq[k].tau, seq[k].T1, seq[k].T2, 0.013)
+        elif mut == 2:    # spoiler inserted mid-train
+            seq.insert(1 + (necho // 2) * 6, epg.SPOILER)
+        elif mut == 3:    # one refocusing loses the rank-1 structure
+            j = [i for i, op in enumerate(seq) if type(op) is epg.T
+                 and np.ndim(op.alpha)]
+            if j:
+                k = int(rng.choice(j))
+                a = np.asarray(seq[k].alpha).copy()
+                a[0] *= 1.01
+                seq[k] = epg.T(a, seq[k].phi)
+            else:         # scalar train: re-phase one ADC instead
+                seq[6] = epg.Adc(phase=20.0)
+        else:             # vector excitation
+            seq[0] = epg.T(np.full(B, 80.0), 90)
+    probes = ([epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+              if tracked else None)
+    cap = 2 * necho + 2
+    if probes is None:
+        sig_k = np.asarray(epg.simulate(list(seq), max_nstate=cap,
+                                        fisp_kernel="force"))
+        sig_e = np.asarray(epg.simulate(list(seq), max_nstate=cap,
+                                        fisp_kernel=False))
+        assert sig_k.shape == sig_e.shape
+        assert np.abs(sig_k - sig_e).max() < 2e-5
+    else:
+        sig_k, jac_k = epg.simulate(list(seq), max_nstate=cap,
+                                    probe=probes, fisp_kernel="force")
+        sig_e, jac_e = epg.simulate(list(seq), max_nstate=cap,
+                                    probe=probes, fisp_kernel=False)
+        assert np.asarray(jac_k).shape == np.asarray(jac_e).shape
+        assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+        jk, je = np.asarray(jac_k), np.asarray(jac_e)
+        for c in range(jk.shape[-1]):
+            sc = max(np.abs(je[..., c]).max(), 1e-12)
+            assert np.abs(jk[..., c] - je[..., c]).max() / sc < 5e-5
