@@ -25,7 +25,7 @@ from .ops import (
     Probe, Adc, ADC, DFT, Imaging, RFPulse,
 )
 from .engine import (
-    simulate, modify, flatten_sequence,
+    simulate, simulate_simple, modify, flatten_sequence,
     getshape, getnshift, getkdim, get_adc_times,
 )
 from .diff import Jacobian, Hessian, Pair, PartialsPruner

@@ -35,8 +35,9 @@ from .ops import base, probe as probe_mod
 LOGGER = logging.getLogger(__name__)
 
 __all__ = [
-    "simulate", "modify", "flatten_sequence", "squeeze_sequence",
-    "getshape", "getnshift", "getkdim", "get_adc_times",
+    "simulate", "simulate_simple", "modify", "flatten_sequence",
+    "squeeze_sequence", "getshape", "getnshift", "getkdim",
+    "get_adc_times",
 ]
 
 
@@ -83,6 +84,42 @@ def get_adc_times(sequence):
         if isinstance(op, probe_mod.Probe):
             times.append(tic)
     return times
+
+
+def simulate_simple(sm, sequence, probes=None, callback=None, disp=False):
+    """Plain eager sequence loop (reference functions.py:173-192).
+
+    Applies each operator to `sm` in Python (no jit/scan planning) and
+    acquires `probes` (or the sequence's own probe ops) at every Probe.
+    Returns ``(values, times)`` with ``values[i] = [probe values at the
+    i-th probe op]`` -- the reference's nested-list contract.  Useful
+    for debugging and as an oracle for the planned engine; for
+    performance use :func:`simulate`.
+
+    The ladder is pre-sized to the sequence's shift count (the reference
+    resizes dynamically inside each shift; our StateMatrix is static).
+    """
+    from .ops import probe as _probe
+
+    seq = flatten_sequence(sequence)
+    ncap = _capacity(seq, getnshift(seq), None)
+    if sm.nstate < ncap:
+        sm = sm.resize(ncap)
+    if disp:
+        from .utils.helpers import progressbar
+        seq = progressbar(seq, "Simulating: ")
+    tic = 0
+    times, values = [], []
+    for op in seq:
+        sm = op(sm)
+        tic = tic + np.asarray(op.duration)
+        if isinstance(op, _probe.Probe):
+            values.append([(pb if pb is not None else op).acquire(
+                sm, post=op.post) for pb in (probes or [op])])
+            times.append(tic)
+        elif callback is not None:
+            callback(sm)
+    return values, times
 
 
 #: default half-capacity for n-D / float coordinate tables (the reference

@@ -454,6 +454,11 @@ class _OperatorNamespace:
     def Offset(duration, **kwargs):
         return _PrebuiltOperator(_ops.Offset(duration, **kwargs))
 
+    @staticmethod
+    def Null(**kwargs):
+        # reference sequence.py:578 virtual EmptyOperator factory
+        return _PrebuiltOperator(_ops.EmptyOperator(**kwargs))
+
     ADC = None  # set below
     SPOILER = None
     RESET = None

@@ -554,3 +554,26 @@ def test_modify_semantics_matrix():
     assert np.allclose(np.asarray(seqc[0].phi), 9.0)
     seqc = epg.modify(seq1, modifier, x=[0.1, 0.2])
     assert np.allclose(np.asarray(seqc[0].phi), [9.0, 18.0])
+
+
+def test_simulate_simple_matches_planned():
+    """Plain eager loop (reference functions.py:173-192 contract):
+    nested [probe values] lists + times; parity with simulate()."""
+    import epgpy_tpu as epg
+
+    T2 = np.linspace(30, 90, 3)
+    seq = [epg.T(90, 90)] + [epg.S(1, duration=4.5), epg.T(150, 0),
+                             epg.S(1, duration=4.5), epg.ADC] * 6
+    seq = epg.modify(seq, T1=1400, T2=T2)
+    vals, times = epg.simulate_simple(epg.StateMatrix(), seq)
+    planned = np.asarray(epg.simulate(seq))
+    simple = np.asarray([v[0] for v in vals])
+    assert np.abs(simple - planned).max() < 1e-12
+    assert np.allclose(np.asarray(times, float), 9.0 * np.arange(1, 7))
+    # explicit probes + callback
+    calls = []
+    vals2, _ = epg.simulate_simple(epg.StateMatrix(), seq,
+                                   probes=[epg.ADC, epg.Probe("Z0")],
+                                   callback=lambda s: calls.append(1))
+    assert len(vals2[0]) == 2 and np.shape(vals2[0][1]) == (3,)
+    assert len(calls) == len(epg.flatten_sequence(seq)) - 6

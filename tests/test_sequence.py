@@ -227,3 +227,13 @@ def test_confint_cband():
     cband = np.asarray(cband)
     assert cband.shape[-1] == truth.shape[-1]
     assert np.all(np.asarray(cband) >= 0)
+
+
+def test_dsl_null_operator():
+    """operators.Null() (reference sequence.py:578): a DSL no-op."""
+    from epgpy_tpu import sequence as sq
+
+    s = sq.Sequence([sq.operators.T(90, 90), sq.operators.Null(),
+                     sq.operators.ADC])
+    s2 = sq.Sequence([sq.operators.T(90, 90), sq.operators.ADC])
+    assert np.allclose(np.asarray(s.signal()()), np.asarray(s2.signal()()))
