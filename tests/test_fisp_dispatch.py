@@ -746,3 +746,45 @@ def test_fuzz_mse_dispatch_parity_or_fallthrough(case):
         for c in range(jk.shape[-1]):
             sc = max(np.abs(je[..., c]).max(), 1e-12)
             assert np.abs(jk[..., c] - je[..., c]).max() / sc < 5e-5
+
+
+def test_mse_truncated_capacity_parity():
+    """max_nstate below the exact 2*necho ladder: the kernel's edge
+    truncation must reproduce the planner's static-capacity drop."""
+    seq = _mse_train(necho=12, B=4, ref=(150.0, 0.0), exc=(80.0, 90.0))
+    for cap in (3, 6):
+        a = np.asarray(epg.simulate(list(seq), max_nstate=cap,
+                                    fisp_kernel="force"))
+        b = np.asarray(epg.simulate(list(seq), max_nstate=cap,
+                                    fisp_kernel=False))
+        assert np.abs(a - b).max() < 1e-5
+
+
+def test_mse_jacobian_subset_and_multiprobe():
+    """Jacobian over a subset of the tracked vars, and multiple probes
+    (Adc + two Jacobians) in one simulate call."""
+    seq = _mse_diff_train(necho=8, B=4)
+    probes = [epg.ADC, epg.Jacobian(["T1"]), epg.Jacobian(["magnitude", "T2"])]
+    outs_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
+    outs_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
+    assert np.asarray(outs_k[1]).shape == np.asarray(outs_e[1]).shape
+    for ok, oe in zip(outs_k, outs_e):
+        ok, oe = np.asarray(ok), np.asarray(oe)
+        assert np.abs(ok - oe).max() / max(np.abs(oe).max(), 1e-12) < 2e-5
+
+
+def test_fisp_nd_batch_falls_through():
+    """n-D ([T2] idiom) batch grids on a FISP train are out of the FISP
+    matcher's 1-D pattern: must fall through cleanly (no crash)."""
+    T2 = np.linspace(30, 120, 5)
+    att = np.linspace(0.8, 1.2, 4)
+    seq = []
+    for i in range(10):
+        seq += [epg.T((30.0 + i) * att, 90), epg.E(4.0, 1000.0, [T2]),
+                epg.ADC, epg.E(8.0, 1000.0, [T2]), epg.S(1)]
+    assert fisp_dispatch.match_fisp(list(seq)) is None
+    a = np.asarray(epg.simulate(list(seq), max_nstate=8,
+                                fisp_kernel="force"))
+    b = np.asarray(epg.simulate(list(seq), max_nstate=8,
+                                fisp_kernel=False))
+    assert a.shape == (10, 4, 5) and np.abs(a - b).max() < 2e-10
