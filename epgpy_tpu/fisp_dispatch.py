@@ -39,6 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import common
+
 LOGGER = logging.getLogger(__name__)
 
 __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
@@ -164,8 +166,6 @@ def _rank1_factor(alphas):
     corrections) must NOT be silently approximated away, so the margin
     stays within one decade of the rounding floor.
     """
-    from . import common
-
     N = len(alphas)
     if all(a.size == 1 for a in alphas):
         return (np.asarray([float(a.reshape(-1)[0]) for a in alphas]),
@@ -280,7 +280,7 @@ def _match_fisp_impl(sequence):
         # off-resonance: a constant per-atom (or scalar) g on both E ops
         # maps onto the kernel's dfs axis (E.g == model dfs, pinned by
         # tests/test_mrf.py:test_fisp_off_resonance_matches_engine)
-        g1, g2 = _vec_or_scalar(e1.g), _vec_or_scalar(e2.g)
+        g1, g2 = _host_nd(e1.g), _host_nd(e2.g)
         if g1 is None or g2 is None or not np.array_equal(g1, g2):
             return None
         if DF is None:
@@ -288,14 +288,14 @@ def _match_fisp_impl(sequence):
         elif not np.array_equal(DF, g1):
             return None
         for e in (e1, e2):
-            t1v, t2v = _vec_or_scalar(e.T1), _vec_or_scalar(e.T2)
+            t1v, t2v = _host_nd(e.T1), _host_nd(e.T2)
             if t1v is None or t2v is None:
                 return None
             if T1 is None:
                 T1, T2 = t1v, t2v
             elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
                 return None
-        a = _vec_or_scalar(t_op.alpha)
+        a = _host_nd(t_op.alpha)
         if a is None:
             return None
         alphas.append(a)
@@ -337,7 +337,7 @@ def _match_fisp_impl(sequence):
         # to the train's B1 direction with phi=0, renormalizing the
         # (FA, B1) factorization so B1 = prep_alpha/180 exactly.
         t0, e0, TI = prep
-        t1v, t2v = _vec_or_scalar(e0.T1), _vec_or_scalar(e0.T2)
+        t1v, t2v = _host_nd(e0.T1), _host_nd(e0.T2)
         if (t1v is None or t2v is None or not np.array_equal(T1, t1v)
                 or not np.array_equal(T2, t2v)):
             return None
@@ -345,28 +345,39 @@ def _match_fisp_impl(sequence):
             # the kernel seeds prep tangents in closed form, i.e. the
             # prep relaxation IS differentiated: tracking must agree
             return None
-        a0 = _vec_or_scalar(t0.alpha)
+        a0 = _host_nd(t0.alpha)
         ph0 = _scalar(t0.phi)
         if a0 is None or ph0 is None:
             return None
-        if a0.size == 1 and float(a0[0]) == 180.0 and np.all(B1 == 1.0):
+        if a0.size == 1 and float(a0.reshape(-1)[0]) == 180.0 \
+                and np.all(B1 == 1.0):
             pass
         elif ph0 % 360.0 == 0.0:
-            c = float(a0.mean()) / (180.0 * float(B1.mean()))
-            if c <= 0 or np.abs(a0 - 180.0 * c * B1).max() > 1e-6 * 180.0:
+            if not common.broadcastable(a0.shape, B1.shape):
                 return None
-            B1 = c * B1
+            bs0 = common.broadcast_shapes(a0.shape, B1.shape)
+            a0b, B1b = _append_rows((a0, B1), bs0)
+            c = float(a0b.mean()) / (180.0 * float(B1b.mean()))
+            if c <= 0 or np.abs(a0b - 180.0 * c * B1b).max() > 1e-6 * 180.0:
+                return None
+            B1 = (c * B1b).reshape(bs0)
             FA = FA / c
         else:
             return None
 
-    B = int(np.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)[0])
+    # n-D batch grids (the [T2] / outer-grid dictionary idiom) flatten
+    # to the kernel's atom axis under the append-broadcast rule; the
+    # runners restore the batch shape on the outputs (as in match_mse)
+    if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
+    T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
-        "T1": np.broadcast_to(T1, (B,)), "T2": np.broadcast_to(T2, (B,)),
-        "B1": np.broadcast_to(B1, (B,)), "TI": TI, "vars": tracked,
-        "demod": demod,
-        "df": np.broadcast_to(DF, (B,)) if DF.any() else None,
+        "T1": T1f, "T2": T2f,
+        "B1": B1f, "TI": TI, "vars": tracked,
+        "demod": demod, "shape": bshape,
+        "df": DFf if DFf.any() else None,
     }
 
 
@@ -485,7 +496,6 @@ def _match_mse_impl(sequence):
     # n-D batch grids (the reference's published config is a 2-D
     # T2 x attenuation sweep) flatten to the kernel's atom axis; the
     # runner restores the append-broadcast shape on the outputs
-    from . import common
     if not common.broadcastable(T1.shape, T2.shape, B1.shape):
         return None
     bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape)
@@ -614,28 +624,36 @@ def match_jacobian_probes(probes, tracked):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "specs", "demod",
-                                             "use_df"))
+                                             "use_df", "bshape"))
 def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-                 use_inv, specs, demod=False, use_df=False):
+                 use_inv, specs, demod=False, use_df=False, bshape=None):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         nstate=nstate, interpret=interpret,
         demodulate=demod, inversion=TI if use_inv else None)
-    # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1)
+    # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1); outputs
+    # carry the ADC axis first with the append-broadcast batch restored
+    P = re.shape[1]
+    bshape = (re.shape[0],) if bshape is None else bshape
     col = {"magnitude": (re, im),
            "T1": (dre[..., 0], dim[..., 0]),
            "T2": (dre[..., 1], dim[..., 1])}
     outs = []
     for spec in specs:
         if spec[0] == "sig":
-            outs.append({"__c_re": re.T, "__c_im": im.T})       # (N, B)
+            outs.append({"__c_re": re.T.reshape((P,) + bshape),
+                         "__c_im": im.T.reshape((P,) + bshape)})
         else:
+            k = len(spec[1])
             rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
             ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
-            outs.append({"__c_re": jnp.swapaxes(rs, 0, 1),      # (N, B, k)
-                         "__c_im": jnp.swapaxes(ims, 0, 1)})
+            outs.append(
+                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape(
+                     (P,) + bshape + (k,)),
+                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape(
+                     (P,) + bshape + (k,))})
     return tuple(outs)
 
 
@@ -669,14 +687,15 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
                         interpret=interpret,
                         use_inv=params.get("TI") is not None, specs=specs,
                         demod=bool(params.get("demod")),
-                        use_df=params.get("df") is not None)
+                        use_df=params.get("df") is not None,
+                        bshape=tuple(params["shape"]))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nstate", "interpret", "use_inv",
-                                    "demod", "use_df"))
+                                    "demod", "use_df", "bshape"))
 def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-             use_inv, demod=False, use_df=False):
+             use_inv, demod=False, use_df=False, bshape=None):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
@@ -684,7 +703,10 @@ def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
                                     inversion=TI if use_inv else None)
-    return re.T, im.T                           # (N, B): ADC axis first
+    # ADC axis first; restore the append-broadcast batch shape
+    P = re.shape[1]
+    bshape = (re.shape[0],) if bshape is None else bshape
+    return re.T.reshape((P,) + bshape), im.T.reshape((P,) + bshape)
 
 
 def run_fisp_kernel(params, nstate, *, interpret=False):
@@ -701,5 +723,6 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
     re, im = _run_jit(*dev, nstate=max(int(nstate), 1), interpret=interpret,
                       use_inv=params.get("TI") is not None,
                       demod=bool(params.get("demod")),
-                      use_df=params.get("df") is not None)
+                      use_df=params.get("df") is not None,
+                      bshape=tuple(params["shape"]))
     return {"__c_re": re, "__c_im": im}

@@ -773,18 +773,39 @@ def test_mse_jacobian_subset_and_multiprobe():
         assert np.abs(ok - oe).max() / max(np.abs(oe).max(), 1e-12) < 2e-5
 
 
-def test_fisp_nd_batch_falls_through():
-    """n-D ([T2] idiom) batch grids on a FISP train are out of the FISP
-    matcher's 1-D pattern: must fall through cleanly (no crash)."""
+def test_fisp_nd_batch_grid():
+    """n-D ([T2] / outer-grid idiom) batch grids on a FISP train flatten
+    to the kernel atom axis (append-broadcast rule) and reshape on
+    output -- primal, vector inversion prep, Jacobian probes, df grid."""
     T2 = np.linspace(30, 120, 5)
     att = np.linspace(0.8, 1.2, 4)
     seq = []
     for i in range(10):
         seq += [epg.T((30.0 + i) * att, 90), epg.E(4.0, 1000.0, [T2]),
                 epg.ADC, epg.E(8.0, 1000.0, [T2]), epg.S(1)]
-    assert fisp_dispatch.match_fisp(list(seq)) is None
+    p = fisp_dispatch.match_fisp(list(seq))
+    assert p is not None and p["shape"] == (4, 5) and p["T1"].shape == (20,)
     a = np.asarray(epg.simulate(list(seq), max_nstate=8,
                                 fisp_kernel="force"))
     b = np.asarray(epg.simulate(list(seq), max_nstate=8,
                                 fisp_kernel=False))
-    assert a.shape == (10, 4, 5) and np.abs(a - b).max() < 2e-10
+    assert a.shape == (10, 4, 5) and np.abs(a - b).max() < 1e-5
+    # vector 180*att inversion prep renormalizes (FA, B1) over the grid
+    prep = [epg.T(180.0 * att, 0), epg.E(18.0, 1000.0, [T2])]
+    ak = np.asarray(epg.simulate(prep + seq, max_nstate=8,
+                                 fisp_kernel="force"))
+    ae = np.asarray(epg.simulate(prep + seq, max_nstate=8,
+                                 fisp_kernel=False))
+    assert np.abs(ak - ae).max() < 1e-5
+    # Jacobian probes over the grid
+    seqd = []
+    for i in range(8):
+        seqd += [epg.T((30.0 + i) * att, 90),
+                 epg.E(4.0, 1000.0, [T2], order1=["T1", "T2"]), epg.ADC,
+                 epg.E(8.0, 1000.0, [T2], order1=["T1", "T2"]), epg.S(1)]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    sk, jk = epg.simulate(seqd, probe=probes, fisp_kernel="force")
+    se, je = epg.simulate(seqd, probe=probes, fisp_kernel=False)
+    jk, je = np.asarray(jk), np.asarray(je)
+    assert jk.shape == je.shape == (8, 4, 5, 3)
+    assert np.abs(jk - je).max() / np.abs(je).max() < 2e-5
