@@ -27,7 +27,52 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cpmg_dictionary_pallas", "cpmg_jacobian_pallas"]
+__all__ = ["cpmg_dictionary_pallas", "cpmg_jacobian_pallas",
+           "cpmg_dictionary_pallas_sharded", "cpmg_jacobian_pallas_sharded"]
+
+
+def cpmg_dictionary_pallas_sharded(exc, FA, phi, tau1, tau2, T1s, T2s, B1s,
+                                   *, mesh, axis="atoms", **kw):
+    """Atom-sharded CPMG Pallas dictionary over a device mesh.
+
+    Same scheme as pallas_fisp.fisp_dictionary_pallas_sharded: GSPMD
+    cannot partition a pallas_call, so each device runs the full
+    VMEM-resident kernel on its local atom shard under jax.shard_map
+    (embarrassingly parallel; echo-train arrays replicated).  The atom
+    count must divide the `axis` size of `mesh`.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1, t2, b1):
+        return cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2,
+                                      t1, t2, b1, **kw)
+
+    spec = PS(axis)
+    out_spec = PS(axis, None)
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=(out_spec, out_spec), check_vma=False)
+    return jax.jit(f)(jnp.asarray(T1s, jnp.float32),
+                      jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32))
+
+
+def cpmg_jacobian_pallas_sharded(exc, FA, phi, tau1, tau2, T1s, T2s, B1s,
+                                 *, mesh, axis="atoms", **kw):
+    """Atom-sharded fused CPMG primal+tangent kernel (see above)."""
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1, t2, b1):
+        return cpmg_jacobian_pallas(exc, FA, phi, tau1, tau2, t1, t2, b1,
+                                    **kw)
+
+    spec = PS(axis)
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=((PS(axis, None),) * 2,
+                                 (PS(axis, None, None),) * 2),
+                      check_vma=False)
+    return jax.jit(f)(jnp.asarray(T1s, jnp.float32),
+                      jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32))
 
 
 def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,

@@ -380,3 +380,37 @@ def test_pallas_mse_jacobian():
 
     fd = (primal(att + eps) - primal(att - eps)) / (2 * eps)
     assert np.abs(kj[..., 2] - fd).max() / np.abs(fd).max() < 1e-3
+
+
+def test_pallas_sharded_cpmg_matches_single():
+    """shard_map'd CPMG kernels (primal + jacobian) over the 8-device
+    atom mesh equal the single-device kernels bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh
+    from epgpy_tpu.models.pallas_mse import (
+        cpmg_dictionary_pallas, cpmg_jacobian_pallas,
+        cpmg_dictionary_pallas_sharded, cpmg_jacobian_pallas_sharded)
+
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, ("atoms",))
+    necho, B = 8, 64
+    rng = np.random.default_rng(3)
+    FA = np.full(necho, 160.0)
+    tau1 = rng.uniform(3, 6, necho)
+    tau2 = rng.uniform(3, 6, necho)
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    B1 = np.linspace(0.7, 1.1, B)
+    args = ((90.0, 90.0), FA, 0.0, tau1, tau2, T1, T2, B1)
+    kw = dict(nstate=2 * necho, btile=64, interpret=True)
+    re0, im0 = cpmg_dictionary_pallas(*args, **kw)
+    re1, im1 = cpmg_dictionary_pallas_sharded(*args, mesh=mesh, **kw)
+    assert re1.shape == (B, necho)
+    assert np.array_equal(np.asarray(re0), np.asarray(re1))
+    assert np.array_equal(np.asarray(im0), np.asarray(im1))
+    (jr0, ji0), (dr0, di0) = cpmg_jacobian_pallas(*args, **kw)
+    (jr1, ji1), (dr1, di1) = cpmg_jacobian_pallas_sharded(
+        *args, mesh=mesh, **kw)
+    assert dr1.shape == (B, necho, 3)
+    for x0, x1 in ((jr0, jr1), (ji0, ji1), (dr0, dr1), (di0, di1)):
+        assert np.array_equal(np.asarray(x0), np.asarray(x1))
