@@ -791,9 +791,11 @@ def simulate(
     fisp_opt = options.pop("fisp_kernel", "auto")
     _fisp_force = fisp_opt == "force"
     _fisp_tpu = False
+    _dens_opt = options.get("density")
     _fisp_on = (fisp_opt not in (False, None) and callback is None
                 and init is None and jit and kgrid is None
-                and kvalue == 1.0 and not (set(options) - {"max_nstate"}))
+                and kvalue == 1.0
+                and not (set(options) - {"max_nstate", "density"}))
     if _fisp_on:
         from . import config
         # jax_default_device may be a Device or a platform string
@@ -803,25 +805,37 @@ def simulate(
     if _fisp_on and probe is None and probes is None:
         from . import fisp_dispatch
         enc = None
-        fparams = fisp_dispatch.match_fisp(sequence)
-        if fparams is not None:
-            if disp:
-                LOGGER.info(
-                    "simulate: FISP train -> fused Pallas kernel "
-                    "(fisp-kernel engine, %d TR, nstate=%d)",
-                    len(fparams["FA"]), ncap)
-            enc = fisp_dispatch.run_fisp_kernel(
-                fparams, ncap, interpret=_fisp_force and not _fisp_tpu)
-        else:
-            mparams = fisp_dispatch.match_mse(sequence)
-            if mparams is not None:
+        if _dens_opt is None:
+            fparams = fisp_dispatch.match_fisp(sequence)
+            if fparams is not None:
                 if disp:
                     LOGGER.info(
-                        "simulate: CPMG train -> fused Pallas kernel "
-                        "(mse-kernel engine, %d echoes, nstate=%d)",
-                        len(mparams["FA"]), ncap)
-                enc = fisp_dispatch.run_mse_kernel(
-                    mparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+                        "simulate: FISP train -> fused Pallas kernel "
+                        "(fisp-kernel engine, %d TR, nstate=%d)",
+                        len(fparams["FA"]), ncap)
+                enc = fisp_dispatch.run_fisp_kernel(
+                    fparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+            else:
+                mparams = fisp_dispatch.match_mse(sequence)
+                if mparams is not None:
+                    if disp:
+                        LOGGER.info(
+                            "simulate: CPMG train -> fused Pallas kernel "
+                            "(mse-kernel engine, %d echoes, nstate=%d)",
+                            len(mparams["FA"]), ncap)
+                    enc = fisp_dispatch.run_mse_kernel(
+                        mparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+        if enc is None:
+            xparams = fisp_dispatch.match_xgre(sequence, shape, _dens_opt)
+            if xparams is not None:
+                if disp:
+                    LOGGER.info(
+                        "simulate: EPG-X GRE train -> fused Pallas kernel "
+                        "(xgre-kernel engine, %d TR, %d compartments, "
+                        "nstate=%d)", len(xparams["alpha"]),
+                        xparams["C"], ncap)
+                enc = fisp_dispatch.run_xgre_kernel(
+                    xparams, ncap, interpret=_fisp_force and not _fisp_tpu)
         if enc is not None:
             values = (enc,)
             times = get_adc_times(sequence)
@@ -877,7 +891,7 @@ def simulate(
         # and Adc/Jacobian(F0) probes routes to the fused primal+tangent
         # Pallas kernel (one VMEM-resident pass instead of jacfwd over
         # the scanned planner program)
-        if _fisp_on:
+        if _fisp_on and _dens_opt is None:
             from . import fisp_dispatch
             # cheap probe-shape pre-check against the maximal var set:
             # Hessian/eval-string probes reject in O(#probes) without

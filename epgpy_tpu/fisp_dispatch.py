@@ -726,3 +726,294 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
                       use_df=params.get("df") is not None,
                       bshape=tuple(params["shape"]))
     return {"__c_re": re, "__c_im": im}
+
+
+# ---------------------------------------------------------------------------
+# EPG-X GRE dispatch: two-pool exchange / MT trains -> models/pallas_xgre
+# ---------------------------------------------------------------------------
+
+def match_xgre(sequence, shape, density=None):
+    """Match EPG-X GRE trains and extract fused-kernel parameters.
+
+    Pattern (per TR, consistent across the train):
+
+        [ R(sat)? , T , X? , Adc , X? , S(1) ]        (>= one X stage)
+
+    -- the canonical EPG-X spoiled-GRE family (reference
+    epgpy/exchange.py:89-120 applied per TR, MT saturation via a raw-rate
+    ``R`` with no recovery; Malik 2018).  ``T`` carries per-compartment
+    flip angles on the leading (axis-0) compartment batch; the X stages
+    must be the SAME op instance every TR (the one-op-reused idiom; the
+    mixing matrices are computed once per atom).  X parameter arrays may
+    live on device -- only khi/tau are read host-side (tiny, memoized);
+    T1/T2/g pass through to the jitted runner untouched.
+
+    `shape` is the engine's broadcast batch shape (compartments lead);
+    `density` the simulate() option (equilibrium densities).  Returns a
+    param dict or None; memoized on operator identities.
+    """
+    if len(sequence) < 8:
+        return None
+    if _is_device(density):
+        return None
+    try:
+        dkey = None if density is None else tuple(
+            np.ravel(np.asarray(density)).tolist())
+    except (TypeError, ValueError):
+        return None
+    key = ("xgre", tuple(shape), dkey) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_xgre_impl(sequence, tuple(shape), density)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+def _comp_vec(x, C):
+    """Host per-compartment (C,) float vector from scalar/(C,)/(C,1...)
+    input (append-rule: the compartment axis LEADS), else None."""
+    v = _host_nd(x)
+    if v is None:
+        return None
+    if any(d != 1 for d in v.shape[1:]):
+        return None
+    v = v.reshape(-1)
+    if v.shape[0] == 1:
+        return np.broadcast_to(v, (C,)).copy()
+    if v.shape[0] == C:
+        return v
+    return None
+
+
+def _comp_cvec(re_leaf, im_leaf, C):
+    """Host complex (C,) vector from split re/im leaves (None = 0)."""
+    if re_leaf is None:
+        return np.zeros(C, complex)
+    if _is_device(re_leaf) or _is_device(im_leaf):
+        return None
+    re = _comp_vec(np.asarray(re_leaf, float), C)
+    im = _comp_vec(np.asarray(im_leaf, float), C) \
+        if im_leaf is not None else np.zeros(C)
+    if re is None or im is None:
+        return None
+    return re + 1j * im
+
+
+def _xgre_stage_ok(x, C):
+    """Validate one X stage op: axis-0 compartments, scalar tau, static
+    (C, C) khi, parameter shapes (device allowed) compatible with a
+    leading-C batch."""
+    if getattr(x, "axis", None) != 0 or not _no_diff(x):
+        return False
+    if np.ndim(x.tau) != 0 and np.size(x.tau) != 1:
+        return False
+    if tuple(x.khi.shape) != (C, C):
+        return False
+    for leaf in (x.T1, x.T2, x.g):
+        if leaf is None:
+            continue
+        s = tuple(np.shape(leaf))
+        if s and s[0] not in (1, C):
+            return False
+    return True
+
+
+def _match_xgre_impl(sequence, shape, density):
+    from .ops.transition import T
+    from .ops.evolution import R
+    from .ops.exchange import X
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    n = len(sequence)
+
+    def parse_block(i):
+        sat = x1 = x2 = None
+        j = i
+        if j < n and type(sequence[j]) is R:
+            sat = sequence[j]
+            j += 1
+        if j >= n or type(sequence[j]) is not T:
+            return None
+        t = sequence[j]
+        j += 1
+        if j < n and type(sequence[j]) is X:
+            x1 = sequence[j]
+            j += 1
+        if j >= n or type(sequence[j]) is not Adc:
+            return None
+        adc = sequence[j]
+        j += 1
+        if j < n and type(sequence[j]) is X:
+            x2 = sequence[j]
+            j += 1
+        if j >= n or type(sequence[j]) is not S:
+            return None
+        return sat, t, x1, adc, x2, sequence[j], j + 1
+
+    blocks = []
+    i = 0
+    while i < n:
+        blk = parse_block(i)
+        if blk is None:
+            return None
+        blocks.append(blk[:-1])
+        i = blk[-1]
+    if len(blocks) < 2:
+        return None
+
+    # consistent block signature; shared X instances across TRs
+    sat0, _, x1_0, _, x2_0, _ = blocks[0]
+    xop = x1_0 if x1_0 is not None else x2_0
+    if xop is None:
+        return None
+    for sat, _, x1, adc, x2, s in blocks:
+        if ((sat is None) != (sat0 is None) or (x1 is not x1_0)
+                or (x2 is not x2_0)):
+            return None
+        if (type(adc) is not Adc or adc.attr != "F0"
+                or adc.phase is not None or adc.weights is not None
+                or adc.reduce not in (None, False) or not _no_diff(adc)):
+            return None
+        if getattr(s, "_kint", None) != 1 or not _no_diff(s):
+            return None
+
+    C = int(xop.khi.shape[-1])
+    if len(shape) < 1 or shape[0] != C:
+        return None
+    for x in (x1_0, x2_0):
+        if x is not None and not _xgre_stage_ok(x, C):
+            return None
+
+    # densities: real host vector; each stage's kinetic matrix must
+    # conserve the density-weighted equilibrium (mirrors X.apply's
+    # eager-mode check: accepting a non-conserving pair here would
+    # silently skip the engine's RuntimeError)
+    if density is None:
+        dens = np.ones(C)
+    else:
+        d = np.asarray(density)
+        if np.iscomplexobj(d):
+            if not np.allclose(d.imag, 0):
+                return None
+            d = d.real
+        dens = _comp_vec(d.astype(float), C)
+        if dens is None:
+            return None
+    khis = {}
+    for tag, x in (("A", x1_0), ("B", x2_0)):
+        if x is None:
+            khis[tag] = np.zeros((C, C))
+            continue
+        khis[tag] = np.asarray(x.khi, dtype=float)   # tiny one-time d2h
+        if not np.allclose(khis[tag] @ dens, 0, atol=1e-8):
+            return None
+
+    alphas, phis, satf, satz = [], [], [], []
+    for sat, t, _, _, _, _ in blocks:
+        if type(t) is not T or not _no_diff(t) or t.axes is not None:
+            return None
+        a = _comp_vec(t.alpha, C)
+        p = _comp_vec(t.phi, C)
+        if a is None or p is None:
+            return None
+        alphas.append(a)
+        phis.append(p)
+        if sat is None:
+            satf.append(np.ones(C, complex))
+            satz.append(np.ones(C, complex))
+        else:
+            if (not _no_diff(sat) or sat.axes is not None
+                    or sat.r0_re is not None):
+                return None
+            rT = _comp_cvec(sat.rT_re, sat.rT_im, C)
+            rL = _comp_cvec(sat.rL_re, sat.rL_im, C)
+            if rT is None or rL is None:
+                return None
+            # evolution_operator diag: F+ states scale by conj(e^{-rT}),
+            # Z by e^{-rL} (no recovery: r0 is None)
+            satf.append(np.conj(np.exp(-rT)))
+            satz.append(np.exp(-rL))
+
+    satf = np.asarray(satf)
+    satz = np.asarray(satz)
+    return {
+        "alpha": np.asarray(alphas), "phi": np.asarray(phis),
+        "satf_re": satf.real, "satf_im": satf.imag,
+        "satz_re": satz.real, "satz_im": satz.imag,
+        "dens": dens, "khiA": khis["A"], "khiB": khis["B"],
+        "T1A": None if x1_0 is None else x1_0.T1,
+        "T2A": None if x1_0 is None else x1_0.T2,
+        "gA": None if x1_0 is None else x1_0.g,
+        "tauA": 0.0 if x1_0 is None else x1_0.tau,
+        "T1B": None if x2_0 is None else x2_0.T1,
+        "T2B": None if x2_0 is None else x2_0.T2,
+        "gB": None if x2_0 is None else x2_0.g,
+        "tauB": 0.0 if x2_0 is None else x2_0.tau,
+        "shape": tuple(shape), "C": C,
+    }
+
+
+def _prep_comp_atoms(x, bshape, default):
+    """(C, B) float32 device array from a per-compartment parameter:
+    append-rule right-pad to the batch shape, broadcast, flatten atoms."""
+    x = jnp.asarray(default if x is None else x, jnp.float32)
+    if x.ndim == 0:
+        x = x.reshape(1)
+    x = x.reshape(x.shape + (1,) * (len(bshape) - x.ndim))
+    return jnp.broadcast_to(x, bshape).reshape(bshape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "bshape",
+                                             "interpret"))
+def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, stageA, stageB, *,
+                  nstate, bshape, interpret):
+    from .models.pallas_xgre import xgre_dictionary_pallas
+
+    # an absent stage (tau = 0, khi = 0) yields identity matrices
+    # regardless of its (default) T1/T2/g
+    def prep(stage):
+        khi, T1, T2, g, tau = stage
+        return (khi, _prep_comp_atoms(T1, bshape, np.inf),
+                _prep_comp_atoms(T2, bshape, np.inf),
+                _prep_comp_atoms(g, bshape, 0.0), tau)
+
+    re, im = xgre_dictionary_pallas(
+        alpha, phi, sfr, sfi, szr, szi, dens, prep(stageA), prep(stageB),
+        nstate=nstate, interpret=interpret)
+    N = re.shape[0]
+    return re.reshape((N,) + bshape), im.reshape((N,) + bshape)
+
+
+def _xgre_device_params(params):
+    """Device copies of the host param arrays, cached on the params dict
+    (same rationale as _device_params); X-stage T1/T2/g may already be
+    device arrays and pass through untouched."""
+    dev = params.get("_dev")
+    if dev is None:
+        f32 = np.float32
+        host = tuple(np.asarray(params[k], f32) for k in
+                     ("alpha", "phi", "satf_re", "satf_im",
+                      "satz_re", "satz_im", "dens"))
+        stages = tuple(
+            (np.asarray(params["khi" + s], f32), params["T1" + s],
+             params["T2" + s], params["g" + s],
+             np.asarray(params["tau" + s], f32).reshape(()))
+            for s in ("A", "B"))
+        dev = jax.device_put((host, stages))
+        params["_dev"] = dev
+    return dev
+
+
+def run_xgre_kernel(params, nstate, *, interpret=False):
+    """Run the fused EPG-X kernel; engine-layout output
+    ``{"__c_re": (N, C, *rest), "__c_im": ...}`` device arrays."""
+    host, stages = _xgre_device_params(params)
+    re, im = _run_xgre_jit(*host, *stages,
+                           nstate=max(int(nstate), 1),
+                           bshape=tuple(params["shape"]),
+                           interpret=interpret)
+    return {"__c_re": re, "__c_im": im}

@@ -1,0 +1,301 @@
+"""Pallas TPU kernel: fused EPG-X (exchange / magnetization-transfer) GRE trains.
+
+The canonical EPG-X workload (Malik 2018; reference
+epgpy/exchange.py:89-120 applied per TR in
+examples/exchange/gre_exchange.py) is a spoiled-GRE train over C
+exchanging compartments:
+
+    [ R(sat)? , T(alpha_i, phi_i) , X(tauA)? , ADC , X(tauB)? , S(1) ] * N
+
+where ``R`` is an optional per-TR bound-pool saturation (raw complex
+rates, no recovery), ``T`` rotates each compartment independently
+(per-compartment flip angles -- the bound pool typically gets alpha=0),
+and ``X`` jointly relaxes and exchanges the compartments via the matrix
+exponential of the kinetic matrix.  Up to two X stages per TR are
+supported (readout between them); an absent stage is the identity.
+
+Like the FISP/CPMG kernels (pallas_fisp.py, pallas_mse.py) the whole
+folded half-ladder (A(k)=F+(k), B(k)=F+(-k), Z(k), k >= 0) lives in VMEM
+scratch across the train -- here one 6-plane set PER COMPARTMENT -- and
+only the per-TR center states stream out.  The compartment mix is a
+C x C complex madd per plane (C is static; unrolled), never a stacked
+matmul.  Exchange relaxes ``states - equilibrium`` and re-adds the
+equilibrium (reference epgpy/exchange.py:103-120): the equilibrium is
+supported on the Z row at k=0 with per-compartment densities.
+
+All mixing matrices are per-atom (the T2/T1/g sweeps ride the atom
+axis): they are computed OUTSIDE the kernel by the closed-form 2x2
+spectral expm (ops/exchange._expm) and streamed in as a packed
+(6*C*C, B) coefficient block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded"]
+
+
+def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
+                 dens_ref, coef_ref, *refs, nstate, ntr, ncomp):
+    """See module docstring.  refs = (out_re_0, out_im_0, ..., st_ref).
+
+    st_ref: (6*C, nstate+1, btile) VMEM scratch; per compartment c the
+    planes 6c..6c+5 are (AR, AI, BR, BI, ZR, ZI).  coef_ref packs the
+    two exchange stages as rows [stage*3CC + part*CC + i*C + j] with
+    part 0/1/2 = mT_re / mT_im / mL (mL is real: expm of a real
+    matrix).  B planes are F+(-k), i.e. still F+ states: they transform
+    with mT (NOT conj(mT), which acts on the implied F-) and with
+    conj(e^{-rT}) under R -- exactly like the A planes.
+    """
+    C = ncomp
+    CC = C * C
+    f32 = jnp.float32
+    out_refs = refs[:2 * C]
+    st_ref = refs[2 * C]
+    H = nstate + 1
+    btile = st_ref.shape[2]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+
+    # init: A = B = 0, Z_c(0) = 1 (simulate()'s default [0, 0, 1] ladder;
+    # the per-compartment DENSITIES enter only through the equilibrium)
+    st_ref[...] = jnp.zeros_like(st_ref)
+    ones = jnp.ones((btile,), f32)
+    for c in range(C):
+        st_ref[6 * c + 4, 0, :] = ones
+
+    def cmul(cr, ci, xr, xi):
+        return cr * xr - ci * xi, cr * xi + ci * xr
+
+    def rot_A(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
+        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
+        return re, im
+
+    def rot_B(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
+        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
+        return re, im
+
+    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
+        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
+        return re, im
+
+    def mix(stage, sets):
+        """C x C exchange madd: F planes with mT, Z with mL around the
+        k=0 equilibrium (dev = Z - dens*rowmask)."""
+        base = stage * 3 * CC
+
+        def m(part, i, j):
+            return coef_ref[base + part * CC + i * C + j, :]
+
+        devs = [(sets[j][4] - dens_ref[0, j] * rowmask, sets[j][5])
+                for j in range(C)]
+        out = []
+        for i in range(C):
+            nAR = nAI = nBR = nBI = nZR = nZI = None
+            for j in range(C):
+                mr, mi = m(0, i, j), m(1, i, j)
+                ml = m(2, i, j)
+                AR, AI, BR, BI, _, _ = sets[j]
+                ar, ai = cmul(mr, mi, AR, AI)
+                br, bi = cmul(mr, mi, BR, BI)
+                zr, zi = ml * devs[j][0], ml * devs[j][1]
+                if j == 0:
+                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
+                else:
+                    nAR, nAI = nAR + ar, nAI + ai
+                    nBR, nBI = nBR + br, nBI + bi
+                    nZR, nZI = nZR + zr, nZI + zi
+            out.append((nAR, nAI, nBR, nBI,
+                        nZR + dens_ref[0, i] * rowmask, nZI))
+        return out
+
+    def step(i, _):
+        sets = []
+        for c in range(C):
+            s = tuple(st_ref[6 * c + j] for j in range(6))
+            # saturation: F+ states (A and B planes) scale by
+            # conj(e^{-rT}), Z by e^{-rL} (evolution_operator diag)
+            sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
+            szr, szi = szr_ref[i, c], szi_ref[i, c]
+            ar, ai = cmul(sfr, sfi, s[0], s[1])
+            br, bi = cmul(sfr, sfi, s[2], s[3])
+            zr, zi = cmul(szr, szi, s[4], s[5])
+            s = (ar, ai, br, bi, zr, zi)
+
+            # per-compartment rotation (Weigel matrix, same closed forms
+            # as pallas_mse): a = alpha_ic, ph = phi_ic
+            rad = jnp.pi / 180.0
+            a = alpha_ref[i, c] * rad
+            ph = phi_ref[i, c] * rad
+            ca, sa = jnp.cos(a), jnp.sin(a)
+            cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+            cp, sp = jnp.cos(ph), jnp.sin(ph)
+            c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+            m01r, m01i = c2p * sin2, s2p * sin2
+            m02r, m02i = sp * sa, -cp * sa
+            m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
+            m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
+            ar, ai = rot_A(cos2, m01r, m01i, m02r, m02i, s)
+            br, bi = rot_B(cos2, m01r, m01i, m02r, m02i, s)
+            zr, zi = rot_Z(ca, m20r, m20i, m21r, m21i, s)
+            sets.append((ar, ai, br, bi, zr, zi))
+
+        # exchange stage A -> readout -> exchange stage B -> shift
+        sets = mix(0, sets)
+        for c in range(C):
+            out_refs[2 * c][i, :] = sets[c][0][0, :]
+            out_refs[2 * c + 1][i, :] = sets[c][1][0, :]
+        sets = mix(1, sets)
+        for c in range(C):
+            AR, AI, BR, BI, ZR, ZI = sets[c]
+            zrow = jnp.zeros_like(AR[:1])
+            st_ref[6 * c + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
+            st_ref[6 * c + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
+            st_ref[6 * c + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
+            st_ref[6 * c + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
+            st_ref[6 * c + 4] = ZR
+            st_ref[6 * c + 5] = ZI
+        return 0
+
+    jax.lax.fori_loop(0, ntr, step, 0)
+
+
+def _exchange_mats(khi, T1, T2, g, tau):
+    """Per-atom (mT, mL) stage matrices: (B, C, C) complex64 / float32.
+
+    khi (C, C); T1/T2/g (C, B) float32; tau scalar.  tau == 0 yields the
+    identity (absent stage).  Uses the NaN-safe closed-form 2x2 spectral
+    expm for two compartments, Pade otherwise (ops/exchange._expm;
+    reference epgpy/exchange.py:262-282 uses eigendecomposition).
+    """
+    from ..ops.exchange import _expm
+
+    c64 = jnp.complex64
+    C = khi.shape[0]
+    eye = jnp.eye(C, dtype=jnp.float32)
+    rT = (-1.0 / T2 + 2j * jnp.pi * g).astype(c64)        # (C, B)
+    rL = (-1.0 / T1).astype(c64)
+    xT = -khi.astype(c64)[:, :, None] + eye.astype(c64)[:, :, None] * rT[:, None, :]
+    xL = -khi.astype(c64)[:, :, None] + eye.astype(c64)[:, :, None] * rL[:, None, :]
+    tau = jnp.asarray(tau, jnp.float32).astype(c64)
+    mT = _expm(jnp.moveaxis(xT * tau, -1, 0))             # (B, C, C)
+    mL = jnp.real(_expm(jnp.moveaxis(xL * tau, -1, 0)))
+    return mT, jnp.real(mT), jnp.imag(mT), mL
+
+
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
+                           dens, stageA, stageB, *,
+                           nstate, btile=512, interpret=False):
+    """EPG-X GRE trains via the fused Pallas kernel.
+
+    Args:
+        alpha, phi: (N, C) per-TR per-compartment flip angles / phases
+            (degrees).
+        satf_re/im, satz_re/im: (N, C) per-TR saturation factors applied
+            BEFORE the pulse -- ``conj(exp(-rT))`` on F+ states and
+            ``exp(-rL)`` on Z (identity rows = 1+0j when absent).
+        dens: (C,) equilibrium densities.
+        stageA, stageB: per-stage ``(khi, T1, T2, g, tau)`` tuples --
+            khi (C, C) kinetic matrix (columns sum to 0); T1/T2/g
+            (C, B) per-compartment per-atom; tau the mixing time (ms;
+            0 = absent stage = identity).
+        nstate: ladder half-size (static capacity).
+
+    Returns (re, im): (N, C, B) float32 center transverse states
+    (``F0`` per compartment at each ADC).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    alpha = jnp.asarray(alpha, f32)
+    N, C = alpha.shape
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (N, C))
+    satf_re = jnp.broadcast_to(jnp.asarray(satf_re, f32), (N, C))
+    satf_im = jnp.broadcast_to(jnp.asarray(satf_im, f32), (N, C))
+    satz_re = jnp.broadcast_to(jnp.asarray(satz_re, f32), (N, C))
+    satz_im = jnp.broadcast_to(jnp.asarray(satz_im, f32), (N, C))
+    dens = jnp.asarray(dens, f32).reshape(1, C)
+    B = jnp.shape(stageA[2])[1]
+
+    Bp = -(-B // btile) * btile
+    CC = C * C
+
+    def pack(stage):
+        khi, T1, T2, g, tau = (jnp.asarray(x, f32) for x in stage)
+        if Bp > B:
+            padv = jnp.ones((C, Bp - B), f32)
+            T1 = jnp.concatenate([T1, padv], axis=1)
+            T2 = jnp.concatenate([T2, padv], axis=1)
+            g = jnp.concatenate([g, jnp.zeros((C, Bp - B), f32)], axis=1)
+        _, mr, mi, ml = _exchange_mats(khi, T1, T2, g, tau)
+        to_rows = lambda m: jnp.moveaxis(m, 0, -1).reshape(CC, Bp)
+        return jnp.concatenate([to_rows(mr), to_rows(mi), to_rows(ml)],
+                               axis=0)
+
+    coef = jnp.concatenate([pack(stageA), pack(stageB)], axis=0)  # (6CC, Bp)
+
+    kernel = partial(_kernel_xgre, nstate=nstate, ntr=N, ncomp=C)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # alpha
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # satf_re
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # satf_im
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # satz_re
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # satz_im
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # dens
+            pl.BlockSpec((6 * CC, btile), lambda b: (0, b)),  # coef
+        ],
+        out_specs=[pl.BlockSpec((N, btile), lambda b: (0, b))] * (2 * C),
+        out_shape=[jax.ShapeDtypeStruct((N, Bp), f32)] * (2 * C),
+        scratch_shapes=[pltpu.VMEM((6 * C, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(alpha, phi, satf_re, satf_im, satz_re, satz_im, dens, coef)
+
+    re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
+    im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
+    return re, im
+
+
+def xgre_dictionary_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,
+                                   satz_im, dens, stageA, stageB, *,
+                                   mesh, axis="atoms", **kw):
+    """Atom-sharded EPG-X Pallas dictionary over a device mesh.
+
+    Same scheme as the FISP/CPMG sharded wrappers: GSPMD cannot
+    partition a pallas_call, so each device runs the VMEM-resident
+    kernel on its local atom shard under jax.shard_map (train arrays
+    replicated; the atom axis of the stages' T1/T2/g must divide the
+    mesh axis).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1a, t2a, ga, t1b, t2b, gb):
+        return xgre_dictionary_pallas(
+            alpha, phi, satf_re, satf_im, satz_re, satz_im, dens,
+            (stageA[0], t1a, t2a, ga, stageA[4]),
+            (stageB[0], t1b, t2b, gb, stageB[4]), **kw)
+
+    spec = PS(None, axis)
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 6,
+                      out_specs=(PS(None, None, axis),) * 2,
+                      check_vma=False)
+    f32 = jnp.float32
+    return jax.jit(f)(jnp.asarray(stageA[1], f32), jnp.asarray(stageA[2], f32),
+                      jnp.asarray(stageA[3], f32), jnp.asarray(stageB[1], f32),
+                      jnp.asarray(stageB[2], f32), jnp.asarray(stageB[3], f32))

@@ -1,0 +1,263 @@
+"""EPG-X GRE train -> fused Pallas kernel dispatch (match_xgre).
+
+The engine recognizes per-TR blocks ``[R(sat)?, T, X?, Adc, X?, S(1)]``
+(the canonical EPG-X spoiled-GRE / MT family, reference
+epgpy/exchange.py:89-120 + magnettransfer.py usage sketch) and routes
+them to models/pallas_xgre.  Tests force the dispatch with
+fisp_kernel="force" (interpret-mode kernel on CPU) and compare against
+the scan planner (fisp_kernel=False) in float64; off-pattern trains
+must fall through.
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import fisp_dispatch
+
+
+def _mt_train(N=10, B=5, *, sat=True, order="adc_first", g=None, C=2,
+              vary=False, two_stage=False, dens=(0.8, 0.2)):
+    """Reference-style two-pool MT-GRE train (bench workload family)."""
+    dens = np.asarray(dens[:C]) / np.sum(dens[:C])
+    khi = epg.exchange_matrix(0.005, ncomp=C, densities=dens)
+    T2f = np.linspace(40.0, 120.0, B)
+    T2 = np.stack([T2f] + [np.full(B, 0.012 * (c + 1))
+                           for c in range(C - 1)], axis=0)
+    T1 = np.linspace(800.0, 1200.0, C)
+    gv = None if g is None else np.asarray(g)
+    if two_stage:
+        X1 = epg.X(3.0, khi, axis=0, T1=T1, T2=T2, g=gv)
+        X2 = epg.X(7.0, khi, axis=0, T1=T1, T2=T2, g=gv)
+    else:
+        X1, X2 = None, epg.X(10.0, khi, axis=0, T1=T1, T2=T2, g=gv)
+    seq = []
+    rng = np.random.default_rng(7)
+    for i in range(N):
+        if sat:
+            rL = np.zeros(C)
+            rL[-1] = 0.25 + (0.1 * rng.uniform() if vary else 0.0)
+            seq.append(epg.R(0, rL=rL, r0=None))
+        alpha = np.asarray([12.0 + (3.0 * np.sin(i) if vary else 0.0)]
+                           + [0.0] * (C - 1))
+        phi = float((58.5 * i * (i + 1)) % 360) if vary else 0.0
+        seq.append(epg.T(alpha, phi))
+        blk = []
+        if X1 is not None:
+            blk.append(X1)
+        blk.append(epg.ADC)
+        blk.append(X2)
+        if order == "adc_first":
+            pass  # [X1?, ADC, X2]
+        else:  # readout after the exchange stage
+            blk = ([X1] if X1 is not None else []) + [X2, epg.ADC]
+        seq += blk
+        seq.append(epg.S(1))
+    return seq, dens
+
+
+def _parity(seq, dens, *, max_nstate=5, tol=2e-6):
+    kw = dict(max_nstate=max_nstate, density=list(dens))
+    ref = np.asarray(epg.simulate(seq, fisp_kernel=False, **kw))
+    out = np.asarray(epg.simulate(seq, fisp_kernel="force", **kw))
+    assert out.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-12)
+    assert np.abs(out - ref).max() / scale < tol
+    return ref
+
+
+def _assert_match(seq, dens, shape):
+    params = fisp_dispatch.match_xgre(seq, shape, list(dens))
+    assert params is not None
+    return params
+
+
+def test_mt_gre_parity_bench_family():
+    """[R, T, ADC, X, S] * N -- the bench/MT workload."""
+    seq, dens = _mt_train(N=12, B=7)
+    _assert_match(seq, dens, (2, 7))
+    _parity(seq, dens)
+
+
+def test_readout_after_exchange():
+    seq, dens = _mt_train(N=10, B=4, order="adc_last")
+    _parity(seq, dens)
+
+
+def test_two_stage_exchange():
+    """[R, T, X(TE), ADC, X(TR-TE), S] -- echo between two mixes."""
+    seq, dens = _mt_train(N=10, B=4, two_stage=True)
+    _assert_match(seq, dens, (2, 4))
+    _parity(seq, dens)
+
+
+def test_no_saturation_pure_exchange():
+    seq, dens = _mt_train(N=10, B=5, sat=False)
+    _assert_match(seq, dens, (2, 5))
+    _parity(seq, dens)
+
+
+def test_per_tr_varying_angles_and_sat():
+    seq, dens = _mt_train(N=12, B=4, vary=True)
+    _parity(seq, dens)
+
+
+def test_off_resonance_complex_mixing():
+    seq, dens = _mt_train(N=10, B=4, g=[0.05, -0.02])
+    _assert_match(seq, dens, (2, 4))
+    _parity(seq, dens)
+
+
+def test_three_compartments():
+    seq, dens = _mt_train(N=8, B=4, C=3, dens=(0.6, 0.25, 0.15))
+    _assert_match(seq, dens, (3, 4))
+    # looser tolerance: C > 2 mixes via the f32 Pade expm (the 2x2
+    # closed form is exact to roundoff)
+    _parity(seq, dens, tol=1e-5)
+
+
+def test_default_density():
+    """No density option: equilibrium Z = 1 in every compartment."""
+    khi = epg.exchange_matrix(0.01, densities=[0.5, 0.5])
+    X = epg.X(8.0, khi, axis=0, T1=np.asarray([900.0, 500.0]),
+              T2=np.stack([np.linspace(50, 90, 4), np.full(4, 8.0)], 0))
+    seq = []
+    for i in range(10):
+        seq += [epg.T(np.asarray([15.0, 15.0]), 0.0), epg.ADC, X, epg.S(1)]
+    assert fisp_dispatch.match_xgre(seq, (2, 4), None) is not None
+    ref = np.asarray(epg.simulate(seq, max_nstate=5, fisp_kernel=False))
+    out = np.asarray(epg.simulate(seq, max_nstate=5, fisp_kernel="force"))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_truncated_capacity():
+    """max_nstate < N: ladder truncation must agree with the planner."""
+    seq, dens = _mt_train(N=14, B=4)
+    _parity(seq, dens, max_nstate=3)
+
+
+def test_complex_saturation_rate():
+    """Complex rT on the sat op (phase accrual on F states)."""
+    khi = epg.exchange_matrix(0.004, densities=[0.7, 0.3])
+    X = epg.X(9.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
+              T2=np.stack([np.linspace(40, 100, 3), np.full(3, 0.02)], 0))
+    sat = epg.R(np.asarray([0.02 + 0.3j, 0.0]), rL=np.asarray([0.0, 0.4]),
+                r0=None)
+    seq = []
+    for _ in range(10):
+        seq += [sat, epg.T(np.asarray([10.0, 0.0]), 0.0), epg.ADC, X,
+                epg.S(1)]
+    _parity(seq, [0.7, 0.3])
+
+
+# ---- fall-through behavior -------------------------------------------------
+
+def _bench_block(X, sat=None, s=None, adc=None):
+    blk = [] if sat is None else [sat]
+    return blk + [epg.T(np.asarray([10.0, 0.0]), 0.0), adc or epg.ADC, X,
+                  s or epg.S(1)]
+
+
+def _mk_x(khi=None, **kw):
+    if khi is None:
+        khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
+    kw.setdefault("T1", np.asarray([1000.0, 1000.0]))
+    kw.setdefault("T2", np.stack([np.linspace(40, 120, 4),
+                                  np.full(4, 0.012)], 0))
+    axis = kw.pop("axis", 0)
+    return epg.X(10.0, khi, axis=axis, **kw)
+
+
+def test_fallthrough_distinct_x_instances():
+    """Equal-valued but distinct X ops per TR: no match (the matcher
+    requires the one-op-reused idiom), planner still runs."""
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(_mk_x())
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+    out = epg.simulate(seq, max_nstate=4, density=[0.8, 0.2],
+                       fisp_kernel="force")
+    assert np.asarray(out).shape == (6, 2, 4)
+
+
+def test_fallthrough_nonunit_shift():
+    X = _mk_x()
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X, s=epg.S(2))
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_fallthrough_adc_phase():
+    X = _mk_x()
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X, adc=epg.Adc(phase=30.0))
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_fallthrough_nonzero_axis():
+    khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])[None]  # (1, 2, 2)
+    X = _mk_x(khi=khi, axis=1, T2=np.stack([np.linspace(40, 120, 4),
+                                            np.full(4, 0.012)], 1))
+    seq = []
+    for _ in range(6):
+        seq += [epg.T(10.0, 0.0), epg.ADC, X, epg.S(1)]
+    assert fisp_dispatch.match_xgre(seq, (4, 2), [0.8, 0.2]) is None
+
+
+def test_fallthrough_nonconserving_density():
+    """khi built without densities does not conserve a skewed density:
+    the matcher must NOT take over (the engine's eager path raises)."""
+    khi = epg.exchange_matrix(0.005)  # symmetric, conserves [.5, .5] only
+    X = _mk_x(khi=khi)
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X)
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+    # the balanced density matches fine
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.5, 0.5]) is not None
+
+
+def test_fallthrough_tracked_ops():
+    X = _mk_x()
+    sat = epg.R(0, rL=np.asarray([0.0, 0.3]), r0=None, order1="rL")
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X, sat=sat)
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_fallthrough_sat_with_recovery():
+    X = _mk_x()
+    sat = epg.R(0, rL=np.asarray([0.0, 0.3]), r0=np.asarray([0.0, 0.1]))
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X, sat=sat)
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_fallthrough_per_atom_alpha():
+    """(C, B)-shaped flip angles are not in the kernel family."""
+    X = _mk_x()
+    alpha = np.stack([np.linspace(8, 12, 4), np.zeros(4)], 0)
+    seq = []
+    for _ in range(6):
+        seq += [epg.T(alpha, 0.0), epg.ADC, X, epg.S(1)]
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_fallthrough_complex_density():
+    X = _mk_x()
+    seq = []
+    for _ in range(6):
+        seq += _bench_block(X)
+    assert fisp_dispatch.match_xgre(seq, (2, 4),
+                                    [0.8 + 0.1j, 0.2 - 0.1j]) is None
+
+
+def test_match_memoized():
+    seq, dens = _mt_train(N=8, B=4)
+    p1 = fisp_dispatch.match_xgre(seq, (2, 4), list(dens))
+    p2 = fisp_dispatch.match_xgre(seq, (2, 4), list(dens))
+    assert p1 is p2
