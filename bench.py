@@ -475,8 +475,14 @@ def measure_exchange(sync):
 
     seq, T2 = build(B)
     # start at thermal equilibrium of the two pools (= the init the
-    # reference example builds explicitly)
+    # reference example builds explicitly).  Two engines: the scanned
+    # planner (fisp_kernel=False, pinned) and the fused EPG-X Pallas
+    # kernel dispatch (what simulate() users get on TPU, r3).
     def run():
+        return epg.simulate(seq, max_nstate=10, density=[0.8, 0.2],
+                            asarray=False, fisp_kernel=False)
+
+    def run_auto():
         return epg.simulate(seq, max_nstate=10, density=[0.8, 0.2],
                             asarray=False)
 
@@ -490,6 +496,20 @@ def measure_exchange(sync):
     out = {"exchange_tr_atoms_per_sec": round(NTR * B / xbest, 1),
            "exchange_best_seconds": round(float(xbest), 4),
            "exchange_warmup_seconds": round(float(xwarm), 2)}
+    try:
+        t0 = time.perf_counter()
+        auto = run_auto()
+        xsync(auto)
+        out["exchange_dispatch_warmup_seconds"] = round(
+            time.perf_counter() - t0, 2)
+        if "__c_re" in auto:
+            dbest, _ = _pipelined_best(run_auto, xsync, 2 * REPEATS)
+            out["exchange_dispatch_tr_atoms_per_sec"] = round(
+                NTR * B / dbest, 1)
+            out["exchange_dispatch_best_seconds"] = round(float(dbest), 4)
+            xbest = min(xbest, dbest)
+    except Exception as exc:
+        out["exchange_dispatch_error"] = f"{type(exc).__name__}: {exc}"[:160]
 
     ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
     if os.path.isdir(ref_path):
