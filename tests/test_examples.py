@@ -34,6 +34,14 @@ def test_example_smoke(name, monkeypatch, tmp_path):
     _run(name, monkeypatch, tmp_path)
 
 
+def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
+    """qMT dictionary mapping over (bound fraction, free T2): recovered
+    values must land on the nearest grid points (asserted inside)."""
+    monkeypatch.setenv("QMT_NTR", "40")
+    monkeypatch.setenv("QMT_NT2", "16")
+    _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
+
+
 def test_mrf_fit_refine_smoke(monkeypatch, tmp_path):
     """Dictionary match + Gauss-Newton refinement: the refined (T1, T2)
     must beat the grid match (asserted inside the example)."""
