@@ -742,9 +742,11 @@ def match_xgre(sequence, shape, density=None):
     -- the canonical EPG-X spoiled-GRE family (reference
     epgpy/exchange.py:89-120 applied per TR, MT saturation via a raw-rate
     ``R`` with no recovery; Malik 2018).  ``T`` carries per-compartment
-    flip angles on the leading (axis-0) compartment batch; the X stages
-    must be the SAME op instance every TR (the one-op-reused idiom; the
-    mixing matrices are computed once per atom).  X parameter arrays may
+    flip angles on the leading (axis-0) compartment batch -- scalars per
+    (TR, compartment), or a rank-1 ``outer(alpha_ic, B1)`` per-atom
+    batch (the MT-MRF / B1-dictionary idiom); the X stages must be the
+    SAME op instance every TR (the one-op-reused idiom; the mixing
+    matrices are computed once per atom).  X parameter arrays may
     live on device -- only khi/tau are read host-side (tiny, memoized);
     T1/T2/g pass through to the jitted runner untouched.
 
@@ -912,15 +914,23 @@ def _match_xgre_impl(sequence, shape, density):
         if not np.allclose(khis[tag] @ dens, 0, atol=1e-8):
             return None
 
-    alphas, phis, satf, satz = [], [], [], []
+    ahs, phis, satf, satz = [], [], [], []
     for sat, t, _, _, _, _ in blocks:
         if type(t) is not T or not _no_diff(t) or t.axes is not None:
             return None
-        a = _comp_vec(t.alpha, C)
         p = _comp_vec(t.phi, C)
-        if a is None or p is None:
+        ah = _host_nd(t.alpha)
+        if ah is None or p is None:
             return None
-        alphas.append(a)
+        # normalize to (C, *rest): the compartment axis LEADS (append
+        # rule); a scalar / size-1 leading axis broadcasts over pools
+        if ah.ndim == 0 or ah.size == 1:
+            ah = np.full((C,), float(ah.reshape(-1)[0]))
+        if ah.shape[0] == 1:
+            ah = np.broadcast_to(ah, (C,) + ah.shape[1:])
+        if ah.shape[0] != C:
+            return None
+        ahs.append(ah)
         phis.append(p)
         if sat is None:
             satf.append(np.ones(C, complex))
@@ -938,10 +948,27 @@ def _match_xgre_impl(sequence, shape, density):
             satf.append(np.conj(np.exp(-rT)))
             satz.append(np.exp(-rL))
 
+    # flip angles: scalar per (TR, compartment), or a rank-1
+    # ``outer(alpha_ic, B1)`` per-atom batch (the MT-MRF / B1-dictionary
+    # idiom -- same factorization as the FISP/CPMG matchers)
+    if all(all(d == 1 for d in a.shape[1:]) for a in ahs):
+        alphas = np.stack([a.reshape(C) for a in ahs])
+        B1 = None
+    else:
+        rows = [np.atleast_1d(a[c]) for a in ahs for c in range(C)]
+        fab = _rank1_factor(rows)
+        if fab is None:
+            return None
+        coefs, B1 = fab
+        alphas = coefs.reshape(len(ahs), C)
+        # B1's grid must broadcast (append rule) into the sim's atom dims
+        if not common.broadcastable(B1.shape, tuple(shape[1:])):
+            return None
+
     satf = np.asarray(satf)
     satz = np.asarray(satz)
     return {
-        "alpha": np.asarray(alphas), "phi": np.asarray(phis),
+        "alpha": np.asarray(alphas), "phi": np.asarray(phis), "B1": B1,
         "satf_re": satf.real, "satf_im": satf.imag,
         "satz_re": satz.real, "satz_im": satz.imag,
         "dens": dens, "khiA": khis["A"], "khiB": khis["B"],
@@ -969,8 +996,8 @@ def _prep_comp_atoms(x, bshape, default):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "bshape",
                                              "interpret"))
-def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, stageA, stageB, *,
-                  nstate, bshape, interpret):
+def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, b1, stageA, stageB,
+                  *, nstate, bshape, interpret):
     from .models.pallas_xgre import xgre_dictionary_pallas
 
     # an absent stage (tau = 0, khi = 0) yields identity matrices
@@ -981,9 +1008,14 @@ def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, stageA, stageB, *,
                 _prep_comp_atoms(T2, bshape, np.inf),
                 _prep_comp_atoms(g, bshape, 0.0), tau)
 
+    if b1 is not None:
+        rest = bshape[1:]
+        b1 = jnp.asarray(b1, jnp.float32)
+        b1 = b1.reshape(b1.shape + (1,) * (len(rest) - b1.ndim))
+        b1 = jnp.broadcast_to(b1, rest).reshape(-1)
     re, im = xgre_dictionary_pallas(
         alpha, phi, sfr, sfi, szr, szi, dens, prep(stageA), prep(stageB),
-        nstate=nstate, interpret=interpret)
+        b1, nstate=nstate, interpret=interpret)
     N = re.shape[0]
     return re.reshape((N,) + bshape), im.reshape((N,) + bshape)
 
@@ -998,6 +1030,8 @@ def _xgre_device_params(params):
         host = tuple(np.asarray(params[k], f32) for k in
                      ("alpha", "phi", "satf_re", "satf_im",
                       "satz_re", "satz_im", "dens"))
+        b1 = params.get("B1")
+        host += (None if b1 is None else np.asarray(b1, f32),)
         stages = tuple(
             (np.asarray(params["khi" + s], f32), params["T1" + s],
              params["T2" + s], params["g" + s],

@@ -40,7 +40,7 @@ __all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded"]
 
 
 def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
-                 dens_ref, coef_ref, *refs, nstate, ntr, ncomp):
+                 dens_ref, b1_ref, coef_ref, *refs, nstate, ntr, ncomp):
     """See module docstring.  refs = (out_re_0, out_im_0, ..., st_ref).
 
     st_ref: (6*C, nstate+1, btile) VMEM scratch; per compartment c the
@@ -49,7 +49,8 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
     part 0/1/2 = mT_re / mT_im / mL (mL is real: expm of a real
     matrix).  B planes are F+(-k), i.e. still F+ states: they transform
     with mT (NOT conj(mT), which acts on the implied F-) and with
-    conj(e^{-rT}) under R -- exactly like the A planes.
+    conj(e^{-rT}) under R -- exactly like the A planes.  b1_ref is the
+    per-atom flip scale (rank-1 ``outer(alpha_ic, B1_b)`` trains).
     """
     C = ncomp
     CC = C * C
@@ -132,9 +133,9 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
             s = (ar, ai, br, bi, zr, zi)
 
             # per-compartment rotation (Weigel matrix, same closed forms
-            # as pallas_mse): a = alpha_ic, ph = phi_ic
+            # as pallas_mse): a = alpha_ic * B1_b, ph = phi_ic
             rad = jnp.pi / 180.0
-            a = alpha_ref[i, c] * rad
+            a = alpha_ref[i, c] * rad * b1_ref[0, :]
             ph = phi_ref[i, c] * rad
             ca, sa = jnp.cos(a), jnp.sin(a)
             cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
@@ -194,7 +195,7 @@ def _exchange_mats(khi, T1, T2, g, tau):
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
 def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
-                           dens, stageA, stageB, *,
+                           dens, stageA, stageB, b1=None, *,
                            nstate, btile=512, interpret=False):
     """EPG-X GRE trains via the fused Pallas kernel.
 
@@ -209,6 +210,7 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
             khi (C, C) kinetic matrix (columns sum to 0); T1/T2/g
             (C, B) per-compartment per-atom; tau the mixing time (ms;
             0 = absent stage = identity).
+        b1: optional (B,) per-atom flip scale (rank-1 alpha trains).
         nstate: ladder half-size (static capacity).
 
     Returns (re, im): (N, C, B) float32 center transverse states
@@ -244,6 +246,10 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
                                axis=0)
 
     coef = jnp.concatenate([pack(stageA), pack(stageB)], axis=0)  # (6CC, Bp)
+    b1 = jnp.ones(B, f32) if b1 is None else jnp.asarray(b1, f32)
+    if Bp > B:
+        b1 = jnp.concatenate([b1, jnp.ones(Bp - B, f32)])
+    b1 = b1.reshape(1, Bp)
 
     kernel = partial(_kernel_xgre, nstate=nstate, ntr=N, ncomp=C)
     outs = pl.pallas_call(
@@ -257,6 +263,7 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # satz_re
             pl.BlockSpec(memory_space=pltpu.SMEM),            # satz_im
             pl.BlockSpec(memory_space=pltpu.SMEM),            # dens
+            pl.BlockSpec((1, btile), lambda b: (0, b)),       # b1
             pl.BlockSpec((6 * CC, btile), lambda b: (0, b)),  # coef
         ],
         out_specs=[pl.BlockSpec((N, btile), lambda b: (0, b))] * (2 * C),
@@ -265,7 +272,7 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(alpha, phi, satf_re, satf_im, satz_re, satz_im, dens, coef)
+    )(alpha, phi, satf_re, satf_im, satz_re, satz_im, dens, b1, coef)
 
     re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
     im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
@@ -273,29 +280,33 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
 
 
 def xgre_dictionary_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,
-                                   satz_im, dens, stageA, stageB, *,
-                                   mesh, axis="atoms", **kw):
+                                   satz_im, dens, stageA, stageB, b1=None,
+                                   *, mesh, axis="atoms", **kw):
     """Atom-sharded EPG-X Pallas dictionary over a device mesh.
 
     Same scheme as the FISP/CPMG sharded wrappers: GSPMD cannot
     partition a pallas_call, so each device runs the VMEM-resident
     kernel on its local atom shard under jax.shard_map (train arrays
-    replicated; the atom axis of the stages' T1/T2/g must divide the
-    mesh axis).
+    replicated; the atom axis of the stages' T1/T2/g and b1 must divide
+    the mesh axis).
     """
     from jax.sharding import PartitionSpec as PS
 
-    def local(t1a, t2a, ga, t1b, t2b, gb):
+    f32 = jnp.float32
+    if b1 is None:
+        b1 = jnp.ones(jnp.shape(stageA[2])[1], f32)
+
+    def local(t1a, t2a, ga, t1b, t2b, gb, b1s):
         return xgre_dictionary_pallas(
             alpha, phi, satf_re, satf_im, satz_re, satz_im, dens,
             (stageA[0], t1a, t2a, ga, stageA[4]),
-            (stageB[0], t1b, t2b, gb, stageB[4]), **kw)
+            (stageB[0], t1b, t2b, gb, stageB[4]), b1s, **kw)
 
     spec = PS(None, axis)
-    f = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 6,
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 6 + (PS(axis),),
                       out_specs=(PS(None, None, axis),) * 2,
                       check_vma=False)
-    f32 = jnp.float32
     return jax.jit(f)(jnp.asarray(stageA[1], f32), jnp.asarray(stageA[2], f32),
                       jnp.asarray(stageA[3], f32), jnp.asarray(stageB[1], f32),
-                      jnp.asarray(stageB[2], f32), jnp.asarray(stageB[3], f32))
+                      jnp.asarray(stageB[2], f32), jnp.asarray(stageB[3], f32),
+                      jnp.asarray(b1, f32))

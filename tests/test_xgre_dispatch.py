@@ -237,12 +237,27 @@ def test_fallthrough_sat_with_recovery():
     assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
 
 
-def test_fallthrough_per_atom_alpha():
-    """(C, B)-shaped flip angles are not in the kernel family."""
+def test_rank1_per_atom_alpha():
+    """outer(alpha_ic, B1) flip batches: per-atom B1 rides the kernel."""
     X = _mk_x()
-    alpha = np.stack([np.linspace(8, 12, 4), np.zeros(4)], 0)
+    B1 = np.linspace(0.85, 1.15, 4)
     seq = []
-    for _ in range(6):
+    for i in range(10):
+        alpha = np.stack([(10.0 + 2.0 * np.sin(i)) * B1, np.zeros(4)], 0)
+        seq += [epg.T(alpha, 0.0), epg.ADC, X, epg.S(1)]
+    params = fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2])
+    assert params is not None and params["B1"] is not None
+    _parity(seq, [0.8, 0.2])
+
+
+def test_fallthrough_non_rank1_alpha():
+    """Per-atom flips that are NOT a common rank-1 factor fall through."""
+    X = _mk_x()
+    seq = []
+    for i in range(6):
+        row = (np.linspace(8, 12, 4) if i % 2 == 0
+               else np.linspace(12, 8, 4))
+        alpha = np.stack([row, np.zeros(4)], 0)
         seq += [epg.T(alpha, 0.0), epg.ADC, X, epg.S(1)]
     assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
 
