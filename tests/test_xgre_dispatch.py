@@ -276,3 +276,73 @@ def test_match_memoized():
     p1 = fisp_dispatch.match_xgre(seq, (2, 4), list(dens))
     p2 = fisp_dispatch.match_xgre(seq, (2, 4), list(dens))
     assert p1 is p2
+
+
+def test_fuzz_xgre_dispatch_parity_or_fallthrough():
+    """Randomized trains: valid family members must match AND agree with
+    the planner; mutated trains must fall through (match is None)."""
+    rng = np.random.default_rng(42)
+    for case in range(12):
+        C = int(rng.choice([2, 3]))
+        d = rng.uniform(0.1, 1.0, C)
+        dens = d / d.sum()
+        khi = epg.exchange_matrix(float(rng.uniform(0.001, 0.02)),
+                                  ncomp=C, densities=dens)
+        B = 4
+        T2 = np.stack([np.linspace(30, 130, B)]
+                      + [np.full(B, rng.uniform(0.01, 5.0))
+                         for _ in range(C - 1)], 0)
+        T1 = rng.uniform(500, 1500, C)
+        g = rng.uniform(-0.05, 0.05, C) if rng.random() < 0.5 else None
+        two = rng.random() < 0.4
+        use_sat = rng.random() < 0.6
+        if two:
+            X1 = epg.X(float(rng.uniform(2, 6)), khi, axis=0, T1=T1, T2=T2,
+                       g=g)
+            X2 = epg.X(float(rng.uniform(4, 12)), khi, axis=0, T1=T1, T2=T2,
+                       g=g)
+        else:
+            X1, X2 = None, epg.X(float(rng.uniform(4, 12)), khi, axis=0,
+                                 T1=T1, T2=T2, g=g)
+        N = 8
+        b1 = np.linspace(0.9, 1.1, B) if rng.random() < 0.4 else None
+        seq = []
+        for i in range(N):
+            if use_sat:
+                rL = np.zeros(C)
+                rL[-1] = rng.uniform(0.05, 0.5)
+                seq.append(epg.R(0, rL=rL, r0=None))
+            a = np.zeros(C)
+            a[0] = rng.uniform(5, 40)
+            alpha = np.outer(a, b1) if b1 is not None else a
+            seq.append(epg.T(alpha, float(rng.uniform(0, 360))))
+            blk = ([X1] if X1 is not None else []) + [epg.ADC, X2]
+            seq += blk
+            seq.append(epg.S(1))
+
+        mutate = rng.random() < 0.4
+        if mutate:
+            kind = rng.integers(0, 4)
+            if kind == 0:      # one non-unit shift
+                seq[-1] = epg.S(2)
+            elif kind == 1:    # one Adc with phase
+                idx = next(i for i, op in enumerate(seq)
+                           if getattr(op, "attr", None) == "F0")
+                seq[idx] = epg.Adc(phase=12.0)
+            elif kind == 2:    # a fresh (non-shared) X instance mid-train
+                idx = next(i for i, op in enumerate(seq) if op is X2)
+                seq[idx] = epg.X(X2.tau, khi, axis=0, T1=T1, T2=T2, g=g)
+            else:              # tracked T op
+                idx = next(i for i, op in enumerate(seq)
+                           if type(op) is epg.T)
+                t = seq[idx]
+                seq[idx] = epg.T(t.alpha, t.phi, order1="alpha")
+
+        shape = (C, B)
+        params = fisp_dispatch.match_xgre(seq, shape, list(dens))
+        if mutate:
+            assert params is None, f"case {case}: mutated train matched"
+            continue
+        assert params is not None, f"case {case}: valid train fell through"
+        _parity(seq, dens, max_nstate=4,
+                tol=2e-6 if C == 2 else 2e-5)
