@@ -15,11 +15,12 @@ equivalents here:
 from .mesh import make_mesh, atom_sharding
 from .crlb import (crlb_train_step, fingerprint_crlb_loss,
                    mrf_design_loss, mrf_design_step, mrf_design_slsqp)
-from .match import dictionary_match
+from .match import (dictionary_match, compress_dictionary,
+                    project_signals)
 
 __all__ = [
     "make_mesh", "atom_sharding",
     "crlb_train_step", "fingerprint_crlb_loss",
     "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
-    "dictionary_match",
+    "dictionary_match", "compress_dictionary", "project_signals",
 ]

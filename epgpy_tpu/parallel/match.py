@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["dictionary_match"]
+__all__ = ["dictionary_match", "compress_dictionary", "project_signals"]
 
 
 def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
@@ -64,3 +64,68 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
         in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P()), check_vma=False,
     )(dict_re, dict_im, sig_re, sig_im)
+
+
+def compress_dictionary(dict_re, dict_im, rank):
+    """Rank-r SVD compression of an MRF dictionary (McGivney 2014).
+
+    Computes the top-r right-singular subspace of the complex dictionary
+    D (B, P) and projects the atoms onto it: matching in the compressed
+    r-dimensional space preserves the inner products up to the discarded
+    singular energy, cutting match FLOPs and memory by P/r (typical
+    P=1000, r=25-50).
+
+    TPU-first split: the (P, P) Gram matrix G = D^H D is computed ON
+    DEVICE with four real MXU matmuls (the (B, P) dictionary never
+    crosses the host boundary -- at 100k x 1000 that d2h alone is ~30 s
+    through the tunnel); only the tiny Gram (2 x P x P floats) comes
+    host-side for a NumPy Hermitian eigendecomposition, and the (P, r)
+    basis goes back up for the device-side projection.
+
+    Args:
+        dict_re/dict_im: (B, P) dictionary fingerprints (split complex).
+        rank: number of singular vectors r to keep.
+
+    Returns:
+        dict with "basis_re"/"basis_im" ((P, r) right-singular vectors),
+        "cdict_re"/"cdict_im" ((B, r) compressed atoms, device arrays)
+        and "energy" (fraction of total singular energy captured).
+    """
+    import numpy as np
+
+    @jax.jit
+    def gram(dre, dim):
+        hi = jax.lax.Precision.HIGHEST
+        grr = jnp.matmul(dre.T, dre, precision=hi)
+        gii = jnp.matmul(dim.T, dim, precision=hi)
+        gri = jnp.matmul(dre.T, dim, precision=hi)
+        gir = jnp.matmul(dim.T, dre, precision=hi)
+        # G = D^H D = (Dr - i Di)^T (Dr + i Di)
+        return grr + gii, gri - gir
+
+    g_re, g_im = jax.device_get(gram(dict_re, dict_im))
+    G = np.asarray(g_re) + 1j * np.asarray(g_im)
+    w, V = np.linalg.eigh((G + G.conj().T) / 2)   # ascending eigenvalues
+    order = np.argsort(w)[::-1][:rank]
+    basis = V[:, order]                            # (P, r)
+    energy = float(np.clip(w[order], 0, None).sum()
+                   / max(np.clip(w, 0, None).sum(), 1e-30))
+    b_re = np.ascontiguousarray(basis.real, dtype=np.asarray(g_re).dtype)
+    b_im = np.ascontiguousarray(basis.imag, dtype=np.asarray(g_re).dtype)
+    c_re, c_im = project_signals(b_re, b_im, dict_re, dict_im)
+    return {"basis_re": b_re, "basis_im": b_im,
+            "cdict_re": c_re, "cdict_im": c_im, "energy": energy}
+
+
+@jax.jit
+def project_signals(basis_re, basis_im, sig_re, sig_im):
+    """Project (V, P) signals onto the (P, r) compression basis: s V.
+
+    Complex matmul as four real MXU matmuls; use on measured voxel
+    signals before `dictionary_match` against the compressed dictionary
+    (the same function -- compressed fingerprints are just shorter)."""
+    rr = sig_re @ basis_re
+    ii = sig_im @ basis_im
+    ri = sig_re @ basis_im
+    ir = sig_im @ basis_re
+    return rr - ii, ri + ir

@@ -105,6 +105,52 @@ def test_dictionary_match(cpu_devices):
     assert np.allclose(np.asarray(val0), np.asarray(val1))
 
 
+def test_compressed_dictionary_match(cpu_devices):
+    """SVD compression (McGivney 2014): rank-r matching recovers the
+    same atoms as the full-length match, and the captured singular
+    energy bounds the correlation error."""
+    from epgpy_tpu.parallel import compress_dictionary, project_signals
+
+    FA = np.linspace(10, 60, 48)
+    T1g, T2g = np.meshgrid(np.linspace(300, 1500, 12),
+                           np.linspace(30, 120, 12))
+    re, im = mrf.fisp_mrf_dictionary(FA, 12.0, 5.0, T1g.ravel(), T2g.ravel(),
+                                     nstate=4, normalize=True)
+    re, im = jnp.asarray(re), jnp.asarray(im)
+    rng = np.random.default_rng(1)
+    picks = [7, 55, 101]
+    sig_re = np.asarray(re)[picks] + 1e-4 * rng.normal(size=(3, 48))
+    sig_im = np.asarray(im)[picks] + 1e-4 * rng.normal(size=(3, 48))
+
+    idx0, val0 = dictionary_match(re, im, jnp.asarray(sig_re),
+                                  jnp.asarray(sig_im))
+    comp = compress_dictionary(re, im, 12)
+    assert comp["energy"] > 0.9999
+    assert comp["cdict_re"].shape == (144, 12)
+    cs = project_signals(comp["basis_re"], comp["basis_im"],
+                         jnp.asarray(sig_re), jnp.asarray(sig_im))
+    idx1, val1 = dictionary_match(comp["cdict_re"], comp["cdict_im"],
+                                  cs[0], cs[1])
+    assert list(np.asarray(idx1)) == list(np.asarray(idx0)) == picks
+    # inner products preserved up to the discarded energy
+    assert np.allclose(np.asarray(val1), np.asarray(val0), atol=5e-3)
+
+    # full-rank compression is exact (up to roundoff)
+    full = compress_dictionary(re, im, 48)
+    csf = project_signals(full["basis_re"], full["basis_im"],
+                          jnp.asarray(sig_re), jnp.asarray(sig_im))
+    _, valf = dictionary_match(full["cdict_re"], full["cdict_im"],
+                               csf[0], csf[1])
+    assert np.allclose(np.asarray(valf), np.asarray(val0), atol=1e-10)
+
+    # sharded match over the compressed dictionary == single device
+    mesh = make_mesh(cpu_devices, axes=("atoms",))
+    idx2, val2 = dictionary_match(comp["cdict_re"], comp["cdict_im"],
+                                  cs[0], cs[1], mesh)
+    assert list(np.asarray(idx2)) == picks
+    assert np.allclose(np.asarray(val2), np.asarray(val1))
+
+
 def test_graft_entry():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
