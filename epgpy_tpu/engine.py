@@ -825,6 +825,17 @@ def simulate(
                             len(mparams["FA"]), ncap)
                     enc = fisp_dispatch.run_mse_kernel(
                         mparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+                else:
+                    bparams = fisp_dispatch.match_bssfp(sequence)
+                    if bparams is not None:
+                        if disp:
+                            LOGGER.info(
+                                "simulate: bSSFP train -> fused Pallas "
+                                "kernel (bssfp-kernel engine, %d TR, k=0 "
+                                "only)", len(bparams["FA"]))
+                        enc = fisp_dispatch.run_bssfp_kernel(
+                            bparams,
+                            interpret=_fisp_force and not _fisp_tpu)
         if enc is None:
             xparams = fisp_dispatch.match_xgre(sequence, shape, _dens_opt)
             if xparams is not None:
@@ -901,21 +912,25 @@ def simulate(
             runner = None
             if specs is not None:
                 fparams = fisp_dispatch.match_fisp(sequence)
+                runner = fisp_dispatch.run_fisp_jacobian
                 if fparams is None:
                     fparams = fisp_dispatch.match_mse(sequence)
                     runner = fisp_dispatch.run_mse_jacobian
-                else:
-                    runner = fisp_dispatch.run_fisp_jacobian
+                if fparams is None:
+                    fparams = fisp_dispatch.match_bssfp(sequence)
+                    runner = fisp_dispatch.run_bssfp_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
             if specs is not None:
                 if disp:
+                    _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",
+                            fisp_dispatch.run_bssfp_jacobian: "bSSFP"}
                     LOGGER.info(
                         "simulate: %s diff train -> fused Pallas "
                         "Jacobian kernel (%d pulses, nstate=%d)",
-                        "CPMG" if runner is fisp_dispatch.run_mse_jacobian
-                        else "FISP", len(fparams["FA"]), _preamble_ncap)
+                        _fam.get(runner, "FISP"), len(fparams["FA"]),
+                        _preamble_ncap)
                 values = runner(
                     fparams, _preamble_ncap, specs,
                     interpret=_fisp_force and not _fisp_tpu)

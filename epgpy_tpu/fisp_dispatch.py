@@ -45,7 +45,8 @@ LOGGER = logging.getLogger(__name__)
 
 __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
-           "run_mse_jacobian", "clear_cache"]
+           "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
+           "run_bssfp_jacobian", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -212,18 +213,22 @@ def match_fisp(sequence):
     return params
 
 
-def _match_fisp_impl(sequence):
+def _match_fisp_impl(sequence, spoiled=True):
     from .ops.transition import T
     from .ops.evolution import E
     from .ops.shift import S
     from .ops.probe import Adc
 
+    group = 5 if spoiled else 4
     # optional inversion prep: [T(180-family, phi), E(TI)] prefix (the
     # reference MRF pattern, e.g. examples/sequence/optim_mrf.py:28-29).
     # The kernel's prep is a 180*B1 pulse about phi=0 + TI relaxation;
-    # validated against the extracted train B1 below.
+    # validated against the extracted train B1 below.  FISP preps must
+    # have g=0; balanced (bSSFP) preps may carry the train's per-atom
+    # off-resonance (validated against DF after the loop — the kernel
+    # applies the TI phase to the prepped F+).
     prep = None
-    if len(sequence) % 5 == 2:
+    if len(sequence) % group == 2:
         t0, e0 = sequence[0], sequence[1]
         if type(t0) is not T or type(e0) is not E:
             return None
@@ -232,22 +237,33 @@ def _match_fisp_impl(sequence):
         if t0.axes is not None or e0.axes is not None:
             return None
         TI = _scalar(e0.tau)
-        if TI is None or _scalar(e0.g) != 0.0:
+        if TI is None:
+            return None
+        if spoiled and _scalar(e0.g) != 0.0:
             return None
         prep = (t0, e0, TI)
         sequence = sequence[2:]
 
-    N = len(sequence) // 5
+    N = len(sequence) // group
 
     alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
     T1 = T2 = DF = None
     tracked = None
     for i in range(N):
-        t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
-        if (type(t_op) is not T or type(e1) is not E or type(adc) is not Adc
-                or type(e2) is not E or type(s) is not S):
+        if spoiled:
+            t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
+            if type(e2) is not E or type(s) is not S:
+                return None
+            if not _no_diff(s):
+                return None
+        else:
+            t_op, e1, adc, e2 = sequence[4 * i:4 * i + 4]
+            if type(e2) is not E:
+                return None
+        if (type(t_op) is not T or type(e1) is not E
+                or type(adc) is not Adc):
             return None
-        if not all(map(_no_diff, (t_op, adc, s))):
+        if not _no_diff(t_op) or not _no_diff(adc):
             return None
         # E ops may carry canonical T1/T2 order1 tracking (the Jacobian
         # dispatch consumes it; it is value-neutral for the primal) --
@@ -270,7 +286,7 @@ def _match_fisp_impl(sequence):
             return None
         adc_phases.append(ph_adc)
         # unit integer shift
-        if getattr(s, "_kint", None) != 1:
+        if spoiled and getattr(s, "_kint", None) != 1:
             return None
         ph = _scalar(t_op.phi)
         tte = _scalar(e1.tau)
@@ -341,6 +357,11 @@ def _match_fisp_impl(sequence):
         if (t1v is None or t2v is None or not np.array_equal(T1, t1v)
                 or not np.array_equal(T2, t2v)):
             return None
+        if not spoiled:
+            # balanced prep must precess with the train's off-resonance
+            g0 = _host_nd(e0.g)
+            if g0 is None or not np.array_equal(g0, DF):
+                return None
         if _canonical_order1(e0) != tracked:
             # the kernel seeds prep tangents in closed form, i.e. the
             # prep relaxation IS differentiated: tracking must agree
@@ -379,6 +400,103 @@ def _match_fisp_impl(sequence):
         "demod": demod, "shape": bshape,
         "df": DFf if DFf.any() else None,
     }
+
+
+def match_bssfp(sequence):
+    """Match balanced SSFP (TrueFISP) trains ``[T, E, ADC, E] * N``.
+
+    The spoiler-free sibling of `match_fisp` (same checks minus the S
+    op; the EPG ladder never leaves k=0): per-TR flip/phase/TR/TE
+    variation, rank-1 ``outer(FA, B1)`` flip batches, per-atom
+    off-resonance (``E.g`` — a mapped parameter in bSSFP MRF, Ma 2013),
+    receiver demodulation ``Adc(phase=-phi_i)``, and an optional
+    ``[T(180-family), E(TI)]`` inversion prep whose E may carry the
+    train's off-resonance.  Returns the `match_fisp` param dict or
+    None; memoized on operator identities.
+    """
+    if len(sequence) < 8 or len(sequence) % 4 not in (0, 2):
+        return None
+    key = ("bssfp",) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_fisp_impl(sequence, spoiled=False)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "use_inv",
+                                             "demod", "use_df", "bshape"))
+def _run_bssfp_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
+                   use_inv, demod=False, use_df=False, bshape=None):
+    from .models.pallas_bssfp import bssfp_dictionary_pallas
+
+    re, im = bssfp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
+                                     DF if use_df else None,
+                                     interpret=interpret, demodulate=demod,
+                                     inversion=TI if use_inv else None)
+    P = re.shape[1]
+    bshape = (re.shape[0],) if bshape is None else bshape
+    return re.T.reshape((P,) + bshape), im.T.reshape((P,) + bshape)
+
+
+def run_bssfp_kernel(params, nstate=None, *, interpret=False):
+    """Run the fused bSSFP kernel; engine-layout output (`nstate` is
+    accepted for call-site uniformity and ignored: no ladder)."""
+    dev = _device_params(params)
+    re, im = _run_bssfp_jit(*dev, interpret=interpret,
+                            use_inv=params.get("TI") is not None,
+                            demod=bool(params.get("demod")),
+                            use_df=params.get("df") is not None,
+                            bshape=tuple(params["shape"]))
+    return {"__c_re": re, "__c_im": im}
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "use_inv",
+                                             "specs", "demod", "use_df",
+                                             "bshape"))
+def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
+                       use_inv, specs, demod=False, use_df=False,
+                       bshape=None):
+    from .models.pallas_bssfp import bssfp_jacobian_pallas
+
+    (re, im), (dre, dim) = bssfp_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        interpret=interpret, demodulate=demod,
+        inversion=TI if use_inv else None)
+    P = re.shape[1]
+    bshape = (re.shape[0],) if bshape is None else bshape
+    col = {"magnitude": (re, im),
+           "T1": (dre[..., 0], dim[..., 0]),
+           "T2": (dre[..., 1], dim[..., 1])}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": re.T.reshape((P,) + bshape),
+                         "__c_im": im.T.reshape((P,) + bshape)})
+        else:
+            k = len(spec[1])
+            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
+            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
+            outs.append(
+                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape(
+                     (P,) + bshape + (k,)),
+                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape(
+                     (P,) + bshape + (k,))})
+    return tuple(outs)
+
+
+def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
+    """Fused bSSFP Jacobian runner (simulate_diff output format;
+    `nstate` ignored — no ladder)."""
+    dev = _device_params(params)
+    return _run_bssfp_jac_jit(*dev, interpret=interpret,
+                              use_inv=params.get("TI") is not None,
+                              specs=specs, demod=bool(params.get("demod")),
+                              use_df=params.get("df") is not None,
+                              bshape=tuple(params["shape"]))
 
 
 def match_mse(sequence):

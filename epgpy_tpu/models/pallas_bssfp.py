@@ -1,0 +1,466 @@
+"""Pallas TPU kernel: fused balanced-SSFP (TrueFISP) trains.
+
+The original MR fingerprinting family (Ma 2013) is an IR-prepped bSSFP
+train: no spoiler gradient, so the EPG ladder never dephases and the
+whole state lives in the k=0 row.  With the equilibrium init the
+conjugate symmetry F-(0) = conj(F+(0)) and Re-ness of Z(0) hold through
+every (alpha, phi) rotation and relaxation, so the per-atom state is
+THREE floats: (Re F+(0), Im F+(0), Z(0)).  The kernel keeps them in
+VMEM across the entire train and streams only the echoes out —
+per-TR work is ~30 fused madds on (1, B_TILE) rows, so throughput is
+bound by the (N, B) echo writes, not compute.
+
+Physics is the k=0 restriction of models/pallas_fisp._kernel_half
+(Weigel rotation, TE echo decay + off-resonance phase, full-TR
+relaxation with Z recovery); the reference computes the same trains
+through its dense operator loop (epgpy/transition.py T,
+epgpy/evolution.py E applied at nstate=0 — see
+/root/reference/epgpy/statematrix.py for the k=0-only state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bssfp_dictionary_pallas", "bssfp_jacobian_pallas",
+           "bssfp_dictionary_pallas_sharded"]
+
+
+def bssfp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
+                                    *, mesh, axis="atoms", **kw):
+    """Atom-sharded bSSFP dictionary over a device mesh (shard_map:
+    GSPMD cannot partition a pallas_call; each device runs the kernel
+    on its atom shard, embarrassingly parallel)."""
+    from jax.sharding import PartitionSpec as PS
+
+    use_df = dfs is not None
+
+    def local(t1, t2, b1, df):
+        return bssfp_dictionary_pallas(FA, phi, TR, TE, t1, t2, b1,
+                                       df if use_df else None, **kw)
+
+    spec = PS(axis)
+    out_spec = PS(axis, None)
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(spec, spec, spec, spec),
+                      out_specs=(out_spec, out_spec),
+                      check_vma=False)
+    T1s = jnp.asarray(T1s, jnp.float32)
+    dfz = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, jnp.float32)
+    return jax.jit(f)(T1s, jnp.asarray(T2s, jnp.float32),
+                      jnp.asarray(B1s, jnp.float32), dfz)
+
+
+def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
+            df_ref, out_re_ref, out_im_ref, st_ref, *, pchunk, demodulate,
+            use_df, use_inv, var_te=False):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    pc = pl.program_id(1)
+
+    @pl.when(pc == 0)
+    def _init():
+        st_ref[...] = jnp.zeros_like(st_ref)
+        if use_inv:
+            # inversion prep: 180*B1 pulse about phi=0, then TI relaxation
+            # (F+(0) = -i sin(a) decayed by E2 and, unlike the FISP
+            # matcher which requires prep g=0, rotated by the TI
+            # off-resonance phase: bSSFP preps carry df)
+            ai = jnp.pi * b1_ref[0, :]
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / t1_ref[0, :])
+            E2i = jnp.exp(-TI / t2_ref[0, :])
+            fpi = -jnp.sin(ai) * E2i                        # i * fpi
+            if use_df:
+                angi = 2 * jnp.pi * df_ref[0, :] * TI
+                st_ref[0, 0, :] = -fpi * jnp.sin(angi)
+                st_ref[1, 0, :] = fpi * jnp.cos(angi)
+            else:
+                st_ref[1, 0, :] = fpi                       # Im F+(0)
+            st_ref[2, 0, :] = jnp.cos(ai) * E1i + 1.0 - E1i
+        else:
+            st_ref[2, 0, :] = jnp.ones_like(st_ref[2, 0, :])  # Z(0) = 1
+
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
+    base = pc * pchunk
+    if not var_te:
+        TE = te_ref[0, 0]
+        E2te = jnp.exp(-TE / T2)
+
+    def step(i, _):
+        if var_te:
+            te = te_ref[0, base + i]
+            e2te = jnp.exp(-te / T2)
+        else:
+            te, e2te = TE, E2te
+        FpR, FpI, ZR = st_ref[0], st_ref[1], st_ref[2]
+
+        fa = fa_ref[0, base + i]
+        ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
+        a = fa * B1 * (jnp.pi / 180.0)
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+
+        # Weigel rotation restricted to k=0 with F-(0) = conj(F+(0)),
+        # Z(0) real:
+        #   nF+ = cos2 F+ + m01 conj(F+) + m02 Z
+        #   nZ  = 2 Re(m20 F+) + ca Z      (m21 = conj(m20))
+        m01r, m01i = c2p * sin2, s2p * sin2
+        m02r, m02i = sp * sa, -cp * sa
+        m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
+        nFpR = cos2 * FpR + m01r * FpR + m01i * FpI + m02r * ZR
+        nFpI = cos2 * FpI + m01i * FpR - m01r * FpI + m02i * ZR
+        nZR = 2.0 * (m20r * FpR - m20i * FpI) + ca * ZR
+
+        # echo at TE: T2 decay + off-resonance phase (+ demodulation)
+        eR, eI = nFpR * e2te, nFpI * e2te
+        if use_df:
+            ang_te = 2 * jnp.pi * DF * te
+            pteR, pteI = jnp.cos(ang_te), jnp.sin(ang_te)
+            eR, eI = eR * pteR - eI * pteI, eI * pteR + eR * pteI
+        if demodulate:
+            eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
+        out_re_ref[i, :] = eR[0]
+        out_im_ref[i, :] = eI[0]
+
+        # full-TR relaxation (no shift: states stay at k=0)
+        TRi = tr_ref[0, base + i]
+        cF = jnp.exp(-TRi / T2)
+        cZ = jnp.exp(-TRi / T1)
+        if use_df:
+            ang = 2 * jnp.pi * DF * TRi
+            pR, pI = jnp.cos(ang), jnp.sin(ang)
+            st_ref[0] = cF * (nFpR * pR - nFpI * pI)
+            st_ref[1] = cF * (nFpI * pR + nFpR * pI)
+        else:
+            st_ref[0] = cF * nFpR
+            st_ref[1] = cF * nFpI
+        st_ref[2] = cZ * nZR + (1.0 - cZ)
+        return 0
+
+    jax.lax.fori_loop(0, pchunk, step, 0)
+
+
+def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
+                b1_ref, df_ref, out_re_ref, out_im_ref,
+                d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+                db_re_ref, db_im_ref, st_ref, *, pchunk, demodulate,
+                use_inv, use_df, var_te=False):
+    """Fused primal + (dT1, dT2, dB1) tangents at k=0.
+
+    Forward-mode derivative of `_kernel`: 12 planes of (1, B_TILE) in
+    VMEM — primal (FpR, FpI, Z) then 3 planes per variable.  The
+    tangent relation F-_t(0) = conj(F+_t(0)) and Re-ness of Z_t are
+    preserved by differentiation, so each tangent is also 3 floats.
+    Coefficient tangents are sparse: T1 only perturbs cZ and the
+    recovery (rec = 1 - cZ exactly), T2 only cF and the echo's TE
+    decay, B1 only the rotation coefficients.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    pc = pl.program_id(1)
+
+    @pl.when(pc == 0)
+    def _init():
+        st_ref[...] = jnp.zeros_like(st_ref)
+        if use_inv:
+            T1v, T2v = t1_ref[0, :], t2_ref[0, :]
+            ai = jnp.pi * b1_ref[0, :]
+            sai, cai = jnp.sin(ai), jnp.cos(ai)
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / T1v)
+            E2i = jnp.exp(-TI / T2v)
+            # F+ seeds are pure-imaginary (i * v) rotated by the TI
+            # off-resonance phase (phase is parameter-independent, so
+            # the dT2/dB1 seeds rotate identically)
+            if use_df:
+                angi = 2 * jnp.pi * df_ref[0, :] * TI
+                ci, si = jnp.cos(angi), jnp.sin(angi)
+            else:
+                ci, si = 1.0, 0.0
+
+            def seed_f(s0, v):
+                st_ref[s0 + 0, 0, :] = -v * si
+                st_ref[s0 + 1, 0, :] = v * ci
+
+            seed_f(0, -sai * E2i)
+            st_ref[2, 0, :] = cai * E1i + 1.0 - E1i
+            dE1i = E1i * TI / (T1v * T1v)
+            dE2i = E2i * TI / (T2v * T2v)
+            st_ref[5, 0, :] = (cai - 1.0) * dE1i            # dT1: Z
+            seed_f(6, -sai * dE2i)                          # dT2: F+
+            seed_f(9, -cai * jnp.pi * E2i)                  # dB1: F+
+            st_ref[11, 0, :] = -sai * jnp.pi * E1i          # dB1: Z
+        else:
+            st_ref[2, 0, :] = jnp.ones_like(st_ref[2, 0, :])
+
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
+    base = pc * pchunk
+    if not var_te:
+        TE = te_ref[0, 0]
+        E2te = jnp.exp(-TE / T2)
+        dE2te = E2te * TE / (T2 * T2)
+
+    def step(i, _):
+        if var_te:
+            te = te_ref[0, base + i]
+            e2te = jnp.exp(-te / T2)
+            de2te = e2te * te / (T2 * T2)
+        else:
+            te, e2te, de2te = TE, E2te, dE2te
+        P = [st_ref[j] for j in range(3)]
+        tans = [[st_ref[3 * v + j] for j in range(3)] for v in (1, 2, 3)]
+
+        fa = fa_ref[0, base + i]
+        ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
+        rad = jnp.pi / 180.0
+        a = fa * B1 * rad
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+        c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+
+        m01r, m01i = c2p * sin2, s2p * sin2
+        m02r, m02i = sp * sa, -cp * sa
+        m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
+        # B1 tangents of the rotation coefficients
+        da = fa * rad
+        dsa, dca = ca * da, -sa * da
+        dcos2, dsin2 = -0.5 * sa * da, 0.5 * sa * da
+        dm01r, dm01i = c2p * dsin2, s2p * dsin2
+        dm02r, dm02i = sp * dsa, -cp * dsa
+        dm20r, dm20i = -0.5 * sp * dsa, -0.5 * cp * dsa
+
+        def rotF(c2, a1r, a1i, a2r, a2i, p3):
+            fR, fI, z = p3
+            return (c2 * fR + a1r * fR + a1i * fI + a2r * z,
+                    c2 * fI + a1i * fR - a1r * fI + a2i * z)
+
+        def rotZ(b0r, b0i, caa, p3):
+            fR, fI, z = p3
+            return 2.0 * (b0r * fR - b0i * fI) + caa * z
+
+        primF = partial(rotF, cos2, m01r, m01i, m02r, m02i)
+        primZ = partial(rotZ, m20r, m20i, ca)
+
+        RF = primF(P)
+        RZ = primZ(P)
+        tRF = [primF(t) for t in tans]
+        tRZ = [primZ(t) for t in tans]
+        # B1 coefficient-derivative pass over the primal planes
+        cRF = rotF(dcos2, dm01r, dm01i, dm02r, dm02i, P)
+        cRZ = rotZ(dm20r, dm20i, dca, P)
+
+        if use_df:
+            ang_te = 2 * jnp.pi * DF * te
+            pter, ptei = jnp.cos(ang_te), jnp.sin(ang_te)
+
+        def demod_write(re_ref, im_ref, eR, eI):
+            if use_df:
+                eR, eI = eR * pter - eI * ptei, eI * pter + eR * ptei
+            if demodulate:
+                eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
+            re_ref[i, :] = eR[0]
+            im_ref[i, :] = eI[0]
+
+        demod_write(out_re_ref, out_im_ref, e2te * RF[0], e2te * RF[1])
+        demod_write(d1_re_ref, d1_im_ref, e2te * tRF[0][0], e2te * tRF[0][1])
+        demod_write(d2_re_ref, d2_im_ref,
+                    e2te * tRF[1][0] + de2te * RF[0],
+                    e2te * tRF[1][1] + de2te * RF[1])
+        demod_write(db_re_ref, db_im_ref,
+                    e2te * (tRF[2][0] + cRF[0]),
+                    e2te * (tRF[2][1] + cRF[1]))
+
+        TRi = tr_ref[0, base + i]
+        cF = jnp.exp(-TRi / T2)
+        cZ = jnp.exp(-TRi / T1)
+        dcZ = cZ * TRi / (T1 * T1)          # d/dT1
+        dcF = cF * TRi / (T2 * T2)          # d/dT2
+        if use_df:
+            ang = 2 * jnp.pi * DF * TRi
+            pR, pI = jnp.cos(ang), jnp.sin(ang)
+
+        def fmul(c, re, im):
+            """(c e^{i 2pi df TR}) * (re + i im)."""
+            if use_df:
+                return c * (re * pR - im * pI), c * (im * pR + re * pI)
+            return c * re, c * im
+
+        def store3(s0, fR, fI, z):
+            st_ref[s0 + 0] = fR
+            st_ref[s0 + 1] = fI
+            st_ref[s0 + 2] = z
+
+        # primal
+        pFr, pFi = fmul(cF, RF[0], RF[1])
+        store3(0, pFr, pFi, cZ * RZ + (1.0 - cZ))
+        # dT1: only cZ / rec = 1 - cZ carry tangents
+        aFr, aFi = fmul(cF, tRF[0][0], tRF[0][1])
+        store3(3, aFr, aFi, cZ * tRZ[0] + dcZ * RZ - dcZ)
+        # dT2: only cF (and the echo's e2te) carries tangents
+        bFr, bFi = fmul(cF, tRF[1][0], tRF[1][1])
+        xFr, xFi = fmul(dcF, RF[0], RF[1])
+        store3(6, bFr + xFr, bFi + xFi, cZ * tRZ[1])
+        # dB1: only the rotation coefficients carry tangents
+        gFr, gFi = fmul(cF, tRF[2][0] + cRF[0], tRF[2][1] + cRF[1])
+        store3(9, gFr, gFi, cZ * (tRZ[2] + cRZ))
+        return 0
+
+    jax.lax.fori_loop(0, pchunk, step, 0)
+
+
+def _pad_setup(FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout):
+    f32 = jnp.float32
+    FA = jnp.asarray(FA, f32)
+    P = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
+    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
+    TE = jnp.asarray(TE, f32)
+    var_te = TE.ndim == 1
+    T1s = jnp.asarray(T1s, f32)
+    T2s = jnp.asarray(T2s, f32)
+    B1s = jnp.asarray(B1s, f32)
+    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
+    B = T1s.shape[0]
+
+    if pchunk is None:
+        pchunk = P if nout * P * btile * 4 <= (1 << 25) else 1024
+    Bp = -(-B // btile) * btile
+    Pp = -(-P // pchunk) * pchunk
+
+    def padb(x):
+        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
+
+    def padp(x, fill):
+        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
+                if Pp > P else x)
+
+    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
+    # padded pulses are FA=0 no-ops; TR fill just needs TR - TE > 0
+    TR_p = padp(TR, 2.0) if var_te else padp(TR, TE + 1.0)
+    TE_arr = (padp(jnp.broadcast_to(TE, (P,)), 1.0).reshape(1, -1)
+              if var_te else jnp.full((1, 1), TE, f32))
+    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
+    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
+    return (P, B, Pp, Bp, pchunk, var_te, args, TE_arr,
+            [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)])
+
+
+@partial(jax.jit, static_argnames=("btile", "pchunk", "demodulate",
+                                   "normalize", "interpret"))
+def bssfp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
+                            btile=1024, pchunk=None, demodulate=False,
+                            inversion=None, normalize=False, interpret=False):
+    """bSSFP fingerprint dictionary via the fused k=0 Pallas kernel.
+
+    Args mirror models/mrf.fisp_mrf_dictionary minus nstate (no ladder):
+    FA (P,) degrees, phi/TR broadcast to (P,), TE scalar or per-pulse,
+    T1/T2/B1/dfs (B,) per-atom (dfs in kHz — the off-resonance axis IS
+    a mapped parameter in bSSFP MRF).  `inversion` (TI ms) prepends a
+    180*B1 prep.  Returns (re, im): (B, P) float32 fingerprints.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    use_df = dfs is not None
+    (P, B, Pp, Bp, pchunk, var_te, args, TE_arr, atom_args) = _pad_setup(
+        FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout=2)
+    TI_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
+    nP, nB = Pp // pchunk, Bp // btile
+
+    kernel = partial(_kernel, pchunk=pchunk, demodulate=demodulate,
+                     use_df=use_df, use_inv=inversion is not None,
+                     var_te=var_te)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(nB, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
+        ],
+        out_specs=[pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * 2,
+        scratch_shapes=[pltpu.VMEM((3, 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args, TE_arr, TI_arr, *atom_args)
+
+    re, im = out_re[:P, :B].T, out_im[:P, :B].T
+    if normalize:
+        nrm = jnp.sqrt(jnp.sum(re * re + im * im, axis=-1, keepdims=True))
+        scale = jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+        re, im = re * scale, im * scale
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("btile", "pchunk", "demodulate",
+                                   "interpret"))
+def bssfp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
+                          btile=1024, pchunk=None, demodulate=False,
+                          inversion=None, interpret=False):
+    """Fingerprints + dS/d(T1, T2, B1) via one fused k=0 kernel.
+
+    Returns ((re, im), (dre, dim)): (B, P) and (B, P, 3) with columns
+    ordered (T1, T2, B1) — the fisp_jacobian_pallas layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    use_df = dfs is not None
+    (P, B, Pp, Bp, pchunk, var_te, args, TE_arr, atom_args) = _pad_setup(
+        FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout=8)
+    TI_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
+    nP, nB = Pp // pchunk, Bp // btile
+
+    kernel = partial(_kernel_jac, pchunk=pchunk, demodulate=demodulate,
+                     use_inv=inversion is not None, use_df=use_df,
+                     var_te=var_te)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nB, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
+        ],
+        out_specs=[pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b))] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * 8,
+        scratch_shapes=[pltpu.VMEM((12, 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args, TE_arr, TI_arr, *atom_args)
+
+    re, im, d1r, d1i, d2r, d2i, dbr, dbi = [o[:P, :B].T for o in outs]
+    dre = jnp.stack([d1r, d2r, dbr], axis=-1)
+    dim = jnp.stack([d1i, d2i, dbi], axis=-1)
+    return (re, im), (dre, dim)
