@@ -32,11 +32,17 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
     per component.
     """
     def local_match(dre, dim, sre, sim):
-        # complex inner product via real matmuls (MXU path)
-        rr = sre @ dre.T
-        ii = sim @ dim.T
-        ri = sre @ dim.T
-        ir = sim @ dre.T
+        # complex inner product via real matmuls (MXU path).  precision
+        # "highest": the TPU default is bf16 passes (~4e-3 relative),
+        # but close dictionary atoms are separated by 1e-4..1e-3 in
+        # correlation (bSSFP T2 neighbors especially) — bf16 matmuls
+        # flip those matches deterministically (measured: mrf_bssfp
+        # 548->562 at ZERO noise).
+        hi = jax.lax.Precision.HIGHEST
+        rr = jnp.matmul(sre, dre.T, precision=hi)
+        ii = jnp.matmul(sim, dim.T, precision=hi)
+        ri = jnp.matmul(sre, dim.T, precision=hi)
+        ir = jnp.matmul(sim, dre.T, precision=hi)
         corr = jnp.sqrt((rr + ii) ** 2 + (ir - ri) ** 2)  # (V, Blocal)
         best = jnp.argmax(corr, axis=-1)
         val = jnp.take_along_axis(corr, best[:, None], axis=-1)[:, 0]
@@ -121,11 +127,14 @@ def compress_dictionary(dict_re, dict_im, rank):
 def project_signals(basis_re, basis_im, sig_re, sig_im):
     """Project (V, P) signals onto the (P, r) compression basis: s V.
 
-    Complex matmul as four real MXU matmuls; use on measured voxel
-    signals before `dictionary_match` against the compressed dictionary
-    (the same function -- compressed fingerprints are just shorter)."""
-    rr = sig_re @ basis_re
-    ii = sig_im @ basis_im
-    ri = sig_re @ basis_im
-    ir = sig_im @ basis_re
+    Complex matmul as four real MXU matmuls (precision "highest": bf16
+    default passes distort the projection by ~1e-3, above the
+    correlation margins of close atoms); use on measured voxel signals
+    before `dictionary_match` against the compressed dictionary (the
+    same function -- compressed fingerprints are just shorter)."""
+    hi = jax.lax.Precision.HIGHEST
+    rr = jnp.matmul(sig_re, basis_re, precision=hi)
+    ii = jnp.matmul(sig_im, basis_im, precision=hi)
+    ri = jnp.matmul(sig_re, basis_im, precision=hi)
+    ir = jnp.matmul(sig_im, basis_re, precision=hi)
     return rr - ii, ri + ir

@@ -173,6 +173,31 @@ def test_jacobian_hessian_falls_through():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-7
 
 
+def test_golden_reference_parity():
+    """Physics pinned against the reference itself (tests/golden/
+    bssfp.npz, generated by tools/make_golden.py: IR-prepped
+    phase-alternating bSSFP with off-resonance + B1 batch): the
+    planner matches at 1e-10 (x64) and the fused kernel at f32
+    tolerance."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "bssfp.npz"))
+    FAs, TRs, phases = g["FAs"], g["TRs"], g["phases"]
+    T1s, T2s, dfs, B1s = g["T1s"], g["T2s"], g["dfs"], g["B1s"]
+    seq = [epg.T(180 * B1s, 0), epg.E(18.0, T1s, T2s, dfs)]
+    for i in range(len(FAs)):
+        te = TRs[i] / 2
+        seq += [
+            epg.T(FAs[i] * B1s, phases[i]),
+            epg.E(te, T1s, T2s, dfs), epg.Adc(phase=-phases[i]),
+            epg.E(TRs[i] - te, T1s, T2s, dfs),
+        ]
+    sig_e = np.asarray(epg.simulate(list(seq), fisp_kernel=False))
+    assert np.abs(sig_e - g["signal"]).max() < 1e-10
+    sig_k = np.asarray(epg.simulate(list(seq), fisp_kernel="force"))
+    assert np.abs(sig_k - g["signal"]).max() < 2e-5
+
+
 def test_fuzz_parity_or_fallthrough():
     """Randomized bSSFP-family trains: dispatch either matches the
     planner at f32 tolerance, or (off-pattern) falls through bit-for-

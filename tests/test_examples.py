@@ -42,6 +42,16 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
+    """Ma 2013 bSSFP MRF: compressed (T1, T2, df) match must recover
+    the picked atoms (asserted inside the example)."""
+    monkeypatch.setenv("BSSFP_NPULSE", "48")
+    monkeypatch.setenv("BSSFP_NGRID", "8")
+    monkeypatch.setenv("BSSFP_NDF", "5")
+    monkeypatch.setenv("BSSFP_RANK", "12")
+    _run("mrf_bssfp.py", monkeypatch, tmp_path)
+
+
 def test_mrf_fit_refine_smoke(monkeypatch, tmp_path):
     """Dictionary match + Gauss-Newton refinement: the refined (T1, T2)
     must beat the grid match (asserted inside the example)."""

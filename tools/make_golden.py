@@ -928,7 +928,32 @@ def fuzz_expr():
     return out
 
 
+def bssfp():
+    # IR-prepped phase-alternating balanced SSFP (TrueFISP): no spoiler,
+    # the EPG ladder never leaves k=0; off-resonance + B1 atom batch
+    npulse = 48
+    FAs = 10 + 50 * np.abs(np.sin(np.arange(npulse) / 5.0))
+    TRs = 12.0 + (np.arange(npulse) % 3)
+    T1s = np.asarray([300.0, 800.0, 1400.0, 1100.0])
+    T2s = np.asarray([30.0, 80.0, 110.0, 60.0])
+    dfs = np.asarray([0.0, 0.01, -0.02, 0.04])
+    B1s = np.asarray([1.0, 0.95, 1.1, 1.05])
+    phases = np.cumsum(np.full(npulse, 180.0)) % 360.0
+    seq = [ops.T(180 * B1s, 0), ops.E(18.0, T1s, T2s, dfs)]
+    for i in range(npulse):
+        te = TRs[i] / 2
+        seq += [
+            ops.T(FAs[i] * B1s, phases[i]),
+            ops.E(te, T1s, T2s, dfs), ops.Adc(phase=-phases[i]),
+            ops.E(TRs[i] - te, T1s, T2s, dfs),
+        ]
+    return {"signal": np.asarray(fun.simulate(seq)),
+            "FAs": FAs, "TRs": TRs, "T1s": T1s, "T2s": T2s,
+            "dfs": dfs, "B1s": B1s, "phases": phases}
+
+
 CASES = {
+    "bssfp": bssfp,
     "cpmg": cpmg,
     "press": press,
     "fuzz": fuzz,
