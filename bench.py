@@ -440,6 +440,82 @@ def measure_mse():
     return out
 
 
+def measure_bssfp():
+    """Balanced SSFP MRF train (Ma 2013 family): IR-prepped,
+    phase-alternating, per-TR FA/TR variation, per-atom off-resonance.
+    simulate() routes it to the fused k=0 Pallas kernel
+    (fisp_dispatch.match_bssfp); the reference runs the same operator
+    train through its dense loop (cost linear in atoms: measured at
+    a small batch and scaled)."""
+    import epgpy_tpu as epg
+
+    N, B = 500, 65536
+    rng = np.random.default_rng(5)
+    FA = 10 + 50 * np.abs(np.sin(np.arange(N) * 2 * np.pi / 100))
+    TRv = 12.0 + 2.0 * np.sin(np.arange(N) / 17.0)
+    phases = np.cumsum(np.full(N, 180.0)) % 360.0
+    T1 = rng.uniform(300, 2000, B)
+    T2 = rng.uniform(30, 200, B)
+    DF = rng.uniform(-0.05, 0.05, B)
+
+    def build(t1, t2, df):
+        seq = [epg.T(180, 0), epg.E(18.0, t1, t2, df)]
+        for i in range(N):
+            te = TRv[i] / 2
+            seq += [epg.T(float(FA[i]), float(phases[i])),
+                    epg.E(te, t1, t2, df),
+                    epg.Adc(phase=-float(phases[i])),
+                    epg.E(TRv[i] - te, t1, t2, df)]
+        return seq
+
+    seq = build(T1, T2, DF)
+
+    def run():
+        return epg.simulate(seq, asarray=False)
+
+    def bsync(out):
+        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+
+    t0 = time.perf_counter()
+    bsync(run())
+    warm = time.perf_counter() - t0
+    best, single = _pipelined_best(run, bsync, REPEATS)
+    out = {"bssfp_atoms_per_sec": round(B / best, 1),
+           "bssfp_best_seconds": round(float(best), 4),
+           "bssfp_single_shot_seconds": round(float(single), 4),
+           "bssfp_warmup_seconds": round(float(warm), 2),
+           "bssfp_natoms": B, "bssfp_ntr": N}
+
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy.operators as rops
+            import epgpy.functions as rfun
+            RB = 64
+            rT1, rT2, rDF = T1[:RB], T2[:RB], DF[:RB]
+            rseq = [rops.T(180, 0), rops.E(18.0, rT1, rT2, rDF)]
+            for i in range(N):
+                te = TRv[i] / 2
+                rseq += [rops.T(float(FA[i]), float(phases[i])),
+                         rops.E(te, rT1, rT2, rDF),
+                         rops.Adc(phase=-float(phases[i])),
+                         rops.E(TRv[i] - te, rT1, rT2, rDF)]
+
+            def _time_ref():
+                t0 = time.perf_counter()
+                rfun.simulate(rseq)
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"bssfp_{N}x{RB}", _time_ref)
+            out["bssfp_ref_seconds"] = round(float(rdt), 3)
+            out["bssfp_ref_natoms"] = RB
+            out["bssfp_vs_baseline"] = round(rdt / RB * B / best, 1)
+        except Exception as exc:
+            out["bssfp_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def measure_exchange(sync):
     """EPG-X two-pool MT-GRE train throughput (BASELINE config 4).
 
@@ -844,6 +920,11 @@ def main():
             engine.update(measure_mse())
         except Exception as exc:
             engine["mse_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    if os.environ.get("BENCH_BSSFP", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_bssfp())
+        except Exception as exc:
+            engine["bssfp_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false"):
         try:
             engine.update(measure_exchange(sync))
