@@ -836,6 +836,17 @@ def simulate(
                         enc = fisp_dispatch.run_bssfp_kernel(
                             bparams,
                             interpret=_fisp_force and not _fisp_tpu)
+                    else:
+                        dparams = fisp_dispatch.match_dess(sequence)
+                        if dparams is not None:
+                            if disp:
+                                LOGGER.info(
+                                    "simulate: DESS train -> fused Pallas "
+                                    "kernel (dess-kernel engine, %d TR, "
+                                    "nstate=%d)", len(dparams["FA"]), ncap)
+                            enc = fisp_dispatch.run_dess_kernel(
+                                dparams, ncap,
+                                interpret=_fisp_force and not _fisp_tpu)
         if enc is None:
             xparams = fisp_dispatch.match_xgre(sequence, shape, _dens_opt)
             if xparams is not None:

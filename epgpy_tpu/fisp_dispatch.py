@@ -46,7 +46,8 @@ LOGGER = logging.getLogger(__name__)
 __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
            "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
-           "run_bssfp_jacobian", "clear_cache"]
+           "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
+           "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -497,6 +498,161 @@ def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
                               specs=specs, demod=bool(params.get("demod")),
                               use_df=params.get("df") is not None,
                               bshape=tuple(params["shape"]))
+
+
+def match_dess(sequence):
+    """Match DESS trains ``[T, E, ADC, E, S(1), E, ADC] * N``.
+
+    The double-echo steady-state family (reference
+    examples/basics/dess.py): one FISP echo at TE after each pulse and
+    one PSIF echo after the gradient.  Per-TR flip/phase/timing
+    variation, rank-1 ``outer(FA, B1)`` flips, per-atom off-resonance
+    and ``Adc(phase=-phi)`` demodulation (both echoes) are accepted.
+    The PSIF echo depends only on the full TR = tau1+tau2+tau3, never
+    on the mid/TE2 split.  Returns a param dict or None; memoized on
+    operator identities.
+    """
+    if len(sequence) < 14 or len(sequence) % 7 != 0:
+        return None
+    key = ("dess",) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_dess_impl(sequence)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+def _match_dess_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    N = len(sequence) // 7
+    alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
+    T1 = T2 = DF = None
+    tracked = None
+    for i in range(N):
+        t_op, e1, a1, e2, s, e3, a2 = sequence[7 * i:7 * i + 7]
+        if (type(t_op) is not T or type(e1) is not E or type(a1) is not Adc
+                or type(e2) is not E or type(s) is not S
+                or type(e3) is not E or type(a2) is not Adc):
+            return None
+        if not all(map(_no_diff, (t_op, a1, a2, s))):
+            return None
+        if getattr(s, "_kint", None) != 1:
+            return None
+        cs = [_canonical_order1(e) for e in (e1, e2, e3)]
+        if cs[0] is None or cs[0] != cs[1] or cs[0] != cs[2]:
+            return None
+        if tracked is None:
+            tracked = cs[0]
+        elif tracked != cs[0]:
+            return None
+        if any(op.axes is not None for op in (t_op, e1, e2, e3)):
+            return None
+        ph = _scalar(t_op.phi)
+        taus = [_scalar(e.tau) for e in (e1, e2, e3)]
+        if ph is None or any(t is None for t in taus):
+            return None
+        # both ADCs: F0, no weights/reduce, phase absent or host scalar
+        for adc in (a1, a2):
+            ph_adc = None if adc.phase is None else _scalar(adc.phase)
+            if (adc.attr != "F0" or (adc.phase is not None
+                                     and ph_adc is None)
+                    or adc.weights is not None
+                    or adc.reduce not in (None, False)):
+                return None
+            adc_phases.append(ph_adc)
+        g1, g2, g3 = (_host_nd(e.g) for e in (e1, e2, e3))
+        if (g1 is None or g2 is None or g3 is None
+                or not np.array_equal(g1, g2)
+                or not np.array_equal(g1, g3)):
+            return None
+        if DF is None:
+            DF = g1
+        elif not np.array_equal(DF, g1):
+            return None
+        for e in (e1, e2, e3):
+            t1v, t2v = _host_nd(e.T1), _host_nd(e.T2)
+            if t1v is None or t2v is None:
+                return None
+            if T1 is None:
+                T1, T2 = t1v, t2v
+            elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+                return None
+        a = _host_nd(t_op.alpha)
+        if a is None:
+            return None
+        alphas.append(a)
+        phis.append(ph)
+        te_taus.append(taus[0])
+        tr_taus.append(taus[0] + taus[1] + taus[2])
+
+    te_arr = np.asarray(te_taus)
+    TE = float(te_arr[0]) if (te_arr == te_arr[0]).all() else te_arr
+    TR = np.asarray(tr_taus)
+
+    # ADC phases: all absent -> plain; all equal to -phi_i -> receiver
+    # demodulation on both echoes; anything else off-pattern
+    if all(p is None for p in adc_phases):
+        demod = False
+    elif any(p is None for p in adc_phases):
+        return None
+    else:
+        d = (np.asarray(adc_phases)
+             + np.repeat(np.asarray(phis), 2)) % 360.0
+        if (np.minimum(d, 360.0 - d) > 1e-6).any():
+            return None
+        demod = True
+
+    fab = _rank1_factor(alphas)
+    if fab is None:
+        return None
+    FA, B1 = fab
+
+    if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
+    T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
+    return {
+        "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
+        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None, "vars": tracked,
+        "demod": demod, "shape": bshape,
+        "df": DFf if DFf.any() else None,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "demod", "use_df", "bshape"))
+def _run_dess_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
+                  interpret, demod=False, use_df=False, bshape=None):
+    from .models.pallas_dess import dess_dictionary_pallas
+
+    (r1, i1), (r2, i2) = dess_dictionary_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret, demodulate=demod)
+    # interleave the two echo trains in sequence-ADC order:
+    # (echo1_0, echo2_0, echo1_1, ...) -> (2P,) + batch
+    P = r1.shape[1]
+    bshape = (r1.shape[0],) if bshape is None else bshape
+    re = jnp.stack((r1.T, r2.T), axis=1).reshape((2 * P,) + bshape)
+    im = jnp.stack((i1.T, i2.T), axis=1).reshape((2 * P,) + bshape)
+    return re, im
+
+
+def run_dess_kernel(params, nstate, *, interpret=False):
+    """Run the fused DESS kernel; engine-layout (2N, batch) output."""
+    dev = _device_params(params)
+    re, im = _run_dess_jit(*dev, nstate=max(int(nstate), 1),
+                           interpret=interpret,
+                           demod=bool(params.get("demod")),
+                           use_df=params.get("df") is not None,
+                           bshape=tuple(params["shape"]))
+    return {"__c_re": re, "__c_im": im}
 
 
 def match_mse(sequence):
