@@ -792,10 +792,14 @@ def simulate(
     _fisp_force = fisp_opt == "force"
     _fisp_tpu = False
     _dens_opt = options.get("density")
+    # kvalue may be any host scalar: the matched patterns are
+    # kvalue-independent (T/E/S(int)/Adc(F0) never read physical
+    # wavenumbers) except the DW-FISP D op, whose matcher consumes it
     _fisp_on = (fisp_opt not in (False, None) and callback is None
                 and init is None and jit and kgrid is None
-                and kvalue == 1.0
-                and not (set(options) - {"max_nstate", "density"}))
+                and isinstance(kvalue, (int, float))
+                and not (set(options) - {"max_nstate", "density",
+                                         "kvalue"}))
     if _fisp_on:
         from . import config
         # jax_default_device may be a Device or a platform string
@@ -847,6 +851,19 @@ def simulate(
                             enc = fisp_dispatch.run_dess_kernel(
                                 dparams, ncap,
                                 interpret=_fisp_force and not _fisp_tpu)
+                        else:
+                            wparams = fisp_dispatch.match_dwfisp(
+                                sequence, kvalue)
+                            if wparams is not None:
+                                if disp:
+                                    LOGGER.info(
+                                        "simulate: DW-FISP train -> fused "
+                                        "Pallas kernel (dw-kernel engine, "
+                                        "%d TR, nstate=%d)",
+                                        len(wparams["FA"]), ncap)
+                                enc = fisp_dispatch.run_dwfisp_kernel(
+                                    wparams, ncap,
+                                    interpret=_fisp_force and not _fisp_tpu)
         if enc is None:
             xparams = fisp_dispatch.match_xgre(sequence, shape, _dens_opt)
             if xparams is not None:

@@ -47,7 +47,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
            "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
            "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
-           "clear_cache"]
+           "match_dwfisp", "run_dwfisp_kernel", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -214,13 +214,14 @@ def match_fisp(sequence):
     return params
 
 
-def _match_fisp_impl(sequence, spoiled=True):
+def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     from .ops.transition import T
     from .ops.evolution import E
     from .ops.shift import S
     from .ops.probe import Adc
+    from .ops.diffusion import D as Dop
 
-    group = 5 if spoiled else 4
+    group = 6 if dw else (5 if spoiled else 4)
     # optional inversion prep: [T(180-family, phi), E(TI)] prefix (the
     # reference MRF pattern, e.g. examples/sequence/optim_mrf.py:28-29).
     # The kernel's prep is a 180*B1 pulse about phi=0 + TI relaxation;
@@ -248,10 +249,21 @@ def _match_fisp_impl(sequence, spoiled=True):
     N = len(sequence) // group
 
     alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
+    d_ops = []
     T1 = T2 = DF = None
     tracked = None
     for i in range(N):
-        if spoiled:
+        if dw:
+            t_op, e1, adc, e2, s, d = sequence[6 * i:6 * i + 6]
+            if (type(e2) is not E or type(s) is not S
+                    or type(d) is not Dop):
+                return None
+            if not _no_diff(s) or not _no_diff(d):
+                return None
+            if getattr(d, "axes", None) is not None:
+                return None
+            d_ops.append(d)
+        elif spoiled:
             t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
             if type(e2) is not E or type(s) is not S:
                 return None
@@ -387,6 +399,34 @@ def _match_fisp_impl(sequence, spoiled=True):
         else:
             return None
 
+    diffusion = None
+    if dw:
+        # one D op instance reused every TR (the same-op idiom match_xgre
+        # uses): its Dcoef stays on device — value checks would cost a
+        # d2h tunnel round-trip per leaf.  tau must be a host scalar;
+        # kshift (if set) must be the unit shift, verified with ONE
+        # 8-byte transfer memoized by the match cache.
+        d0 = d_ops[0]
+        if any(d is not d0 for d in d_ops):
+            return None
+        if not isinstance(d0.tau, float):
+            return None
+        if not isinstance(kvalue, (int, float)):
+            return None
+        ramp = d0.kshift is not None
+        if ramp:
+            ks = np.asarray(d0.kshift)
+            if ks.shape != (1, 1) or float(ks[0, 0]) != 1.0:
+                return None
+        nd = getattr(d0.Dcoef, "ndim", 0)
+        if nd not in (0, 2):
+            # batched tensors need per-atom broadcast plumbing: planner
+            return None
+        # b-value base per squared state index: tau[s] * k[rad/mm]^2
+        bbase = d0.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2
+        diffusion = {"bT": bbase, "bL": bbase, "Dcoef": d0.Dcoef,
+                     "ramp": ramp}
+
     # n-D batch grids (the [T2] / outer-grid dictionary idiom) flatten
     # to the kernel's atom axis under the append-broadcast rule; the
     # runners restore the batch shape on the outputs (as in match_mse)
@@ -400,7 +440,71 @@ def _match_fisp_impl(sequence, spoiled=True):
         "B1": B1f, "TI": TI, "vars": tracked,
         "demod": demod, "shape": bshape,
         "df": DFf if DFf.any() else None,
+        "diffusion": diffusion,
     }
+
+
+def match_dwfisp(sequence, kvalue=1.0):
+    """Match diffusion-weighted FISP trains
+    ``[T, E, ADC, E, S(1), D] * N`` (optional ``[T, E(TI)]`` prep).
+
+    The DW-FISP idiom: one isotropic-or-tensor ``D`` op right after
+    each unit spoiler (``k=1`` gradient-ramp attenuation, or ``k=None``
+    constant-k), the SAME op instance every TR (its device-resident
+    Dcoef never transfers host-side).  ``kvalue`` (rad/m per state
+    index) sets the physical b-values.  Returns the `match_fisp` param
+    dict with a ``diffusion`` entry, or None.
+    """
+    if len(sequence) < 12 or len(sequence) % 6 not in (0, 2):
+        return None
+    key = ("dw", float(kvalue)) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_fisp_impl(sequence, dw=True, kvalue=kvalue)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "use_inv", "demod", "use_df",
+                                             "bshape", "ramp"))
+def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
+                nstate, interpret, use_inv, demod=False, use_df=False,
+                bshape=None, ramp=True):
+    from .models.pallas_fisp import fisp_dictionary_pallas
+
+    # tensor D with 1-D wavenumbers reduces to b00 * sum(D) (reference
+    # epgpy/diffusion.py broadcast semantics)
+    Dc = Dco if Dco.ndim == 0 else jnp.sum(Dco, axis=(-2, -1))
+    Dc = jnp.broadcast_to(Dc, T1.shape)
+    re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
+                                    DF if use_df else None,
+                                    nstate=nstate, interpret=interpret,
+                                    demodulate=demod,
+                                    inversion=TI if use_inv else None,
+                                    diffusion=(bT, bL, Dc), diff_ramp=ramp)
+    P = re.shape[1]
+    bshape = (re.shape[0],) if bshape is None else bshape
+    return re.T.reshape((P,) + bshape), im.T.reshape((P,) + bshape)
+
+
+def run_dwfisp_kernel(params, nstate, *, interpret=False):
+    """Run the fused DW-FISP kernel; engine-layout output."""
+    dev = _device_params(params)
+    diff = params["diffusion"]
+    re, im = _run_dw_jit(*dev, np.float32(diff["bT"]),
+                         np.float32(diff["bL"]),
+                         jnp.asarray(diff["Dcoef"], jnp.float32),
+                         nstate=max(int(nstate), 1), interpret=interpret,
+                         use_inv=params.get("TI") is not None,
+                         demod=bool(params.get("demod")),
+                         use_df=params.get("df") is not None,
+                         bshape=tuple(params["shape"]),
+                         ramp=diff["ramp"])
+    return {"__c_re": re, "__c_im": im}
 
 
 def match_bssfp(sequence):

@@ -237,8 +237,9 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
 
 
 def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
-                 b1_ref, df_ref, out_re_ref, out_im_ref, st_ref, *, nstate,
-                 pchunk, demodulate, use_df, use_inv, var_te=False):
+                 b1_ref, df_ref, *rest, nstate,
+                 pchunk, demodulate, use_df, use_inv, var_te=False,
+                 use_diff=False, diff_ramp=True):
     """Folded half-ladder variant: (A, B, Z) planes of N+1 rows.
 
     The FISP evolution preserves the EPG conjugate symmetry
@@ -258,6 +259,10 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    if use_diff:
+        bd_ref, dc_ref, out_re_ref, out_im_ref, st_ref = rest
+    else:
+        out_re_ref, out_im_ref, st_ref = rest
     pc = pl.program_id(1)
     NS = nstate
     H = nstate + 1  # folded rows: k = 0..N
@@ -291,6 +296,25 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         TE = te_ref[0, 0]
         E1te = jnp.exp(-TE / T1)
         E2te = jnp.exp(-TE / T2)
+    if use_diff:
+        # post-shift diffusion attenuation (D(tau, D, k=1) after S(1)):
+        # per-row b factors x per-atom D, constant across TRs (the
+        # matcher requires one D op instance).  A(k)=F+(k) was ramped
+        # k-1 -> k, B(k)=F+(-k) was ramped -k-1 -> -k (Stejskal-Tanner
+        # 1/3 term), Z(k) sits at constant k; aZ(0)=1 exactly so the
+        # k=0 recovery is untouched.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0).astype(f32)
+        bT = bd_ref[0, 0]
+        bL = bd_ref[0, 1]
+        Dc = dc_ref[0, :]
+        k2r = rows * rows
+        if diff_ramp:
+            aA = jnp.exp(-(bT * (k2r - rows + 1.0 / 3.0)) * Dc)
+            aB = jnp.exp(-(bT * (k2r + rows + 1.0 / 3.0)) * Dc)
+        else:
+            aA = jnp.exp(-(bT * k2r) * Dc)
+            aB = aA
+        aZ = jnp.exp(-(bL * k2r) * Dc)
 
     def step(i, _):
         if var_te:
@@ -375,10 +399,18 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         # A(k) <- A(k-1) for k>=1, A(0) <- F+(-1) = B(1);
         # B(k) <- B(k+1), zero-fill at the k=N edge
         zrow = jnp.zeros_like(nAR[:1])
-        st_ref[0] = jnp.concatenate([nBR[1:2], nAR[:-1]], axis=0)
-        st_ref[1] = jnp.concatenate([nBI[1:2], nAI[:-1]], axis=0)
-        st_ref[2] = jnp.concatenate([nBR[1:], zrow], axis=0)
-        st_ref[3] = jnp.concatenate([nBI[1:], zrow], axis=0)
+        sAR = jnp.concatenate([nBR[1:2], nAR[:-1]], axis=0)
+        sAI = jnp.concatenate([nBI[1:2], nAI[:-1]], axis=0)
+        sBR = jnp.concatenate([nBR[1:], zrow], axis=0)
+        sBI = jnp.concatenate([nBI[1:], zrow], axis=0)
+        if use_diff:
+            sAR, sAI = sAR * aA, sAI * aA
+            sBR, sBI = sBR * aB, sBI * aB
+            nZR, nZI = nZR * aZ, nZI * aZ
+        st_ref[0] = sAR
+        st_ref[1] = sAI
+        st_ref[2] = sBR
+        st_ref[3] = sBI
         st_ref[4] = nZR
         st_ref[5] = nZI
         return 0
@@ -709,12 +741,14 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
-                                   "normalize", "interpret", "half_ladder"))
+                                   "normalize", "interpret", "half_ladder",
+                                   "diff_ramp"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                            nstate=10, btile=512, pchunk=None,
                            demodulate=False, inversion=None,
                            normalize=False, interpret=False,
-                           half_ladder=True):
+                           half_ladder=True, diffusion=None,
+                           diff_ramp=True):
     """FISP MRF dictionary via the fused Pallas kernel.
 
     Args mirror models/mrf.fisp_mrf_dictionary (phi/TR broadcast to (P,);
@@ -735,6 +769,16 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     atoms/s, same sweep config), since per-TR plane work halves and the
     VMEM scratch shrinks to 6x(N+1) rows.  `half_ladder=False` keeps
     the literal 2N+1-row kernel (used for parity testing).
+
+    `diffusion=(bT, bL, Dc)` adds per-TR post-shift diffusion
+    attenuation (the ``[..., S(1), D(tau, D, k=1)]`` DW-FISP idiom,
+    reference epgpy/diffusion.py semantics): bT/bL are the transverse/
+    longitudinal b-value bases ``tau * (kvalue*1e-3)^2 * 1e-3``
+    (s/mm^2 per squared state index), Dc the per-atom isotropic
+    diffusivity (mm^2/s; for tensors with 1-D wavenumbers the
+    effective scalar is ``sum(D)``).  ``diff_ramp=False`` models a
+    ``D(tau, D)`` op without the gradient-ramp 1/3 term.  Requires the
+    half-ladder kernel.
 
     Returns (re, im): (B, P) float32 fingerprints.
     """
@@ -790,28 +834,47 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
     grid = (nB, nP)
 
-    kernel = partial(_kernel_half if half_ladder else _kernel,
-                     nstate=nstate, pchunk=pchunk,
-                     demodulate=demodulate, use_df=use_df,
-                     use_inv=inversion is not None, var_te=var_te)
+    use_diff = diffusion is not None
+    if use_diff and not half_ladder:
+        raise ValueError("diffusion requires the half-ladder kernel "
+                         "(nstate >= 1)")
+    kwk = dict(nstate=nstate, pchunk=pchunk,
+               demodulate=demodulate, use_df=use_df,
+               use_inv=inversion is not None, var_te=var_te)
+    if half_ladder:
+        kwk.update(use_diff=use_diff, diff_ramp=diff_ramp)
+    kernel = partial(_kernel_half if half_ladder else _kernel, **kwk)
+    in_specs = [
+        # per-pulse scalars: full arrays in SMEM, absolute indexing
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
+        # per-atom vectors: (1, Bp) arrays, (1, btile) VMEM blocks
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
+    ]
+    inputs = [FA_p, phi_p, TR_p, TE_arr, TI_arr, T1p, T2p, B1p, DFp]
+    if use_diff:
+        # (bT, bL) per-shift b-value bases (s/mm^2 per k^2-ish unit)
+        # in SMEM; per-atom isotropic D in a VMEM block
+        bT, bL, Dc = diffusion
+        bd_arr = jnp.stack([jnp.asarray(bT, f32),
+                            jnp.asarray(bL, f32)]).reshape(1, 2)
+        Dcp = padb(jnp.broadcast_to(jnp.asarray(Dc, f32),
+                                    (B,))).reshape(1, Bp)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec((1, btile), lambda b, pc: (0, b))]
+        inputs += [bd_arr, Dcp]
     # folded half-ladder: 6 planes of N+1 rows (vs 2N+1)
     krows = nstate + 1 if half_ladder else K
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # per-pulse scalars: full arrays in SMEM, absolute indexing
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
-            # per-atom vectors: (1, Bp) arrays, (1, btile) VMEM blocks
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b)),
             pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b)),
@@ -824,7 +887,7 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(FA_p, phi_p, TR_p, TE_arr, TI_arr, T1p, T2p, B1p, DFp)
+    )(*inputs)
 
     re, im = out_re[:P, :B].T, out_im[:P, :B].T
     if normalize:

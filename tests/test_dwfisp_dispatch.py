@@ -1,0 +1,142 @@
+"""DW-FISP train -> fused Pallas kernel dispatch (match_dwfisp).
+
+Diffusion-weighted FISP: [T, E, ADC, E, S(1), D] per TR with ONE D op
+instance reused across the train (its device-resident Dcoef never
+transfers host-side).  The kernel applies per-row Stejskal-Tanner
+attenuation post-shift; `kvalue` sets physical b-values.
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import fisp_dispatch
+
+KV = 2 * np.pi / 1e-3  # 1 mm voxel: 6283 rad/m per state index
+
+
+def _dwtrain(P=16, B=3, *, D=1e-3, dkw=dict(k=1), tau=7.0, prep=None,
+             d_per_tr=False):
+    rng = np.random.default_rng(4)
+    FA = 10 + 50 * np.abs(np.sin(np.arange(P) / 5.0))
+    T1 = np.linspace(600, 1500, B)
+    T2 = np.linspace(50, 120, B)
+    d_op = epg.D(tau, D, **dkw)
+    seq = []
+    if prep is not None:
+        seq += [epg.T(180, 0), epg.E(float(prep), T1, T2)]
+    for i in range(P):
+        seq += [epg.T(float(FA[i]), 90.0),
+                epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(7.0 + (i % 2), T1, T2), epg.S(1),
+                epg.D(tau, D, **dkw) if d_per_tr else d_op]
+    return seq
+
+
+def _parity(seq, tol=2e-5, kvalue=KV):
+    sig_k = epg.simulate(list(seq), max_nstate=8, kvalue=kvalue,
+                         fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), max_nstate=8, kvalue=kvalue,
+                         fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape
+    err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
+    assert err < tol, err
+    return np.asarray(sig_k)
+
+
+def test_match_extracts_params():
+    seq = _dwtrain(P=16, B=3, prep=15.0)
+    params = fisp_dispatch.match_dwfisp(seq, KV)
+    assert params is not None
+    assert params["diffusion"]["ramp"] is True
+    b = params["diffusion"]["bT"]
+    assert np.isclose(b, 7.0e-3 * (KV * 1e-3) ** 2)
+    assert params["TI"] == 15.0
+
+
+def test_dispatch_matches_planner_ramp():
+    sig = _parity(_dwtrain(P=16, B=3))
+    # diffusion actually attenuates vs the D-free train
+    free = np.asarray(epg.simulate(
+        [op for op in _dwtrain(P=16, B=3) if not isinstance(op, epg.D)],
+        max_nstate=8, fisp_kernel=False))
+    assert np.abs(sig)[8:].max() < np.abs(free)[8:].max()
+
+
+def test_dispatch_matches_planner_const_k():
+    _parity(_dwtrain(P=16, B=3, dkw=dict()))
+
+
+def test_dispatch_matches_planner_tensor():
+    Dt = np.diag([1.2e-3, 0.4e-3, 0.2e-3])
+    _parity(_dwtrain(P=14, B=3, D=Dt))
+
+
+def test_dispatch_matches_planner_prep():
+    _parity(_dwtrain(P=14, B=4, prep=18.0))
+
+
+def test_plain_fisp_dispatches_with_kvalue():
+    """kvalue != 1 no longer blocks the (kvalue-independent) FISP
+    dispatch."""
+    T1, T2 = np.array([900.0]), np.array([70.0])
+    seq = []
+    for i in range(12):
+        seq += [epg.T(25 + i, 90), epg.E(4.0, T1, T2), epg.ADC,
+                epg.E(8.0, T1, T2), epg.S(1)]
+    sig_k = epg.simulate(list(seq), kvalue=123.0, fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), kvalue=123.0, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+
+
+@pytest.mark.parametrize("mutate", [
+    "per_tr_instances",    # fresh D op each TR (same values)
+    "traced_tau",          # tau as an array
+    "k2",                  # D at k=2 after S(1)
+    "short",
+])
+def test_no_match_off_pattern(mutate):
+    if mutate == "per_tr_instances":
+        seq = _dwtrain(P=8, B=2, d_per_tr=True)
+    elif mutate == "traced_tau":
+        seq = _dwtrain(P=8, B=2, dkw=dict(k=1), tau=np.array([7.0, 7.0]))
+    elif mutate == "k2":
+        seq = _dwtrain(P=8, B=2, dkw=dict(k=2))
+    else:
+        seq = _dwtrain(P=1, B=2)
+    assert fisp_dispatch.match_dwfisp(list(seq), KV) is None
+    sig_k = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
+                         fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
+                         fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-10
+
+
+def test_fuzz_parity_or_fallthrough():
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        P = int(rng.integers(2, 7))
+        B = int(rng.integers(1, 4))
+        T1 = rng.uniform(400, 1600, B)
+        T2 = rng.uniform(40, 130, B)
+        Dv = float(rng.uniform(0.2e-3, 2.5e-3))
+        tau = float(rng.uniform(3, 9))
+        ramp = bool(rng.random() < 0.5)
+        d_op = epg.D(tau, Dv, k=1) if ramp else epg.D(tau, Dv)
+        kv = float(rng.uniform(500, 8000))
+        seq = []
+        for i in range(P):
+            seq += [epg.T(float(rng.uniform(10, 60)), 90.0),
+                    epg.E(float(rng.uniform(2, 6)), T1, T2), epg.ADC,
+                    epg.E(float(rng.uniform(4, 10)), T1, T2),
+                    epg.S(1), d_op]
+        if rng.random() < 0.3:
+            seq.insert(int(rng.integers(0, len(seq))), epg.S(1))
+        sig_k = epg.simulate(list(seq), max_nstate=6, kvalue=kv,
+                             fisp_kernel="force")
+        sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=kv,
+                             fisp_kernel=False)
+        matched = fisp_dispatch.match_dwfisp(list(seq), kv) is not None
+        tol = 2e-5 if matched else 1e-10
+        err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
+        assert err < tol, (trial, matched, err)
