@@ -52,6 +52,16 @@ def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
     _run("mrf_bssfp.py", monkeypatch, tmp_path)
 
 
+def test_mrf_dw_smoke(monkeypatch, tmp_path):
+    """DW-MRF (T1, T2, ADC) mapping via the diffusion kernel axis."""
+    monkeypatch.setenv("DW_NPULSE", "60")
+    monkeypatch.setenv("DW_NGRID", "6")
+    monkeypatch.setenv("DW_ND", "4")
+    monkeypatch.setenv("DW_RANK", "16")
+    monkeypatch.setenv("DW_INTERPRET", "1")
+    _run("mrf_dw.py", monkeypatch, tmp_path)
+
+
 def test_mrf_fit_refine_smoke(monkeypatch, tmp_path):
     """Dictionary match + Gauss-Newton refinement: the refined (T1, T2)
     must beat the grid match (asserted inside the example)."""
