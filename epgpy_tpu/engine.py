@@ -102,7 +102,10 @@ def simulate_simple(sm, sequence, probes=None, callback=None, disp=False):
     from .ops import probe as _probe
 
     seq = flatten_sequence(sequence)
-    ncap = _capacity(seq, getnshift(seq), None)
+    opts = getattr(sm, "options", None) or {}
+    ncap = _capacity(seq, getnshift(seq), opts.get("max_nstate"),
+                     opts.get("kgrid"), getattr(sm, "kvalue", 1.0),
+                     getattr(sm, "tvalue", 1.0))
     if sm.nstate < ncap:
         sm = sm.resize(ncap)
     if disp:
@@ -135,15 +138,17 @@ _KNOWN_OPTIONS = frozenset({
 })
 
 
-def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
+def _capacity(sequence, nshift: int, max_nstate, kgrid=None,
+              kvalue=1.0, tvalue=1.0) -> int:
     """Static ladder half-capacity for the sequence.
 
     1-D integer sequences are exact with ``nshift``.  Coordinate-table
     sequences (n-D / float shifts) can populate up to the lattice box
     ``prod_d (2 sum|k_d| + 1)`` -- counted in merge-grid cells when the
-    table is float-valued (a 0.31 shift on a 0.01 grid spans 31 cells,
-    not 1) -- or 3^m splitting paths if smaller; cap at ``max_nstate``
-    or DEFAULT_TABLE_NSTATE.
+    table is float-valued (physical wavenumbers are ``k * kvalue``, so
+    a 0.31 shift with kvalue=1 on a 0.01 grid spans 31 cells, not 1) --
+    or 3^m splitting paths if smaller; cap at ``max_nstate`` or
+    DEFAULT_TABLE_NSTATE.
     """
     from .ops.shift import S
 
@@ -172,7 +177,24 @@ def _capacity(sequence, nshift: int, max_nstate, kgrid=None) -> int:
         mags = np.max(np.abs(karr.reshape(-1, karr.shape[-1])), axis=0)
         sums[:len(mags)] += mags
     if any_float and kgrid:
-        sums = sums / float(kgrid)
+        # grid cells = |physical wavenumber| / kgrid; the per-axis
+        # physical scale is [kvalue...(<=3), tvalue (4th/time axis)]
+        # (statematrix.ktvalue semantics; signs never widen the box).
+        # Device/traced scales have no host value: leave them at 1.
+        if isinstance(kvalue, (jax.Array, jax.core.Tracer)):
+            kvalue = None
+        if isinstance(tvalue, (jax.Array, jax.core.Tracer)):
+            tvalue = None
+        if kvalue is not None and common.get_shape(kvalue):
+            kscales = np.abs(np.asarray(kvalue, dtype=float).ravel())[:3]
+        else:
+            kscales = np.full(min(kdim, 3),
+                              abs(1.0 if kvalue is None else float(kvalue)))
+        scales = np.ones(kdim)
+        scales[:len(kscales)] = kscales[:kdim]
+        if kdim == 4:
+            scales[3] = abs(float(tvalue)) if tvalue is not None else 1.0
+        sums = sums * scales / float(kgrid)
     box = int(np.prod(np.minimum(2 * np.ceil(sums) + 1, 2**20)))
     paths = 3 ** min(len(shift_ops), 16)
     bound = (min(box, paths) - 1) // 2 + 1
@@ -238,7 +260,7 @@ def _dense_analysis(sequence, kgrid, max_nstate, kvalue):
         step_max = max(step_max, m)
     if not any_float:
         return None
-    kv = float(kvalue)
+    kv = abs(float(kvalue))  # sign only flips roll direction, not range
     bound = int(math.floor(total * kv / float(kgrid) + 0.5)) + 1
     window = int(math.ceil(step_max * kv / float(kgrid))) + 1
     cap = int(max_nstate) if max_nstate else DEFAULT_TABLE_NSTATE
@@ -268,7 +290,7 @@ def clear_caches():
     _PLAN_CACHE.clear()
 
 
-def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
+def _sequence_preamble(sequence, max_nstate, kgrid, kvalue, tvalue=1.0):
     """Cached per-sequence host analysis: (nshift, shape, ncap, dense).
 
     Repeat simulate() calls on the same operator list (dictionary
@@ -277,14 +299,20 @@ def _sequence_preamble(sequence, max_nstate, kgrid, kvalue):
     per dispatch.  Keyed on operator identities; the cached entry pins
     the operator list so ids cannot be reused while cached.
     """
-    kv = None if common.get_shape(kvalue) else float(kvalue)
-    key = (tuple(id(op) for op in sequence), max_nstate, kgrid, kv)
+    if not common.get_shape(kvalue):
+        kv = float(kvalue)
+    elif isinstance(kvalue, (jax.Array, jax.core.Tracer)):
+        kv = id(kvalue)  # no host read; identity is the best we can do
+    else:
+        kv = tuple(np.ravel(np.asarray(kvalue, dtype=float)))
+    tv = None if common.get_shape(tvalue) else float(tvalue)
+    key = (tuple(id(op) for op in sequence), max_nstate, kgrid, kv, tv)
     hit = _PREAMBLE_CACHE.get(key)
     if hit is not None:
         return hit[:5]
     nshift = getnshift(sequence)
     shape = getshape(sequence)
-    ncap = _capacity(sequence, nshift, max_nstate, kgrid)
+    ncap = _capacity(sequence, nshift, max_nstate, kgrid, kvalue, tvalue)
     dense = _dense_bound(sequence, kgrid, max_nstate, kvalue)
     varying = (None if dense is not None
                else _dense_varying_bound(sequence, kgrid, max_nstate, kvalue))
@@ -776,9 +804,13 @@ def simulate(
     kvalue = options.get("kvalue")
     if kvalue is None:
         kvalue = init.kvalue if isinstance(init, StateMatrix) else 1.0
+    tvalue = options.get("tvalue")
+    if tvalue is None:
+        tvalue = getattr(init, "tvalue", 1.0) if isinstance(
+            init, StateMatrix) else 1.0
     # nshift/shape/capacity + dense-grid eligibility (see _dense_bound)
     nshift, shape, ncap, dense, varying = _sequence_preamble(
-        sequence, max_nstate, kgrid, kvalue)
+        sequence, max_nstate, kgrid, kvalue, tvalue)
     LOGGER.info("simulate: %d ops, nshift=%d, shape=%s",
                 len(sequence), nshift, shape)
 
@@ -802,79 +834,40 @@ def simulate(
                                          "kvalue"}))
     if _fisp_on:
         from . import config
-        # jax_default_device may be a Device or a platform string
+        # jax_default_device may be a Device or a platform string; the
+        # fused kernels are Mosaic (TPU-only) programs -- any other
+        # accelerator backend must use the general planner
         _dev = jax.config.jax_default_device or jax.devices()[0]
-        _fisp_tpu = getattr(_dev, "platform", _dev) != "cpu"
+        _fisp_tpu = getattr(_dev, "platform", _dev) == "tpu"
         _fisp_on = _fisp_force or (_fisp_tpu and not config.x64_enabled())
     if _fisp_on and probe is None and probes is None:
-        from . import fisp_dispatch
+        from . import fisp_dispatch as _fd
+        # matcher priority table: first match wins.  FISP/MSE/bSSFP/
+        # DESS/DW matchers only engage without the density option
+        # (their kernels assume unit equilibrium); EPG-X consumes it.
+        families = [] if _dens_opt is not None else [
+            (_fd.match_fisp, _fd.run_fisp_kernel, "FISP", "fisp"),
+            (_fd.match_mse, _fd.run_mse_kernel, "CPMG", "mse"),
+            (_fd.match_bssfp, _fd.run_bssfp_kernel, "bSSFP", "bssfp"),
+            (_fd.match_dess, _fd.run_dess_kernel, "DESS", "dess"),
+            (lambda seq: _fd.match_dwfisp(seq, kvalue),
+             _fd.run_dwfisp_kernel, "DW-FISP", "dw"),
+        ]
+        families.append((lambda seq: _fd.match_xgre(seq, shape, _dens_opt),
+                         _fd.run_xgre_kernel, "EPG-X GRE", "xgre"))
         enc = None
-        if _dens_opt is None:
-            fparams = fisp_dispatch.match_fisp(sequence)
-            if fparams is not None:
-                if disp:
-                    LOGGER.info(
-                        "simulate: FISP train -> fused Pallas kernel "
-                        "(fisp-kernel engine, %d TR, nstate=%d)",
-                        len(fparams["FA"]), ncap)
-                enc = fisp_dispatch.run_fisp_kernel(
-                    fparams, ncap, interpret=_fisp_force and not _fisp_tpu)
-            else:
-                mparams = fisp_dispatch.match_mse(sequence)
-                if mparams is not None:
-                    if disp:
-                        LOGGER.info(
-                            "simulate: CPMG train -> fused Pallas kernel "
-                            "(mse-kernel engine, %d echoes, nstate=%d)",
-                            len(mparams["FA"]), ncap)
-                    enc = fisp_dispatch.run_mse_kernel(
-                        mparams, ncap, interpret=_fisp_force and not _fisp_tpu)
-                else:
-                    bparams = fisp_dispatch.match_bssfp(sequence)
-                    if bparams is not None:
-                        if disp:
-                            LOGGER.info(
-                                "simulate: bSSFP train -> fused Pallas "
-                                "kernel (bssfp-kernel engine, %d TR, k=0 "
-                                "only)", len(bparams["FA"]))
-                        enc = fisp_dispatch.run_bssfp_kernel(
-                            bparams,
-                            interpret=_fisp_force and not _fisp_tpu)
-                    else:
-                        dparams = fisp_dispatch.match_dess(sequence)
-                        if dparams is not None:
-                            if disp:
-                                LOGGER.info(
-                                    "simulate: DESS train -> fused Pallas "
-                                    "kernel (dess-kernel engine, %d TR, "
-                                    "nstate=%d)", len(dparams["FA"]), ncap)
-                            enc = fisp_dispatch.run_dess_kernel(
-                                dparams, ncap,
-                                interpret=_fisp_force and not _fisp_tpu)
-                        else:
-                            wparams = fisp_dispatch.match_dwfisp(
-                                sequence, kvalue)
-                            if wparams is not None:
-                                if disp:
-                                    LOGGER.info(
-                                        "simulate: DW-FISP train -> fused "
-                                        "Pallas kernel (dw-kernel engine, "
-                                        "%d TR, nstate=%d)",
-                                        len(wparams["FA"]), ncap)
-                                enc = fisp_dispatch.run_dwfisp_kernel(
-                                    wparams, ncap,
-                                    interpret=_fisp_force and not _fisp_tpu)
-        if enc is None:
-            xparams = fisp_dispatch.match_xgre(sequence, shape, _dens_opt)
-            if xparams is not None:
-                if disp:
-                    LOGGER.info(
-                        "simulate: EPG-X GRE train -> fused Pallas kernel "
-                        "(xgre-kernel engine, %d TR, %d compartments, "
-                        "nstate=%d)", len(xparams["alpha"]),
-                        xparams["C"], ncap)
-                enc = fisp_dispatch.run_xgre_kernel(
-                    xparams, ncap, interpret=_fisp_force and not _fisp_tpu)
+        for matcher, runner, family, tag in families:
+            fparams = matcher(sequence)
+            if fparams is None:
+                continue
+            if disp:
+                LOGGER.info(
+                    "simulate: %s train -> fused Pallas kernel "
+                    "(%s-kernel engine, %d TR, nstate=%d)", family, tag,
+                    len(fparams.get("FA", fparams.get("alpha", ()))), ncap)
+            enc = runner(fparams, ncap,
+                         interpret=_fisp_force and not _fisp_tpu)
+            break
         if enc is not None:
             values = (enc,)
             times = get_adc_times(sequence)

@@ -571,26 +571,8 @@ def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         interpret=interpret, demodulate=demod,
         inversion=TI if use_inv else None)
-    P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
-    col = {"magnitude": (re, im),
-           "T1": (dre[..., 0], dim[..., 0]),
-           "T2": (dre[..., 1], dim[..., 1])}
-    outs = []
-    for spec in specs:
-        if spec[0] == "sig":
-            outs.append({"__c_re": re.T.reshape((P,) + bshape),
-                         "__c_im": im.T.reshape((P,) + bshape)})
-        else:
-            k = len(spec[1])
-            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
-            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
-            outs.append(
-                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape(
-                     (P,) + bshape + (k,)),
-                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape(
-                     (P,) + bshape + (k,))})
-    return tuple(outs)
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
 
 
 def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
@@ -899,18 +881,23 @@ def _run_mse_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
     return (re.T.reshape((E,) + bshape), im.T.reshape((E,) + bshape))
 
 
-def _mse_device_params(params):
-    """Device copies of the CPMG host params, cached on the params dict
-    (same rationale as _device_params)."""
+def _cached_device(params, build):
+    """``jax.device_put(build())`` cached on the (match-cache-pinned)
+    params dict: repeated simulate() calls on one train must not re-pay
+    the h2d tunnel transfer (~25 MB/s, ~25 ms latency)."""
     dev = params.get("_dev")
     if dev is None:
-        f32 = np.float32
-        dev = jax.device_put(tuple(
-            np.asarray(x, f32) for x in params["exc"]) + tuple(
-            np.asarray(params[k], f32)
-            for k in ("FA", "phi", "tau1", "tau2", "T1", "T2", "B1")))
+        dev = jax.device_put(build())
         params["_dev"] = dev
     return dev
+
+
+def _mse_device_params(params):
+    f32 = np.float32
+    return _cached_device(params, lambda: tuple(
+        np.asarray(x, f32) for x in params["exc"]) + tuple(
+        np.asarray(params[k], f32)
+        for k in ("FA", "phi", "tau1", "tau2", "T1", "T2", "B1")))
 
 
 def run_mse_kernel(params, nstate, *, interpret=False):
@@ -932,25 +919,9 @@ def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
     (re, im), (dre, dim) = cpmg_jacobian_pallas(
         (exc_a, exc_p), FA, phi, tau1, tau2, T1, T2, B1,
         nstate=nstate, interpret=interpret)
-    E = re.shape[1]
     # re/im: (B, E); dre/dim: (B, E, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
-    col = {"magnitude": (re, im),
-           "T1": (dre[..., 0], dim[..., 0]),
-           "T2": (dre[..., 1], dim[..., 1])}
-    outs = []
-    for spec in specs:
-        if spec[0] == "sig":
-            outs.append({"__c_re": re.T.reshape((E,) + bshape),
-                         "__c_im": im.T.reshape((E,) + bshape)})
-        else:
-            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
-            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
-            k = len(spec[1])
-            outs.append(
-                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape((E,) + bshape + (k,)),
-                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape((E,) + bshape + (k,))})
-    return tuple(outs)
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
 
 
 def run_mse_jacobian(params, nstate, specs, *, interpret=False):
@@ -963,6 +934,35 @@ def run_mse_jacobian(params, nstate, specs, *, interpret=False):
     return _run_mse_jac_jit(*dev, nstate=max(int(nstate), 1),
                             bshape=tuple(params["shape"]), specs=specs,
                             interpret=interpret)
+
+
+def _assemble_jac_outputs(re, im, dre, dim, specs, bshape):
+    """Per-probe output dicts from a fused Jacobian kernel's results.
+
+    ``re/im``: (B, P) signal; ``dre/dim``: (B, P, >=2) tangent columns
+    ordered (T1, T2, ...).  Every fused Jacobian runner shares this
+    layout; keeping the spec loop here means a column addition or an
+    output-layout change lands in all families at once.
+    """
+    P = re.shape[1]
+    col = {"magnitude": (re, im),
+           "T1": (dre[..., 0], dim[..., 0]),
+           "T2": (dre[..., 1], dim[..., 1])}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": re.T.reshape((P,) + bshape),
+                         "__c_im": im.T.reshape((P,) + bshape)})
+        else:
+            k = len(spec[1])
+            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
+            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
+            outs.append(
+                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape(
+                     (P,) + bshape + (k,)),
+                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape(
+                     (P,) + bshape + (k,))})
+    return tuple(outs)
 
 
 def match_jacobian_probes(probes, tracked):
@@ -1013,45 +1013,24 @@ def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
         demodulate=demod, inversion=TI if use_inv else None)
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
-    P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
-    col = {"magnitude": (re, im),
-           "T1": (dre[..., 0], dim[..., 0]),
-           "T2": (dre[..., 1], dim[..., 1])}
-    outs = []
-    for spec in specs:
-        if spec[0] == "sig":
-            outs.append({"__c_re": re.T.reshape((P,) + bshape),
-                         "__c_im": im.T.reshape((P,) + bshape)})
-        else:
-            k = len(spec[1])
-            rs = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
-            ims = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
-            outs.append(
-                {"__c_re": jnp.swapaxes(rs, 0, 1).reshape(
-                     (P,) + bshape + (k,)),
-                 "__c_im": jnp.swapaxes(ims, 0, 1).reshape(
-                     (P,) + bshape + (k,))})
-    return tuple(outs)
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
 
 
 def _device_params(params):
-    """Device copies of the host param arrays, cached on the params dict
-    (which _MATCH_CACHE pins): repeated simulate() calls on one train
-    must not re-pay the ~1 MB h2d tunnel transfer (~25 MB/s)."""
-    dev = params.get("_dev")
-    if dev is None:
-        f32 = np.float32
+    f32 = np.float32
+
+    def build():
         TI = params.get("TI")
         df = params.get("df")
-        dev = jax.device_put(tuple(
+        return tuple(
             np.asarray(params[k], f32)
-            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1"))
-            + (np.asarray(0.0 if TI is None else TI, f32),
-               np.zeros_like(params["T1"], f32) if df is None
-               else np.asarray(df, f32)))
-        params["_dev"] = dev
-    return dev
+            for k in ("FA", "phi", "TR", "TE", "T1", "T2", "B1")) + (
+            np.asarray(0.0 if TI is None else TI, f32),
+            np.zeros_like(params["T1"], f32) if df is None
+            else np.asarray(df, f32))
+
+    return _cached_device(params, build)
 
 
 def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
@@ -1399,12 +1378,10 @@ def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, b1, stageA, stageB,
 
 
 def _xgre_device_params(params):
-    """Device copies of the host param arrays, cached on the params dict
-    (same rationale as _device_params); X-stage T1/T2/g may already be
-    device arrays and pass through untouched."""
-    dev = params.get("_dev")
-    if dev is None:
-        f32 = np.float32
+    """X-stage T1/T2/g may already be device arrays: pass through."""
+    f32 = np.float32
+
+    def build():
         host = tuple(np.asarray(params[k], f32) for k in
                      ("alpha", "phi", "satf_re", "satf_im",
                       "satz_re", "satz_im", "dens"))
@@ -1415,9 +1392,9 @@ def _xgre_device_params(params):
              params["T2" + s], params["g" + s],
              np.asarray(params["tau" + s], f32).reshape(()))
             for s in ("A", "B"))
-        dev = jax.device_put((host, stages))
-        params["_dev"] = dev
-    return dev
+        return (host, stages)
+
+    return _cached_device(params, build)
 
 
 def run_xgre_kernel(params, nstate, *, interpret=False):

@@ -577,3 +577,50 @@ def test_simulate_simple_matches_planned():
                                    callback=lambda s: calls.append(1))
     assert len(vals2[0]) == 2 and np.shape(vals2[0][1]) == (3,)
     assert len(calls) == len(epg.flatten_sequence(seq)) - 6
+
+
+def test_simulate_simple_float_shift_capacity():
+    """simulate_simple must size float-shift (table/merge) trains from
+    the state's options (kgrid/max_nstate counted in grid cells), not
+    the bare shift count -- otherwise the eager oracle truncates far
+    below simulate() and silently diverges (r3 review finding)."""
+    import epgpy_tpu as epg
+
+    seq = []
+    for _ in range(8):
+        seq += [epg.T(30, 90), epg.S(0.31), epg.ADC]
+    planned = np.asarray(epg.simulate(seq, kgrid=0.01, max_nstate=300))
+    sm = epg.StateMatrix(kgrid=0.01, max_nstate=300)
+    vals, _ = epg.simulate_simple(sm, seq)
+    simple = np.asarray([v[0] for v in vals]).reshape(-1)
+    assert np.abs(simple - planned.reshape(-1)).max() < 1e-10
+
+
+def test_negative_kvalue_capacity():
+    """kvalue's sign must not produce a negative dense-grid capacity
+    (r3 review finding: the dense gate passed a nonpositive bound
+    through and StateMatrix blew up on a negative nstate)."""
+    import epgpy_tpu as epg
+
+    seq = []
+    for _ in range(6):
+        seq += [epg.T(30, 90), epg.S(0.31), epg.ADC]
+    pos = np.asarray(epg.simulate(seq, kgrid=0.01, max_nstate=300,
+                                  kvalue=1.0))
+    neg = np.asarray(epg.simulate(seq, kgrid=0.01, max_nstate=300,
+                                  kvalue=-1.0))
+    # mirrored wavenumbers: same magnitudes at readout
+    assert np.abs(np.abs(neg) - np.abs(pos)).max() < 1e-10
+
+
+def test_capacity_scales_with_kvalue():
+    """The lattice bound counts grid cells of |k * kvalue| / kgrid
+    (physical wavenumbers), so kvalue rescales the float-shift bound."""
+    from epgpy_tpu import engine
+    import epgpy_tpu as epg
+
+    seq = [epg.S(0.5) for _ in range(20)]
+    small = engine._capacity(seq, 20, 4096, kgrid=0.1, kvalue=1.0)
+    big = engine._capacity(seq, 20, 4096, kgrid=0.1, kvalue=10.0)
+    negated = engine._capacity(seq, 20, 4096, kgrid=0.1, kvalue=-10.0)
+    assert small == 101 and big == 1001 and negated == big
