@@ -925,8 +925,36 @@ def simulate(
         # the scanned planner program)
         if _fisp_on and _dens_opt is None:
             from . import fisp_dispatch
+            # per-pulse (alias-variable) trains -> the fused Hessian
+            # kernel: the flagship 3 x 2N Hessian and per-pulse
+            # Jacobians run as ONE VMEM-resident pass (tangent index on
+            # the lane axis) instead of chunked nested jacfwd
+            hparams = fisp_dispatch.match_fisp_hessian(sequence)
+            if hparams is not None:
+                hmatch = fisp_dispatch.match_hessian_probes(
+                    probes, hparams)
+                if hmatch is not None:
+                    hspecs, second = hmatch
+                    if disp:
+                        LOGGER.info(
+                            "simulate: per-pulse diff train -> fused "
+                            "Pallas Hessian kernel (%d TR, nstate=%d, "
+                            "order=%d)", len(hparams["FA"]),
+                            _preamble_ncap, 2 if second else 1)
+                    values = fisp_dispatch.run_fisp_hessian(
+                        hparams, _preamble_ncap, hspecs, second,
+                        interpret=_fisp_force and not _fisp_tpu)
+                    times = get_adc_times(sequence)
+                    if asarray:
+                        values = _decode_complex_np(values)
+                        values = tuple(_to_numpy_probe(v) for v in values)
+                    if len(values) == 1:
+                        values = values[0]
+                    if adc_time:
+                        return np.asarray(times), values
+                    return values
             # cheap probe-shape pre-check against the maximal var set:
-            # Hessian/eval-string probes reject in O(#probes) without
+            # eval-string probes reject in O(#probes) without
             # paying the host-side train factorization
             specs = fisp_dispatch.match_jacobian_probes(
                 probes, ("T1", "T2"))

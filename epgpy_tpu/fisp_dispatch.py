@@ -936,6 +936,284 @@ def run_mse_jacobian(params, nstate, specs, *, interpret=False):
                             interpret=interpret)
 
 
+def match_fisp_hessian(sequence):
+    """Match the flagship per-pulse differentiation train.
+
+    ``[T(a_i, phi_i, order1={alias_i: "alpha"}), E(tau_i, T1, T2,
+    order1={"T1", "T2", alias'_i: "tau"}), Adc, S(1)] * N`` — the
+    reference's largest published diff workload (examples/profiling/
+    differentiation_mrf.py:18-67) and the CRLB sequence-design pattern
+    (examples/sequence/optim_mrf.py).  Every T must track a distinct
+    alpha alias; every E must track T1 and T2 with unit coefficients
+    and (all-or-none) a distinct tau alias.  Scalar per-pulse
+    alpha/phi/tau; T1/T2 host scalars or 1-D atom vectors.  Returns a
+    param dict (incl. ``amap``: variable name -> column token) or
+    None; memoized on operator identities.
+    """
+    if len(sequence) < 8 or len(sequence) % 4 != 0:
+        return None
+    key = ("hess",) + tuple(id(op) for op in sequence)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    params = _match_fisp_hessian_impl(sequence)
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (params, list(sequence))
+    return params
+
+
+def _alias_order1(op, param, extra=()):
+    """Parse ``op.order1`` as {extra params tracked as themselves} +
+    exactly one alias variable of `param` (or zero).  Returns
+    (alias_name_or_None) or False when off-pattern.  All coefficients
+    must be the host scalar 1.0."""
+    o1 = getattr(op, "order1", None) or {}
+    if getattr(op, "order2", None):
+        return False
+    alias = None
+    seen = set()
+    for var, cfs in o1.items():
+        if len(cfs) != 1:
+            return False
+        (p, c), = cfs.items()
+        if _is_device(c) or np.ndim(c) != 0:
+            return False
+        try:
+            if float(c) != 1.0:
+                return False
+        except (TypeError, ValueError):
+            return False
+        if var in extra and p == var:
+            seen.add(var)
+        elif p == param and var not in extra and alias is None:
+            alias = var
+        else:
+            return False
+    if seen != set(extra):
+        return False
+    return (alias,)
+
+
+def _match_fisp_hessian_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    N = len(sequence) // 4
+    FA, PHI, TAU = [], [], []
+    avars, tvars = [], []
+    T1 = T2 = None
+    for i in range(N):
+        t_op, e_op, adc, s = sequence[4 * i:4 * i + 4]
+        if (type(t_op) is not T or type(e_op) is not E
+                or type(adc) is not Adc or type(s) is not S):
+            return None
+        if not _no_diff(adc) or not _no_diff(s):
+            return None
+        if getattr(s, "_kint", None) != 1:
+            return None
+        if (adc.attr != "F0" or adc.phase is not None
+                or adc.weights is not None
+                or adc.reduce not in (None, False)):
+            return None
+        if t_op.axes is not None or e_op.axes is not None:
+            return None
+        av = _alias_order1(t_op, "alpha")
+        tv = _alias_order1(e_op, "tau", extra=("T1", "T2"))
+        if av is False or tv is False or av[0] is None:
+            return None
+        avars.append(av[0])
+        tvars.append(tv[0])
+        a = _scalar(t_op.alpha)
+        ph = _scalar(t_op.phi)
+        tau = _scalar(e_op.tau)
+        if a is None or ph is None or tau is None:
+            return None
+        if _scalar(e_op.g) != 0.0:
+            return None
+        t1v, t2v = _host_nd(e_op.T1), _host_nd(e_op.T2)
+        if t1v is None or t2v is None or t1v.ndim > 1 or t2v.ndim > 1:
+            return None
+        if T1 is None:
+            T1, T2 = t1v, t2v
+        elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+            return None
+        FA.append(a)
+        PHI.append(ph)
+        TAU.append(tau)
+
+    # distinct aliases; tau tracking all-or-none
+    if len(set(avars)) != N or None in avars:
+        return None
+    have_tau = [v is not None for v in tvars]
+    if any(have_tau) != all(have_tau):
+        return None
+    if all(have_tau) and len(set(tvars)) != N:
+        return None
+    reserved = {"magnitude", "T1", "T2"}
+    if reserved & set(avars) or reserved & set(v for v in tvars if v):
+        return None
+
+    if not common.broadcastable(T1.shape, T2.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape)
+    B = int(np.prod(bshape))
+    if B * N * N > (1 << 26):
+        return None  # per-pulse Hessian outputs would not fit sanely
+    amap = {v: ("a", i) for i, v in enumerate(avars)}
+    if all(have_tau):
+        amap.update({v: ("t", i) for i, v in enumerate(tvars)})
+    T1f, T2f = _append_rows((T1, T2), bshape)
+    return {"FA": np.asarray(FA), "phi": np.asarray(PHI),
+            "TAU": np.asarray(TAU), "T1": T1f, "T2": T2f,
+            "amap": amap, "shape": bshape}
+
+
+def match_hessian_probes(probes, params):
+    """Map a probe tuple onto fused per-pulse Hessian kernel outputs.
+
+    Accepts plain Adc(F0), ``Jacobian`` over {magnitude, T1, T2} and/or
+    the train's alias variables, and ``Hessian(vars1, vars2)`` with
+    vars1 in {magnitude, T1, T2} and vars2 among the alias variables.
+    Returns (specs, second_order) or None.  Column tokens index the
+    concatenated [sig, dT1, dT2, dalpha(N), dtau(N)] bank.
+    """
+    from . import diff
+    from .ops.probe import Adc
+
+    amap = params["amap"]
+    N = len(params["FA"])
+    glob = {"magnitude": 0, "T1": 1, "T2": 2}
+
+    def col(v):
+        if v in glob:
+            return glob[v]
+        tok = amap.get(v)
+        if tok is None:
+            return None
+        return 3 + tok[1] + (N if tok[0] == "t" else 0)
+
+    specs = []
+    second = False
+    have_diff = False
+    for pb in probes:
+        if isinstance(pb, diff.Hessian):
+            if getattr(pb, "probe_attr", None) != "F0":
+                return None
+            rows = tuple(pb.variables1)
+            if any(v not in glob for v in rows):
+                return None
+            cols = tuple(col(v) for v in pb.variables2)
+            if any(c is None or c < 3 for c in cols):
+                return None
+            specs.append(("hess", rows, cols))
+            second = second or any(v != "magnitude" for v in rows)
+            have_diff = True
+        elif isinstance(pb, diff.Jacobian):
+            if getattr(pb, "probe_attr", None) != "F0":
+                return None
+            cols = tuple(col(v) for v in pb.variables)
+            if any(c is None for c in cols):
+                return None
+            specs.append(("jac", cols))
+            have_diff = True
+        elif (type(pb) is Adc and pb.attr == "F0" and pb.phase is None
+                and pb.weights is None and pb.reduce in (None, False)):
+            specs.append(("sig",))
+        else:
+            return None
+    return (tuple(specs), second) if have_diff else None
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "specs",
+                                             "second_order", "bshape",
+                                             "interpret"))
+def _run_hess_jit(FA, phi, TAU, T1, T2, *, nstate, specs, second_order,
+                  bshape, interpret):
+    from .models.pallas_hessian import fisp_hessian_pallas
+
+    out = fisp_hessian_pallas(FA, phi, TAU, T1, T2, nstate=nstate,
+                              second_order=second_order,
+                              interpret=interpret)
+    N = out["sig"][0].shape[1]
+
+    def bank(parts):
+        # (B, N_echo, ncols) column bank from (B, N) scalars and
+        # (B, N, N) per-pulse blocks
+        cs = [p[..., None] if p.ndim == 2 else p for p in parts]
+        return jnp.concatenate(cs, axis=-1)
+
+    def fmt(x):
+        # ADC axis first, append-broadcast batch restored
+        x = jnp.moveaxis(x, 0, 1)          # (N_echo, B, ...)
+        return x.reshape((N,) + bshape + x.shape[2:])
+
+    banks = {}
+
+    def colbank(ri):
+        # row banks: 0 = magnitude (first order), 1 = dT1 rows, 2 = dT2
+        if ri not in banks:
+            # entries 1-2 (the global-var columns of the T1/T2 rows)
+            # are placeholders: Hessian specs only select cols >= 3
+            if ri == 0:
+                parts = (out["sig"], out["dT1"], out["dT2"],
+                         out["dalpha"], out["dtau"])
+            else:
+                z = jnp.zeros_like(out["sig"][0])
+                key = "dT1" if ri == 1 else "dT2"
+                parts = (out[key], (z, z), (z, z),
+                         out[key + "dalpha"], out[key + "dtau"])
+            banks[ri] = (bank([p[0] for p in parts]),
+                         bank([p[1] for p in parts]))
+        return banks[ri]
+
+    glob = {"magnitude": 0, "T1": 1, "T2": 2}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": fmt(out["sig"][0]),
+                         "__c_im": fmt(out["sig"][1])})
+        elif spec[0] == "jac":
+            br, bi = colbank(0)
+            idx = jnp.asarray(spec[1], jnp.int32)
+            outs.append({"__c_re": fmt(jnp.take(br, idx, axis=-1)),
+                         "__c_im": fmt(jnp.take(bi, idx, axis=-1))})
+        else:
+            _, rows, cols = spec
+            idx = jnp.asarray(cols, jnp.int32)
+            rsel_r, rsel_i = [], []
+            for v in rows:
+                br, bi = colbank(glob[v])
+                rsel_r.append(jnp.take(br, idx, axis=-1))
+                rsel_i.append(jnp.take(bi, idx, axis=-1))
+            outs.append(
+                {"__c_re": fmt(jnp.stack(rsel_r, axis=-2)),
+                 "__c_im": fmt(jnp.stack(rsel_i, axis=-2))})
+    return tuple(outs)
+
+
+def run_fisp_hessian(params, nstate, specs, second_order, *,
+                     interpret=False):
+    """Run the fused per-pulse Hessian kernel for matched diff probes.
+
+    Returns the simulate_diff-format tuple over probes of
+    ``{"__c_re", "__c_im"}`` device dicts: signal (N, *batch); Jacobian
+    (N, *batch, nvars); Hessian (N, *batch, n1, n2)."""
+    dev = params.get("_dev")
+    if dev is None:
+        f32 = np.float32
+        dev = jax.device_put(tuple(
+            np.asarray(params[k], f32)
+            for k in ("FA", "phi", "TAU", "T1", "T2")))
+        params["_dev"] = dev
+    return _run_hess_jit(*dev, nstate=max(int(nstate), 1), specs=specs,
+                         second_order=second_order,
+                         bshape=tuple(params["shape"]),
+                         interpret=interpret)
+
+
 def _assemble_jac_outputs(re, im, dre, dim, specs, bshape):
     """Per-probe output dicts from a fused Jacobian kernel's results.
 
