@@ -226,6 +226,87 @@ def measure_table(sync):
     return out
 
 
+def measure_hessian():
+    """Flagship per-pulse Hessian (reference examples/profiling/
+    differentiation_mrf.py): the 400-TR, (magnitude, T1, T2) x
+    (400 alpha + 400 tau) block via the fused Pallas kernel
+    (models/pallas_hessian; all 2403 tangents on the lane axis in
+    VMEM).  vs_baseline is a like-for-like A/B at 48 TR against the
+    reference's hand-derived chain-rule propagation (NumPy; cached;
+    0.55 s measured — the chain rule scales ~N^2, so the full 400-TR
+    reference run extrapolates to ~40 s vs the kernel's ~5-40 ms)."""
+    from epgpy_tpu.models.pallas_hessian import fisp_hessian_pallas
+
+    NTR = 400
+    rng = np.random.default_rng(0)
+    FA = rng.uniform(10, 60, NTR)
+    TAU = rng.uniform(11, 16, NTR)
+
+    def run(j):
+        return fisp_hessian_pallas(FA, 90.0, TAU, [1380.0 + j * 1e-3],
+                                   [80.0], nstate=10)
+
+    def hsync(out):
+        return float(np.asarray(out["dT1dtau"][0][0, -1, -1]))
+
+    t0 = time.perf_counter()
+    hsync(run(0))
+    twarm = time.perf_counter() - t0
+    it = iter(range(1, 100))
+    best, t1 = _pipelined_best(lambda: run(next(it)), hsync, REPEATS, M=5)
+    out = {"hessian_seconds": round(float(best), 4),
+           "hessian_single_shot_seconds": round(float(t1), 4),
+           "hessian_warmup_seconds": round(float(twarm), 2),
+           "hessian_ntr": NTR, "hessian_nvars": 2 * NTR + 2}
+
+    # like-for-like A/B at 48 TR vs the reference's analytic chain rule
+    NR = 48
+    FAr, TAUr = FA[:NR], TAU[:NR]
+
+    def runk(j):
+        return fisp_hessian_pallas(FAr, 90.0, TAUr, [1380.0 + j * 1e-3],
+                                   [80.0], nstate=10)
+
+    hsync(runk(0))
+    kbest, _ = _pipelined_best(lambda: runk(next(it)), hsync, REPEATS, M=5)
+    ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
+    if os.path.isdir(ref_path):
+        try:
+            sys.path.insert(0, ref_path)
+            import epgpy as repg
+
+            def _time_ref():
+                alr = [f"alpha_{i:03d}" for i in range(NR)]
+                trr = [f"tau_{i:03d}" for i in range(NR)]
+                o2_rf = [[("T1", alr[i]), ("T2", alr[i])]
+                         for i in range(NR)]
+                o2_rx = [[("T1", trr[i]), ("T2", trr[i])]
+                         for i in range(NR)]
+                rseq = []
+                for i in range(NR):
+                    rseq += [
+                        repg.T(FAr[i], 90, order1={alr[i]: "alpha"},
+                               order2=o2_rf[i]),
+                        repg.E(TAUr[i], 1380.0, 80.0,
+                               order1={"T1": "T1", "T2": "T2",
+                                       trr[i]: "tau"},
+                               order2=sum(o2_rx + o2_rf, start=[])),
+                        repg.ADC, repg.S(1)]
+                hes = repg.Hessian(["magnitude", "T1", "T2"], alr + trr)
+                t0 = time.perf_counter()
+                repg.simulate(rseq, probe=hes, max_nstate=10)
+                return time.perf_counter() - t0
+
+            rdt = _cached_ref_seconds(f"hessian_{NR}tr", _time_ref)
+            out["hessian_vs_baseline"] = round(float(rdt / kbest), 1)
+            out["hessian_ref_seconds"] = round(float(rdt), 3)
+            out["hessian_ref_ntr"] = NR
+            out["hessian_seconds_48tr"] = round(float(kbest), 4)
+        except Exception as exc:
+            out["hessian_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def measure_jacobian(FA, T1, T2, B1):
     """Jacobian-dictionary throughput: dS/d(T1, T2, B1) for every atom.
 
@@ -940,6 +1021,12 @@ def main():
             engine.update(measure_prune())
         except Exception as exc:
             engine["prune_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if os.environ.get("BENCH_HESSIAN", "1") not in ("0", "false"):
+        try:
+            engine.update(measure_hessian())
+        except Exception as exc:
+            engine["hessian_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
