@@ -43,7 +43,38 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fisp_hessian_pallas"]
+__all__ = ["fisp_hessian_pallas", "fisp_hessian_pallas_sharded"]
+
+
+def fisp_hessian_pallas_sharded(FA, phi, TAU, T1s, T2s, *, mesh,
+                                axis="atoms", second_order=True, **kw):
+    """Atom-sharded fused per-pulse Hessian kernel over a device mesh.
+
+    Each device runs the full VMEM-resident kernel on its local atom
+    shard (embarrassingly parallel, no collectives) — per-atom CRLB /
+    design maps at multi-chip scale.  The atom count must divide the
+    `axis` size of `mesh`; pulse arrays are replicated.  Returns the
+    `fisp_hessian_pallas` dict sharded on the leading atom axis.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1, t2):
+        return fisp_hessian_pallas(FA, phi, TAU, t1, t2,
+                                   second_order=second_order, **kw)
+
+    vec = (PS(axis, None), PS(axis, None))
+    mat = (PS(axis, None, None), PS(axis, None, None))
+    out_specs = {"sig": vec, "dT1": vec, "dT2": vec,
+                 "dalpha": mat, "dtau": mat}
+    if second_order:
+        out_specs.update({"dT1dalpha": mat, "dT2dalpha": mat,
+                          "dT1dtau": mat, "dT2dtau": mat})
+    f = jax.shard_map(local, mesh=mesh, in_specs=(PS(axis), PS(axis)),
+                      out_specs=out_specs, check_vma=False)
+    T1s = jnp.atleast_1d(jnp.asarray(T1s, jnp.float32))
+    T2s = jnp.atleast_1d(jnp.asarray(T2s, jnp.float32))
+    T1s, T2s = jnp.broadcast_arrays(T1s, T2s)
+    return jax.jit(f)(T1s, T2s)
 
 # group indices
 _P, _U1, _U2, _A, _T, _W1, _W2, _X1, _X2 = range(9)
