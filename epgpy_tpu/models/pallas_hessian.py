@@ -80,8 +80,8 @@ def fisp_hessian_pallas_sharded(FA, phi, TAU, T1s, T2s, *, mesh,
 _P, _U1, _U2, _A, _T, _W1, _W2, _X1, _X2 = range(9)
 
 
-def _kernel_hess(fa_ref, phi_ref, tau_ref, t1_ref, t2_ref, *refs,
-                 nstate, pchunk, second_order):
+def _kernel_hess(fa_ref, phi_ref, tau_ref, te_ref, ti_ref, t1_ref, t2_ref,
+                 *refs, nstate, pchunk, second_order, te_sep, use_inv):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -93,18 +93,33 @@ def _kernel_hess(fa_ref, phi_ref, tau_ref, t1_ref, t2_ref, *refs,
     H = nstate + 1
     f32 = jnp.float32
     Na = st_ref.shape[-1]
+    T1 = t1_ref[0, b]
+    T2 = t2_ref[0, b]
 
     @pl.when(pc == 0)
     def _init():
         st_ref[...] = jnp.zeros_like(st_ref)
-        # primal Z(0) = 1, replicated across all tangent lanes
-        st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])
+        if use_inv:
+            # perfect (B1=1) 180deg inversion + TI relaxation: F+ = 0
+            # exactly (sin(pi) = 0), Z(0) = 1 - 2 E1i; the only nonzero
+            # tangent seed is dZ(0)/dT1 = -2 dE1i (u1 group, plane ZR)
+            TI = ti_ref[0, 0]
+            E1i = jnp.exp(-TI / T1)
+            one = jnp.ones_like(st_ref[4, 0, :])
+            st_ref[6 * _P + 4, 0, :] = (1.0 - 2.0 * E1i) * one
+            st_ref[6 * _U1 + 4, 0, :] = (-2.0 * E1i * TI / (T1 * T1)) * one
+        else:
+            # primal Z(0) = 1, replicated across all tangent lanes
+            st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])
 
     rowm = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
-    T1 = t1_ref[0, b]
-    T2 = t2_ref[0, b]
     base = pc * pchunk
     rad = jnp.pi / 180.0
+    if te_sep:
+        # fixed echo time: e2te is pulse-independent, no tau echo terms
+        TEc = te_ref[0, 0]
+        E2TE = jnp.exp(-TEc / T2)
+        dE2TE = E2TE * TEc / (T2 * T2)
 
     def step(i, _):
         n = base + i                      # global pulse index == lane
@@ -130,16 +145,27 @@ def _kernel_hess(fa_ref, phi_ref, tau_ref, t1_ref, t2_ref, *refs,
         dm20 = (-0.5 * sp * dsa, -0.5 * cp * dsa)
         dm21 = (-0.5 * sp * dsa, 0.5 * cp * dsa)
 
-        # relaxation diagonals (te = tau, rem = 0 in the 4-op train)
-        cF = jnp.exp(-tau / T2)
-        cZ = jnp.exp(-tau / T1)
+        # relaxation diagonals over the full TR.  te_sep=False: the
+        # 4-op train (echo at te = tau, rem = 0).  te_sep=True: the
+        # 5-op train (echo at the fixed TE; tau is the TRACKED tail
+        # TR - TE, so d/dtau formulas are unchanged while the T1/T2
+        # derivatives use the total time).
+        ttot = tau + TEc if te_sep else tau
+        cF = jnp.exp(-ttot / T2)
+        cZ = jnp.exp(-ttot / T1)
         rec = 1.0 - cZ
-        dcF2 = cF * tau / (T2 * T2)       # dcF/dT2
-        dcZ1 = cZ * tau / (T1 * T1)       # dcZ/dT1
+        dcF2 = cF * ttot / (T2 * T2)      # dcF/dT2
+        dcZ1 = cZ * ttot / (T1 * T1)      # dcZ/dT1
         cFt = -cF / T2                    # dcF/dtau
         cZt = -cZ / T1                    # dcZ/dtau
-        cFt2 = cF * (1.0 - tau / T2) / (T2 * T2)   # d2cF/dtau dT2
-        cZt1 = cZ * (1.0 - tau / T1) / (T1 * T1)   # d2cZ/dtau dT1
+        cFt2 = cF * (1.0 - ttot / T2) / (T2 * T2)   # d2cF/dtau dT2
+        cZt1 = cZ * (1.0 - ttot / T1) / (T1 * T1)   # d2cZ/dtau dT1
+        # echo decay and its direct derivative terms
+        if te_sep:
+            e2 = E2TE
+            de2 = dE2TE                   # d e2te / dT2
+        else:
+            e2, de2 = cF, dcF2
 
         maskL = (jax.lax.broadcasted_iota(jnp.int32, (1, Na), 1)
                  == n).astype(f32)
@@ -195,29 +221,38 @@ def _kernel_hess(fa_ref, phi_ref, tau_ref, t1_ref, t2_ref, *refs,
             outs[2 * g][0, i, :] = vr
             outs[2 * g + 1][0, i, :] = vi
 
-        write(_P, cF * eP[0], cF * eP[1])
-        write(_U1, cF * eU1[0], cF * eU1[1])
-        write(_U2, cF * eU2[0] + dcF2 * eP[0], cF * eU2[1] + dcF2 * eP[1])
-        write(_A, cF * (eA[0] + mrow * qP[0]), cF * (eA[1] + mrow * qP[1]))
-        write(_T, cF * eT[0] + mrow * cFt * eP[0],
-              cF * eT[1] + mrow * cFt * eP[1])
+        write(_P, e2 * eP[0], e2 * eP[1])
+        write(_U1, e2 * eU1[0], e2 * eU1[1])
+        write(_U2, e2 * eU2[0] + de2 * eP[0], e2 * eU2[1] + de2 * eP[1])
+        write(_A, e2 * (eA[0] + mrow * qP[0]), e2 * (eA[1] + mrow * qP[1]))
+        if te_sep:
+            # TE fixed: tau has no direct echo term
+            write(_T, e2 * eT[0], e2 * eT[1])
+        else:
+            write(_T, e2 * eT[0] + mrow * cFt * eP[0],
+                  e2 * eT[1] + mrow * cFt * eP[1])
         if second_order:
             eW1 = row0(Y[_W1])
             eW2 = row0(Y[_W2])
             eX1 = row0(Y[_X1])
             eX2 = row0(Y[_X2])
-            write(_W1, cF * (eW1[0] + mrow * qU1[0]),
-                  cF * (eW1[1] + mrow * qU1[1]))
-            write(_W2, cF * eW2[0] + dcF2 * eA[0]
-                  + mrow * (cF * qU2[0] + dcF2 * qP[0]),
-                  cF * eW2[1] + dcF2 * eA[1]
-                  + mrow * (cF * qU2[1] + dcF2 * qP[1]))
-            write(_X1, cF * eX1[0] + mrow * cFt * eU1[0],
-                  cF * eX1[1] + mrow * cFt * eU1[1])
-            write(_X2, cF * eX2[0] + dcF2 * eT[0]
-                  + mrow * (cFt * eU2[0] + cFt2 * eP[0]),
-                  cF * eX2[1] + dcF2 * eT[1]
-                  + mrow * (cFt * eU2[1] + cFt2 * eP[1]))
+            write(_W1, e2 * (eW1[0] + mrow * qU1[0]),
+                  e2 * (eW1[1] + mrow * qU1[1]))
+            write(_W2, e2 * eW2[0] + de2 * eA[0]
+                  + mrow * (e2 * qU2[0] + de2 * qP[0]),
+                  e2 * eW2[1] + de2 * eA[1]
+                  + mrow * (e2 * qU2[1] + de2 * qP[1]))
+            if te_sep:
+                write(_X1, e2 * eX1[0], e2 * eX1[1])
+                write(_X2, e2 * eX2[0] + de2 * eT[0],
+                      e2 * eX2[1] + de2 * eT[1])
+            else:
+                write(_X1, e2 * eX1[0] + mrow * cFt * eU1[0],
+                      e2 * eX1[1] + mrow * cFt * eU1[1])
+                write(_X2, e2 * eX2[0] + de2 * eT[0]
+                      + mrow * (cFt * eU2[0] + cFt2 * eP[0]),
+                      e2 * eX2[1] + de2 * eT[1]
+                      + mrow * (cFt * eU2[1] + cFt2 * eP[1]))
 
         # --- state updates: nA/nB scale by cF (+ extras), nZ by cZ
         # (+ extras and k=0 recovery terms), then the folded unit shift
@@ -345,14 +380,20 @@ def _kernel_hess(fa_ref, phi_ref, tau_ref, t1_ref, t2_ref, *refs,
 
 @partial(jax.jit, static_argnames=("nstate", "pchunk", "second_order",
                                    "interpret"))
-def fisp_hessian_pallas(FA, phi, TAU, T1s, T2s, *, nstate=10, pchunk=None,
-                        second_order=True, interpret=False):
+def fisp_hessian_pallas(FA, phi, TAU, T1s, T2s, *, te=None, inversion=None,
+                        nstate=10, pchunk=None, second_order=True,
+                        interpret=False):
     """Per-pulse MRF Jacobian/Hessian via one fused Pallas kernel.
 
-    ``[T(FA_i, phi_i), E(TAU_i, T1, T2), ADC, S(1)] * N`` trains (the
-    reference flagship differentiation workload, examples/profiling/
-    differentiation_mrf.py): FA/phi/TAU are (N,) per-pulse arrays
-    (degrees / degrees / ms), T1s/T2s (B,) per-atom.
+    ``te=None`` (the flagship 4-op form): ``[T(FA_i, phi_i),
+    E(TAU_i, T1, T2), ADC, S(1)] * N`` — the echo is read at TAU_i.
+    ``te=TE`` (the 5-op MRF/design form): ``[T, E(TE), ADC,
+    E(TAU_i), S(1)] * N`` — the echo is read at the fixed TE and TAU_i
+    is the TRACKED tail (pass ``TR_i - TE``; d/dTAU == d/dTR at fixed
+    TE).  ``inversion=TI`` prepends a perfect 180deg inversion + TI
+    relaxation (its dT1 tangent seeded in closed form).  FA/phi/TAU are
+    (N,) per-pulse arrays (degrees / degrees / ms), T1s/T2s (B,)
+    per-atom.
 
     Returns a dict of float32 arrays (complex split re/im):
       ``sig``:  ((B, N), (B, N))                signal
@@ -394,12 +435,15 @@ def fisp_hessian_pallas(FA, phi, TAU, T1s, T2s, *, nstate=10, pchunk=None,
     ngroups = 9 if second_order else 5
     nP = Pp // pchunk
 
+    te_arr = jnp.full((1, 1), 0.0 if te is None else te, f32)
+    ti_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
     kernel = partial(_kernel_hess, nstate=nstate, pchunk=pchunk,
-                     second_order=second_order)
+                     second_order=second_order, te_sep=te is not None,
+                     use_inv=inversion is not None)
     outs = pl.pallas_call(
         kernel,
         grid=(B, nP),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
         out_specs=[pl.BlockSpec((1, pchunk, Na), lambda b, pc: (b, pc, 0))
                    ] * (2 * ngroups),
         out_shape=[jax.ShapeDtypeStruct((B, Pp, Na), f32)] * (2 * ngroups),
@@ -407,7 +451,8 @@ def fisp_hessian_pallas(FA, phi, TAU, T1s, T2s, *, nstate=10, pchunk=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(FA_p, phi_p, TAU_p, T1s.reshape(1, B), T2s.reshape(1, B))
+    )(FA_p, phi_p, TAU_p, te_arr, ti_arr,
+      T1s.reshape(1, B), T2s.reshape(1, B))
 
     def scal(g):   # lane-replicated groups: any lane holds the value
         return outs[2 * g][:, :N, 0], outs[2 * g + 1][:, :N, 0]

@@ -14,7 +14,8 @@ equivalents here:
 
 from .mesh import make_mesh, atom_sharding
 from .crlb import (crlb_train_step, fingerprint_crlb_loss,
-                   mrf_design_loss, mrf_design_step, mrf_design_slsqp)
+                   mrf_design_loss, mrf_design_step, mrf_design_slsqp,
+                   mrf_design_loss_grad_fused)
 from .match import (dictionary_match, compress_dictionary,
                     project_signals)
 
@@ -22,5 +23,6 @@ __all__ = [
     "make_mesh", "atom_sharding",
     "crlb_train_step", "fingerprint_crlb_loss",
     "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
+    "mrf_design_loss_grad_fused",
     "dictionary_match", "compress_dictionary", "project_signals",
 ]

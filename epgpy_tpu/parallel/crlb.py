@@ -192,8 +192,70 @@ def mrf_design_loss(FA, TR, T1s, T2s, mesh: Mesh, *, TE=5.0, nstate=10,
                          out_specs=P(), check_vma=False)(FA, TR, T1s, T2s)
 
 
+def mrf_design_loss_grad_fused(FA, TR, T1s, T2s, mesh: Mesh = None, *,
+                               TE=5.0, nstate=10, inversion=20.0,
+                               sigma2=10.0, smooth_weight=0.0,
+                               interpret=False):
+    """(loss, gFA, gTR) via the fused per-pulse Hessian kernel.
+
+    Same cost as `mrf_design_loss` (mean (magnitude, T1, T2)-CRLB over
+    the atom grid + optional soft smoothness penalty), but value AND
+    full 2P-parameter gradient come from ONE kernel launch: the fused
+    kernel (models/pallas_hessian) returns J = dS/d(mag, T1, T2) and
+    H = d2S/d(mag, T1, T2)d(FA_i, TR_i) per atom, and `stats.crlb`
+    contracts the analytic gradient (the reference's Hessian route,
+    epgpy stats.py:6-36, at TPU speed).  Atoms shard over ``atoms``
+    when a mesh is given.  Jit the call.
+    """
+    from ..models.pallas_hessian import fisp_hessian_pallas
+    from .. import stats
+
+    def local(fa, tr, t1, t2):
+        out = fisp_hessian_pallas(fa, 90.0, tr - TE, t1, t2, te=TE,
+                                  inversion=inversion, nstate=nstate,
+                                  interpret=interpret)
+        sig = out["sig"][0] + 1j * out["sig"][1]           # (B, P)
+        J = jnp.stack([sig,
+                       out["dT1"][0] + 1j * out["dT1"][1],
+                       out["dT2"][0] + 1j * out["dT2"][1]], axis=-1)
+        H = jnp.stack([
+            jnp.concatenate([out["dalpha"][0] + 1j * out["dalpha"][1],
+                             out["dtau"][0] + 1j * out["dtau"][1]], -1),
+            jnp.concatenate([out["dT1dalpha"][0] + 1j * out["dT1dalpha"][1],
+                             out["dT1dtau"][0] + 1j * out["dT1dtau"][1]],
+                            -1),
+            jnp.concatenate([out["dT2dalpha"][0] + 1j * out["dT2dalpha"][1],
+                             out["dT2dtau"][0] + 1j * out["dT2dtau"][1]],
+                            -1)], axis=-2)                  # (B, P, 3, 2P)
+        w = jnp.stack([jnp.ones_like(t1), 1.0 / t1**2, 1.0 / t2**2], -1)
+        cost, grad = stats.crlb(J, H, W=w, sigma2=sigma2)
+        return jnp.mean(cost), jnp.mean(grad, axis=0)
+
+    if mesh is None:
+        loss, grad = local(FA, TR, T1s, T2s)
+    else:
+        def shard_fn(fa, tr, t1, t2):
+            loss, grad = local(fa, tr, t1, t2)
+            return (jax.lax.pmean(loss, "atoms"),
+                    jax.lax.pmean(grad, "atoms"))
+
+        loss, grad = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("atoms"), P("atoms")),
+            out_specs=(P(), P()), check_vma=False)(FA, TR, T1s, T2s)
+    nTR = FA.shape[0]
+    gFA, gTR = grad[:nTR], grad[nTR:]
+    if smooth_weight:
+        excess = jnp.maximum(jnp.abs(jnp.diff(FA)) - 1.0, 0.0)
+        loss = loss + smooth_weight * jnp.sum(excess**2)
+        pen = 2.0 * smooth_weight * excess * jnp.sign(jnp.diff(FA))
+        gFA = gFA + jnp.concatenate([-pen, jnp.zeros(1)]) \
+            + jnp.concatenate([jnp.zeros(1), pen])
+    return loss, gFA, gTR
+
+
 def mrf_design_slsqp(FA0, TR0, T1s, T2s, mesh: Mesh, *, maxiter=250,
-                     ftol=1e-6, callback=None, **opts):
+                     ftol=1e-6, callback=None, engine="scan", **opts):
     """Reference-fidelity constrained CRLB design: scipy SLSQP driven by
     the sharded JAX value-and-grad.
 
@@ -211,16 +273,32 @@ def mrf_design_slsqp(FA0, TR0, T1s, T2s, mesh: Mesh, *, maxiter=250,
     from scipy import optimize
 
     nTR = len(FA0)
-    val_grad = jax.jit(jax.value_and_grad(
-        lambda fa, tr: mrf_design_loss(fa, tr, T1s, T2s, mesh, **opts),
-        argnums=(0, 1)))
+    if engine == "fused":
+        # value + full 2P gradient from ONE fused Hessian kernel launch
+        # (~ms-scale per SLSQP iteration at 400 TR; the ridge option is
+        # not used by the fused path)
+        opts.pop("ridge", None)
+        val_grad = jax.jit(lambda fa, tr: mrf_design_loss_grad_fused(
+            fa, tr, T1s, T2s, mesh, **opts))
 
-    def costjac(x):
-        fa, tr = x[:nTR], x[nTR:]
-        v, (gfa, gtr) = jax.device_get(
-            val_grad(jnp.asarray(fa), jnp.asarray(tr)))
-        return float(v), np.concatenate(
-            [np.asarray(gfa), np.asarray(gtr)]).astype(float)
+        def costjac(x):
+            fa, tr = x[:nTR], x[nTR:]
+            v, gfa, gtr = jax.device_get(
+                val_grad(jnp.asarray(fa, jnp.float32),
+                         jnp.asarray(tr, jnp.float32)))
+            return float(v), np.concatenate(
+                [np.asarray(gfa), np.asarray(gtr)]).astype(float)
+    else:
+        val_grad = jax.jit(jax.value_and_grad(
+            lambda fa, tr: mrf_design_loss(fa, tr, T1s, T2s, mesh, **opts),
+            argnums=(0, 1)))
+
+        def costjac(x):
+            fa, tr = x[:nTR], x[nTR:]
+            v, (gfa, gtr) = jax.device_get(
+                val_grad(jnp.asarray(fa), jnp.asarray(tr)))
+            return float(v), np.concatenate(
+                [np.asarray(gfa), np.asarray(gtr)]).astype(float)
 
     def constraint_function(params):
         # reference optim_mrf.py:99-103: FA increment magnitude <= 1

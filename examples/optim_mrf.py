@@ -39,6 +39,10 @@ NATOMS = int(os.environ.get("MRF_ATOMS", 16))
 # constraints) or pg (projected gradient, soft smoothness penalty)
 SOLVER = os.environ.get("MRF_SOLVER", "slsqp")
 MAXITER = int(os.environ.get("MRF_MAXITER", 250))
+# MRF_ENGINE=fused: value + full 2P-parameter gradient from ONE fused
+# per-pulse Hessian kernel launch per SLSQP iteration (~ms-scale at
+# 400 TR; models/pallas_hessian) instead of the reverse-mode scan
+ENGINE = os.environ.get("MRF_ENGINE", "scan")
 
 
 def initial_train(n):
@@ -88,8 +92,13 @@ def main():
         # must be jitted: eager shard_map raises UNIMPLEMENTED on the
         # axon TPU backend (the solver's own value_and_grad is jitted
         # inside mrf_design_slsqp)
-        loss_fn = jax.jit(lambda fa, tr: mrf_design_loss(
-            fa, tr, T1s, T2s, mesh, nstate=10))
+        if ENGINE == "fused":
+            from epgpy_tpu.parallel import mrf_design_loss_grad_fused
+            loss_fn = jax.jit(lambda fa, tr: mrf_design_loss_grad_fused(
+                fa, tr, T1s, T2s, mesh, nstate=10)[0])
+        else:
+            loss_fn = jax.jit(lambda fa, tr: mrf_design_loss(
+                fa, tr, T1s, T2s, mesh, nstate=10))
 
         def cb(x):
             losses.append(float(loss_fn(jnp.asarray(x[:nTR]),
@@ -102,7 +111,7 @@ def main():
         losses.append(float(loss_fn(FA, TR)))
         FA_h, TR_h, res = mrf_design_slsqp(
             FA0, TR0, T1s, T2s, mesh, maxiter=MAXITER, nstate=10,
-            callback=cb)
+            engine=ENGINE, callback=cb)
         print(f"SLSQP: {res.message} after {res.nit} iterations")
         dFA = np.diff(FA_h, prepend=FA_h[0])
         if res.status == 0:
@@ -127,7 +136,7 @@ def main():
     assert TR_h.min() >= TR_BOUNDS[0] - 1e-9 and TR_h.max() <= TR_BOUNDS[1] + 1e-9
     print(json.dumps({
         "metric": "mrf_design_crlb", "initial": round(losses[0], 4),
-        "final": round(losses[-1], 4), "solver": SOLVER,
+        "final": round(losses[-1], 4), "solver": SOLVER, "engine": ENGINE,
         "iters": len(losses), "nTR": nTR,
         "nparams": 2 * nTR, "seconds": round(dur, 1),
         "max_abs_dFA": round(float(np.abs(np.diff(FA_h)).max()), 4),

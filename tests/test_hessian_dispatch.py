@@ -170,3 +170,80 @@ def test_kernel_second_order_consistency():
         np.testing.assert_array_equal(o1[k][1], o2[k][1])
     # causality: columns i > echo j are exactly zero
     assert np.abs(np.triu(o2["dT1dalpha"][0][0], k=1)).max() == 0.0
+
+
+def test_te_sep_inversion_kernel():
+    """5-op MRF/design form: echo at fixed TE, tracked tail TR-TE, and
+    an inversion prep with closed-form dT1 seeding -- against the
+    general planner on the equivalent op train."""
+    from epgpy_tpu.models.pallas_hessian import fisp_hessian_pallas
+
+    TE, TI = 5.0, 20.0
+    TR = RNG.uniform(11, 16, NTR)
+    seq = [epg.T(180, 0), epg.E(TI, 1380., 80.,
+                                order1={"T1": "T1", "T2": "T2"})]
+    for i in range(NTR):
+        seq += [epg.T(FA[i], 90, order1={ALPHAS[i]: "alpha"}),
+                epg.E(TE, 1380., 80., order1={"T1": "T1", "T2": "T2"}),
+                epg.ADC,
+                epg.E(TR[i] - TE, 1380., 80.,
+                      order1={"T1": "T1", "T2": "T2", TAUS[i]: "tau"}),
+                epg.S(1)]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"]),
+              epg.Hessian(["magnitude", "T1", "T2"], ALPHAS + TAUS)]
+    sig, jac, hes = epg.simulate(seq, probe=probes, max_nstate=10,
+                                 fisp_kernel=False)
+    sig = np.asarray(sig)[:, 0]
+    jac = np.asarray(jac)[:, 0]
+    hes = np.asarray(hes)[:, 0]
+    out = fisp_hessian_pallas(FA, 90.0, TR - TE, [1380.0], [80.0], te=TE,
+                              inversion=TI, nstate=10, interpret=True)
+
+    def cplx(n):
+        return out[n][0][0] + 1j * out[n][1][0]
+
+    def check(a, b):
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-12) < 5e-6
+
+    check(cplx("sig"), sig)
+    check(cplx("dT1"), jac[:, 1])
+    check(cplx("dT2"), jac[:, 2])
+    check(cplx("dalpha"), hes[:, 0, :NTR])
+    check(cplx("dtau"), hes[:, 0, NTR:])
+    check(cplx("dT1dalpha"), hes[:, 1, :NTR])
+    check(cplx("dT2dalpha"), hes[:, 2, :NTR])
+    check(cplx("dT1dtau"), hes[:, 1, NTR:])
+    check(cplx("dT2dtau"), hes[:, 2, NTR:])
+
+
+def test_fused_design_loss_grad():
+    """mrf_design_loss_grad_fused == value_and_grad(mrf_design_loss)
+    (the CRLB sequence-design objective), sharded and unsharded."""
+    import jax
+    import jax.numpy as jnp
+    from epgpy_tpu.parallel import (mrf_design_loss,
+                                    mrf_design_loss_grad_fused, make_mesh)
+
+    B = 8
+    FAj = jnp.asarray(RNG.uniform(12, 58, NTR))
+    TRj = jnp.asarray(RNG.uniform(11.5, 15.5, NTR))
+    T1s = jnp.asarray(RNG.uniform(400.0, 1600.0, B))
+    T2s = jnp.asarray(RNG.uniform(40.0, 120.0, B))
+    mesh = make_mesh(jax.devices("cpu")[:8], axes=("atoms",))
+    kw = dict(TE=5.0, nstate=6, inversion=20.0, sigma2=10.0,
+              smooth_weight=1e-3)
+    loss_ref, (gfa_ref, gtr_ref) = jax.value_and_grad(
+        lambda fa, tr: mrf_design_loss(fa, tr, T1s, T2s, mesh, ridge=0.0,
+                                       **kw), argnums=(0, 1))(FAj, TRj)
+    loss_f, gfa_f, gtr_f = jax.jit(
+        lambda fa, tr: mrf_design_loss_grad_fused(
+            fa, tr, T1s, T2s, mesh, interpret=True, **kw))(
+        jnp.asarray(FAj, jnp.float32), jnp.asarray(TRj, jnp.float32))
+
+    def rel(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+
+    assert rel(loss_f, loss_ref) < 2e-5
+    assert rel(gfa_f, gfa_ref) < 2e-5
+    assert rel(gtr_f, gtr_ref) < 2e-5
