@@ -939,24 +939,42 @@ def run_mse_jacobian(params, nstate, specs, *, interpret=False):
 def match_fisp_hessian(sequence):
     """Match the flagship per-pulse differentiation train.
 
-    ``[T(a_i, phi_i, order1={alias_i: "alpha"}), E(tau_i, T1, T2,
-    order1={"T1", "T2", alias'_i: "tau"}), Adc, S(1)] * N`` — the
-    reference's largest published diff workload (examples/profiling/
-    differentiation_mrf.py:18-67) and the CRLB sequence-design pattern
-    (examples/sequence/optim_mrf.py).  Every T must track a distinct
-    alpha alias; every E must track T1 and T2 with unit coefficients
-    and (all-or-none) a distinct tau alias.  Scalar per-pulse
-    alpha/phi/tau; T1/T2 host scalars or 1-D atom vectors.  Returns a
-    param dict (incl. ``amap``: variable name -> column token) or
-    None; memoized on operator identities.
+    Two train shapes (the reference's largest published diff workload,
+    examples/profiling/differentiation_mrf.py:18-67, and the CRLB
+    sequence-design pattern, examples/sequence/optim_mrf.py):
+
+      ``[T(a_i, order1={alias_i: "alpha"}), E(tau_i, T1, T2,
+      order1={"T1", "T2", alias'_i: "tau"}), Adc, S(1)] * N``
+      (echo read at tau_i), or the 5-op form with a constant-TE echo
+      ``[T, E(TE, {"T1","T2"}), Adc, E(tau_i, ...), S(1)] * N``,
+      optionally prefixed by a ``[T(180), E(TI, {"T1","T2"})]``
+      inversion prep (perfect inversion: scalar exact-180 pulse).
+
+    Every T must track a distinct alpha alias; every tracked E must
+    carry T1 and T2 with unit coefficients and (all-or-none) a distinct
+    tau alias on the tail E.  Scalar per-pulse alpha/phi/tau; T1/T2
+    host scalars or 1-D atom vectors.  Returns a param dict (incl.
+    ``amap``: variable name -> column token) or None; memoized on
+    operator identities.
     """
-    if len(sequence) < 8 or len(sequence) % 4 != 0:
+    if len(sequence) < 8:
         return None
     key = ("hess",) + tuple(id(op) for op in sequence)
     hit = _MATCH_CACHE.get(key)
     if hit is not None:
         return hit[0]
-    params = _match_fisp_hessian_impl(sequence)
+    params = None
+    for group in (4, 5):
+        n = len(sequence)
+        for prep in (0, 2):
+            if n - prep >= 2 * group and (n - prep) % group == 0:
+                params = _match_fisp_hessian_impl(
+                    sequence[prep:], group=group,
+                    prep=sequence[:prep] if prep else None)
+                if params is not None:
+                    break
+        if params is not None:
+            break
     while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
         _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
     _MATCH_CACHE[key] = (params, list(sequence))
@@ -995,20 +1013,47 @@ def _alias_order1(op, param, extra=()):
     return (alias,)
 
 
-def _match_fisp_hessian_impl(sequence):
+def _match_fisp_hessian_impl(sequence, group=4, prep=None):
     from .ops.transition import T
     from .ops.evolution import E
     from .ops.shift import S
     from .ops.probe import Adc
 
-    N = len(sequence) // 4
+    N = len(sequence) // group
     FA, PHI, TAU = [], [], []
     avars, tvars = [], []
     T1 = T2 = None
+    TE = None
+
+    def check_e(e_op, want_alias):
+        """Shared E validation; returns (tau, alias) or None."""
+        nonlocal T1, T2
+        if type(e_op) is not E or e_op.axes is not None:
+            return None
+        tv = _alias_order1(e_op, "tau", extra=("T1", "T2"))
+        if tv is False or (tv[0] is not None and not want_alias):
+            return None
+        tau = _scalar(e_op.tau)
+        if tau is None or _scalar(e_op.g) != 0.0:
+            return None
+        t1v, t2v = _host_nd(e_op.T1), _host_nd(e_op.T2)
+        if t1v is None or t2v is None or t1v.ndim > 1 or t2v.ndim > 1:
+            return None
+        if T1 is None:
+            T1, T2 = t1v, t2v
+        elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+            return None
+        return tau, tv[0]
+
     for i in range(N):
-        t_op, e_op, adc, s = sequence[4 * i:4 * i + 4]
-        if (type(t_op) is not T or type(e_op) is not E
-                or type(adc) is not Adc or type(s) is not S):
+        blk = sequence[group * i:group * i + group]
+        if group == 4:
+            t_op, e_op, adc, s = blk
+            e_te = None
+        else:
+            t_op, e_te, adc, e_op, s = blk
+        if (type(t_op) is not T or type(adc) is not Adc
+                or type(s) is not S):
             return None
         if not _no_diff(adc) or not _no_diff(s):
             return None
@@ -1018,31 +1063,43 @@ def _match_fisp_hessian_impl(sequence):
                 or adc.weights is not None
                 or adc.reduce not in (None, False)):
             return None
-        if t_op.axes is not None or e_op.axes is not None:
+        if t_op.axes is not None:
             return None
         av = _alias_order1(t_op, "alpha")
-        tv = _alias_order1(e_op, "tau", extra=("T1", "T2"))
-        if av is False or tv is False or av[0] is None:
+        if av is False or av[0] is None:
             return None
+        ev = check_e(e_op, want_alias=True)
+        if ev is None:
+            return None
+        if e_te is not None:
+            # 5-op form: constant echo time, T1/T2 tracking only
+            et = check_e(e_te, want_alias=False)
+            if et is None:
+                return None
+            if TE is None:
+                TE = et[0]
+            elif et[0] != TE:
+                return None
         avars.append(av[0])
-        tvars.append(tv[0])
+        tvars.append(ev[1])
         a = _scalar(t_op.alpha)
         ph = _scalar(t_op.phi)
-        tau = _scalar(e_op.tau)
-        if a is None or ph is None or tau is None:
-            return None
-        if _scalar(e_op.g) != 0.0:
-            return None
-        t1v, t2v = _host_nd(e_op.T1), _host_nd(e_op.T2)
-        if t1v is None or t2v is None or t1v.ndim > 1 or t2v.ndim > 1:
-            return None
-        if T1 is None:
-            T1, T2 = t1v, t2v
-        elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+        if a is None or ph is None:
             return None
         FA.append(a)
         PHI.append(ph)
-        TAU.append(tau)
+        TAU.append(ev[0])
+
+    TI = None
+    if prep is not None:
+        t0, e0 = prep
+        if (type(t0) is not T or not _no_diff(t0) or t0.axes is not None
+                or _scalar(t0.alpha) != 180.0 or _scalar(t0.phi) is None):
+            return None
+        ep = check_e(e0, want_alias=False)
+        if ep is None:
+            return None
+        TI = ep[0]
 
     # distinct aliases; tau tracking all-or-none
     if len(set(avars)) != N or None in avars:
@@ -1068,7 +1125,7 @@ def _match_fisp_hessian_impl(sequence):
     T1f, T2f = _append_rows((T1, T2), bshape)
     return {"FA": np.asarray(FA), "phi": np.asarray(PHI),
             "TAU": np.asarray(TAU), "T1": T1f, "T2": T2f,
-            "amap": amap, "shape": bshape}
+            "TE": TE, "TI": TI, "amap": amap, "shape": bshape}
 
 
 def match_hessian_probes(probes, params):
@@ -1129,13 +1186,16 @@ def match_hessian_probes(probes, params):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "specs",
                                              "second_order", "bshape",
+                                             "use_te", "use_inv",
                                              "interpret"))
-def _run_hess_jit(FA, phi, TAU, T1, T2, *, nstate, specs, second_order,
-                  bshape, interpret):
+def _run_hess_jit(FA, phi, TAU, T1, T2, TE, TI, *, nstate, specs,
+                  second_order, bshape, use_te, use_inv, interpret):
     from .models.pallas_hessian import fisp_hessian_pallas
 
-    out = fisp_hessian_pallas(FA, phi, TAU, T1, T2, nstate=nstate,
-                              second_order=second_order,
+    out = fisp_hessian_pallas(FA, phi, TAU, T1, T2,
+                              te=TE if use_te else None,
+                              inversion=TI if use_inv else None,
+                              nstate=nstate, second_order=second_order,
                               interpret=interpret)
     N = out["sig"][0].shape[1]
 
@@ -1201,16 +1261,17 @@ def run_fisp_hessian(params, nstate, specs, second_order, *,
     Returns the simulate_diff-format tuple over probes of
     ``{"__c_re", "__c_im"}`` device dicts: signal (N, *batch); Jacobian
     (N, *batch, nvars); Hessian (N, *batch, n1, n2)."""
-    dev = params.get("_dev")
-    if dev is None:
-        f32 = np.float32
-        dev = jax.device_put(tuple(
-            np.asarray(params[k], f32)
-            for k in ("FA", "phi", "TAU", "T1", "T2")))
-        params["_dev"] = dev
+    f32 = np.float32
+    dev = _cached_device(params, lambda: tuple(
+        np.asarray(params[k], f32)
+        for k in ("FA", "phi", "TAU", "T1", "T2")) + (
+        np.asarray(params.get("TE") or 0.0, f32),
+        np.asarray(params.get("TI") or 0.0, f32)))
     return _run_hess_jit(*dev, nstate=max(int(nstate), 1), specs=specs,
                          second_order=second_order,
                          bshape=tuple(params["shape"]),
+                         use_te=params.get("TE") is not None,
+                         use_inv=params.get("TI") is not None,
                          interpret=interpret)
 
 

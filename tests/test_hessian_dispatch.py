@@ -247,3 +247,59 @@ def test_fused_design_loss_grad():
     assert rel(loss_f, loss_ref) < 2e-5
     assert rel(gfa_f, gfa_ref) < 2e-5
     assert rel(gtr_f, gtr_ref) < 2e-5
+
+
+TR5 = np.random.default_rng(11).uniform(11, 16, NTR)
+
+
+def build5(TE=5.0, TI=None, T1=1380.0, T2=80.0):
+    TR = TR5
+    seq = [] if TI is None else [
+        epg.T(180, 0), epg.E(TI, T1, T2, order1={"T1": "T1", "T2": "T2"})]
+    for i in range(NTR):
+        seq += [epg.T(FA[i], 90, order1={ALPHAS[i]: "alpha"}),
+                epg.E(TE, T1, T2, order1={"T1": "T1", "T2": "T2"}),
+                epg.ADC,
+                epg.E(TR[i] - TE, T1, T2,
+                      order1={"T1": "T1", "T2": "T2", TAUS[i]: "tau"}),
+                epg.S(1)]
+    return seq
+
+
+def test_dispatch_5op_form():
+    """5-op constant-TE train routes through simulate()."""
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"]),
+              epg.Hessian(["magnitude", "T1", "T2"], ALPHAS + TAUS)]
+    ref, got = both(lambda: build5(), probes)
+    assert fisp_dispatch.match_fisp_hessian(build5()) is not None
+    assert_close(ref, got)
+
+
+def test_dispatch_5op_inversion_prep():
+    """5-op train with a tracked [T(180), E(TI)] inversion prep."""
+    probes = [epg.Hessian(["magnitude", "T1", "T2"], ALPHAS + TAUS)]
+    ref, got = both(lambda: build5(TI=20.0), probes)
+    assert_close(ref, got)
+
+
+def test_dispatch_4op_inversion_prep():
+    """Flagship 4-op train with an inversion prep."""
+    probes = [epg.ADC, epg.Hessian(["T1", "T2"], ALPHAS)]
+    seq0 = [epg.T(180, 0),
+            epg.E(25.0, 1380., 80., order1={"T1": "T1", "T2": "T2"})]
+    ref, got = both(lambda: seq0 + build(), probes)
+    assert_close(ref, got)
+
+
+def test_prep_fallthrough_untracked_e():
+    """An UNTRACKED prep E must fall through (the kernel always
+    differentiates the prep; the planner would not)."""
+    seq = [epg.T(180, 0), epg.E(25.0, 1380., 80.)] + build()
+    assert fisp_dispatch.match_fisp_hessian(seq) is None
+
+
+def test_prep_fallthrough_non180():
+    seq = [epg.T(90, 0),
+           epg.E(25.0, 1380., 80., order1={"T1": "T1", "T2": "T2"})] \
+        + build()
+    assert fisp_dispatch.match_fisp_hessian(seq) is None
