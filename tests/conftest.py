@@ -21,7 +21,29 @@ try:
 except RuntimeError:
     pass
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Single-process full-suite runs used to degrade to >45 min on a 1-CPU box:
+# Python's cyclic GC repeatedly walks the ever-growing live object graph of
+# jaxpr/executable caches. Two mitigations: collect far less often (memory is
+# plentiful: 128 GB), and drop the in-memory JAX + engine caches whenever a
+# test module finishes so the object graph stays bounded.
+gc.set_threshold(100_000, 50, 50)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_caches():
+    yield
+    try:
+        from epgpy_tpu import engine
+
+        engine.clear_caches()
+    except Exception:
+        pass
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
