@@ -36,7 +36,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded"]
+__all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded",
+           "xgre_jacobian_pallas", "exchange_stage_mats"]
 
 
 def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
@@ -277,6 +278,341 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
     re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
     im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
     return re, im
+
+
+def exchange_stage_mats(khi, T1, T2, g=None, tau=1.0):
+    """Differentiable per-atom exchange stage matrices ``(mr, mi, ml)``.
+
+    The fused-Jacobian entry point (xgre_jacobian_pallas) takes the
+    stage mixing matrices AND their per-variable tangents as inputs;
+    this helper is the differentiable map from physical parameters to
+    those matrices -- run ``jax.jvp(exchange_stage_mats, ...)`` once per
+    fit variable to obtain the tangents (the expm is the closed-form
+    2x2 spectral formula of ops/exchange._expm, smooth away from
+    degenerate eigenvalue pairs).
+
+    Args:
+        khi: kinetic matrix, (C, C) shared or (C, C, B) per-atom
+            (per-voxel bound-pool fractions change khi AND densities).
+        T1, T2: (C, B) per-compartment per-atom (ms).
+        g: optional (C, B) off-resonance (kHz).
+        tau: scalar mixing time (ms).
+
+    Returns three (B, C, C) float32 arrays: Re/Im of the transverse
+    mixing matrix and the (real) longitudinal one.
+
+    NOTE: complex intermediates -- on the TPU backend call this inside
+    jit only (eager complex ops fail on the axon plugin; CLAUDE.md
+    fact 1).
+    """
+    from ..ops.exchange import _expm
+
+    c64 = jnp.complex64
+    f32 = jnp.float32
+    T1 = jnp.asarray(T1, f32)
+    T2 = jnp.asarray(T2, f32)
+    C = T2.shape[0]
+    khi = jnp.asarray(khi, f32)
+    if khi.ndim == 2:
+        khi = khi[:, :, None]
+    gv = jnp.zeros_like(T2) if g is None else jnp.asarray(g, f32)
+    eye = jnp.eye(C, dtype=f32)[:, :, None].astype(c64)
+    rT = (-1.0 / T2).astype(c64) + 2j * jnp.pi * gv.astype(c64)   # (C, B)
+    rL = (-1.0 / T1).astype(c64)
+    xT = -khi.astype(c64) + eye * rT[:, None, :]
+    xL = -khi.astype(c64) + eye * rL[:, None, :]
+    tau = jnp.asarray(tau, f32).astype(c64)
+    mT = _expm(jnp.moveaxis(xT * tau, -1, 0))                     # (B, C, C)
+    mL = jnp.real(_expm(jnp.moveaxis(xL * tau, -1, 0)))
+    return jnp.real(mT), jnp.imag(mT), mL
+
+
+def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
+                     b1_ref, dens_ref, coef_ref, *refs,
+                     nstate, ntr, ncomp, nvar):
+    """Fused primal + tangent EPG-X GRE propagation.
+
+    Plane groups g = 0 (primal), 1..nvar (one tangent per fit variable)
+    each hold the 6C half-ladder planes of _kernel_xgre.  Saturation,
+    rotation and the ladder shift are AFFINE and variable-independent
+    here (variables enter only through the exchange stage matrices and
+    the equilibrium densities), so tangents propagate by the same
+    per-TR operator; the exchange stage adds the product-rule term
+    ``dM (x - e) + M (t - de) + de`` using the streamed per-variable
+    matrix/density tangents.  dens_ref rows: g*C + c (per-atom -- the
+    per-voxel bound-pool-fraction fit); coef_ref rows:
+    g*6CC + stage*3CC + part*CC + i*C + j.
+    """
+    C = ncomp
+    CC = C * C
+    G = nvar + 1
+    f32 = jnp.float32
+    out_refs = refs[:2 * C * G]
+    st_ref = refs[2 * C * G]
+    H = nstate + 1
+    btile = st_ref.shape[2]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+
+    st_ref[...] = jnp.zeros_like(st_ref)
+    ones = jnp.ones((btile,), f32)
+    for c in range(C):
+        st_ref[6 * c + 4, 0, :] = ones    # primal Z_c(0) = 1; tangents 0
+
+    def cmul(cr, ci, xr, xi):
+        return cr * xr - ci * xi, cr * xi + ci * xr
+
+    def rot_A(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
+        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
+        return re, im
+
+    def rot_B(c2, a1r, a1i, a2r, a2i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
+        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
+        return re, im
+
+    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
+        AR, AI, BR, BI, ZR, ZI = s
+        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
+        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
+        return re, im
+
+    def m(g, stage, part, i, j):
+        return coef_ref[g * 6 * CC + stage * 3 * CC + part * CC + i * C + j, :]
+
+    def dens(g, c):
+        return dens_ref[g * C + c, :]
+
+    def mix_primal(stage, sets):
+        devs = [(sets[j][4] - dens(0, j) * rowmask, sets[j][5])
+                for j in range(C)]
+        out = []
+        for i in range(C):
+            nAR = nAI = nBR = nBI = nZR = nZI = None
+            for j in range(C):
+                mr, mi = m(0, stage, 0, i, j), m(0, stage, 1, i, j)
+                ml = m(0, stage, 2, i, j)
+                AR, AI, BR, BI, _, _ = sets[j]
+                ar, ai = cmul(mr, mi, AR, AI)
+                br, bi = cmul(mr, mi, BR, BI)
+                zr, zi = ml * devs[j][0], ml * devs[j][1]
+                if j == 0:
+                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
+                else:
+                    nAR, nAI = nAR + ar, nAI + ai
+                    nBR, nBI = nBR + br, nBI + bi
+                    nZR, nZI = nZR + zr, nZI + zi
+            out.append((nAR, nAI, nBR, nBI,
+                        nZR + dens(0, i) * rowmask, nZI))
+        return out
+
+    def mix_tangent(stage, g, tsets, xsets):
+        """t'_i = sum_j [ M_ij (t_j - de_j) + dM_ij (x_j - e_j) ] + de_i
+        (equilibrium e supported on the k=0 Z row only)."""
+        xdevs = [(xsets[j][4] - dens(0, j) * rowmask, xsets[j][5])
+                 for j in range(C)]
+        tdevs = [(tsets[j][4] - dens(g, j) * rowmask, tsets[j][5])
+                 for j in range(C)]
+        out = []
+        for i in range(C):
+            nAR = nAI = nBR = nBI = nZR = nZI = None
+            for j in range(C):
+                mr, mi = m(0, stage, 0, i, j), m(0, stage, 1, i, j)
+                ml = m(0, stage, 2, i, j)
+                dmr, dmi = m(g, stage, 0, i, j), m(g, stage, 1, i, j)
+                dml = m(g, stage, 2, i, j)
+                tAR, tAI, tBR, tBI, _, _ = tsets[j]
+                xAR, xAI, xBR, xBI, _, _ = xsets[j]
+                ar, ai = cmul(mr, mi, tAR, tAI)
+                dar, dai = cmul(dmr, dmi, xAR, xAI)
+                br, bi = cmul(mr, mi, tBR, tBI)
+                dbr, dbi = cmul(dmr, dmi, xBR, xBI)
+                zr = ml * tdevs[j][0] + dml * xdevs[j][0]
+                zi = ml * tdevs[j][1] + dml * xdevs[j][1]
+                ar, ai = ar + dar, ai + dai
+                br, bi = br + dbr, bi + dbi
+                if j == 0:
+                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
+                else:
+                    nAR, nAI = nAR + ar, nAI + ai
+                    nBR, nBI = nBR + br, nBI + bi
+                    nZR, nZI = nZR + zr, nZI + zi
+            out.append((nAR, nAI, nBR, nBI,
+                        nZR + dens(g, i) * rowmask, nZI))
+        return out
+
+    def step(i, _):
+        rad = jnp.pi / 180.0
+        # per-compartment saturation + rotation coefficients -- shared
+        # across plane groups (variables do not enter sat/rot)
+        rotc = []
+        for c in range(C):
+            a = alpha_ref[i, c] * rad * b1_ref[0, :]
+            ph = phi_ref[i, c] * rad
+            ca, sa = jnp.cos(a), jnp.sin(a)
+            cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+            cp, sp = jnp.cos(ph), jnp.sin(ph)
+            c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+            rotc.append((cos2, c2p * sin2, s2p * sin2, sp * sa, -cp * sa,
+                         ca, -0.5 * sp * sa, -0.5 * cp * sa,
+                         -0.5 * sp * sa, 0.5 * cp * sa))
+
+        groups = []
+        for g in range(G):
+            sets = []
+            for c in range(C):
+                s = tuple(st_ref[6 * (g * C + c) + j] for j in range(6))
+                sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
+                szr, szi = szr_ref[i, c], szi_ref[i, c]
+                ar, ai = cmul(sfr, sfi, s[0], s[1])
+                br, bi = cmul(sfr, sfi, s[2], s[3])
+                zr, zi = cmul(szr, szi, s[4], s[5])
+                s = (ar, ai, br, bi, zr, zi)
+                c2, m01r, m01i, m02r, m02i, caa, m20r, m20i, m21r, m21i = \
+                    rotc[c]
+                ar, ai = rot_A(c2, m01r, m01i, m02r, m02i, s)
+                br, bi = rot_B(c2, m01r, m01i, m02r, m02i, s)
+                zr, zi = rot_Z(caa, m20r, m20i, m21r, m21i, s)
+                sets.append((ar, ai, br, bi, zr, zi))
+            groups.append(sets)
+
+        # exchange stage A (tangents first: they need the pre-mix primal)
+        groups = ([mix_primal(0, groups[0])]
+                  + [mix_tangent(0, g, groups[g], groups[0])
+                     for g in range(1, G)])
+        for g in range(G):
+            for c in range(C):
+                out_refs[2 * (g * C + c)][i, :] = groups[g][c][0][0, :]
+                out_refs[2 * (g * C + c) + 1][i, :] = groups[g][c][1][0, :]
+        groups = ([mix_primal(1, groups[0])]
+                  + [mix_tangent(1, g, groups[g], groups[0])
+                     for g in range(1, G)])
+        for g in range(G):
+            for c in range(C):
+                AR, AI, BR, BI, ZR, ZI = groups[g][c]
+                zrow = jnp.zeros_like(AR[:1])
+                base = 6 * (g * C + c)
+                st_ref[base + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
+                st_ref[base + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
+                st_ref[base + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
+                st_ref[base + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
+                st_ref[base + 4] = ZR
+                st_ref[base + 5] = ZI
+        return 0
+
+    jax.lax.fori_loop(0, ntr, step, 0)
+
+
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+def xgre_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
+                         dens, matsA, matsB, dmatsA, dmatsB, ddens,
+                         b1=None, *, nstate, btile=512, interpret=False):
+    """EPG-X GRE train Jacobian via the fused primal+tangent kernel.
+
+    A capability BEYOND the reference: epgpy's X operator is not
+    differentiable at all (no _derive1; reference epgpy/exchange.py) --
+    here per-voxel Gauss-Newton qMT fitting (bound-pool fraction f,
+    free-pool T2, exchange rate, ...) runs as one VMEM-resident pass.
+    Variables must enter ONLY through the exchange stage matrices and
+    the equilibrium densities (not sat/rot/B1): compute the matrices
+    with exchange_stage_mats and their tangents with jax.jvp, one per
+    variable.
+
+    Args:
+        alpha, phi, satf_re/im, satz_re/im: (N, C) per-TR trains as in
+            xgre_dictionary_pallas.
+        dens: (C, B) per-atom equilibrium densities (or (C,) shared).
+        matsA, matsB: per-stage ``(mr, mi, ml)`` mixing matrices, each
+            (B, C, C) (identity for an absent stage).
+        dmatsA, dmatsB: per-variable tangents, each (V, B, C, C) x3.
+        ddens: (V, C, B) (or (V, C)) density tangents.
+        b1: optional (B,) per-atom flip scale (a CONSTANT of the fit).
+
+    Returns ``(re, im), (jre, jim)``: (N, C, B) primal center states and
+    (N, V, C, B) tangents.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    alpha = jnp.asarray(alpha, f32)
+    N, C = alpha.shape
+    CC = C * C
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (N, C))
+    satf_re = jnp.broadcast_to(jnp.asarray(satf_re, f32), (N, C))
+    satf_im = jnp.broadcast_to(jnp.asarray(satf_im, f32), (N, C))
+    satz_re = jnp.broadcast_to(jnp.asarray(satz_re, f32), (N, C))
+    satz_im = jnp.broadcast_to(jnp.asarray(satz_im, f32), (N, C))
+    B = jnp.shape(matsA[0])[0]
+    V = jnp.shape(dmatsA[0])[0]
+    G = V + 1
+
+    Bp = -(-B // btile) * btile
+    pad = Bp - B
+
+    def rows(mat):                       # (B, C, C) -> (CC, Bp)
+        r = jnp.moveaxis(jnp.asarray(mat, f32), 0, -1).reshape(CC, B)
+        return jnp.pad(r, ((0, 0), (0, pad))) if pad else r
+
+    def group(mA, mB):                   # one (6CC, Bp) coefficient group
+        return jnp.concatenate([rows(mA[0]), rows(mA[1]), rows(mA[2]),
+                                rows(mB[0]), rows(mB[1]), rows(mB[2])], 0)
+
+    coef = jnp.concatenate(
+        [group(matsA, matsB)]
+        + [group(tuple(d[v] for d in dmatsA), tuple(d[v] for d in dmatsB))
+           for v in range(V)], axis=0)   # (G*6CC, Bp)
+
+    dens = jnp.asarray(dens, f32)
+    if dens.ndim == 1:
+        dens = jnp.broadcast_to(dens[:, None], (C, B))
+    ddens = jnp.asarray(ddens, f32)
+    if ddens.ndim == 2:
+        ddens = jnp.broadcast_to(ddens[:, :, None], (V, C, B))
+    densrows = jnp.concatenate([dens, ddens.reshape(V * C, B)], axis=0)
+    if pad:
+        densrows = jnp.pad(densrows, ((0, 0), (0, pad)))
+
+    b1 = jnp.ones(B, f32) if b1 is None else jnp.asarray(b1, f32)
+    if pad:
+        b1 = jnp.concatenate([b1, jnp.ones(pad, f32)])
+    b1 = b1.reshape(1, Bp)
+
+    kernel = partial(_kernel_xgre_jac, nstate=nstate, ntr=N, ncomp=C,
+                     nvar=V)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # alpha
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # satf_re
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # satf_im
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # satz_re
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # satz_im
+            pl.BlockSpec((1, btile), lambda b: (0, b)),         # b1
+            pl.BlockSpec((G * C, btile), lambda b: (0, b)),     # dens
+            pl.BlockSpec((G * 6 * CC, btile), lambda b: (0, b)),  # coef
+        ],
+        out_specs=[pl.BlockSpec((N, btile), lambda b: (0, b))] * (2 * C * G),
+        out_shape=[jax.ShapeDtypeStruct((N, Bp), f32)] * (2 * C * G),
+        scratch_shapes=[pltpu.VMEM((6 * C * G, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(alpha, phi, satf_re, satf_im, satz_re, satz_im, b1, densrows, coef)
+
+    re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
+    im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
+    jre = jnp.stack(
+        [jnp.stack([outs[2 * ((v + 1) * C + c)][:, :B] for c in range(C)], 1)
+         for v in range(V)], axis=1)
+    jim = jnp.stack(
+        [jnp.stack([outs[2 * ((v + 1) * C + c) + 1][:, :B]
+                    for c in range(C)], 1) for v in range(V)], axis=1)
+    return (re, im), (jre, jim)
 
 
 def xgre_dictionary_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,

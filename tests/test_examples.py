@@ -42,6 +42,13 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+def test_mt_qmt_fit_refine_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("QMTFIT_NTR", "32")
+    monkeypatch.setenv("QMTFIT_NVOX", "12")
+    monkeypatch.setenv("QMTFIT_ITERS", "6")
+    _run("mt_qmt_fit_refine.py", monkeypatch, tmp_path)
+
+
 def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
     """Ma 2013 bSSFP MRF: compressed (T1, T2, df) match must recover
     the picked atoms (asserted inside the example)."""
