@@ -18,6 +18,7 @@ from .crlb import (crlb_train_step, fingerprint_crlb_loss,
                    mrf_design_loss_grad_fused)
 from .match import (dictionary_match, compress_dictionary,
                     project_signals)
+from .recon import mrf_reconstruct, gauss_newton_refine
 
 __all__ = [
     "make_mesh", "atom_sharding",
@@ -25,4 +26,5 @@ __all__ = [
     "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
     "mrf_design_loss_grad_fused",
     "dictionary_match", "compress_dictionary", "project_signals",
+    "mrf_reconstruct", "gauss_newton_refine",
 ]

@@ -1,0 +1,132 @@
+"""End-to-end MRF reconstruction pipeline (parallel/recon.py).
+
+The serving step the reference never had: normalize -> [compress] ->
+match -> PD scale -> [Gauss-Newton refine], sharded over the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import epgpy_tpu as epg
+from epgpy_tpu.models.mrf import fisp_mrf_dictionary
+from epgpy_tpu.parallel import (gauss_newton_refine, make_mesh,
+                                mrf_reconstruct)
+
+P = 60
+FA = 10 + 50 * np.abs(np.sin(np.arange(P) * 2 * np.pi / 250))
+TRv, TEv = 12.0, 5.0
+
+
+@pytest.fixture(scope="module")
+def dict_and_grid():
+    T1g = np.linspace(300, 1800, 12)
+    T2g = np.linspace(30, 180, 10)
+    grid = np.stack(np.meshgrid(T1g, T2g, indexing="ij"), -1).reshape(-1, 2)
+    grid = grid[grid[:, 1] < 0.8 * grid[:, 0]]
+    dre, dim = fisp_mrf_dictionary(FA, TRv, TEv, grid[:, 0], grid[:, 1])
+    return np.asarray(dre), np.asarray(dim), grid
+
+
+def _observations(dre, dim, grid, nvox, rng, noise=1e-4):
+    """On-grid voxels with random complex PD scales + noise."""
+    pick = rng.integers(0, len(grid), nvox)
+    pd = rng.uniform(0.5, 2.0, nvox) * np.exp(2j * np.pi * rng.random(nvox))
+    d = dre[pick] + 1j * dim[pick]
+    sig = pd[:, None] * d
+    sig += noise * (rng.normal(size=sig.shape)
+                    + 1j * rng.normal(size=sig.shape))
+    return pick, pd, sig.real.copy(), sig.imag.copy()
+
+
+def test_reconstruct_recovers_maps_and_pd(dict_and_grid):
+    dre, dim, grid = dict_and_grid
+    rng = np.random.default_rng(3)
+    pick, pd, sre, sim = _observations(dre, dim, grid, 40, rng)
+
+    out = mrf_reconstruct(sre, sim, dre, dim, grid)
+    assert np.array_equal(np.asarray(out["index"]), pick)
+    assert np.allclose(np.asarray(out["maps"]), grid[pick])
+    assert np.all(np.asarray(out["corr"]) > 0.999)
+    pd_hat = np.asarray(out["pd_re"]) + 1j * np.asarray(out["pd_im"])
+    assert np.allclose(pd_hat, pd, rtol=1e-2, atol=1e-3)
+
+
+def test_reconstruct_compressed_matches_full(dict_and_grid):
+    dre, dim, grid = dict_and_grid
+    rng = np.random.default_rng(4)
+    pick, _, sre, sim = _observations(dre, dim, grid, 32, rng)
+
+    full = mrf_reconstruct(sre, sim, dre, dim, grid)
+    comp = mrf_reconstruct(sre, sim, dre, dim, grid, rank=24)
+    assert comp["energy"] > 0.9999
+    assert np.array_equal(np.asarray(comp["index"]),
+                          np.asarray(full["index"]))
+    assert np.allclose(np.asarray(comp["pd_re"]),
+                       np.asarray(full["pd_re"]), atol=1e-10)
+
+
+def test_reconstruct_sharded_bit_exact(dict_and_grid):
+    dre, dim, grid = dict_and_grid
+    cpus = jax.devices("cpu")[:8]
+    mesh = make_mesh(cpus, axes=("atoms",))
+    rng = np.random.default_rng(5)
+    # pad the dictionary to a multiple of the mesh size
+    B = dre.shape[0]
+    Bpad = -(-B // 8) * 8
+    padre = np.concatenate([dre, np.zeros((Bpad - B, P))])
+    padim = np.concatenate([dim, np.zeros((Bpad - B, P))])
+    gridp = np.concatenate([grid, np.zeros((Bpad - B, 2))])
+    pick, _, sre, sim = _observations(dre, dim, grid, 24, rng)
+
+    single = mrf_reconstruct(sre, sim, padre, padim, gridp)
+    sharded = mrf_reconstruct(sre, sim, padre, padim, gridp, mesh=mesh)
+    assert np.array_equal(np.asarray(single["index"]),
+                          np.asarray(sharded["index"]))
+    # corr values may differ in final ulps (the sharded program fuses
+    # differently); the decision -- the matched index -- must not
+    assert np.allclose(np.asarray(single["corr"]),
+                       np.asarray(sharded["corr"]), rtol=0, atol=1e-12)
+
+
+def test_gauss_newton_refine_off_grid(dict_and_grid):
+    dre, dim, grid = dict_and_grid
+    rng = np.random.default_rng(6)
+    nvox = 12
+    T1t = rng.uniform(400, 1600, nvox)
+    T2t = np.minimum(rng.uniform(40, 160, nvox), 0.6 * T1t)
+
+    def signal(T1, T2):
+        r, i = fisp_mrf_dictionary(FA, TRv, TEv, T1, T2)
+        return np.asarray(r).T, np.asarray(i).T          # (P, V)
+
+    tre, tim = signal(T1t, T2t)
+
+    out = mrf_reconstruct(tre.T, tim.T, dre, dim, grid)
+    theta0 = np.asarray(out["maps"]).T                   # (2, V)
+    err0 = np.hypot(theta0[0] - T1t, theta0[1] - T2t)
+
+    def signal_and_jac(theta):
+        T1, T2 = theta
+        seq = []
+        for k in range(P):
+            seq += [epg.T(float(FA[k]), 90.0),
+                    epg.E(TEv, T1, T2, order1=["T1", "T2"]),
+                    epg.ADC,
+                    epg.E(TRv - TEv, T1, T2, order1=["T1", "T2"]),
+                    epg.S(1)]
+        sig, jac = epg.simulate(
+            seq, max_nstate=10,
+            probe=[epg.ADC, epg.Jacobian(["T1", "T2"])])
+        sig, jac = np.asarray(sig), np.asarray(jac)
+        return (sig.real, sig.imag), (jac.real, jac.imag)
+
+    theta = gauss_newton_refine(
+        signal_and_jac, theta0, tre, tim, iters=5,
+        bounds=[(200, 2000), (20, 250)])
+    err1 = np.hypot(theta[0] - T1t, theta[1] - T2t)
+    assert err1.mean() < 0.2 * err0.mean(), (err0.mean(), err1.mean())
+    assert np.abs(theta[0] - T1t).max() < 5.0
+    assert np.abs(theta[1] - T2t).max() < 1.0
