@@ -923,6 +923,100 @@ def measure_engine_diff(T1, T2, B1):
     return out
 
 
+def measure_recon(dict_re, dict_im, params):
+    """Serving-path throughput: steady-state reconstruction of V voxel
+    fingerprints against the headline dictionary in a rank-32
+    compressed subspace (McGivney 2014) -- one jitted
+    parallel.mrf_reconstruct call per batch (project + match + complex
+    PD recovery + map gather).  vs_baseline: single-core NumPy
+    full-length complex matching (the reference user's only option),
+    cached and compared per-voxel."""
+    import jax
+    import jax.numpy as jnp
+    from epgpy_tpu.parallel import mrf_reconstruct
+
+    V, RANK = 8192, 32
+    B, P = dict_re.shape
+    f32 = jnp.float32
+
+    t0 = time.perf_counter()
+    zero = jnp.zeros((1, P), f32)
+    comp = mrf_reconstruct(zero, zero, dict_re, dict_im,
+                           rank=RANK)["compression"]
+    compress_seconds = time.perf_counter() - t0
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    idx = jax.random.randint(k1, (V,), 0, B)
+    pd = jax.random.uniform(k2, (V,), minval=0.5, maxval=2.0)
+
+    # NB: the dictionary MUST be a jit argument, not a closure capture --
+    # captured device arrays are baked into the program as constants and
+    # the axon remote-compile payload explodes (HTTP 413 at 2 x 400 MB)
+    @jax.jit
+    def synth(dre, dim, idx, pd, k):
+        sre = jnp.take(dre, idx, axis=0) * pd[:, None]
+        sim = jnp.take(dim, idx, axis=0) * pd[:, None]
+        noise = jax.random.normal(k, (2, V, P), f32) * 1e-5
+        return sre + noise[0], sim + noise[1]
+
+    sre, sim = synth(dict_re, dict_im, idx, pd, k3)
+    params = jnp.asarray(params, f32)
+    compkeys = ("basis_re", "basis_im", "cdict_re", "cdict_im")
+    comp_args = tuple(jnp.asarray(comp[k], f32) for k in compkeys)
+
+    @jax.jit
+    def run(a, b, dre, dim, prm, *cvals):
+        return mrf_reconstruct(a, b, dre, dim, prm,
+                               compression=dict(zip(compkeys, cvals)))
+
+    def rsync(o):
+        return int(np.asarray(o["index"][-1]))
+
+    t0 = time.perf_counter()
+    first = run(sre, sim, dict_re, dict_im, params, *comp_args)
+    rsync(first)
+    warm = time.perf_counter() - t0
+    best, _ = _pipelined_best(
+        lambda: run(sre, sim, dict_re, dict_im, params, *comp_args),
+        rsync, REPEATS, M=5)
+    # accuracy in PARAMETER space: the atom grid is tiled (duplicate
+    # rows) and B1 neighbors nearly coincide, so raw index equality
+    # under-reports -- compare the gathered (T1, T2, B1) rows instead
+    hp = np.asarray(jax.device_get(first["maps"]))
+    tp = np.asarray(params)[np.asarray(jax.device_get(idx))]
+    acc = float(np.mean(np.all(hp == tp, axis=1)))
+    t1_rms = float(np.sqrt(np.mean((hp[:, 0] - tp[:, 0]) ** 2)))
+    out = {"recon_voxels_per_sec": round(V / best, 1),
+           "recon_best_seconds": round(float(best), 4),
+           "recon_natoms": int(B), "recon_rank": RANK,
+           "recon_compress_seconds": round(compress_seconds, 2),
+           "recon_warmup_seconds": round(warm, 2),
+           "recon_match_accuracy": round(acc, 4),
+           "recon_t1_rms_err_ms": round(t1_rms, 2)}
+
+    REF_V = 64
+
+    def _time_ref():
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((B, P)) + 1j * rng.standard_normal((B, P))
+        Sv = (rng.standard_normal((REF_V, P))
+              + 1j * rng.standard_normal((REF_V, P)))
+        Dn = D / np.linalg.norm(D, axis=1, keepdims=True)
+        t0 = time.perf_counter()
+        corr = np.abs(Sv.conj() @ Dn.T)
+        corr.argmax(axis=1)
+        return time.perf_counter() - t0
+
+    try:
+        rdt = _cached_ref_seconds(f"recon_{B}x{P}x{REF_V}", _time_ref)
+        out["recon_vs_baseline"] = round((V / best) / (REF_V / rdt), 1)
+        out["recon_ref_seconds"] = round(float(rdt), 3)
+        out["recon_ref_nvox"] = REF_V
+    except Exception as exc:
+        out["recon_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+    return out
+
+
 def main():
     import jax
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -1027,6 +1121,14 @@ def main():
             engine.update(measure_hessian())
         except Exception as exc:
             engine["hessian_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if os.environ.get("BENCH_RECON", "1") not in ("0", "false"):
+        try:
+            atom_params = np.stack([np.asarray(T1), np.asarray(T2),
+                                    np.asarray(B1)], axis=1)
+            engine.update(measure_recon(out[0], out[1], atom_params))
+        except Exception as exc:
+            engine["recon_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",

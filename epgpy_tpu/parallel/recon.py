@@ -46,7 +46,8 @@ def _pd_scale(dre, dim, sre, sim):
 
 
 def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
-                    *, mesh=None, axis="atoms", rank=None):
+                    *, mesh=None, axis="atoms", rank=None,
+                    compression=None):
     """Match measured fingerprints against a dictionary; produce maps.
 
     Args:
@@ -61,29 +62,45 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
             ``axis``.
         rank: optional SVD compression rank (McGivney 2014): matching
             runs in the r-dim subspace (P/r fewer FLOPs + bytes).
+        compression: reuse the "compression" dict of a previous call
+            (serving: compress ONCE, then match batch after batch --
+            the Gram eigendecomposition is host-side and would
+            otherwise dominate).  With it the whole call is pure jnp:
+            wrap in jax.jit for steady-state serving (required when a
+            mesh is given on the axon backend -- eager shard_map fails
+            there).
 
     Returns dict:
         "index" (V,) matched atom ids; "corr" (V,) |normalized inner
         product| in [0, 1]; "pd_re"/"pd_im" (V,) complex proton-density
         scale s.t. pd * dict[index] ~= signal; "maps" (V, npar) when
-        atom_params is given; "energy" (compression only).
+        atom_params is given; "energy" + "compression" (rank= only).
     """
     f = jnp.asarray
     sig_re, sig_im = f(sig_re), f(sig_im)
     dict_re, dict_im = f(dict_re), f(dict_im)
-    dnorm = _row_norms(dict_re, dict_im)
-    safe = jnp.where(dnorm == 0, 1.0, dnorm)
-    nre, nim = dict_re / safe[:, None], dict_im / safe[:, None]
 
     out = {}
-    if rank is not None:
-        comp = compress_dictionary(nre, nim, rank)
+    if compression is not None:
+        comp = compression
+        mre, mim = comp["cdict_re"], comp["cdict_im"]
+        vre, vim = project_signals(comp["basis_re"], comp["basis_im"],
+                                   sig_re, sig_im)
+    elif rank is not None:
+        dnorm = _row_norms(dict_re, dict_im)
+        safe = jnp.where(dnorm == 0, 1.0, dnorm)
+        comp = compress_dictionary(dict_re / safe[:, None],
+                                   dict_im / safe[:, None], rank)
         mre, mim = comp["cdict_re"], comp["cdict_im"]
         vre, vim = project_signals(comp["basis_re"], comp["basis_im"],
                                    sig_re, sig_im)
         out["energy"] = comp["energy"]
+        out["compression"] = comp
     else:
-        mre, mim, vre, vim = nre, nim, sig_re, sig_im
+        dnorm = _row_norms(dict_re, dict_im)
+        safe = jnp.where(dnorm == 0, 1.0, dnorm)
+        mre, mim = dict_re / safe[:, None], dict_im / safe[:, None]
+        vre, vim = sig_re, sig_im
 
     snorm = _row_norms(sig_re, sig_im)
     idx, val = dictionary_match(mre, mim, vre, vim, mesh, axis=axis)
@@ -102,7 +119,8 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
 
 
 def gauss_newton_refine(signal_and_jac, theta0, sig_re, sig_im, *,
-                        iters=6, damping=1e-3, bounds=None):
+                        iters=6, damping=1e-3, bounds=None,
+                        solve_scale=False):
     """Per-voxel damped Gauss-Newton refinement of matched parameters.
 
     Off-grid accuracy beyond the dictionary step: pairs with the fused
@@ -112,12 +130,14 @@ def gauss_newton_refine(signal_and_jac, theta0, sig_re, sig_im, *,
     Args:
         signal_and_jac: theta (npar, V) -> ((re, im), (jre, jim)) with
             signal (N, V) and Jacobian (N, V, npar) (split complex).
-            The model should fold the proton-density scale in, or the
-            caller pre-normalizes the measured signals.
         theta0: (npar, V) initial parameters (e.g. recon["maps"].T).
         sig_re/sig_im: (N, V) measured fingerprints.
         iters, damping: GN iterations / Levenberg diagonal damping.
         bounds: optional (npar, 2) box constraints.
+        solve_scale: solve the per-voxel complex proton-density scale c
+            in closed form each iteration (min ||y - c s||; variable
+            projection) and refine theta on the scaled residual -- use
+            when the model does NOT fold PD in (the usual MRF fit).
 
     Returns refined theta (npar, V) as a NumPy array.
     """
@@ -130,6 +150,15 @@ def gauss_newton_refine(signal_and_jac, theta0, sig_re, sig_im, *,
         batch = [np.asarray(a, float)
                  for a in jax.device_get((re, im, jre, jim))]
         re, im, jre, jim = batch
+        if solve_scale:
+            # c = <s, y> / <s, s> per voxel (complex inner products)
+            num_re = np.sum(re * sig_re + im * sig_im, axis=0)
+            num_im = np.sum(re * sig_im - im * sig_re, axis=0)
+            den = np.maximum(np.sum(re * re + im * im, axis=0), 1e-30)
+            cre, cim = num_re / den, num_im / den
+            re, im = (cre * re - cim * im, cre * im + cim * re)
+            jre, jim = (cre[:, None] * jre - cim[:, None] * jim,
+                        cre[:, None] * jim + cim[:, None] * jre)
         rr = sig_re - re                            # (N, V)
         ri = sig_im - im
         # normal equations on the complex residual: A = Re(J^H J),

@@ -49,6 +49,14 @@ def test_mt_qmt_fit_refine_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_fit_refine.py", monkeypatch, tmp_path)
 
 
+def test_mrf_maps_2d_smoke(monkeypatch, tmp_path):
+    monkeypatch.setenv("MAP2D_N", "20")
+    monkeypatch.setenv("MAP2D_NPULSE", "80")
+    monkeypatch.setenv("MAP2D_NGRID", "18")
+    monkeypatch.setenv("MAP2D_ITERS", "4")
+    _run("mrf_maps_2d.py", monkeypatch, tmp_path)
+
+
 def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
     """Ma 2013 bSSFP MRF: compressed (T1, T2, df) match must recover
     the picked atoms (asserted inside the example)."""

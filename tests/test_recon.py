@@ -68,6 +68,25 @@ def test_reconstruct_compressed_matches_full(dict_and_grid):
                        np.asarray(full["pd_re"]), atol=1e-10)
 
 
+def test_reconstruct_compression_reuse_under_jit(dict_and_grid):
+    """Serving idiom: compress once, then jit steady-state batches."""
+    dre, dim, grid = dict_and_grid
+    rng = np.random.default_rng(7)
+    pick, _, sre, sim = _observations(dre, dim, grid, 16, rng)
+
+    first = mrf_reconstruct(sre, sim, dre, dim, grid, rank=24)
+    comp = first["compression"]
+
+    run = jax.jit(lambda a, b: mrf_reconstruct(
+        a, b, jnp.asarray(dre), jnp.asarray(dim), grid, compression=comp))
+    out = run(sre, sim)
+    assert np.array_equal(np.asarray(out["index"]),
+                          np.asarray(first["index"]))
+    assert np.allclose(np.asarray(out["maps"]), np.asarray(first["maps"]))
+    assert np.allclose(np.asarray(out["pd_re"]),
+                       np.asarray(first["pd_re"]), atol=1e-12)
+
+
 def test_reconstruct_sharded_bit_exact(dict_and_grid):
     dre, dim, grid = dict_and_grid
     cpus = jax.devices("cpu")[:8]
@@ -130,3 +149,15 @@ def test_gauss_newton_refine_off_grid(dict_and_grid):
     assert err1.mean() < 0.2 * err0.mean(), (err0.mean(), err1.mean())
     assert np.abs(theta[0] - T1t).max() < 5.0
     assert np.abs(theta[1] - T2t).max() < 1.0
+
+    # unknown complex proton density: scale the observations and fit
+    # with the per-iteration closed-form scale (variable projection)
+    rng2 = np.random.default_rng(8)
+    pd = (rng2.uniform(0.5, 2.0, nvox)
+          * np.exp(2j * np.pi * rng2.random(nvox)))
+    scaled = (tre + 1j * tim) * pd[None, :]
+    theta2 = gauss_newton_refine(
+        signal_and_jac, theta0, scaled.real, scaled.imag, iters=5,
+        bounds=[(200, 2000), (20, 250)], solve_scale=True)
+    err2 = np.hypot(theta2[0] - T1t, theta2[1] - T2t)
+    assert err2.mean() < 0.2 * err0.mean(), (err0.mean(), err2.mean())

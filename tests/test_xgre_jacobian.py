@@ -119,6 +119,66 @@ def test_xgre_jacobian_fd_parity(g):
                                                       np.abs(fd_t).max())
 
 
+def test_xgre_jacobian_three_compartments_fd():
+    """C=3 (free + myelin water + bound pool): Pade expm path and the
+    unrolled 3x3 mixes; FD oracle on the middle pool's T2."""
+    C3 = 3
+    B3 = 3
+    T13 = np.array([900.0, 500.0, 1000.0])
+    dens3 = np.array([0.6, 0.25, 0.15])
+    khi3 = epg.exchange_matrix(0.003, ncomp=C3, densities=dens3)
+    T2mid = np.linspace(15.0, 30.0, B3)
+
+    def t2stack(t2m):
+        return jnp.stack([jnp.full_like(t2m, 80.0), t2m,
+                          jnp.full_like(t2m, T2_BOUND)])
+
+    def planner3(t2m):
+        T2 = np.stack([np.full(B3, 80.0), np.asarray(t2m, float),
+                       np.full(B3, T2_BOUND)])
+        Xop = epg.X(TRv, khi3, axis=0, T1=T13, T2=T2)
+        seq = []
+        for i in range(N):
+            seq += [epg.T(np.asarray([FAS[i], FAS[i] * 0.5, 0.0]), 0.0),
+                    epg.ADC, Xop, epg.S(1)]
+        return np.asarray(epg.simulate(seq, max_nstate=NSTATE,
+                                       density=list(dens3),
+                                       fisp_kernel=False))
+
+    def stage3(t2m):
+        T1 = jnp.broadcast_to(jnp.asarray(T13, jnp.float32)[:, None],
+                              (C3, B3))
+        mr, mi, ml = exchange_stage_mats(khi3, T1, t2stack(t2m), None, TRv)
+        return mr, mi, ml
+
+    t2m = jnp.asarray(T2mid, jnp.float32)
+    (mr, mi, ml), (dmr, dmi, dml) = jax.jvp(
+        stage3, (t2m,), (jnp.ones_like(t2m),))
+    eye = jnp.broadcast_to(jnp.eye(C3, dtype=jnp.float32), (B3, C3, C3))
+    zer = jnp.zeros_like(eye)
+    zt = tuple(jnp.zeros((1, B3, C3, C3), jnp.float32) for _ in range(3))
+    alpha = np.stack([FAS, FAS * 0.5, np.zeros(N)], axis=1)
+    ones = np.ones((N, C3))
+    zeros = np.zeros((N, C3))
+    (re, im), (jre, jim) = xgre_jacobian_pallas(
+        alpha, zeros, ones, zeros, ones, zeros, dens3,
+        (eye, zer, eye), (mr, mi, ml), zt,
+        (dmr[None], dmi[None], dml[None]),
+        jnp.zeros((1, C3, B3), jnp.float32),
+        nstate=NSTATE, btile=128, interpret=True)
+
+    ref = planner3(T2mid)
+    err = np.abs((np.asarray(re) + 1j * np.asarray(im)) - ref).max()
+    assert err < 3e-6, err
+
+    eps = 5e-3
+    fd = (planner3(T2mid + eps) - planner3(T2mid - eps)) / (2 * eps)
+    jac = np.asarray(jre)[:, 0] + 1j * np.asarray(jim)[:, 0]
+    err_t = np.abs(jac - fd).max()
+    assert err_t < 1e-6 + 2e-3 * np.abs(fd).max(), (err_t,
+                                                    np.abs(fd).max())
+
+
 def test_xgre_jacobian_zero_tangents():
     """dM = 0, ddens = 0 must give exactly zero tangents, and the primal
     must match xgre_dictionary_pallas bit-for-bit."""
