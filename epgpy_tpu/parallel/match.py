@@ -38,14 +38,24 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
         # correlation (bSSFP T2 neighbors especially) — bf16 matmuls
         # flip those matches deterministically (measured: mrf_bssfp
         # 548->562 at ZERO noise).
+        #
+        # Re/im are STACKED on the contraction axis so the correlation
+        # is TWO (V, 2P)x(2P, B) matmuls instead of four (V, P)x(P, B):
+        # the (V, B) matmul outputs are the HBM bottleneck at serving
+        # sizes (8192 voxels x 102400 atoms: 45.6 -> 24.8 ms measured,
+        # bit-identical matches).
         hi = jax.lax.Precision.HIGHEST
-        rr = jnp.matmul(sre, dre.T, precision=hi)
-        ii = jnp.matmul(sim, dim.T, precision=hi)
-        ri = jnp.matmul(sre, dim.T, precision=hi)
-        ir = jnp.matmul(sim, dre.T, precision=hi)
-        corr = jnp.sqrt((rr + ii) ** 2 + (ir - ri) ** 2)  # (V, Blocal)
-        best = jnp.argmax(corr, axis=-1)
-        val = jnp.take_along_axis(corr, best[:, None], axis=-1)[:, 0]
+        s_cat = jnp.concatenate([sre, sim], axis=1)       # (V, 2P)
+        d_x = jnp.concatenate([dre, dim], axis=1)         # -> Re<d,s>
+        d_y = jnp.concatenate([-dim, dre], axis=1)        # -> Im<d,s>
+        x = jnp.matmul(s_cat, d_x.T, precision=hi)        # rr + ii
+        y = jnp.matmul(s_cat, d_y.T, precision=hi)        # ir - ri
+        # argmax + max on |corr|^2 fuse into ONE pass over the (V, B)
+        # plane (take_along_axis would re-read it: +33%); sqrt on the
+        # reduced vector only
+        corr2 = x * x + y * y                             # (V, Blocal)
+        best = jnp.argmax(corr2, axis=-1)
+        val = jnp.sqrt(jnp.max(corr2, axis=-1))
         return best, val
 
     if mesh is None:
