@@ -102,7 +102,7 @@ def get_baseline(FA, T1, T2, B1):
     return ref
 
 
-def measure_engine(FA, T1, T2, B1, sync):
+def measure_engine(FA, T1, T2, B1):
     """General operator-engine throughput on the same MRF config.
 
     The engine (scan-planned simulate) is the product surface; this keeps a
@@ -158,7 +158,7 @@ def measure_engine(FA, T1, T2, B1, sync):
     return out
 
 
-def measure_table(sync):
+def measure_table():
     """Spatially-resolved (float-shift merge) path throughput.
 
     50-TR pSSFP-like train, capacity-1024 coordinate table, 64-atom T2
@@ -252,7 +252,8 @@ def measure_hessian():
     t0 = time.perf_counter()
     hsync(run(0))
     twarm = time.perf_counter() - t0
-    it = iter(range(1, 100))
+    import itertools
+    it = itertools.count(1)   # unbounded: BENCH_REPEATS must not exhaust it
     best, t1 = _pipelined_best(lambda: run(next(it)), hsync, REPEATS, M=5)
     out = {"hessian_seconds": round(float(best), 4),
            "hessian_single_shot_seconds": round(float(t1), 4),
@@ -488,13 +489,14 @@ def measure_mse():
     jbest, _ = _pipelined_best(run_jac, jsync, 2 * REPEATS)
     out["mse_jac_signals_per_sec"] = round(nsig / jbest, 1)
     out["mse_jac_best_seconds"] = round(float(jbest), 4)
-    t0 = time.perf_counter()
-    jsync(epg.simulate(dseq, probe=probes, asarray=False,
-                       fisp_kernel=False))
-    t0 = time.perf_counter()                  # warm planner, then time it
-    jsync(epg.simulate(dseq, probe=probes, asarray=False,
-                       fisp_kernel=False))
-    jplanner = time.perf_counter() - t0
+    def run_planner():
+        return epg.simulate(dseq, probe=probes, asarray=False,
+                            fisp_kernel=False)
+
+    jsync(run_planner())                      # warm planner, then time it
+    # pipelined on BOTH sides: a single-shot planner sample would carry
+    # the ~40 ms launch floor + window jitter into the A/B ratio
+    jplanner, _ = _pipelined_best(run_planner, jsync, REPEATS, M=3)
     out["mse_jac_vs_planner"] = round(jplanner / jbest, 1)
 
     ref_path = os.environ.get("EPGPY_REFERENCE", "/root/reference")
@@ -597,7 +599,7 @@ def measure_bssfp():
     return out
 
 
-def measure_exchange(sync):
+def measure_exchange():
     """EPG-X two-pool MT-GRE train throughput (BASELINE config 4).
 
     100-TR spoiled GRE with bound-pool saturation, exchange via the
@@ -705,7 +707,7 @@ def measure_exchange(sync):
     return out
 
 
-def measure_diffusion3d(sync):
+def measure_diffusion3d():
     """Anisotropic 3-D diffusion train throughput (BASELINE config 3).
 
     30-TR train of float 3-D crusher shifts with tensor-D attenuation
@@ -995,10 +997,15 @@ def measure_recon(dict_re, dict_im, params):
            "recon_t1_rms_err_ms": round(t1_rms, 2)}
 
     REF_V = 64
+    REF_B = 4096        # matching cost is linear in atoms: measure the
+                        # NumPy baseline at a reduced dictionary (a
+                        # full-size host complex128 dictionary is ~3.3
+                        # GB on the 1-CPU box) and scale to B
 
     def _time_ref():
         rng = np.random.default_rng(0)
-        D = rng.standard_normal((B, P)) + 1j * rng.standard_normal((B, P))
+        D = (rng.standard_normal((REF_B, P))
+             + 1j * rng.standard_normal((REF_B, P)))
         Sv = (rng.standard_normal((REF_V, P))
               + 1j * rng.standard_normal((REF_V, P)))
         Dn = D / np.linalg.norm(D, axis=1, keepdims=True)
@@ -1008,12 +1015,14 @@ def measure_recon(dict_re, dict_im, params):
         return time.perf_counter() - t0
 
     try:
-        rdt = _cached_ref_seconds(f"recon_{B}x{P}x{REF_V}", _time_ref)
-        out["recon_vs_baseline"] = round((V / best) / (REF_V / rdt), 1)
-        out["recon_ref_seconds"] = round(float(rdt), 3)
+        rdt = _cached_ref_seconds(f"recon_{REF_B}x{P}x{REF_V}", _time_ref)
+        rdt_scaled = rdt * (B / REF_B)
+        out["recon_vs_baseline"] = round((V / best) / (REF_V / rdt_scaled), 1)
+        out["recon_ref_seconds"] = round(float(rdt_scaled), 3)
         out["recon_ref_nvox"] = REF_V
+        out["recon_ref_natoms_measured"] = REF_B
     except Exception as exc:
-        out["recon_ref_error"] = f"{type(exc).__name__}: {exc}"[:120]
+        out["recon_error_ref"] = f"{type(exc).__name__}: {exc}"[:120]
     return out
 
 
@@ -1072,12 +1081,12 @@ def main():
     engine = {}
     if os.environ.get("BENCH_ENGINE", "1") not in ("0", "false"):
         try:
-            engine = measure_engine(FA, T1, T2, B1, sync)
+            engine = measure_engine(FA, T1, T2, B1)
         except Exception as exc:  # keep the headline metric alive
             engine = {"engine_error": f"{type(exc).__name__}: {exc}"[:200]}
     if os.environ.get("BENCH_TABLE", "1") not in ("0", "false"):
         try:
-            engine.update(measure_table(sync))
+            engine.update(measure_table())
         except Exception as exc:
             engine["table_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_JAC", "1") not in ("0", "false"):
@@ -1102,12 +1111,12 @@ def main():
             engine["bssfp_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false"):
         try:
-            engine.update(measure_exchange(sync))
+            engine.update(measure_exchange())
         except Exception as exc:
             engine["exchange_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_DIFF3D", "1") not in ("0", "false"):
         try:
-            engine.update(measure_diffusion3d(sync))
+            engine.update(measure_diffusion3d())
         except Exception as exc:
             engine["diff3d_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_PRUNE", "1") not in ("0", "false"):

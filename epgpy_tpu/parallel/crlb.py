@@ -59,17 +59,23 @@ def _crlb_fa_block(FA, T1, T2, *, TR, TE, nstate, ridge, axis):
     nshards = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
     P_fa = FA.shape[0]
-    chunk = P_fa // nshards
+    # ceil-divide + zero-pad so any train length works on any tangent
+    # axis size; the pad columns are derivatives w.r.t. dummy params
+    # (zero by construction) and are trimmed after the gather
+    chunk = -(-P_fa // nshards)
+    pad = chunk * nshards - P_fa
+    FAp = jnp.concatenate([FA, jnp.zeros((pad,), FA.dtype)]) if pad else FA
     start = idx * chunk
 
     def f(fa_chunk):
-        FA2 = jax.lax.dynamic_update_slice(FA, fa_chunk, (start,))
-        return _atom_signal_ri(FA2, T1, T2, TR=TR, TE=TE, nstate=nstate)
+        FA2 = jax.lax.dynamic_update_slice(FAp, fa_chunk, (start,))
+        return _atom_signal_ri(FA2[:P_fa], T1, T2, TR=TR, TE=TE,
+                               nstate=nstate)
 
-    Jblk = jax.jacfwd(f)(jax.lax.dynamic_slice(FA, (start,), (chunk,)))
-    # (P, 2, chunk) -> gather full tangent axis
-    J = jax.lax.all_gather(Jblk, axis, axis=-1, tiled=True)  # (P, 2, P_fa)
-    J = J.reshape(-1, P_fa)
+    Jblk = jax.jacfwd(f)(jax.lax.dynamic_slice(FAp, (start,), (chunk,)))
+    # (P, 2, chunk) -> gather full tangent axis, trim the pad columns
+    J = jax.lax.all_gather(Jblk, axis, axis=-1, tiled=True)
+    J = J[..., :P_fa].reshape(-1, P_fa)
     fisher = J.T @ J + ridge * jnp.eye(P_fa, dtype=J.dtype)
     return jnp.trace(jnp.linalg.inv(fisher))
 

@@ -17,6 +17,8 @@ between close atoms -- see parallel/match.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -68,7 +70,24 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
             otherwise dominate).  With it the whole call is pure jnp:
             wrap in jax.jit for steady-state serving (required when a
             mesh is given on the axon backend -- eager shard_map fails
-            there).
+            there).  IMPORTANT at scale: pass the dictionary AND the
+            compression leaves as jit ARGUMENTS, not closure captures
+            -- captured device arrays are baked into the program as
+            constants, and at 100k x 1000 the remote-compile payload
+            is rejected (~400 MB).  The serving idiom::
+
+                comp = mrf_reconstruct(s0_re, s0_im, dre, dim,
+                                       rank=32)["compression"]
+                keys = tuple(sorted(comp))
+
+                @jax.jit
+                def serve(sre, sim, dre, dim, prm, *cvals):
+                    return mrf_reconstruct(
+                        sre, sim, dre, dim, prm,
+                        compression=dict(zip(keys, cvals)))
+
+                out = serve(sre, sim, dre, dim, grid,
+                            *(comp[k] for k in keys))
 
     Returns dict:
         "index" (V,) matched atom ids; "corr" (V,) |normalized inner
@@ -139,39 +158,66 @@ def gauss_newton_refine(signal_and_jac, theta0, sig_re, sig_im, *,
             projection) and refine theta on the scaled residual -- use
             when the model does NOT fold PD in (the usual MRF fit).
 
+    The normal equations + batched solve + clip run ON DEVICE (one
+    jitted update per iteration); signal_and_jac may return device
+    arrays to keep the whole loop free of bulk d2h transfers (it
+    receives theta as a small host array so operator construction from
+    it keeps the fused kernel-dispatch matchers engaged).
+
     Returns refined theta (npar, V) as a NumPy array.
     """
-    theta = np.array(theta0, float)
-    npar = theta.shape[0]
-    sig_re = np.asarray(sig_re, float)
-    sig_im = np.asarray(sig_im, float)
+    theta = jnp.asarray(np.asarray(theta0, np.float32))
+    npar = int(theta.shape[0])
+    sig_re = jnp.asarray(np.asarray(sig_re, np.float32))
+    sig_im = jnp.asarray(np.asarray(sig_im, np.float32))
+    if bounds is not None:
+        b = np.asarray(bounds, float)
+        lo = jnp.asarray(b[:, 0], jnp.float32)
+        hi = jnp.asarray(b[:, 1], jnp.float32)
+    else:
+        lo = hi = jnp.zeros((npar,), jnp.float32)
+    damping = jnp.float32(damping)
     for _ in range(iters):
-        (re, im), (jre, jim) = signal_and_jac(theta)
-        batch = [np.asarray(a, float)
-                 for a in jax.device_get((re, im, jre, jim))]
-        re, im, jre, jim = batch
-        if solve_scale:
-            # c = <s, y> / <s, s> per voxel (complex inner products)
-            num_re = np.sum(re * sig_re + im * sig_im, axis=0)
-            num_im = np.sum(re * sig_im - im * sig_re, axis=0)
-            den = np.maximum(np.sum(re * re + im * im, axis=0), 1e-30)
-            cre, cim = num_re / den, num_im / den
-            re, im = (cre * re - cim * im, cre * im + cim * re)
-            jre, jim = (cre[:, None] * jre - cim[:, None] * jim,
-                        cre[:, None] * jim + cim[:, None] * jre)
-        rr = sig_re - re                            # (N, V)
-        ri = sig_im - im
-        # normal equations on the complex residual: A = Re(J^H J),
-        # g = Re(J^H r) -- both accumulate the re/im channels
-        A = (np.einsum("nvi,nvj->vij", jre, jre)
-             + np.einsum("nvi,nvj->vij", jim, jim))
-        g = (np.einsum("nvi,nv->vi", jre, rr)
-             + np.einsum("nvi,nv->vi", jim, ri))
-        diag = np.maximum(A[:, np.arange(npar), np.arange(npar)], 1e-12)
-        A[:, np.arange(npar), np.arange(npar)] += damping * diag
-        delta = np.linalg.solve(A, g[..., None])[..., 0]   # (V, npar)
-        theta = theta + delta.T
-        if bounds is not None:
-            for p in range(npar):
-                theta[p] = np.clip(theta[p], bounds[p][0], bounds[p][1])
+        # theta goes to the model as a HOST array (tiny): op parameters
+        # built from host leaves keep the kernel-dispatch matchers
+        # engaged (they bail on device leaves to avoid d2h probes)
+        (re, im), (jre, jim) = signal_and_jac(np.asarray(theta))
+        theta = _gn_update(theta, jnp.asarray(re), jnp.asarray(im),
+                           jnp.asarray(jre), jnp.asarray(jim),
+                           sig_re, sig_im, damping, lo, hi,
+                           solve_scale=bool(solve_scale),
+                           use_bounds=bounds is not None)
+    return np.asarray(jax.device_get(theta))
+
+
+@partial(jax.jit, static_argnames=("solve_scale", "use_bounds"))
+def _gn_update(theta, re, im, jre, jim, sig_re, sig_im, damping, lo, hi,
+               *, solve_scale, use_bounds):
+    """One damped GN step, entirely on device (normal equations +
+    batched solve); re/im (N, V), jre/jim (N, V, npar), theta (npar, V)."""
+    hiprec = jax.lax.Precision.HIGHEST
+    if solve_scale:
+        # c = <s, y> / <s, s> per voxel (complex inner products)
+        num_re = jnp.sum(re * sig_re + im * sig_im, axis=0)
+        num_im = jnp.sum(re * sig_im - im * sig_re, axis=0)
+        den = jnp.maximum(jnp.sum(re * re + im * im, axis=0), 1e-30)
+        cre, cim = num_re / den, num_im / den
+        re, im = (cre * re - cim * im, cre * im + cim * re)
+        jre, jim = (cre[:, None] * jre - cim[:, None] * jim,
+                    cre[:, None] * jim + cim[:, None] * jre)
+    rr = sig_re - re                            # (N, V)
+    ri = sig_im - im
+    # normal equations on the complex residual: A = Re(J^H J),
+    # g = Re(J^H r) -- both accumulate the re/im channels
+    A = (jnp.einsum("nvi,nvj->vij", jre, jre, precision=hiprec)
+         + jnp.einsum("nvi,nvj->vij", jim, jim, precision=hiprec))
+    g = (jnp.einsum("nvi,nv->vi", jre, rr, precision=hiprec)
+         + jnp.einsum("nvi,nv->vi", jim, ri, precision=hiprec))
+    di = jnp.arange(A.shape[-1])
+    diag = jnp.maximum(A[:, di, di], 1e-12)
+    A = A.at[:, di, di].add(damping * diag)
+    delta = jnp.linalg.solve(A, g[..., None])[..., 0]   # (V, npar)
+    theta = theta + delta.T
+    if use_bounds:
+        theta = jnp.clip(theta, lo[:, None], hi[:, None])
     return theta

@@ -32,6 +32,25 @@ def test_crlb_loss_sharded_equals_single(cpu_devices):
     assert np.allclose(np.asarray(l1), np.asarray(l8), rtol=1e-9)
 
 
+def test_crlb_fa_block_nondivisible_train(cpu_devices):
+    """Train length not divisible by the tangents axis: the tangent
+    chunks zero-pad + trim, so the FA-train CRLB term must equal the
+    single-device (unsharded-tangent) value."""
+    FA = jnp.asarray(np.linspace(20, 60, 7), jnp.float64)   # 7 % 2 != 0
+    T1s = jnp.asarray(np.linspace(400, 1400, 8))
+    T2s = jnp.asarray(np.linspace(40, 110, 8))
+
+    mesh2 = make_mesh(cpu_devices, axes=("atoms", "tangents"), shape=(4, 2))
+    mesh1 = make_mesh(cpu_devices[:4].reshape(4, 1)
+                      if hasattr(cpu_devices, "reshape") else
+                      cpu_devices[:4], axes=("atoms", "tangents"),
+                      shape=(4, 1))
+
+    l2 = fingerprint_crlb_loss(FA, T1s, T2s, mesh2, nstate=3, fa_weight=1.0)
+    l1 = fingerprint_crlb_loss(FA, T1s, T2s, mesh1, nstate=3, fa_weight=1.0)
+    assert np.allclose(np.asarray(l1), np.asarray(l2), rtol=1e-9)
+
+
 def test_crlb_train_step(cpu_devices):
     mesh = make_mesh(cpu_devices, axes=("atoms", "tangents"), shape=(4, 2))
     FA = jnp.asarray(np.linspace(20, 60, 8))
