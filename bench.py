@@ -429,12 +429,27 @@ def _pipelined_best(run, sync, repeats, M=9):
             sync(outs[-1])
             best = min(best, time.perf_counter() - t0)
         return best
-    t1 = timed(1)
-    tM = timed(M)
-    slope = (tM - t1) / (M - 1)
-    if slope <= 0:
-        return t1, t1
-    return slope, t1
+
+    def one_pass():
+        t1 = timed(1)
+        tM = timed(M)
+        slope = (tM - t1) / (M - 1)
+        return (t1, t1) if slope <= 0 else (slope, t1)
+
+    best, t1 = one_pass()
+    # degenerate window detection: for a small program the pipelined
+    # slope should sit well below the single-shot time (which carries
+    # the ~40 ms launch+sync floor).  slope ~ single-shot on a
+    # sub-100 ms program means a contention stall ate the whole pass
+    # (observed: the SAME call 67 ms vs 2142 ms twenty minutes apart)
+    # -- pause and retry ONCE so one bad window can't fake a 100x
+    # regression in the round's single official bench run.
+    if best > 0.6 * t1 and t1 < 0.1:
+        time.sleep(3.0)
+        best2, t1b = one_pass()
+        if best2 < best:
+            best, t1 = best2, min(t1, t1b)
+    return best, t1
 
 
 def measure_mse():
