@@ -62,6 +62,22 @@ def clear_cache():
     _MATCH_CACHE.clear()
 
 
+def _memoized(key, sequence, compute):
+    """Memoize a matcher result (including non-matches) on `key`.
+
+    The cached entry pins the op list so id() reuse after GC cannot
+    alias a fresh sequence onto a stale key; oldest entries evict
+    first."""
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    result = compute()
+    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
+    _MATCH_CACHE[key] = (result, list(sequence))
+    return result
+
+
 def _is_device(x):
     """Device/traced leaves disqualify the op: np.asarray on them is a
     d2h tunnel transfer (~25 ms each; never in a loop — CLAUDE.md), and
@@ -204,14 +220,8 @@ def match_fisp(sequence):
     if len(sequence) < 10 or len(sequence) % 5 not in (0, 2):
         return None
     key = tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_fisp_impl(sequence)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_fisp_impl(sequence))
 
 
 def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
@@ -391,7 +401,10 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
                 return None
             bs0 = common.broadcast_shapes(a0.shape, B1.shape)
             a0b, B1b = _append_rows((a0, B1), bs0)
-            c = float(a0b.mean()) / (180.0 * float(B1b.mean()))
+            den = 180.0 * float(B1b.mean())
+            if den == 0.0:
+                return None
+            c = float(a0b.mean()) / den
             if c <= 0 or np.abs(a0b - 180.0 * c * B1b).max() > 1e-6 * 180.0:
                 return None
             B1 = (c * B1b).reshape(bs0)
@@ -412,6 +425,12 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         if not isinstance(d0.tau, float):
             return None
         if not isinstance(kvalue, (int, float)):
+            return None
+        if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
+                d0.kshift, jax.core.Tracer):
+            # concrete device leaves are fine (one-time d2h / passed
+            # through); a Tracer would crash np.asarray and leak through
+            # the match cache -- planner handles traced leaves natively
             return None
         ramp = d0.kshift is not None
         if ramp:
@@ -458,14 +477,8 @@ def match_dwfisp(sequence, kvalue=1.0):
     if len(sequence) < 12 or len(sequence) % 6 not in (0, 2):
         return None
     key = ("dw", float(kvalue)) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_fisp_impl(sequence, dw=True, kvalue=kvalue)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_fisp_impl(sequence, dw=True, kvalue=kvalue))
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
@@ -522,14 +535,8 @@ def match_bssfp(sequence):
     if len(sequence) < 8 or len(sequence) % 4 not in (0, 2):
         return None
     key = ("bssfp",) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_fisp_impl(sequence, spoiled=False)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_fisp_impl(sequence, spoiled=False))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_inv",
@@ -601,14 +608,8 @@ def match_dess(sequence):
     if len(sequence) < 14 or len(sequence) % 7 != 0:
         return None
     key = ("dess",) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_dess_impl(sequence)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_dess_impl(sequence))
 
 
 def _match_dess_impl(sequence):
@@ -761,14 +762,8 @@ def match_mse(sequence):
     if len(sequence) < 13 or len(sequence) % 6 != 1:
         return None
     key = ("mse",) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_mse_impl(sequence)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_mse_impl(sequence))
 
 
 def _match_mse_impl(sequence):
@@ -960,25 +955,20 @@ def match_fisp_hessian(sequence):
     if len(sequence) < 8:
         return None
     key = ("hess",) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = None
-    for group in (4, 5):
+
+    def compute():
         n = len(sequence)
-        for prep in (0, 2):
-            if n - prep >= 2 * group and (n - prep) % group == 0:
-                params = _match_fisp_hessian_impl(
-                    sequence[prep:], group=group,
-                    prep=sequence[:prep] if prep else None)
-                if params is not None:
-                    break
-        if params is not None:
-            break
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+        for group in (4, 5):
+            for prep in (0, 2):
+                if n - prep >= 2 * group and (n - prep) % group == 0:
+                    params = _match_fisp_hessian_impl(
+                        sequence[prep:], group=group,
+                        prep=sequence[:prep] if prep else None)
+                    if params is not None:
+                        return params
+        return None
+
+    return _memoized(key, sequence, compute)
 
 
 def _alias_order1(op, param, extra=()):
@@ -1460,14 +1450,8 @@ def match_xgre(sequence, shape, density=None):
     except (TypeError, ValueError):
         return None
     key = ("xgre", tuple(shape), dkey) + tuple(id(op) for op in sequence)
-    hit = _MATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    params = _match_xgre_impl(sequence, tuple(shape), density)
-    while len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
-        _MATCH_CACHE.pop(next(iter(_MATCH_CACHE)))
-    _MATCH_CACHE[key] = (params, list(sequence))
-    return params
+    return _memoized(key, sequence,
+                     lambda: _match_xgre_impl(sequence, tuple(shape), density))
 
 
 def _comp_vec(x, C):
@@ -1505,6 +1489,15 @@ def _xgre_stage_ok(x, C):
     (C, C) khi, parameter shapes (device allowed) compatible with a
     leading-C batch."""
     if getattr(x, "axis", None) != 0 or not _no_diff(x):
+        return False
+    # concrete device arrays are allowed (tiny one-time d2h, memoized by
+    # the match cache) but TRACED leaves are not: np.asarray on a Tracer
+    # raises, and caching one would leak it across traces -- fall
+    # through to the planner, which handles traced leaves natively.
+    # (khi is converted host-side in X.__init__, so it cannot be traced.)
+    if any(isinstance(leaf, jax.core.Tracer)
+           for leaf in (x.tau, x.T1, x.T2, x.g)
+           if leaf is not None):
         return False
     if np.ndim(x.tau) != 0 and np.size(x.tau) != 1:
         return False

@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .pallas_bssfp import _pad_setup
+
 __all__ = ["dess_dictionary_pallas"]
 
 
@@ -162,40 +164,13 @@ def dess_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
-    FA = jnp.asarray(FA, f32)
-    P = FA.shape[0]
-    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
-    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
-    TE = jnp.asarray(TE, f32)
-    var_te = TE.ndim == 1
-    T1s = jnp.asarray(T1s, f32)
-    T2s = jnp.asarray(T2s, f32)
-    B1s = jnp.asarray(B1s, f32)
     use_df = dfs is not None
-    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
-    B = T1s.shape[0]
-
-    if pchunk is None:
-        pchunk = P if 4 * P * btile * 4 <= (1 << 25) else 1024
-    Bp = -(-B // btile) * btile
-    Pp = -(-P // pchunk) * pchunk
-
-    def padb(x):
-        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
-
-    def padp(x, fill):
-        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
-                if Pp > P else x)
-
-    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    TR_p = padp(TR, 2.0) if var_te else padp(TR, TE + 1.0)
-    TE_arr = (padp(jnp.broadcast_to(TE, (P,)), 1.0).reshape(1, -1)
-              if var_te else jnp.full((1, 1), TE, f32))
-    T1p, T2p, B1p, DFp = padb(T1s), padb(T2s), padb(B1s), padb(DFs)
+    # shared pad/chunk setup with the bSSFP family (same no-op pulse
+    # fills and TR > TE invariant for padded pulses)
+    (P, B, Pp, Bp, pchunk, var_te, args, TE_arr, atom_args) = _pad_setup(
+        FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout=4)
     nP, nB = Pp // pchunk, Bp // btile
-    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    args += [TE_arr]
-    args += [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
+    args = args + [TE_arr] + atom_args
 
     kernel = partial(_kernel_dess, nstate=nstate, pchunk=pchunk,
                      demodulate=demodulate, use_df=use_df, var_te=var_te)

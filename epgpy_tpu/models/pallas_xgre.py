@@ -40,6 +40,82 @@ __all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded",
            "xgre_jacobian_pallas", "exchange_stage_mats"]
 
 
+# -- plane math shared by the primal and Jacobian kernels.  A sign or
+# coefficient fix here updates BOTH (primal and tangent propagation must
+# stay bit-synchronized; the FD-validation tests enforce it). --
+
+def _cmul(cr, ci, xr, xi):
+    return cr * xr - ci * xi, cr * xi + ci * xr
+
+
+def _rot_coeffs(a, ph):
+    """Weigel rotation closed forms (same as pallas_mse): the 10-tuple
+    (c2, m01r, m01i, m02r, m02i, ca, m20r, m20i, m21r, m21i)."""
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
+    cp, sp = jnp.cos(ph), jnp.sin(ph)
+    c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+    return (cos2, c2p * sin2, s2p * sin2, sp * sa, -cp * sa,
+            ca, -0.5 * sp * sa, -0.5 * cp * sa,
+            -0.5 * sp * sa, 0.5 * cp * sa)
+
+
+def _apply_rot(rc, s):
+    """Apply the rotation to one (AR, AI, BR, BI, ZR, ZI) plane set.
+    B planes are F+(-k) -- still F+ states, same coefficients as A up
+    to the conjugate-pair signs below."""
+    c2, a1r, a1i, a2r, a2i, caa, b0r, b0i, b1r, b1i = rc
+    AR, AI, BR, BI, ZR, ZI = s
+    are = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
+    aim = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
+    bre = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
+    bim = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
+    zre = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
+    zim = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
+    return are, aim, bre, bim, zre, zim
+
+
+def _mix_planes(sets, m, dens, rowmask, C):
+    """C x C exchange madd: F planes with mT, Z with mL around the k=0
+    equilibrium (dev = Z - dens*rowmask).  ``m(part, i, j)`` streams
+    the stage-matrix rows (part 0/1/2 = mT_re / mT_im / mL);
+    ``dens(j)`` the compartment densities."""
+    devs = [(sets[j][4] - dens(j) * rowmask, sets[j][5])
+            for j in range(C)]
+    out = []
+    for i in range(C):
+        nAR = nAI = nBR = nBI = nZR = nZI = None
+        for j in range(C):
+            mr, mi = m(0, i, j), m(1, i, j)
+            ml = m(2, i, j)
+            AR, AI, BR, BI, _, _ = sets[j]
+            ar, ai = _cmul(mr, mi, AR, AI)
+            br, bi = _cmul(mr, mi, BR, BI)
+            zr, zi = ml * devs[j][0], ml * devs[j][1]
+            if j == 0:
+                nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
+            else:
+                nAR, nAI = nAR + ar, nAI + ai
+                nBR, nBI = nBR + br, nBI + bi
+                nZR, nZI = nZR + zr, nZI + zi
+        out.append((nAR, nAI, nBR, nBI,
+                    nZR + dens(i) * rowmask, nZI))
+    return out
+
+
+def _shift_store(st_ref, base, planes):
+    """Unit ladder shift of one folded plane set into VMEM: A gains the
+    reflected B(1) row at k=0, B drops it, Z is unshifted."""
+    AR, AI, BR, BI, ZR, ZI = planes
+    zrow = jnp.zeros_like(AR[:1])
+    st_ref[base + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
+    st_ref[base + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
+    st_ref[base + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
+    st_ref[base + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
+    st_ref[base + 4] = ZR
+    st_ref[base + 5] = ZI
+
+
 def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                  dens_ref, b1_ref, coef_ref, *refs, nstate, ntr, ncomp):
     """See module docstring.  refs = (out_re_0, out_im_0, ..., st_ref).
@@ -69,56 +145,12 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
     for c in range(C):
         st_ref[6 * c + 4, 0, :] = ones
 
-    def cmul(cr, ci, xr, xi):
-        return cr * xr - ci * xi, cr * xi + ci * xr
-
-    def rot_A(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
-        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
-        return re, im
-
-    def rot_B(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
-        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
-        return re, im
-
-    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
-        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
-        return re, im
-
     def mix(stage, sets):
-        """C x C exchange madd: F planes with mT, Z with mL around the
-        k=0 equilibrium (dev = Z - dens*rowmask)."""
-        base = stage * 3 * CC
-
-        def m(part, i, j):
-            return coef_ref[base + part * CC + i * C + j, :]
-
-        devs = [(sets[j][4] - dens_ref[0, j] * rowmask, sets[j][5])
-                for j in range(C)]
-        out = []
-        for i in range(C):
-            nAR = nAI = nBR = nBI = nZR = nZI = None
-            for j in range(C):
-                mr, mi = m(0, i, j), m(1, i, j)
-                ml = m(2, i, j)
-                AR, AI, BR, BI, _, _ = sets[j]
-                ar, ai = cmul(mr, mi, AR, AI)
-                br, bi = cmul(mr, mi, BR, BI)
-                zr, zi = ml * devs[j][0], ml * devs[j][1]
-                if j == 0:
-                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
-                else:
-                    nAR, nAI = nAR + ar, nAI + ai
-                    nBR, nBI = nBR + br, nBI + bi
-                    nZR, nZI = nZR + zr, nZI + zi
-            out.append((nAR, nAI, nBR, nBI,
-                        nZR + dens_ref[0, i] * rowmask, nZI))
-        return out
+        return _mix_planes(
+            sets,
+            lambda part, i, j: coef_ref[stage * 3 * CC + part * CC
+                                        + i * C + j, :],
+            lambda j: dens_ref[0, j], rowmask, C)
 
     def step(i, _):
         sets = []
@@ -128,28 +160,16 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
             # conj(e^{-rT}), Z by e^{-rL} (evolution_operator diag)
             sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
             szr, szi = szr_ref[i, c], szi_ref[i, c]
-            ar, ai = cmul(sfr, sfi, s[0], s[1])
-            br, bi = cmul(sfr, sfi, s[2], s[3])
-            zr, zi = cmul(szr, szi, s[4], s[5])
+            ar, ai = _cmul(sfr, sfi, s[0], s[1])
+            br, bi = _cmul(sfr, sfi, s[2], s[3])
+            zr, zi = _cmul(szr, szi, s[4], s[5])
             s = (ar, ai, br, bi, zr, zi)
 
-            # per-compartment rotation (Weigel matrix, same closed forms
-            # as pallas_mse): a = alpha_ic * B1_b, ph = phi_ic
+            # per-compartment rotation: a = alpha_ic * B1_b, ph = phi_ic
             rad = jnp.pi / 180.0
-            a = alpha_ref[i, c] * rad * b1_ref[0, :]
-            ph = phi_ref[i, c] * rad
-            ca, sa = jnp.cos(a), jnp.sin(a)
-            cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
-            cp, sp = jnp.cos(ph), jnp.sin(ph)
-            c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
-            m01r, m01i = c2p * sin2, s2p * sin2
-            m02r, m02i = sp * sa, -cp * sa
-            m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
-            m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
-            ar, ai = rot_A(cos2, m01r, m01i, m02r, m02i, s)
-            br, bi = rot_B(cos2, m01r, m01i, m02r, m02i, s)
-            zr, zi = rot_Z(ca, m20r, m20i, m21r, m21i, s)
-            sets.append((ar, ai, br, bi, zr, zi))
+            rc = _rot_coeffs(alpha_ref[i, c] * rad * b1_ref[0, :],
+                             phi_ref[i, c] * rad)
+            sets.append(_apply_rot(rc, s))
 
         # exchange stage A -> readout -> exchange stage B -> shift
         sets = mix(0, sets)
@@ -158,14 +178,7 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
             out_refs[2 * c + 1][i, :] = sets[c][1][0, :]
         sets = mix(1, sets)
         for c in range(C):
-            AR, AI, BR, BI, ZR, ZI = sets[c]
-            zrow = jnp.zeros_like(AR[:1])
-            st_ref[6 * c + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
-            st_ref[6 * c + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
-            st_ref[6 * c + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
-            st_ref[6 * c + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
-            st_ref[6 * c + 4] = ZR
-            st_ref[6 * c + 5] = ZI
+            _shift_store(st_ref, 6 * c, sets[c])
         return 0
 
     jax.lax.fori_loop(0, ntr, step, 0)
@@ -358,27 +371,6 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
     for c in range(C):
         st_ref[6 * c + 4, 0, :] = ones    # primal Z_c(0) = 1; tangents 0
 
-    def cmul(cr, ci, xr, xi):
-        return cr * xr - ci * xi, cr * xi + ci * xr
-
-    def rot_A(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
-        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
-        return re, im
-
-    def rot_B(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
-        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
-        return re, im
-
-    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
-        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
-        return re, im
-
     def m(g, stage, part, i, j):
         return coef_ref[g * 6 * CC + stage * 3 * CC + part * CC + i * C + j, :]
 
@@ -386,27 +378,9 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
         return dens_ref[g * C + c, :]
 
     def mix_primal(stage, sets):
-        devs = [(sets[j][4] - dens(0, j) * rowmask, sets[j][5])
-                for j in range(C)]
-        out = []
-        for i in range(C):
-            nAR = nAI = nBR = nBI = nZR = nZI = None
-            for j in range(C):
-                mr, mi = m(0, stage, 0, i, j), m(0, stage, 1, i, j)
-                ml = m(0, stage, 2, i, j)
-                AR, AI, BR, BI, _, _ = sets[j]
-                ar, ai = cmul(mr, mi, AR, AI)
-                br, bi = cmul(mr, mi, BR, BI)
-                zr, zi = ml * devs[j][0], ml * devs[j][1]
-                if j == 0:
-                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
-                else:
-                    nAR, nAI = nAR + ar, nAI + ai
-                    nBR, nBI = nBR + br, nBI + bi
-                    nZR, nZI = nZR + zr, nZI + zi
-            out.append((nAR, nAI, nBR, nBI,
-                        nZR + dens(0, i) * rowmask, nZI))
-        return out
+        return _mix_planes(sets,
+                           lambda part, i, j: m(0, stage, part, i, j),
+                           lambda j: dens(0, j), rowmask, C)
 
     def mix_tangent(stage, g, tsets, xsets):
         """t'_i = sum_j [ M_ij (t_j - de_j) + dM_ij (x_j - e_j) ] + de_i
@@ -425,10 +399,10 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                 dml = m(g, stage, 2, i, j)
                 tAR, tAI, tBR, tBI, _, _ = tsets[j]
                 xAR, xAI, xBR, xBI, _, _ = xsets[j]
-                ar, ai = cmul(mr, mi, tAR, tAI)
-                dar, dai = cmul(dmr, dmi, xAR, xAI)
-                br, bi = cmul(mr, mi, tBR, tBI)
-                dbr, dbi = cmul(dmr, dmi, xBR, xBI)
+                ar, ai = _cmul(mr, mi, tAR, tAI)
+                dar, dai = _cmul(dmr, dmi, xAR, xAI)
+                br, bi = _cmul(mr, mi, tBR, tBI)
+                dbr, dbi = _cmul(dmr, dmi, xBR, xBI)
                 zr = ml * tdevs[j][0] + dml * xdevs[j][0]
                 zi = ml * tdevs[j][1] + dml * xdevs[j][1]
                 ar, ai = ar + dar, ai + dai
@@ -447,17 +421,8 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
         rad = jnp.pi / 180.0
         # per-compartment saturation + rotation coefficients -- shared
         # across plane groups (variables do not enter sat/rot)
-        rotc = []
-        for c in range(C):
-            a = alpha_ref[i, c] * rad * b1_ref[0, :]
-            ph = phi_ref[i, c] * rad
-            ca, sa = jnp.cos(a), jnp.sin(a)
-            cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
-            cp, sp = jnp.cos(ph), jnp.sin(ph)
-            c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
-            rotc.append((cos2, c2p * sin2, s2p * sin2, sp * sa, -cp * sa,
-                         ca, -0.5 * sp * sa, -0.5 * cp * sa,
-                         -0.5 * sp * sa, 0.5 * cp * sa))
+        rotc = [_rot_coeffs(alpha_ref[i, c] * rad * b1_ref[0, :],
+                            phi_ref[i, c] * rad) for c in range(C)]
 
         groups = []
         for g in range(G):
@@ -466,16 +431,10 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                 s = tuple(st_ref[6 * (g * C + c) + j] for j in range(6))
                 sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
                 szr, szi = szr_ref[i, c], szi_ref[i, c]
-                ar, ai = cmul(sfr, sfi, s[0], s[1])
-                br, bi = cmul(sfr, sfi, s[2], s[3])
-                zr, zi = cmul(szr, szi, s[4], s[5])
-                s = (ar, ai, br, bi, zr, zi)
-                c2, m01r, m01i, m02r, m02i, caa, m20r, m20i, m21r, m21i = \
-                    rotc[c]
-                ar, ai = rot_A(c2, m01r, m01i, m02r, m02i, s)
-                br, bi = rot_B(c2, m01r, m01i, m02r, m02i, s)
-                zr, zi = rot_Z(caa, m20r, m20i, m21r, m21i, s)
-                sets.append((ar, ai, br, bi, zr, zi))
+                ar, ai = _cmul(sfr, sfi, s[0], s[1])
+                br, bi = _cmul(sfr, sfi, s[2], s[3])
+                zr, zi = _cmul(szr, szi, s[4], s[5])
+                sets.append(_apply_rot(rotc[c], (ar, ai, br, bi, zr, zi)))
             groups.append(sets)
 
         # exchange stage A (tangents first: they need the pre-mix primal)
@@ -491,15 +450,7 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                      for g in range(1, G)])
         for g in range(G):
             for c in range(C):
-                AR, AI, BR, BI, ZR, ZI = groups[g][c]
-                zrow = jnp.zeros_like(AR[:1])
-                base = 6 * (g * C + c)
-                st_ref[base + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
-                st_ref[base + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
-                st_ref[base + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
-                st_ref[base + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
-                st_ref[base + 4] = ZR
-                st_ref[base + 5] = ZI
+                _shift_store(st_ref, 6 * (g * C + c), groups[g][c])
         return 0
 
     jax.lax.fori_loop(0, ntr, step, 0)

@@ -140,3 +140,25 @@ def test_fuzz_parity_or_fallthrough():
         tol = 2e-5 if matched else 1e-10
         err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
         assert err < tol, (trial, matched, err)
+
+
+def test_traced_d_leaves_fall_through():
+    """D built under a trace (kshift / Dcoef are Tracers): the matcher
+    must return None (planner handles traced leaves), never crash with
+    TracerArrayConversionError or leak the Tracer through the cache."""
+    import jax
+    import jax.numpy as jnp
+
+    got = {}
+
+    def probe(kval, dval):
+        seq = []
+        d_op = epg.D(7.0, dval, k=kval)
+        for i in range(4):
+            seq += [epg.T(30.0, 90.0), epg.E(5.0, 800.0, 80.0), epg.ADC,
+                    epg.E(7.0, 800.0, 80.0), epg.S(1), d_op]
+        got["m"] = fisp_dispatch.match_dwfisp(seq, KV)
+        return jnp.zeros(())
+
+    jax.make_jaxpr(probe)(jnp.ones((1, 1)), jnp.ones(()))
+    assert got["m"] is None

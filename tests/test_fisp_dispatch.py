@@ -809,3 +809,18 @@ def test_fisp_nd_batch_grid():
     jk, je = np.asarray(jk), np.asarray(je)
     assert jk.shape == je.shape == (8, 4, 5, 3)
     assert np.abs(jk - je).max() / np.abs(je).max() < 2e-5
+
+
+def test_prep_zero_mean_b1_no_crash():
+    """A [T, E] prep whose rank-1 flip factorization carries a
+    zero-mean signed B1 direction must fall through (None), not raise
+    ZeroDivisionError in the prep renormalization."""
+    P, FA = 8, 20.0 + np.arange(8.0)
+    B1 = np.asarray([1.0, -1.0])
+    T1 = np.asarray([800.0, 900.0])
+    T2 = np.asarray([60.0, 70.0])
+    seq = [epg.T(180.0 * B1, 0.0), epg.E(15.0, T1, T2)]
+    for i in range(P):
+        seq += [epg.T(FA[i] * B1, 90.0), epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(7.0, T1, T2), epg.S(1)]
+    fisp_dispatch.match_fisp(seq)  # must not raise

@@ -346,3 +346,29 @@ def test_fuzz_xgre_dispatch_parity_or_fallthrough():
         assert params is not None, f"case {case}: valid train fell through"
         _parity(seq, dens, max_nstate=4,
                 tol=2e-6 if C == 2 else 2e-5)
+
+
+def test_traced_x_leaves_fall_through():
+    """X built under a trace (tau / T2 are Tracers; khi is host-
+    converted in X.__init__ so it cannot be): the matcher must return
+    None, never crash in np.asarray or cache the Tracer (the per-voxel
+    qMT-fit idiom differentiates through relaxation/timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    khi = epg.exchange_matrix(0.005, densities=[0.8, 0.2])
+    got = {}
+
+    def probe(tau, t2f):
+        T2 = jnp.stack([jnp.full((4,), t2f), jnp.full((4,), 0.012)])
+        X = epg.X(tau, khi, axis=0,
+                  T1=np.asarray([1000.0, 1000.0]), T2=T2)
+        seq = []
+        for _ in range(6):
+            seq += [epg.T(np.asarray([10.0, 0.0]), 0.0), epg.ADC, X,
+                    epg.S(1)]
+        got["m"] = fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2])
+        return jnp.zeros(())
+
+    jax.make_jaxpr(probe)(jnp.float32(10.0), jnp.float32(80.0))
+    assert got["m"] is None
