@@ -405,9 +405,20 @@ def _setup_table(sm: StateMatrix, sequence, shape=None,
         or np.issubdtype(op.k.dtype, np.integer)
         for op in shift_ops
     )
-    if all_int:
+    # batch-varying shifts (leading batch axes on k) run the vmapped
+    # float-merge path whose output coords are float: an int carry
+    # would flip dtype mid-scan and break the scan carry structure
+    varying_batch = any(
+        not isinstance(op.k, int) and np.ndim(op.k) > 1
+        for op in shift_ops
+    )
+    if all_int and not varying_batch:
         from .ops.shiftnd import _intdtype
         sm = sm.update(coords=sm.coords.astype(_intdtype()))
+    elif all_int:
+        # float-stored table whose values stay integers: merges quantize
+        # exactly on the unit grid, no user kgrid needed
+        sm = sm.update(options={**sm.options, "_int_grid": True})
     if dense and not all_int:
         # static hint for ops/shiftnd.apply_shift: rows ARE grid cells,
         # merges run as masked rolls (ops/shiftdense.py)
@@ -860,6 +871,14 @@ def simulate(
             fparams = matcher(sequence)
             if fparams is None:
                 continue
+            # capacity gate: oversized ladders cannot keep their planes
+            # VMEM-resident -- stay on the scan planner (bSSFP is k=0
+            # only and always fits)
+            nplanes = {"fisp": 6, "dw": 6, "mse": 6, "dess": 6,
+                       "xgre": 6 * len(fparams["dens"])
+                       if tag == "xgre" else 6}.get(tag)
+            if tag != "bssfp" and not _fd.kernel_fits_vmem(nplanes, ncap):
+                continue
             if disp:
                 LOGGER.info(
                     "simulate: %s train -> fused Pallas kernel "
@@ -870,20 +889,25 @@ def simulate(
             break
         if enc is not None:
             values = (enc,)
-            times = get_adc_times(sequence)
             if asarray:
                 values = _decode_complex_np(values)
                 values = tuple(_to_numpy_probe(v) for v in values)
-                times = np.asarray(times)
             values = values[0]
             if adc_time:
-                return times, values
+                return np.asarray(get_adc_times(sequence)), values
             return values
     _preamble_ncap = ncap
+    # `nstate` is a capacity FLOOR for the initial ladder (reference
+    # StateMatrix kwarg); pop it so it cannot collide with the computed
+    # capacity below.  Dense engines size capacity exactly from the
+    # lattice, so the floor only applies on the table/sort paths.
+    user_nstate = options.pop("nstate", None)
     if dense is not None:
         ncap = dense
     elif varying is not None:
         ncap = varying[0]
+    elif user_nstate is not None:
+        ncap = max(ncap, int(user_nstate))
 
     if not isinstance(init, StateMatrix):
         sm = StateMatrix(
@@ -934,6 +958,15 @@ def simulate(
                 hmatch = fisp_dispatch.match_hessian_probes(
                     probes, hparams)
                 if hmatch is not None:
+                    # VMEM gate: 6*ngroups scratch planes with the
+                    # lane-padded pulse count on the lane axis
+                    _N = len(hparams["FA"])
+                    _Na = max(-(-_N // 128) * 128, 128)
+                    _ng = 9 if hmatch[1] else 5
+                    if not fisp_dispatch.kernel_fits_vmem(
+                            6 * _ng, _preamble_ncap, lanes=_Na):
+                        hmatch = None
+                if hmatch is not None:
                     hspecs, second = hmatch
                     if disp:
                         LOGGER.info(
@@ -944,14 +977,13 @@ def simulate(
                     values = fisp_dispatch.run_fisp_hessian(
                         hparams, _preamble_ncap, hspecs, second,
                         interpret=_fisp_force and not _fisp_tpu)
-                    times = get_adc_times(sequence)
                     if asarray:
                         values = _decode_complex_np(values)
                         values = tuple(_to_numpy_probe(v) for v in values)
                     if len(values) == 1:
                         values = values[0]
                     if adc_time:
-                        return np.asarray(times), values
+                        return np.asarray(get_adc_times(sequence)), values
                     return values
             # cheap probe-shape pre-check against the maximal var set:
             # eval-string probes reject in O(#probes) without
@@ -971,6 +1003,13 @@ def simulate(
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
+                # VMEM gate: the fused Jacobian kernels keep 24 folded
+                # planes resident (bSSFP is k=0 only and always fits)
+                if (specs is not None
+                        and runner is not fisp_dispatch.run_bssfp_jacobian
+                        and not fisp_dispatch.kernel_fits_vmem(
+                            24, _preamble_ncap)):
+                    specs = None
             if specs is not None:
                 if disp:
                     _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",
@@ -983,14 +1022,13 @@ def simulate(
                 values = runner(
                     fparams, _preamble_ncap, specs,
                     interpret=_fisp_force and not _fisp_tpu)
-                times = get_adc_times(sequence)
                 if asarray:
                     values = _decode_complex_np(values)
                     values = tuple(_to_numpy_probe(v) for v in values)
                 if len(values) == 1:
                     values = values[0]
                 if adc_time:
-                    return np.asarray(times), values
+                    return np.asarray(get_adc_times(sequence)), values
                 return values
         # NOTE (r3, measured): the diff programs deliberately run in the
         # compat (*batch, K, 3) layout.  Converting to the half-ladder
@@ -1006,11 +1044,10 @@ def simulate(
             jacobian_chunk=jacobian_chunk,
             asarray=asarray,
         )
-        times = get_adc_times(sequence)
         if len(values) == 1:
             values = values[0]
         if adc_time:
-            return np.asarray(times), values
+            return np.asarray(get_adc_times(sequence)), values
         return values
 
     use_jit = jit and callback is None
@@ -1048,16 +1085,14 @@ def simulate(
                                    callback=callback, disp=disp)
         values = _concat_chunks(chunks)
 
-    times = get_adc_times(sequence)
-
     if asarray:
         values = tuple(_to_numpy_probe(v) for v in values)
-        times = np.asarray(times)
     if len(values) == 1:
         values = values[0]
 
     if adc_time:
-        return times, values
+        times = get_adc_times(sequence)
+        return np.asarray(times) if asarray else times, values
     return values
 
 

@@ -62,6 +62,21 @@ def clear_cache():
     _MATCH_CACHE.clear()
 
 
+_KERNEL_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def kernel_fits_vmem(nplanes, nstate, lanes=512):
+    """Conservative VMEM-fit gate for the fused kernels.
+
+    The persistent f32 scratch planes (nplanes x (nstate+1) x lanes)
+    must leave headroom for the double-buffered in/out windows under
+    the kernels' 100 MB vmem limit.  Oversized un-capped or tracked
+    trains (e.g. a 3000-TR train without max_nstate) fall through to
+    the scan planner instead of failing Mosaic compilation."""
+    return 4 * nplanes * (int(nstate) + 1) * int(lanes) \
+        <= _KERNEL_VMEM_BUDGET
+
+
 def _memoized(key, sequence, compute):
     """Memoize a matcher result (including non-matches) on `key`.
 

@@ -73,21 +73,31 @@ def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
     from jax.sharding import PartitionSpec as PS
 
     use_df = dfs is not None
+    # a per-atom diffusion coefficient (B,) must shard WITH the atoms;
+    # scalar / shared-tensor Dc stays a replicated closure constant
+    diffusion = kw.pop("diffusion", None)
+    dshard = (diffusion is not None
+              and getattr(jnp.asarray(diffusion[2]), "ndim", 0) == 1)
 
-    def local(t1, t2, b1, df):
+    def local(t1, t2, b1, df, dc):
+        diff = ((diffusion[0], diffusion[1], dc) if dshard
+                else diffusion)
         return fisp_dictionary_pallas(FA, phi, TR, TE, t1, t2, b1,
-                                      df if use_df else None, **kw)
+                                      df if use_df else None,
+                                      diffusion=diff, **kw)
 
     spec = PS(axis)
     out_spec = PS(axis, None)
     f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(spec, spec, spec, spec),
+                      in_specs=(spec, spec, spec, spec, spec),
                       out_specs=(out_spec, out_spec),
                       check_vma=False)
     T1s = jnp.asarray(T1s, jnp.float32)
     dfz = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, jnp.float32)
+    dcz = (jnp.asarray(diffusion[2], jnp.float32) if dshard
+           else jnp.zeros_like(T1s))
     return jax.jit(f)(T1s, jnp.asarray(T2s, jnp.float32),
-                      jnp.asarray(B1s, jnp.float32), dfz)
+                      jnp.asarray(B1s, jnp.float32), dfz, dcz)
 
 
 def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
@@ -199,20 +209,17 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
             cFpR = cFmR = cF
             cFpI = cFmI = jnp.zeros_like(cF)
 
-        def cmul3(cr, ci, mr, mi):
-            return cr * mr - ci * mi, cr * mi + ci * mr
-
-        c00r, c00i = cmul3(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
-        c01r, c01i = cmul3(cFpR, cFpI, m01r, m01i)
-        c02r, c02i = cmul3(cFpR, cFpI, m02r, m02i)
+        c00r, c00i = cmul(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
+        c01r, c01i = cmul(cFpR, cFpI, m01r, m01i)
+        c02r, c02i = cmul(cFpR, cFpI, m02r, m02i)
         aR, aI = cmul(c00r, c00i, FpR, FpI)
         bR, bI = cmul(c01r, c01i, FmR, FmI)
         dR, dI = cmul(c02r, c02i, ZR, ZI)
         nFpR, nFpI = aR + bR + dR, aI + bI + dI
 
-        c10r, c10i = cmul3(cFmR, cFmI, m01r, -m01i)
-        c11r, c11i = cmul3(cFmR, cFmI, cos2, jnp.zeros_like(cos2))
-        c12r, c12i = cmul3(cFmR, cFmI, m12r, m12i)
+        c10r, c10i = cmul(cFmR, cFmI, m01r, -m01i)
+        c11r, c11i = cmul(cFmR, cFmI, cos2, jnp.zeros_like(cos2))
+        c12r, c12i = cmul(cFmR, cFmI, m12r, m12i)
         aR, aI = cmul(c10r, c10i, FpR, FpI)
         bR, bI = cmul(c11r, c11i, FmR, FmI)
         dR, dI = cmul(c12r, c12i, ZR, ZI)
@@ -373,12 +380,9 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
             cFpR = cF
             cFpI = jnp.zeros_like(cF)
 
-        def cmul3(cr, ci, mr, mi):
-            return cr * mr - ci * mi, cr * mi + ci * mr
-
-        c00r, c00i = cmul3(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
-        c01r, c01i = cmul3(cFpR, cFpI, m01r, m01i)
-        c02r, c02i = cmul3(cFpR, cFpI, m02r, m02i)
+        c00r, c00i = cmul(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
+        c01r, c01i = cmul(cFpR, cFpI, m01r, m01i)
+        c02r, c02i = cmul(cFpR, cFpI, m02r, m02i)
         # nA(k) = c00 A(k) + c01 conj(B(k)) + c02 Z(k)
         aR, aI = cmul(c00r, c00i, AR, AI)
         bR, bI = cmul(c01r, c01i, BR, -BI)
@@ -671,6 +675,7 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
+    nstate = max(int(nstate), 1)  # the folded shift needs a k=1 row
     FA = jnp.asarray(FA, f32)
     P = FA.shape[0]
     phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))

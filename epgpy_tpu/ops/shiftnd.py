@@ -72,6 +72,21 @@ def _encode_keys(q):
     strides = jnp.cumprod(
         jnp.concatenate([jnp.ones((1,), idt), span[:-1].astype(idt)])
     )
+    if q.shape[-1] > 1 and not config.x64_enabled():
+        # int32 capacity check (f32/TPU mode; 1-D keys are the coords
+        # themselves and cannot wrap).  The stride product is the total
+        # lattice extent: past 2^31 keys wrap, the antisymmetry the
+        # merge relies on breaks, and distinct cells can collide --
+        # detectable only at run time (spans are data-dependent), so
+        # warn loudly instead of corrupting silently.
+        total = jnp.cumprod(span.astype(jnp.float32))[-1]
+        jax.lax.cond(
+            total > 2.0 ** 31,
+            lambda: jax.debug.print(
+                "epgpy_tpu shiftnd: merge key space {t:.3g} exceeds int32 "
+                "-- multi-dim table merges are UNRELIABLE at this extent; "
+                "use a coarser kgrid/tvalue or run in x64 (CPU)", t=total),
+            lambda: None)
     return jnp.sum(q * strides, axis=-1)
 
 
@@ -509,8 +524,11 @@ def apply_shift(op, sm):
         return sm.update(states=new_states, coords=_restore(new_coords))
 
     kgrid = sm.options.get("kgrid") or op.kgrid
-    if int_path:
-        kgrid = 1.0  # integer data quantizes exactly on the unit grid
+    if int_path or sm.options.get("_int_grid"):
+        # integer data (int dtype, or a float-stored table that only
+        # ever receives integer shifts -- engine._setup_table's
+        # batch-varying case) quantizes exactly on the unit grid
+        kgrid = 1.0
     elif kgrid is None:
         raise AttributeError("kgrid not set")
 

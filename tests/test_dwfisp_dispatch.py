@@ -162,3 +162,30 @@ def test_traced_d_leaves_fall_through():
 
     jax.make_jaxpr(probe)(jnp.ones((1, 1)), jnp.ones(()))
     assert got["m"] is None
+
+
+def test_sharded_dictionary_per_atom_diffusion():
+    """A per-atom diffusion coefficient must shard WITH the atoms
+    through fisp_dictionary_pallas_sharded (was: replicated closure
+    constant -> broadcast shape mismatch inside each shard)."""
+    import jax
+    from jax.sharding import Mesh
+    from epgpy_tpu.models.pallas_fisp import (
+        fisp_dictionary_pallas, fisp_dictionary_pallas_sharded)
+
+    devs = np.asarray(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, ("atoms",))
+    B = 16
+    T1 = np.linspace(600, 1500, B)
+    T2 = np.linspace(50, 120, B)
+    B1 = np.ones(B)
+    Dc = np.linspace(0.5e-3, 2e-3, B)          # per-atom ADC
+    FA = 10 + 30 * np.abs(np.sin(np.arange(12) / 3.0))
+    diff = (2e-3, 2e-3, Dc)
+    kw = dict(nstate=4, btile=128, interpret=True)
+    re0, im0 = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, T1, T2, B1,
+                                      diffusion=diff, **kw)
+    re1, im1 = fisp_dictionary_pallas_sharded(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, mesh=mesh, diffusion=diff, **kw)
+    assert np.array_equal(np.asarray(re0), np.asarray(re1))
+    assert np.array_equal(np.asarray(im0), np.asarray(im1))

@@ -624,3 +624,65 @@ def test_capacity_scales_with_kvalue():
     big = engine._capacity(seq, 20, 4096, kgrid=0.1, kvalue=10.0)
     negated = engine._capacity(seq, 20, 4096, kgrid=0.1, kvalue=-10.0)
     assert small == 101 and big == 1001 and negated == big
+
+
+def test_batch_varying_int_shifts_scan():
+    """Batch-varying INTEGER shifts run the vmapped float-merge path:
+    the coords carry must be float from op 0 so scan planning works
+    (was: int table installed, merge output float, carry dtype flip).
+    Exact parity vs the unrolled engine."""
+    import epgpy_tpu as epg
+
+    kv = np.array([[1], [2], [3]])
+    seq = []
+    for _ in range(8):                    # >= 3 reps so the train scans
+        seq += [epg.T(30, 90), epg.E(5.0, 800.0, 80.0), epg.S(kv.copy()),
+                epg.ADC]
+    planned = np.asarray(epg.simulate(seq, max_nstate=30))
+    unrolled = np.asarray(epg.simulate(seq, max_nstate=30, scan=False))
+    assert planned.shape == (8, 3)
+    assert np.allclose(planned, unrolled, atol=1e-12)
+
+
+def test_nstate_option_capacity_floor():
+    """simulate(nstate=N) is a capacity floor (reference StateMatrix
+    kwarg), not a duplicate-keyword crash."""
+    import epgpy_tpu as epg
+
+    seq = [epg.T(90, 90)] + [epg.S(1), epg.T(150, 0), epg.S(1),
+                             epg.ADC] * 4
+    lo = np.asarray(epg.simulate(list(seq)))
+    hi = np.asarray(epg.simulate(list(seq), nstate=32))
+    assert np.allclose(lo, hi, atol=1e-12)
+
+
+def test_kernel_vmem_gate():
+    """Oversized ladders decline the fused kernels (Mosaic would fail
+    at the 100 MB vmem limit) and the train falls through to the
+    planner with identical results."""
+    import epgpy_tpu as epg
+    from epgpy_tpu import fisp_dispatch
+
+    assert fisp_dispatch.kernel_fits_vmem(6, 10)
+    assert fisp_dispatch.kernel_fits_vmem(24, 1000)
+    assert not fisp_dispatch.kernel_fits_vmem(24, 10000)
+    assert not fisp_dispatch.kernel_fits_vmem(54, 100, lanes=131072)
+
+    # integration: shrink the budget so even a small train is "too big"
+    T2s = np.linspace(40.0, 120.0, 4)
+    def train():
+        seq = []
+        for i in range(12):
+            seq += [epg.T(30.0 + i, 90), epg.E(5.0, 800.0, T2s), epg.ADC,
+                    epg.E(7.0, 800.0, T2s), epg.S(1)]
+        return seq
+    want = np.asarray(epg.simulate(train(), max_nstate=8,
+                                   fisp_kernel=False))
+    old = fisp_dispatch._KERNEL_VMEM_BUDGET
+    try:
+        fisp_dispatch._KERNEL_VMEM_BUDGET = 1
+        got = np.asarray(epg.simulate(train(), max_nstate=8,
+                                      fisp_kernel="force"))
+    finally:
+        fisp_dispatch._KERNEL_VMEM_BUDGET = old
+    assert np.allclose(got, want, atol=1e-10)
