@@ -115,7 +115,9 @@ class Jacobian(probe_mod.Probe):
 
     def __init__(self, variables, *, probe="F0"):
         self.probe_attr = probe
-        if not isinstance(variables, list):
+        if isinstance(variables, tuple):
+            variables = list(variables)
+        elif not isinstance(variables, list):
             variables = [variables]
         self.variables = list(variables)
         base.Operator.__init__(self, name=f"Jacobian({probe})")
@@ -129,8 +131,12 @@ class Hessian(probe_mod.Probe):
 
     def __init__(self, variables1, variables2=None, *, probe="F0"):
         self.probe_attr = probe
-        if not isinstance(variables1, list):
+        if isinstance(variables1, tuple):
+            variables1 = list(variables1)
+        elif not isinstance(variables1, list):
             variables1 = [variables1]
+        if isinstance(variables2, tuple):
+            variables2 = list(variables2)
         if not variables2:
             variables2 = list(variables1)
         elif not isinstance(variables2, list):
@@ -551,7 +557,13 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                     elif var in var_idx:
                         cols.append(jarr[..., var_idx[var]])
                     else:
-                        cols.append(zeros)
+                        # a zero column here would silently poison
+                        # downstream CRLB / Gauss-Newton fits (the
+                        # reference raises KeyError on sm.order1[var])
+                        raise ValueError(
+                            f"Jacobian probe variable {var!r} is not "
+                            f"tracked by any operator (tracked: "
+                            f"{sorted(var_idx)})")
                 out.append(xp.stack(cols, axis=-1))
             elif isinstance(pb, Hessian):
                 sig = sig_by_attr[pb.probe_attr]
@@ -562,18 +574,27 @@ def simulate_diff(sequence, probes, sm, *, plan_builder, executor,
                 for v1 in pb.variables1:
                     row = []
                     for v2 in pb.variables2:
+                        for v in (v1, v2):
+                            if v != "magnitude" and v not in var_idx:
+                                # silent zeros would poison CRLB fits;
+                                # the reference raises on sm.order2[..]
+                                raise ValueError(
+                                    f"Hessian probe variable {v!r} is "
+                                    f"not tracked by any operator "
+                                    f"(tracked: {sorted(var_idx)})")
                         if v1 == "magnitude" and v2 == "magnitude":
                             row.append(zeros)
                         elif v1 == "magnitude":
-                            row.append(jarr[..., var_idx[v2]]
-                                       if v2 in var_idx else zeros)
+                            row.append(jarr[..., var_idx[v2]])
                         elif v2 == "magnitude":
-                            row.append(jarr[..., var_idx[v1]]
-                                       if v1 in var_idx else zeros)
+                            row.append(jarr[..., var_idx[v1]])
                         elif v1 in row1 and v2 in col2:
                             row.append(harr[..., row1[v1], col2[v2]])
                         else:
-                            row.append(zeros)
+                            raise ValueError(
+                                f"Hessian pair ({v1!r}, {v2!r}) is "
+                                f"outside the computed block "
+                                f"({sorted(row1)} x {sorted(col2)})")
                     rows.append(xp.stack(row, axis=-1))
                 out.append(xp.stack(rows, axis=-2))
             else:

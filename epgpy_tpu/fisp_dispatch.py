@@ -506,6 +506,9 @@ def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
 
     # tensor D with 1-D wavenumbers reduces to b00 * sum(D) (reference
     # epgpy/diffusion.py broadcast semantics)
+    # NB inversion_df=False on all FISP-family kernel calls: the matched
+    # op-train prep E carries g=0 (matcher requirement), so the planner
+    # applies no off-resonance phase during TI -- the kernel must agree
     Dc = Dco if Dco.ndim == 0 else jnp.sum(Dco, axis=(-2, -1))
     Dc = jnp.broadcast_to(Dc, T1.shape)
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
@@ -513,6 +516,7 @@ def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
                                     inversion=TI if use_inv else None,
+                                    inversion_df=False,
                                     diffusion=(bT, bL, Dc), diff_ramp=ramp)
     P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
@@ -1353,8 +1357,8 @@ def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
-        nstate=nstate, interpret=interpret,
-        demodulate=demod, inversion=TI if use_inv else None)
+        nstate=nstate, interpret=interpret, demodulate=demod,
+        inversion=TI if use_inv else None, inversion_df=False)
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
     bshape = (re.shape[0],) if bshape is None else bshape
@@ -1403,7 +1407,8 @@ def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
                                     DF if use_df else None,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
-                                    inversion=TI if use_inv else None)
+                                    inversion=TI if use_inv else None,
+                                    inversion_df=False)
     # ADC axis first; restore the append-broadcast batch shape
     P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape

@@ -173,7 +173,15 @@ def _dictionary_program(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *, nstate,
 
     if inversion is not None:
         states = rotate(states, 180.0 * B1s, jnp.zeros_like(B1s))
-        states = relax(states, jnp.exp(-inversion / T1s), jnp.exp(-inversion / T2s))
+        states = relax(states, jnp.exp(-inversion / T1s),
+                       jnp.exp(-inversion / T2s))
+        if dfs is not None:
+            # the residual transverse magnetization of an imperfect
+            # (B1 != 1) inversion precesses during TI like any other
+            # delay (phase convention as te_terms)
+            phs = jnp.exp(2j * jnp.pi * dfs * inversion).astype(cdtype)
+            Fp, Fm, Z = states
+            states = (Fp * phs, Fm * jnp.conj(phs), Z)
 
     def step(carry, xs):
         # One fused plane pass per TR: both relaxations fold into the
@@ -244,7 +252,11 @@ def fisp_mrf_dictionary(FA, TR, TE, T1s, T2s, B1s=None, dfs=None, *, phi=90.0,
             TE: scalar or (P,) (ms).
         T1s, T2s, B1s: (B,) per-atom parameters (B1s defaults to ones).
         dfs: optional (B,) per-atom off-resonance (kHz) -- the 4th
-            dictionary dimension of pSSFP-style MRF.
+            dictionary dimension of pSSFP-style MRF.  With `inversion`,
+            the imperfect-inversion (B1 != 1) residual F+ precesses
+            during TI too (the train equals an operator sequence whose
+            prep E carries g=df; the kernel dispatch keeps the g=0-prep
+            convention for matched op trains via inversion_df=False).
         sharding: optional ``jax.sharding.NamedSharding`` for the atom axis
             (multi-device data parallelism).
 
@@ -307,36 +319,51 @@ def fisp_mrf_jacobian(FA, TR, TE, T1s, T2s, B1s=None, dfs=None, *, phi=90.0,
     idx = {"T1": 0, "T2": 1, "B1": 2}
     sel = tuple(idx[v] for v in variables)
 
-    # Atoms are independent, so dS_b/dtheta_b is a jvp of the BATCHED
-    # (K, B)-layout program with an all-ones tangent on that parameter.
-    # All nvars tangents push through ONE pass: vmap(jvp) over the
-    # tangent basis batches only the tangent half of the computation
-    # (the primal does not depend on the tangent inputs, so vmap leaves
-    # it unbatched and out_axes=None returns it once) -- 1 primal +
-    # one nvars-wide tangent sweep, instead of the nvars separate jvp
-    # calls that re-ran the primal each time (1 + 2*nvars passes).
-    # A vmapped per-atom jacfwd would be worse still: it puts the atom
-    # axis on the major dim ((B, K) states: K pads to 128 lanes) --
-    # measured ~60x slower.
-    @partial(jax.jit, static_argnames=("sel",))
-    def run(T1s, T2s, B1s, sel):
-        def f(t1, t2, b1):
-            return _dictionary_program(
-                FA, phi, TR, TE, t1, t2, b1, dfs, nstate=nstate,
-                demodulate=demodulate, inversion=inversion, normalize=False)
+    use_df = dfs is not None
+    dfz = jnp.zeros_like(T1s) if dfs is None else dfs
+    inv = None if inversion is None else float(inversion)
+    return _jacobian_run(FA, jnp.asarray(phi, rdtype),
+                         jnp.asarray(TR, rdtype), TE, T1s, T2s, B1s, dfz,
+                         sel=sel, nstate=int(nstate),
+                         demodulate=bool(demodulate),
+                         inversion=inv, use_df=use_df)
 
-        ones = jnp.ones_like(T1s)
-        zeros = jnp.zeros_like(T1s)
 
-        def pushfwd(onehot):
-            tangents = tuple(
-                ones * onehot[sel.index(v)] if v in sel else zeros
-                for v in range(3))
-            return jax.jvp(f, (T1s, T2s, B1s), tangents)
+# Atoms are independent, so dS_b/dtheta_b is a jvp of the BATCHED
+# (K, B)-layout program with an all-ones tangent on that parameter.
+# All nvars tangents push through ONE pass: vmap(jvp) over the
+# tangent basis batches only the tangent half of the computation
+# (the primal does not depend on the tangent inputs, so vmap leaves
+# it unbatched and out_axes=None returns it once) -- 1 primal +
+# one nvars-wide tangent sweep, instead of the nvars separate jvp
+# calls that re-ran the primal each time (1 + 2*nvars passes).
+# A vmapped per-atom jacfwd would be worse still: it puts the atom
+# axis on the major dim ((B, K) states: K pads to 128 lanes) --
+# measured ~60x slower.  Module-level jit: a per-call wrapper would
+# retrace and recompile on EVERY fisp_mrf_jacobian call (the jit cache
+# keys on wrapper identity -- CLAUDE.md fact 15).
+@partial(jax.jit, static_argnames=("sel", "nstate", "demodulate",
+                                   "inversion", "use_df"))
+def _jacobian_run(FA, phi, TR, TE, T1s, T2s, B1s, dfs, *,
+                  sel, nstate, demodulate, inversion, use_df):
+    # `inversion` is STATIC (as in _dictionary_program -- a traced
+    # value cannot feed that jit's static argname)
+    def f(t1, t2, b1):
+        return _dictionary_program(
+            FA, phi, TR, TE, t1, t2, b1, dfs if use_df else None,
+            nstate=nstate, demodulate=demodulate,
+            inversion=inversion, normalize=False)
 
-        basis = jnp.eye(len(sel), dtype=T1s.dtype)
-        sig, (dre, dim) = jax.vmap(
-            pushfwd, in_axes=0, out_axes=(None, 0))(basis)
-        return sig, (jnp.moveaxis(dre, 0, -1), jnp.moveaxis(dim, 0, -1))
+    ones = jnp.ones_like(T1s)
+    zeros = jnp.zeros_like(T1s)
 
-    return run(T1s, T2s, B1s, sel)
+    def pushfwd(onehot):
+        tangents = tuple(
+            ones * onehot[sel.index(v)] if v in sel else zeros
+            for v in range(3))
+        return jax.jvp(f, (T1s, T2s, B1s), tangents)
+
+    basis = jnp.eye(len(sel), dtype=T1s.dtype)
+    sig, (dre, dim) = jax.vmap(
+        pushfwd, in_axes=0, out_axes=(None, 0))(basis)
+    return sig, (jnp.moveaxis(dre, 0, -1), jnp.moveaxis(dim, 0, -1))

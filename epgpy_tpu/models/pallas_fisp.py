@@ -102,7 +102,7 @@ def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
 
 def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
             df_ref, out_re_ref, out_im_ref, st_ref, *, nstate, pchunk,
-            demodulate, use_df, use_inv, var_te=False):
+            demodulate, use_df, use_inv, var_te=False, inv_df=True):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -121,8 +121,20 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
             TI = ti_ref[0, 0]
             E1i = jnp.exp(-TI / t1_ref[0, :])
             E2i = jnp.exp(-TI / t2_ref[0, :])
-            st_ref[1, NS, :] = -jnp.sin(ai) * E2i          # FpI
-            st_ref[3, NS, :] = jnp.sin(ai) * E2i           # FmI = conj
+            fpi = -jnp.sin(ai) * E2i
+            if use_df and inv_df:
+                # the residual F+ precesses during TI (model-level
+                # convention; the op-train dispatch passes inv_df=False
+                # because its matched prep E carries g=0)
+                th = 2 * jnp.pi * df_ref[0, :] * TI
+                cth, sth = jnp.cos(th), jnp.sin(th)
+                st_ref[0, NS, :] = -fpi * sth              # FpR
+                st_ref[1, NS, :] = fpi * cth               # FpI
+                st_ref[2, NS, :] = -fpi * sth              # FmR
+                st_ref[3, NS, :] = -fpi * cth              # FmI = conj
+            else:
+                st_ref[1, NS, :] = fpi                     # FpI
+                st_ref[3, NS, :] = -fpi                    # FmI = conj
             st_ref[4, NS, :] = jnp.cos(ai) * E1i + 1.0 - E1i
         else:
             st_ref[4, NS, :] = jnp.ones_like(st_ref[4, NS, :])  # ZR, k=0
@@ -245,7 +257,7 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
 
 def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
                  b1_ref, df_ref, *rest, nstate,
-                 pchunk, demodulate, use_df, use_inv, var_te=False,
+                 pchunk, demodulate, use_df, use_inv, var_te=False, inv_df=True,
                  use_diff=False, diff_ramp=True):
     """Folded half-ladder variant: (A, B, Z) planes of N+1 rows.
 
@@ -286,8 +298,18 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
             E1i = jnp.exp(-TI / t1_ref[0, :])
             E2i = jnp.exp(-TI / t2_ref[0, :])
             fpi = -jnp.sin(ai) * E2i
-            st_ref[1, 0, :] = fpi                          # AI
-            st_ref[3, 0, :] = fpi                          # BI = AI at k=0
+            if use_df and inv_df:
+                # TI precession on the residual F+ (A and B both hold
+                # F+(0) in the folded layout); see _kernel
+                th = 2 * jnp.pi * df_ref[0, :] * TI
+                cth, sth = jnp.cos(th), jnp.sin(th)
+                st_ref[0, 0, :] = -fpi * sth               # AR
+                st_ref[1, 0, :] = fpi * cth                # AI
+                st_ref[2, 0, :] = -fpi * sth               # BR
+                st_ref[3, 0, :] = fpi * cth                # BI
+            else:
+                st_ref[1, 0, :] = fpi                      # AI
+                st_ref[3, 0, :] = fpi                      # BI = AI at k=0
             st_ref[4, 0, :] = jnp.cos(ai) * E1i + 1.0 - E1i
         else:
             st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # ZR, k=0
@@ -426,7 +448,7 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
                 b1_ref, df_ref, out_re_ref, out_im_ref,
                 d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
                 db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate,
-                use_inv, use_df, var_te=False):
+                use_inv, use_df, var_te=False, inv_df=True):
     """Fused primal + (dT1, dT2, dB1) tangent propagation, folded ladder.
 
     Forward-mode derivative of `_kernel_half` with the tangent state
@@ -460,19 +482,31 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
             E1i = jnp.exp(-TI / T1v)
             E2i = jnp.exp(-TI / T2v)
             fpi = -sai * E2i
-            st_ref[1, 0, :] = fpi                          # AI
-            st_ref[3, 0, :] = fpi                          # BI
             st_ref[4, 0, :] = cai * E1i + 1.0 - E1i
             dE1i = E1i * TI / (T1v * T1v)
             dE2i = E2i * TI / (T2v * T2v)
             st_ref[10, 0, :] = (cai - 1.0) * dE1i          # dT1: ZR
             dfpi = -sai * dE2i
-            st_ref[13, 0, :] = dfpi                        # dT2: AI
-            st_ref[15, 0, :] = dfpi                        # dT2: BI
             bfpi = -cai * jnp.pi * E2i
-            st_ref[19, 0, :] = bfpi                        # dB1: AI
-            st_ref[21, 0, :] = bfpi                        # dB1: BI
             st_ref[22, 0, :] = -sai * jnp.pi * E1i         # dB1: ZR
+            if use_df and inv_df:
+                # TI precession multiplies the residual F+ AND its
+                # (dT2, dB1) tangents by the same parameter-independent
+                # phasor (df is not a differentiation variable)
+                th = 2 * jnp.pi * df_ref[0, :] * TI
+                cth, sth = jnp.cos(th), jnp.sin(th)
+                for base, val in ((0, fpi), (12, dfpi), (18, bfpi)):
+                    st_ref[base + 0, 0, :] = -val * sth    # AR
+                    st_ref[base + 1, 0, :] = val * cth     # AI
+                    st_ref[base + 2, 0, :] = -val * sth    # BR
+                    st_ref[base + 3, 0, :] = val * cth     # BI
+            else:
+                st_ref[1, 0, :] = fpi                      # AI
+                st_ref[3, 0, :] = fpi                      # BI
+                st_ref[13, 0, :] = dfpi                    # dT2: AI
+                st_ref[15, 0, :] = dfpi                    # dT2: BI
+                st_ref[19, 0, :] = bfpi                    # dB1: AI
+                st_ref[21, 0, :] = bfpi                    # dB1: BI
         else:
             st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # Z(0) = 1
 
@@ -656,10 +690,11 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
 
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
-                                   "interpret"))
+                                   "interpret", "inversion_df"))
 def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                          nstate=10, btile=512, pchunk=None, demodulate=False,
-                         inversion=None, interpret=False):
+                         inversion=None, inversion_df=True,
+                         interpret=False):
     """Fingerprints + dS/d(T1, T2, B1) via one fused Pallas kernel.
 
     Returns ((re, im), (dre, dim)): (B, P) fingerprints and (B, P, 3)
@@ -716,7 +751,8 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
     kernel = partial(_kernel_jac, nstate=nstate, pchunk=pchunk,
                      demodulate=demodulate, use_inv=inversion is not None,
-                     use_df=use_df, var_te=var_te)
+                     use_df=use_df, var_te=var_te,
+                     inv_df=bool(inversion_df))
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
@@ -747,10 +783,11 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
                                    "normalize", "interpret", "half_ladder",
-                                   "diff_ramp"))
+                                   "diff_ramp", "inversion_df"))
 def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                            nstate=10, btile=512, pchunk=None,
                            demodulate=False, inversion=None,
+                           inversion_df=True,
                            normalize=False, interpret=False,
                            half_ladder=True, diffusion=None,
                            diff_ramp=True):
@@ -845,7 +882,8 @@ def fisp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                          "(nstate >= 1)")
     kwk = dict(nstate=nstate, pchunk=pchunk,
                demodulate=demodulate, use_df=use_df,
-               use_inv=inversion is not None, var_te=var_te)
+               use_inv=inversion is not None, var_te=var_te,
+               inv_df=bool(inversion_df))
     if half_ladder:
         kwk.update(use_diff=use_diff, diff_ramp=diff_ramp)
     kernel = partial(_kernel_half if half_ladder else _kernel, **kwk)

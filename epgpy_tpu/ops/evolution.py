@@ -142,7 +142,7 @@ class E(ScalarOp):
         self.tau = _as_real(tau)
         self.T1 = _as_real(T1)
         self.T2 = _as_real(T2)
-        self.g = _as_real(g)
+        self.g = _as_real(0 if g is None else g)  # E(g=None) == E(g=0)
         self.axes = axes
         if not name:
             name = common.repr_operator("E", ["tau", "T1", "T2", "g"],

@@ -73,7 +73,16 @@ def exchange_operator(tau, khi, *, axis=0, T1=None, T2=None, g=None):
     ndim = len(shape)
     tau, T1, T2, g = (_expand_to(a, ndim) for a in (tau, T1, T2, g))
     T1, T2, g = (jnp.broadcast_to(a, shape) for a in (T1, T2, g))
-    khi = khi.reshape((1,) * (ndim - len(minshape)) + khi.shape)
+    # khi's compartment ROW axis sits at `axis` within its leading block
+    # (columns appended last): move rows next to the columns so the
+    # matrix block is (..., C, C), then right-pad batch dims to the
+    # common layout (append rule -- NOT numpy's left-prepend, which
+    # misaligns any khi batch axes after the compartment axis)
+    rows = axis if axis >= 0 else khi.ndim - 1 + axis
+    khi = jnp.moveaxis(khi, rows, -2)
+    pad = (ndim - 1) - (khi.ndim - 2)
+    if pad > 0:
+        khi = khi.reshape(khi.shape[:-2] + (1,) * pad + khi.shape[-2:])
     tau, T1, T2, g = (jnp.moveaxis(a, axis, -1) for a in (tau, T1, T2, g))
 
     xT = -khi.astype(cdt) + ((-1.0 / T2 + 2j * jnp.pi * g).astype(cdt))[..., None] * eye
@@ -110,7 +119,14 @@ def _expm2(m):
     la = big
     lb = jnp.where(big == 0, l2, det / big_safe)
     diff = la - lb
-    degen = jnp.abs(diff) <= 1e-12 * (jnp.abs(la) + jnp.abs(lb)) + 1e-300
+    # the spectral quotient divides by (la - lb), amplifying eps-level
+    # cancellation near degeneracy (measured 14% relative error in
+    # complex64 at |diff| ~ 2e-5 with the old 1e-12 threshold, which
+    # was f64-calibrated).  Switch WELL before that to the series form
+    # of cosh(D), sinh(D)/D -- division-free, D^2 computed directly
+    # from the entries; truncation error ~ |D|^8/8! ~ 1e-16 at the
+    # 0.04 threshold, below both f32 and f64 roundoff
+    degen = jnp.abs(diff) <= 0.04 * (1.0 + jnp.abs(la) + jnp.abs(lb))
     safe = jnp.where(degen, 1.0, diff)
     ea, eb = jnp.exp(la), jnp.exp(lb)
     # spectral form: expm = (ea (A - lb I) - eb (A - la I)) / (la - lb)
@@ -118,12 +134,16 @@ def _expm2(m):
     e01 = (ea - eb) * b / safe
     e10 = (ea - eb) * c / safe
     e11 = (ea * (d - lb) - eb * (d - la)) / safe
-    # degenerate eigenvalues: expm = e^mu (I + (A - mu I))
+    # near-degenerate: expm = e^mu (cosh(D) I + sinh(D)/D (A - mu I))
+    # with D^2 = ((a-d)/2)^2 + bc (no cancelled subtraction)
+    D2 = ((a - d) / 2) ** 2 + b * c
+    coshD = 1.0 + D2 / 2 * (1.0 + D2 / 12 * (1.0 + D2 / 30))
+    sinhc = 1.0 + D2 / 6 * (1.0 + D2 / 20 * (1.0 + D2 / 42))
     emu = jnp.exp(mu)
-    e00 = jnp.where(degen, emu * (1.0 + a - mu), e00)
-    e01 = jnp.where(degen, emu * b, e01)
-    e10 = jnp.where(degen, emu * c, e10)
-    e11 = jnp.where(degen, emu * (1.0 + d - mu), e11)
+    e00 = jnp.where(degen, emu * (coshD + sinhc * (a - mu)), e00)
+    e01 = jnp.where(degen, emu * sinhc * b, e01)
+    e10 = jnp.where(degen, emu * sinhc * c, e10)
+    e11 = jnp.where(degen, emu * (coshD + sinhc * (d - mu)), e11)
     row0 = jnp.stack([e00, e01], axis=-1)
     row1 = jnp.stack([e10, e11], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
@@ -239,9 +259,21 @@ class X(base.Operator):
             else:
                 dens_b = dens
             if np.ndim(dens_b) > ax and np.shape(dens_b)[ax] == ncomp:
-                tot = np.tensordot(
-                    np.asarray(self.khi), np.moveaxis(dens_b, ax, -1),
-                    axes=[[-1], [-1]])
+                # pair matching batch elements (append rule: batch
+                # blocks left-align, right-pad) -- a tensordot would
+                # cross every khi atom with every density atom and
+                # reject valid per-atom khi/density pairs
+                khi_np = np.asarray(self.khi)
+                rows = ax if ax >= 0 else khi_np.ndim - 1 + ax
+                khi_a = np.moveaxis(khi_np, rows, -2)
+                dens_m = np.moveaxis(dens_b, ax, -1)
+                kb, db = khi_a.shape[:-2], dens_m.shape[:-1]
+                n = max(len(kb), len(db))
+                khi_a = khi_a.reshape(
+                    kb + (1,) * (n - len(kb)) + khi_a.shape[-2:])
+                dens_m = dens_m.reshape(
+                    db + (1,) * (n - len(db)) + dens_m.shape[-1:])
+                tot = np.sum(khi_a * dens_m[..., None, :], axis=-1)
                 if not np.allclose(tot, 0, atol=1e-8):
                     raise RuntimeError(
                         "Exchange matrix `khi` does not conserve total "
@@ -383,10 +415,16 @@ def precompute_exchange(op):
     if _ambient_trace():
         return None
 
-    def prog(o):
-        mat = exchange_operator(o.tau, o.khi, axis=o.axis,
-                                T1=o.T1, T2=o.T2, g=o.g)
-        return jnp.real(mat), jnp.imag(mat)
-
-    mat_re, mat_im = jax.jit(prog)(op)
+    mat_re, mat_im = _precompute_prog(op)
     return PrecomputedExchange(mat_re, mat_im, axis=op.axis)
+
+
+@jax.jit
+def _precompute_prog(o):
+    # module-level jit: value-identical X ops (one instance per TR,
+    # outside scan grouping) share one compile per shape config instead
+    # of paying a fresh trace+compile each (per-call jax.jit wrappers
+    # never hit the cache -- the key includes the wrapper identity)
+    mat = exchange_operator(o.tau, o.khi, axis=o.axis,
+                            T1=o.T1, T2=o.T2, g=o.g)
+    return jnp.real(mat), jnp.imag(mat)

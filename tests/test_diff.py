@@ -342,3 +342,25 @@ def test_diff_asarray_false_device_outputs():
             dec = np.asarray(d["__c_re"]) + 1j * np.asarray(d["__c_im"])
             assert dec.shape == h.shape
             assert np.abs(dec - h).max() == 0.0, f"chunk={chunk}"
+
+
+def test_jacobian_probe_tuple_and_unknown_variable():
+    """Tuples spell variable lists like lists; an untracked variable
+    raises instead of emitting a silent zero column (which would poison
+    CRLB / Gauss-Newton fits downstream)."""
+    import epgpy_tpu as epg
+
+    seq = [epg.T(30, 90, order1="alpha"),
+           epg.E(5.0, 800.0, 80.0, order1=["T1", "T2"]), epg.ADC] * 3
+    jl = np.asarray(epg.simulate(
+        [epg.T(30, 90, order1="alpha"),
+         epg.E(5.0, 800.0, 80.0, order1=["T1", "T2"]), epg.ADC] * 3,
+        probe=epg.Jacobian(["T1", "T2"])))
+    jt = np.asarray(epg.simulate(seq, probe=epg.Jacobian(("T1", "T2"))))
+    assert jt.shape == jl.shape and np.array_equal(jt, jl)
+
+    with pytest.raises(ValueError, match="not tracked"):
+        epg.simulate(
+            [epg.T(30, 90, order1="alpha"),
+             epg.E(5.0, 800.0, 80.0, order1=["T1", "T2"]), epg.ADC] * 3,
+            probe=epg.Jacobian(["T2 "]))   # typo: trailing space

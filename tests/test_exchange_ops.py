@@ -1,0 +1,79 @@
+"""Exchange-operator regressions: batched khi alignment, the eager
+conservation check's batch pairing, and _expm2 near-degeneracy accuracy.
+
+Reference anchor: epgpy/exchange.py (note the reference CRASHES on a
+batched khi from its own exchange_matrix(rates, axis=0) -- broadcast
+error in exchange_operator -- so batched per-atom khi is validated here
+against a per-atom loop oracle instead).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import epgpy_tpu as epg
+from epgpy_tpu.ops.exchange import _expm2
+
+
+def _run(khi, T2, B):
+    X = epg.X(10.0, khi, axis=0, T1=1000.0, T2=T2)
+    seq = []
+    for _ in range(6):
+        seq += [epg.T(np.asarray([10.0, 0.0]), 0.0), epg.ADC, X, epg.S(1)]
+    return np.asarray(epg.simulate(seq, max_nstate=4, density=[0.8, 0.2],
+                                   fisp_kernel=False))
+
+
+@pytest.mark.parametrize("rates", [[0.005, 0.01, 0.02],
+                                   [0.005, 0.02]])  # incl. B == ncomp
+def test_batched_khi_matches_per_atom_loop(rates):
+    """Per-atom khi (exchange_matrix(rate_array, axis=0) -> (C, B, C))
+    must pair each atom's kinetic matrix with that atom's parameters.
+    The B == ncomp case used to broadcast silently with misaligned
+    axes; other batch sizes crashed."""
+    B = len(rates)
+    t2f = np.linspace(60, 100, B)
+    T2 = np.stack([t2f, np.full(B, 0.012)])
+    batched = _run(epg.exchange_matrix(np.asarray(rates), axis=0), T2, B)
+    per_atom = np.stack(
+        [_run(epg.exchange_matrix(float(rates[b])),
+              np.asarray([t2f[b], 0.012]), 1) for b in range(B)],
+        axis=-1)
+    assert np.abs(batched - per_atom).max() == 0.0
+
+
+def test_conservation_check_pairs_atoms():
+    """Eager-mode conservation check: per-atom khi each conserving its
+    OWN atom's density must pass (a tensordot would cross atoms and
+    raise spuriously)."""
+    dens = np.asarray([[0.9, 0.7], [0.1, 0.3]])       # (C, B)
+    khis = np.stack([epg.exchange_matrix(0.005, densities=dens[:, b])
+                     for b in range(2)], axis=1)       # (C, B, C)
+    X = epg.X(10.0, khis, axis=0, T1=1000.0,
+              T2=np.asarray([[80.0, 90.0], [0.012, 0.012]]))
+    sm = epg.StateMatrix([0, 0, 1], nstate=2, density=dens)
+    sm = sm.broadcast((2, 2))
+    sm = epg.T(np.asarray([10.0, 0.0]), 0.0)(sm)
+    out = X(sm)                                        # must not raise
+    assert np.isfinite(np.asarray(out.states_re)).all()
+
+
+def test_expm2_near_degeneracy_f32():
+    """complex64 mixing matrices near the eigenvalue crossing (the
+    old 1e-12 threshold was f64-calibrated: 14% error measured at
+    |delta| ~ 2e-5 in f32)."""
+    import scipy.linalg as sla
+
+    x, b = 0.7, 1.3
+    for delta in (0.0, 1e-6, 1e-4, 1e-2, 0.03, 0.05, 0.3, 2.0):
+        c = -(x ** 2 - delta ** 2) / b
+        m = np.array([[-1.0 + x, b], [c, -1.0 - x]], complex)
+        truth = sla.expm(m)
+        got32 = np.asarray(_expm2(jnp.asarray(m, jnp.complex64)))
+        got64 = np.asarray(_expm2(jnp.asarray(m, jnp.complex128)))
+        rel32 = np.abs(got32 - truth).max() / np.abs(truth).max()
+        rel64 = np.abs(got64 - truth).max() / np.abs(truth).max()
+        assert rel32 < 3e-6, (delta, rel32)
+        assert rel64 < 1e-12, (delta, rel64)

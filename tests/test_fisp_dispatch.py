@@ -389,10 +389,13 @@ def test_jacobian_dispatch_fall_through(monkeypatch):
                  epg.ADC, epg.E(8.0, T1, T2, order1={"t1v": "T1"}), epg.S(1)]
     epg.simulate(seq2, max_nstate=6, fisp_kernel="force",
                  probe=epg.Jacobian(["t1v"]))
-    # probed variable not tracked by the (matched) train
+    # probed variable not tracked by the (matched) train: both paths
+    # raise (reference parity: sm.order1[var] KeyError; silent zero
+    # columns would poison CRLB/GN fits)
     seq3 = _diff_train(P=12, B=3, order1=("T1",))
-    epg.simulate(seq3, max_nstate=6, fisp_kernel="force",
-                 probe=epg.Jacobian(["T2"]))
+    with pytest.raises(ValueError, match="not tracked"):
+        epg.simulate(seq3, max_nstate=6, fisp_kernel="force",
+                     probe=epg.Jacobian(["T2"]))
     # inconsistent tracking between the two E ops of one TR
     seq4 = _diff_train(P=12, B=3)
     seq4[1] = epg.E(4.0, T1, T2, order1=["T1"])
@@ -668,12 +671,14 @@ def test_mse_jacobian_off_pattern_fall_through():
     seq[7] = epg.E(e.tau, e.T1, e.T2, order1=["T2"])
     assert fisp_dispatch.match_mse(list(seq)) is None
     # probe variables outside {magnitude} | tracked fall through to the
-    # planner (B1 is not an E-op parameter) -- parity must still hold
+    # planner, which raises (reference parity: sm.order1[var] KeyError)
     seq = _mse_diff_train(necho=6, B=4, order1=("T2",))
     probes = [epg.Jacobian(["T1", "T2"])]
-    jac_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
-    jac_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
-    assert np.abs(np.asarray(jac_k) - np.asarray(jac_e)).max() < 2e-10
+    with pytest.raises(ValueError, match="not tracked"):
+        epg.simulate(seq, probe=probes, fisp_kernel="force")
+    with pytest.raises(ValueError, match="not tracked"):
+        epg.simulate(list(seq), probe=[epg.Jacobian(["T1", "T2"])],
+                     fisp_kernel=False)
 
 
 @pytest.mark.parametrize("case", range(20))

@@ -145,3 +145,71 @@ def test_fisp_off_resonance_matches_engine():
                 epg.E(7.0, T1v, T2v, g=df), epg.S(1)]
     ref = np.asarray(epg.simulate(seq, max_nstate=6))[:, 0]
     assert np.abs(sig - ref).max() < 1e-10
+
+
+def test_inversion_with_off_resonance_phase():
+    """The imperfect-inversion (B1 != 1) residual F+ must precess
+    during TI: fisp_mrf_dictionary(dfs=, inversion=) equals the
+    operator train whose prep E carries g=df (was: no TI phase, 0.82
+    absolute error on the fingerprint)."""
+    import epgpy_tpu as epg
+    from epgpy_tpu.models.mrf import fisp_mrf_dictionary
+
+    P, TI = 12, 20.0
+    FA = 10 + 40 * np.abs(np.sin(np.arange(P) / 3.0))
+    T1, T2, B1, df = 900.0, 70.0, 0.8, 0.025
+    seq = [epg.T(180.0 * B1, 0), epg.E(TI, T1, T2, g=df)]
+    for i in range(P):
+        seq += [epg.T(FA[i] * B1, 90), epg.E(5.0, T1, T2, g=df), epg.ADC,
+                epg.E(7.0, T1, T2, g=df), epg.S(1)]
+    want = np.asarray(epg.simulate(seq, max_nstate=10,
+                                   fisp_kernel=False))[:, 0]
+    re, im = fisp_mrf_dictionary(FA, 12.0, 5.0, [T1], [T2], [B1],
+                                 dfs=[df], inversion=TI, nstate=10,
+                                 normalize=False)
+    got = (np.asarray(re) + 1j * np.asarray(im))[0]
+    assert np.abs(got - want).max() < 1e-12
+
+    # the fused kernels agree (folded + full ladder + Jacobian primal)
+    from epgpy_tpu.models.pallas_fisp import (fisp_dictionary_pallas,
+                                              fisp_jacobian_pallas)
+    for kw in (dict(), dict(half_ladder=False)):
+        kre, kim = fisp_dictionary_pallas(
+            FA, 90.0, 12.0, 5.0, [T1], [T2], [B1], [df], inversion=TI,
+            nstate=10, interpret=True, **kw)
+        kg = (np.asarray(kre) + 1j * np.asarray(kim))[0]
+        assert np.abs(kg - got).max() < 1e-5
+    (jre, jim), (jd_re, jd_im) = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, [T1], [T2], [B1], [df], inversion=TI,
+        nstate=10, interpret=True)
+    jg = (np.asarray(jre) + 1j * np.asarray(jim))[0]
+    assert np.abs(jg - got).max() < 1e-5
+    # FD on T2 (its inversion tangent seed carries the TI phase)
+    eps = 0.05
+    rp, ip = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, [T1], [T2 + eps],
+                                    [B1], [df], inversion=TI, nstate=10,
+                                    interpret=True)
+    rm, imm = fisp_dictionary_pallas(FA, 90.0, 12.0, 5.0, [T1], [T2 - eps],
+                                     [B1], [df], inversion=TI, nstate=10,
+                                     interpret=True)
+    fd = ((np.asarray(rp) + 1j * np.asarray(ip))
+          - (np.asarray(rm) + 1j * np.asarray(imm)))[0] / (2 * eps)
+    jac = (np.asarray(jd_re)[0, :, 1] + 1j * np.asarray(jd_im)[0, :, 1])
+    assert np.abs(jac - fd).max() < 5e-4 * max(1e-12, np.abs(fd).max()) \
+        + 1e-6
+
+
+def test_evolution_g_none():
+    """E(tau, T1, T2, g=None) behaves as g=0 (was a jnp.asarray(None)
+    crash at plan-build time)."""
+    import epgpy_tpu as epg
+
+    seq = [epg.T(30, 90)] + [epg.E(5.0, 800.0, 80.0, g=None), epg.ADC,
+                             epg.E(7.0, 800.0, 80.0, g=None),
+                             epg.S(1)] * 6
+    a = np.asarray(epg.simulate(list(seq), max_nstate=6,
+                                fisp_kernel=False))
+    seq0 = [epg.T(30, 90)] + [epg.E(5.0, 800.0, 80.0), epg.ADC,
+                              epg.E(7.0, 800.0, 80.0), epg.S(1)] * 6
+    b = np.asarray(epg.simulate(seq0, max_nstate=6, fisp_kernel=False))
+    assert np.array_equal(a, b)
