@@ -12,6 +12,7 @@ evaluated once at trace time with jnp as the math namespace.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,7 +93,12 @@ class Adc(Probe):
         if attr not in SM_LOCALS:
             raise ValueError(f"Invalid StateMatrix attribute: {attr}")
         self.attr = attr
-        self.phase = None if phase is None else np.asarray(phase)
+        # keep device/traced phases as-is (they ARE traced leaves, per
+        # the class docstring; np.asarray on a Tracer raises, and on a
+        # device array costs a d2h tunnel round-trip)
+        self.phase = (phase if phase is None
+                      or isinstance(phase, (jax.Array, jax.core.Tracer))
+                      else np.asarray(phase))
 
         if reduce is not None and reduce is not True and reduce is not False:
             reduce = (reduce,) if isinstance(reduce, int) else tuple(reduce)
@@ -101,7 +107,8 @@ class Adc(Probe):
         self.reduce = reduce
 
         if weights is not None:
-            weights = np.asarray(weights)
+            if not isinstance(weights, (jax.Array, jax.core.Tracer)):
+                weights = np.asarray(weights)
             ndim = max(weights.ndim, 1)
             if reduce is None:
                 self.reduce = tuple(range(ndim))

@@ -266,7 +266,8 @@ def precompute_diagonal(op_stacked, scan=True):
     # the parameter form when that would claim more than ~1.5 GB of HBM
     nelem = max(int(np.prod(common.get_shape(l)))
                 for l in jax.tree_util.tree_leaves(op_stacked))
-    if 6 * 4 * nelem > 1_500_000_000:
+    itemsize = np.dtype(config.real_dtype()).itemsize   # 8 under x64
+    if 6 * itemsize * nelem > 1_500_000_000:
         return None
     fp, z, rec = _split_elements_compiled(op_stacked, scan=scan)
 
@@ -336,6 +337,10 @@ def apply_diff_arrays_to(new, lin, quad, fields=("arr", "arr0")):
         add = add + dd * join_complex(dre, dim)
         if d0re is not None:
             add0 = add0 + dd * join_complex(d0re, d0im)
+        # a param appearing ONLY in d2arrs is consumed here too --
+        # without this, diff.substitute falls through to a direct
+        # parameter substitution and raises on the op's own spec
+        handled.update((p1, p2))
     if handled or d2:
         arr = arr + add
         object.__setattr__(new, main + "_re", arr.real)

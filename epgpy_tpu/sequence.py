@@ -548,7 +548,14 @@ class Sequence:
             ops = self.check(op)
         else:
             ops = self.check([op])
-            item = slice(item, item + 1)
+        if isinstance(item, int):
+            # replace exactly one element (a raw slice(item, item+1)
+            # would be EMPTY for item=-1 and insert instead of replace)
+            n = len(self.operators)
+            idx = item + n if item < 0 else item
+            if not 0 <= idx < n:
+                raise IndexError(item)
+            item = slice(idx, idx + 1)
         self.operators[item] = ops
 
     def __delitem__(self, item):
@@ -590,11 +597,16 @@ class Sequence:
             if not order1:
                 order1 = list(hessvars)
         unique = {}
-        return [
-            unique.setdefault(id(op), op.build(values or {}, order1=order1,
-                                               order2=order2))
-            for op in self.operators
-        ]
+        out = []
+        for op in self.operators:
+            # (setdefault would evaluate op.build for every occurrence
+            # of a shared operator -- ~nrep derivative-coefficient
+            # evaluations per repeated block instead of one)
+            if id(op) not in unique:
+                unique[id(op)] = op.build(values or {}, order1=order1,
+                                          order2=order2)
+            out.append(unique[id(op)])
+        return out
 
     def simulate(self, values=None, *, order1=None, order2=None, probe=None,
                  **kwargs):
@@ -634,8 +646,11 @@ class Sequence:
             variables2 = [variables2]
         probe = [_ops.ADC, _diff.Jacobian(list(variables1)),
                  _diff.Hessian(list(variables1), list(variables2))]
-        pairs = [(v1, v2) for v1 in variables1 for v2 in variables2
-                 if v1 <= v2 and "magnitude" not in (v1, v2)]
+        # normalize pairs by sorting (a `v1 <= v2` FILTER, as in the
+        # reference, silently drops cross pairs like ("T2", "B1"))
+        pairs = sorted({tuple(sorted((v1, v2)))
+                        for v1 in variables1 for v2 in variables2
+                        if "magnitude" not in (v1, v2)})
         o1 = [v for v in set(variables1) | set(variables2) if v != "magnitude"]
 
         def hessian(valuesdict=None, **vals):
@@ -718,7 +733,7 @@ def repeat(ops, nrep=None, **mapping):
     if not isinstance(ops, list):
         raise ValueError(f"Expecting operator list, got {type(ops)}")
 
-    inferred = not nrep
+    inferred = nrep is None
     if inferred:
         lengths = {len(v) for v in mapping.values() if isinstance(v, list)}
         if len(lengths) > 1:

@@ -546,12 +546,21 @@ class StateMatrix:
         coords = None
         if sms[0].coords is not None:
             coords = jnp.stack([s.coords for s in sms], axis=axis)
+        # the center-only-equilibrium fast-path hint must hold for EVERY
+        # stacked matrix (raw equilibrium_re/_im fields bypass update()'s
+        # recompute; keeping only self's hint would skip F-row recovery
+        # for a stacked partner with an off-center equilibrium)
+        hint = all(bool(s.options.get("_eq_center", False)) for s in sms)
+        opts = self.options
+        if bool(opts.get("_eq_center", False)) != hint:
+            opts = {**opts, "_eq_center": hint}
         return self.update(
             states_re=jnp.stack([s.states_re for s in sms], axis=axis),
             states_im=jnp.stack([s.states_im for s in sms], axis=axis),
             equilibrium_re=_st("equilibrium_re"),
             equilibrium_im=_st("equilibrium_im"),
             coords=coords,
+            options=opts,
         )
 
     def unstack(self, *, axis: int = 0):

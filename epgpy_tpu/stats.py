@@ -9,7 +9,13 @@ hand-derived Hessian contraction (which is kept for API parity).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+#: TPU matmul default is bf16 passes (~4e-3 relative); Fisher/covariance
+#: products feed matrix inversions that amplify that by cond^2 -- run all
+#: contractions at full f32 (CLAUDE.md fact 5, as everywhere else)
+_HI = jax.lax.Precision.HIGHEST
 
 __all__ = ["crlb", "crlb_split", "confint", "get_tstat_interval"]
 
@@ -22,7 +28,7 @@ def _fisher(J, sigma2):
     """Fisher information (..., p, p) from a complex Jacobian (..., n, p)."""
     J = jnp.asarray(J)
     JH = jnp.swapaxes(jnp.conj(J), -1, -2)
-    return (JH @ J).real / sigma2
+    return jnp.matmul(JH, J, precision=_HI).real / sigma2
 
 
 def _bound_matrix(fisher):
@@ -59,10 +65,12 @@ def crlb(J, H=None, *, W=None, sigma2=1, log=False):
     # d cost / dx = -tr(M dF/dx lb) with M = diag(W) lb and
     # dF/dx = 2 Re(H^H J) / sigma2 (symmetrized over the p,q Fisher axes)
     J = jnp.asarray(J)
-    dF = jnp.einsum("...npx,...nq->...pqx", jnp.conj(jnp.asarray(H)), J).real
+    dF = jnp.einsum("...npx,...nq->...pqx", jnp.conj(jnp.asarray(H)), J,
+                    precision=_HI).real
     dF = (dF + jnp.swapaxes(dF, -3, -2)) / sigma2
     M = lb if weights is None else lb * weights[..., None]
-    grad = -jnp.einsum("...pq,...qrx,...rp->...x", M, dF, lb)
+    grad = -jnp.einsum("...pq,...qrx,...rp->...x", M, dF, lb,
+                       precision=_HI)
     if log:
         return jnp.log10(cost), grad / (cost[..., None] * jnp.log(10.0))
     return cost, grad
@@ -92,19 +100,24 @@ def confint(obs, pred, jac, hess=None, *, conflevel=0.95):
     res = jnp.asarray(obs) - jnp.asarray(pred)
     sse = jnp.sum((res * jnp.conj(res)).real, axis=-1)
 
-    # observed-information covariance: J^H J [+ sum_n conj(H_n) res_n]
-    info = (jnp.swapaxes(jnp.conj(jac), -1, -2) @ jac).real
+    # observed-information covariance: with res = obs - pred,
+    # d res/dtheta = -J, so d2(SSE)/dtheta2 = 2 [J^H J - Re(conj(H) res)]
+    info = jnp.matmul(jnp.swapaxes(jnp.conj(jac), -1, -2), jac,
+                      precision=_HI).real
     if hess is not None:
         hterm = jnp.einsum(
-            "...nqp,...n->...pq", jnp.conj(jnp.asarray(hess)), res).real
-        info = info + hterm
+            "...nqp,...n->...pq", jnp.conj(jnp.asarray(hess)), res,
+            precision=_HI).real
+        info = info - hterm
     cov = jnp.linalg.inv(info) * (sse[..., None, None] / dof)
 
     tval = get_tstat_interval(conflevel, dof)
     cints = tval * jnp.sqrt(jnp.diagonal(cov, axis1=-2, axis2=-1))
 
     # prediction variance per point: j_n^H cov j_n
-    predvar = jnp.sum((jac @ cov) * jnp.conj(jac), axis=-1).real
+    predvar = jnp.sum(jnp.matmul(jac, cov.astype(jac.dtype),
+                              precision=_HI) * jnp.conj(jac),
+                      axis=-1).real
     cband = tval * jnp.sqrt(predvar)
     return cints, cband
 

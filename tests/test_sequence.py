@@ -237,3 +237,80 @@ def test_dsl_null_operator():
                      sq.operators.ADC])
     s2 = sq.Sequence([sq.operators.T(90, 90), sq.operators.ADC])
     assert np.allclose(np.asarray(s.signal()()), np.asarray(s2.signal()()))
+
+
+def test_confint_observed_information_sign():
+    """With res = obs - pred, the observed information is
+    J^H J - Re(conj(H) res) (the + sign biased intervals and came from
+    the reference's never-validated einsum): pin against the
+    finite-difference Hessian of the actual SSE."""
+    from epgpy_tpu import stats
+
+    t = np.linspace(0.1, 3.0, 12)
+    theta0 = np.asarray([1.3, 0.7])
+
+    def pred(th):
+        return th[0] * np.exp(-t * th[1])
+
+    rng = np.random.default_rng(3)
+    obs = pred(theta0) + 0.05 * rng.standard_normal(t.size)
+
+    def sse(th):
+        r = obs - pred(th)
+        return float(np.sum(r * r))
+
+    # FD Hessian of SSE at theta0; observed information = H_sse / 2
+    eps = 1e-5
+    H_sse = np.zeros((2, 2))
+    for i in range(2):
+        for j in range(2):
+            pp = theta0.copy(); pp[i] += eps; pp[j] += eps
+            pm = theta0.copy(); pm[i] += eps; pm[j] -= eps
+            mp = theta0.copy(); mp[i] -= eps; mp[j] += eps
+            mm = theta0.copy(); mm[i] -= eps; mm[j] -= eps
+            H_sse[i, j] = (sse(pp) - sse(pm) - sse(mp) + sse(mm)) / (4 * eps**2)
+    info_fd = H_sse / 2
+
+    # analytic jac/hess of the MODEL at theta0
+    e = np.exp(-t * theta0[1])
+    jac = np.stack([e, -theta0[0] * t * e], axis=-1)           # (n, 2)
+    hess = np.zeros((t.size, 2, 2))
+    hess[:, 0, 1] = hess[:, 1, 0] = -t * e
+    hess[:, 1, 1] = theta0[0] * t * t * e
+    res = obs - pred(theta0)
+    info = jac.T @ jac - np.einsum("nqp,n->pq", hess, res)
+    assert np.abs(info - info_fd).max() < 1e-4 * np.abs(info_fd).max()
+
+    # and confint's cints match the FD-information covariance
+    cints, _ = stats.confint(obs, pred(theta0), jac, hess)
+    dof = t.size - 2
+    cov_fd = np.linalg.inv(info_fd) * sse(theta0) / dof
+    tval = stats.get_tstat_interval(0.95, dof)
+    want = tval * np.sqrt(np.diag(cov_fd))
+    assert np.abs(np.asarray(cints) - want).max() < 1e-3 * want.max()
+
+
+def test_repeat_zero_and_negative_setitem():
+    from epgpy_tpu import sequence as seqm
+
+    v = seqm.Variable("T2")
+    blk = [seqm.E(5.0, 1400.0, v), "ADC"]
+    assert seqm.repeat(blk, 0) == []
+    s = seqm.Sequence([seqm.T(90, 90), seqm.E(5.0, 1400.0, v), "ADC"])
+    s[-1] = "SPOILER"
+    assert len(s) == 3
+
+
+def test_hessian_cross_pair_order():
+    """seq.hessian(v1, v2) with v1 > v2 lexically must keep the cross
+    pair (a `v1 <= v2` filter drops it and loses the quadratic
+    chain-rule term for expression-mapped parameters)."""
+    from epgpy_tpu import sequence as seqm
+
+    T2v, B1v = seqm.Variable("T2"), seqm.Variable("B1")
+    seq = seqm.Sequence([seqm.T(90 * B1v, 90),
+                         seqm.E(5.0, 1400.0, T2v * T2v / 50.0), "ADC"])
+    h12 = np.asarray(seq.hessian(["T2"], ["B1"])(T2=50.0, B1=1.0)[2])
+    h21 = np.asarray(seq.hessian(["B1"], ["T2"])(T2=50.0, B1=1.0)[2])
+    assert np.abs(h12).max() > 0
+    assert np.allclose(h12, np.swapaxes(h21, -1, -2), atol=1e-10)

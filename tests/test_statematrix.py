@@ -88,3 +88,24 @@ def test_coords_setup():
     assert sm.kdim == 3
     assert sm.coords.shape == (1, 5, 3)
     assert np.allclose(np.asarray(sm.coords[..., 0]), np.arange(-2, 3))
+
+
+def test_stack_recomputes_eq_center_hint():
+    """Stacking with a partner whose equilibrium is NOT center-only must
+    clear the _eq_center fast-path hint (the lanes relaxation recovery
+    would otherwise skip the partner's off-center rows)."""
+    import numpy as np
+    from epgpy_tpu import StateMatrix
+
+    sm1 = StateMatrix([0, 0, 1], nstate=2)
+    assert sm1.options.get("_eq_center") is True
+    eq = np.zeros((5, 3))
+    eq[2, 2] = 1.0
+    eq[1, 2] = eq[3, 2] = 0.25   # off-center (Z-symmetric) equilibrium
+    sm2 = StateMatrix([0, 0, 1], nstate=2, equilibrium=eq)
+    assert sm2.options.get("_eq_center") is False
+    stacked = sm1.stack([sm2])
+    assert stacked.options.get("_eq_center") is False
+    # and an all-center stack keeps the fast path
+    assert sm1.stack([StateMatrix([0, 0, 1], nstate=2)]).options.get(
+        "_eq_center") is True
