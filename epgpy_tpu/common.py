@@ -15,6 +15,7 @@ plus `jnp.reshape`-based array expansion; nothing allocates on device.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -122,6 +123,11 @@ def shape_with_axes(shape: tuple, axes) -> tuple:
     nbatch = len(shape)
     if isinstance(axes, int):
         axes = tuple(range(axes, axes + nbatch))
+    if len(axes) != nbatch:
+        # mirror set_axes' validation: a silently zip-truncated shape
+        # would diverge from what apply() later accepts
+        raise ValueError(
+            f"Invalid axes {axes} for {nbatch} batch dim(s)")
     out = [1] * (max(axes) + 1)
     for pos, dim in zip(axes, shape):
         out[pos] = dim
@@ -183,10 +189,31 @@ class Frozen(tuple):
     """Marker wrapper for a dict frozen as a sorted item tuple."""
 
 
+class _FrozenList(tuple):
+    """Hashable stand-in for a frozen list aux value: unfreeze_aux
+    restores it as a list (a plain tuple would silently mutate the
+    attribute's type on every Operator.copy()/strip_meta round-trip)."""
+
+    __slots__ = ()
+
+
+def as_real(value):
+    """Parameter coercion shared by the physics ops: None passes
+    through, traced/device values stay jnp, concrete values become
+    float numpy arrays (host-side, scan-stackable)."""
+    if value is None:
+        return None
+    if isinstance(value, (jax.core.Tracer, jnp.ndarray)):
+        return jnp.asarray(value)
+    return np.asarray(value, dtype=float)
+
+
 def freeze_aux(v):
     if isinstance(v, dict):
         return Frozen(sorted((k, freeze_aux(x)) for k, x in v.items()))
-    if isinstance(v, (list, tuple)) and not isinstance(v, Frozen):
+    if isinstance(v, list):
+        return _FrozenList(freeze_aux(x) for x in v)
+    if isinstance(v, tuple) and not isinstance(v, Frozen):
         return tuple(freeze_aux(x) for x in v)
     if isinstance(v, np.ndarray):
         return ("__ndarray__", v.tobytes(), v.dtype.str, v.shape)
@@ -196,6 +223,8 @@ def freeze_aux(v):
 def unfreeze_aux(v):
     if isinstance(v, Frozen):
         return {k: unfreeze_aux(x) for k, x in v}
+    if isinstance(v, _FrozenList):
+        return [unfreeze_aux(x) for x in v]
     if isinstance(v, tuple) and len(v) == 4 and v[0] == "__ndarray__":
         return np.frombuffer(v[1], dtype=np.dtype(v[2])).reshape(v[3]).copy()
     if isinstance(v, tuple):

@@ -202,7 +202,12 @@ class MultiOperator(Operator):
     def __init__(self, operators: Sequence[Operator], *, name=None, duration=None):
         operators = list(operators)
         if duration is None:
-            duration = sum(np.asarray(getattr(op, "duration", 0.0)) for op in operators)
+            # plain additions: np.asarray would crash on traced
+            # durations (sequences built under jit) and would issue one
+            # d2h tunnel transfer per device-array duration
+            durs = [getattr(op, "duration", None) for op in operators]
+            duration = sum(d for d in durs if d is not None) \
+                if any(d is not None for d in durs) else 0.0
         name = name or "*".join(op.name for op in operators)
         self.operators = operators
         self.name = name
@@ -298,20 +303,27 @@ class Reset(Operator):
     """Reset magnetization to equilibrium."""
 
     def apply(self, sm):
-        # equilibrium leaves share the state layout in both modes
+        # equilibrium leaves share the state layout in both modes.  The
+        # equilibrium may carry batch axes WIDER than the states (e.g.
+        # PD(batch, reset=False) then RESET): grow the states to the
+        # common shape, as the reference's resize-on-update does
+        # (reference epgpy/statematrix.py set(..., resize=True))
         if sm.lanes:
             def fill(eq, st):
-                return tuple(jnp.broadcast_to(jnp.asarray(e, s.dtype), s.shape)
-                             for e, s in zip(eq, st))
+                return tuple(
+                    jnp.broadcast_to(
+                        jnp.asarray(e, s.dtype),
+                        jnp.broadcast_shapes(e.shape, s.shape))
+                    for e, s in zip(eq, st))
             return sm.update(
                 states_re=fill(sm.equilibrium_re, sm.states_re),
                 states_im=fill(sm.equilibrium_im, sm.states_im))
-        shape = sm.states_re.shape
+        eq_re = jnp.asarray(sm.equilibrium_re, sm.states_re.dtype)
+        eq_im = jnp.asarray(sm.equilibrium_im, sm.states_im.dtype)
+        shape = jnp.broadcast_shapes(eq_re.shape, sm.states_re.shape)
         return sm.update(
-            states_re=jnp.broadcast_to(
-                jnp.asarray(sm.equilibrium_re, sm.states_re.dtype), shape),
-            states_im=jnp.broadcast_to(
-                jnp.asarray(sm.equilibrium_im, sm.states_im.dtype), shape),
+            states_re=jnp.broadcast_to(eq_re, shape),
+            states_im=jnp.broadcast_to(eq_im, shape),
         )
 
 

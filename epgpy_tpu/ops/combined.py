@@ -31,8 +31,18 @@ def combine(*ops, name=None, duration=None):
     merged = ops[0]
     for op in ops[1:]:
         merged = merged @ op
-    if isinstance(merged, CombinedOp) and (name or duration is not None):
-        merged = CombinedOp(merged.ops, name=name, duration=duration)
+    if name or duration is not None:
+        if isinstance(merged, CombinedOp):
+            merged = CombinedOp(merged.ops, name=name, duration=duration)
+        else:
+            # single-operator result: apply the overrides on a copy
+            # instead of silently dropping them
+            kw = {}
+            if name:
+                kw["name"] = name
+            if duration is not None:
+                kw["duration"] = duration
+            merged = merged.copy(**kw)
     return merged
 
 
@@ -45,7 +55,10 @@ class CombinedOp(base.CombinableOperator):
     def __init__(self, ops, *, name=None, duration=None):
         self.ops = list(ops)
         if duration is None:
-            duration = sum((getattr(op, "duration", 0.0) or 0.0) for op in self.ops)
+            # no truthiness on durations: array durations are ambiguous
+            durs = [getattr(op, "duration", None) for op in self.ops]
+            duration = sum(d for d in durs if d is not None) \
+                if any(d is not None for d in durs) else 0.0
         name = name or "|".join(op.name for op in self.ops)
         base.Operator.__init__(self, name=name, duration=duration)
         # expose the union of the constituents' tracked variables so the
@@ -75,8 +88,10 @@ class CombinedOp(base.CombinableOperator):
         if name is None:
             name = f"{first.name}|{second.name}"
         if duration is None:
-            d1 = getattr(first, "duration", 0.0) or 0.0
-            d2 = getattr(second, "duration", 0.0) or 0.0
+            d1 = getattr(first, "duration", None)
+            d2 = getattr(second, "duration", None)
+            d1 = 0.0 if d1 is None else d1
+            d2 = 0.0 if d2 is None else d2
             duration = d1 + d2
         return cls(ops, name=name, duration=duration)
 

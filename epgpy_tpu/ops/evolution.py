@@ -80,12 +80,7 @@ def evolution_elements(rT, rL, r0=None):
     return elems, (None, None, rec)
 
 
-def _as_real(value):
-    if value is None:
-        return None
-    if isinstance(value, (jax.core.Tracer, jnp.ndarray)):
-        return jnp.asarray(value)
-    return np.asarray(value, dtype=float)
+_as_real = common.as_real
 
 
 @base.register_op
@@ -100,6 +95,10 @@ class R(ScalarOp):
         self.rT_re, self.rT_im = split_complex(rT)
         self.rL_re, self.rL_im = split_complex(rL)
         self.r0_re, self.r0_im = split_complex(r0)
+        if r0 is None:
+            # order1=True must not try to differentiate an absent
+            # recovery term (diff.substitute would shift a None leaf)
+            self.PARAMETERS_ORDER1 = frozenset({"rT", "rL"})
         self.axes = axes
         if not name:
             name = common.repr_operator("R", ["rT", "rL", "r0"], [rT, rL, r0],

@@ -128,7 +128,10 @@ class T(MatrixOp):
         from .scalarop import align_batch, _coeff_lanes
         elems = rotation_elements(self.alpha, self.phi)
         if self.axes is not None:
-            elems = tuple(common.set_axes(0, e, self.axes) for e in elems)
+            # atleast_1d: scalar alpha/phi give 0-d elements, and
+            # set_axes on an empty batch would die (as _pin_elements)
+            elems = tuple(common.set_axes(0, jnp.atleast_1d(e), self.axes)
+                          for e in elems)
 
         if sm.lanes:
             # half-lanes: reconstruct the implied F- plane once, update
@@ -203,10 +206,4 @@ class Phi(MatrixOp):
         return apply_coefficients(sm, arr, arr0)
 
 
-def _as_real(value):
-    """Keep traced values as-is; concrete values as float numpy/jnp arrays."""
-    import jax
-    import numpy as np
-    if isinstance(value, (jax.core.Tracer, jnp.ndarray)):
-        return jnp.asarray(value)
-    return np.asarray(value, dtype=float)
+_as_real = common.as_real
