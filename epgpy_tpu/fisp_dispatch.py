@@ -266,8 +266,6 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         TI = _scalar(e0.tau)
         if TI is None:
             return None
-        if spoiled and _scalar(e0.g) != 0.0:
-            return None
         prep = (t0, e0, TI)
         sequence = sequence[2:]
 
@@ -384,6 +382,7 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     FA, B1 = fab
 
     TI = None
+    inv_df = False
     if prep is not None:
         # the kernel's prep is a 180*B1 pulse about phi=0: accept a
         # scalar exact-180 prep (phi-free -- sin(pi)=0 -- but only when
@@ -395,11 +394,21 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         if (t1v is None or t2v is None or not np.array_equal(T1, t1v)
                 or not np.array_equal(T2, t2v)):
             return None
+        g0 = _host_nd(e0.g)
         if not spoiled:
             # balanced prep must precess with the train's off-resonance
-            g0 = _host_nd(e0.g)
             if g0 is None or not np.array_equal(g0, DF):
                 return None
+        elif g0 is None:
+            return None
+        elif np.any(np.asarray(g0) != 0.0):
+            # a precessing FISP prep is supported when (and only when)
+            # it carries the train's off-resonance exactly: the kernel
+            # then applies the TI phase to the prepped F+
+            # (inversion_df=True; the pSSFP-with-inversion idiom)
+            if DF is None or not np.array_equal(g0, DF):
+                return None
+            inv_df = True
         if _canonical_order1(e0) != tracked:
             # the kernel seeds prep tangents in closed form, i.e. the
             # prep relaxation IS differentiated: tracking must agree
@@ -471,7 +480,7 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": T1f, "T2": T2f,
-        "B1": B1f, "TI": TI, "vars": tracked,
+        "B1": B1f, "TI": TI, "inv_df": inv_df, "vars": tracked,
         "demod": demod, "shape": bshape,
         "df": DFf if DFf.any() else None,
         "diffusion": diffusion,
@@ -498,17 +507,17 @@ def match_dwfisp(sequence, kvalue=1.0):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "demod", "use_df",
-                                             "bshape", "ramp"))
+                                             "bshape", "ramp", "inv_df"))
 def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
                 nstate, interpret, use_inv, demod=False, use_df=False,
-                bshape=None, ramp=True):
+                bshape=None, ramp=True, inv_df=False):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     # tensor D with 1-D wavenumbers reduces to b00 * sum(D) (reference
     # epgpy/diffusion.py broadcast semantics)
-    # NB inversion_df=False on all FISP-family kernel calls: the matched
-    # op-train prep E carries g=0 (matcher requirement), so the planner
-    # applies no off-resonance phase during TI -- the kernel must agree
+    # inv_df: True only when the matched prep E carries the train's
+    # off-resonance (then the planner applies the TI phase and the
+    # kernel must agree); a g=0 prep keeps the phase-free convention
     Dc = Dco if Dco.ndim == 0 else jnp.sum(Dco, axis=(-2, -1))
     Dc = jnp.broadcast_to(Dc, T1.shape)
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
@@ -516,7 +525,7 @@ def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
                                     inversion=TI if use_inv else None,
-                                    inversion_df=False,
+                                    inversion_df=inv_df,
                                     diffusion=(bT, bL, Dc), diff_ramp=ramp)
     P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
@@ -535,7 +544,8 @@ def run_dwfisp_kernel(params, nstate, *, interpret=False):
                          demod=bool(params.get("demod")),
                          use_df=params.get("df") is not None,
                          bshape=tuple(params["shape"]),
-                         ramp=diff["ramp"])
+                         ramp=diff["ramp"],
+                         inv_df=bool(params.get("inv_df")))
     return {"__c_re": re, "__c_im": im}
 
 
@@ -1350,15 +1360,16 @@ def match_jacobian_probes(probes, tracked):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "specs", "demod",
-                                             "use_df", "bshape"))
+                                             "use_df", "bshape", "inv_df"))
 def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-                 use_inv, specs, demod=False, use_df=False, bshape=None):
+                 use_inv, specs, demod=False, use_df=False, bshape=None,
+                 inv_df=False):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         nstate=nstate, interpret=interpret, demodulate=demod,
-        inversion=TI if use_inv else None, inversion_df=False)
+        inversion=TI if use_inv else None, inversion_df=inv_df)
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
     bshape = (re.shape[0],) if bshape is None else bshape
@@ -1393,14 +1404,16 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
                         use_inv=params.get("TI") is not None, specs=specs,
                         demod=bool(params.get("demod")),
                         use_df=params.get("df") is not None,
-                        bshape=tuple(params["shape"]))
+                        bshape=tuple(params["shape"]),
+                        inv_df=bool(params.get("inv_df")))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nstate", "interpret", "use_inv",
-                                    "demod", "use_df", "bshape"))
+                                    "demod", "use_df", "bshape", "inv_df"))
 def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-             use_inv, demod=False, use_df=False, bshape=None):
+             use_inv, demod=False, use_df=False, bshape=None,
+             inv_df=False):
     from .models.pallas_fisp import fisp_dictionary_pallas
 
     re, im = fisp_dictionary_pallas(FA, phi, TR, TE, T1, T2, B1,
@@ -1408,7 +1421,7 @@ def _run_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
                                     nstate=nstate, interpret=interpret,
                                     demodulate=demod,
                                     inversion=TI if use_inv else None,
-                                    inversion_df=False)
+                                    inversion_df=inv_df)
     # ADC axis first; restore the append-broadcast batch shape
     P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
@@ -1430,7 +1443,8 @@ def run_fisp_kernel(params, nstate, *, interpret=False):
                       use_inv=params.get("TI") is not None,
                       demod=bool(params.get("demod")),
                       use_df=params.get("df") is not None,
-                      bshape=tuple(params["shape"]))
+                      bshape=tuple(params["shape"]),
+                      inv_df=bool(params.get("inv_df")))
     return {"__c_re": re, "__c_im": im}
 
 

@@ -829,3 +829,43 @@ def test_prep_zero_mean_b1_no_crash():
         seq += [epg.T(FA[i] * B1, 90.0), epg.E(5.0, T1, T2), epg.ADC,
                 epg.E(7.0, T1, T2), epg.S(1)]
     fisp_dispatch.match_fisp(seq)  # must not raise
+
+
+def test_off_resonance_prep_dispatch():
+    """A [T(180*B1), E(TI, g=df)] prep whose g equals the train's
+    off-resonance matches (inv_df=True: kernel applies the TI phase to
+    the prepped F+) -- parity vs the planner; a prep g different from
+    the train df falls through."""
+    P, B, TI = 12, 4, 18.0
+    FA = 10 + 40 * np.abs(np.sin(np.arange(P) / 3.0))
+    T1 = np.linspace(700, 1300, B)
+    T2 = np.linspace(50, 110, B)
+    B1 = np.linspace(0.8, 1.1, B)
+    df = np.linspace(-0.03, 0.03, B)
+
+    def train(prep_g):
+        seq = [epg.T(180.0 * B1, 0.0), epg.E(TI, T1, T2, g=prep_g)]
+        for i in range(P):
+            seq += [epg.T(FA[i] * B1, 90.0), epg.E(5.0, T1, T2, g=df),
+                    epg.ADC, epg.E(7.0, T1, T2, g=df), epg.S(1)]
+        return seq
+
+    p = fisp_dispatch.match_fisp(train(df))
+    assert p is not None and p["inv_df"] is True
+    a = np.asarray(epg.simulate(train(df), max_nstate=8,
+                                fisp_kernel="force"))
+    b = np.asarray(epg.simulate(train(df), max_nstate=8,
+                                fisp_kernel=False))
+    assert np.abs(a - b).max() < 2e-5, np.abs(a - b).max()
+
+    # g=0 prep still matches with the phase-free convention
+    p0 = fisp_dispatch.match_fisp(train(0.0))
+    assert p0 is not None and p0["inv_df"] is False
+    a0 = np.asarray(epg.simulate(train(0.0), max_nstate=8,
+                                 fisp_kernel="force"))
+    b0 = np.asarray(epg.simulate(train(0.0), max_nstate=8,
+                                 fisp_kernel=False))
+    assert np.abs(a0 - b0).max() < 2e-5
+
+    # a prep g that is NOT the train's df falls through
+    assert fisp_dispatch.match_fisp(train(2 * df + 0.01)) is None
