@@ -88,6 +88,13 @@ class D(base.Operator):
         if self.Dcoef.ndim >= 2 and self.Dcoef.shape[-1] != self.Dcoef.shape[-2]:
             raise ValueError("D must be a square 2d matrix")
         self.kshift = None if k is None else jnp.atleast_2d(jnp.asarray(k, dtype=float))
+        if (k is not None and np.ndim(k) > 0 and self.Dcoef.ndim >= 2
+                and np.shape(k)[-1] != self.Dcoef.shape[-1]):
+            # reference epgpy/diffusion.py:161-171: a SCALAR k is
+            # exempt (1-D attenuation via b00 broadcast), but an array
+            # k must match the tensor's dimensionality -- otherwise
+            # off-diagonal elements would silently sum as if isotropic
+            raise ValueError("Incompatible D and k dimensions")
         if name is None:
             name = common.repr_operator("D", ["tau", "D", "k"], [tau, D, k],
                                         [".1f", "", ""])
@@ -109,6 +116,12 @@ class D(base.Operator):
         return self.kshift.shape[-1]
 
     def apply(self, sm):
+        if not common.broadcastable(self.shape, sm.shape):
+            # clear message for DIRECT op application (simulate()'s
+            # sequence-shape validation catches this earlier); matches
+            # the reference's prepare-time check
+            raise ValueError("Incompatible StateMatrix and operator "
+                             f"shapes: {sm.shape}, {self.shape}")
         k = sm.k  # (..., C, <=3) physical wavenumbers
         kd = k.shape[-1]
         if self.kshift is None:

@@ -113,7 +113,11 @@ def estimate_alpha(values, rf):
     values = np.asarray(values)
     alphas = 180.0 * np.abs(values) * rf
     phis = np.angle(values, deg=True)
-    net = np.asarray(_combined_rotation(alphas, phis))
+    # host-side calibration: eager complex ops crash the axon TPU
+    # backend (CLAUDE.md fact 1) and the complex d2h is banned -- pin
+    # this tiny 3x3 work to the CPU device
+    with jax.default_device(jax.devices("cpu")[0]):
+        net = np.asarray(_combined_rotation(alphas, phis))
     z = net @ np.asarray([0.0, 0.0, 1.0])
     absZ = np.mod(np.real(z[2]) + 1, 2) - 1
     return float(np.mod(np.arccos(absZ) / np.pi * 180 + 180, 360) - 180)
@@ -133,26 +137,31 @@ def estimate_rf(values, alpha, *, steps=200):
     LOGGER.info("optimizing rf for alpha=%s", alpha)
     alphas = 180.0 * np.abs(values)
     phis = np.angle(values, deg=True)
-    target = np.abs(np.asarray(rotation_operator(alpha, 90.0))[0]
-                    @ np.asarray([0.0, 0.0, 1.0]))
+    # host-side calibration loop: pin to the CPU device -- eager
+    # complex ops crash the axon TPU backend (CLAUDE.md fact 1), and
+    # the per-step float() syncs would cost ~40 ms tunnel round-trips
+    # each on the tunnel
+    with jax.default_device(jax.devices("cpu")[0]):
+        target = np.abs(np.asarray(rotation_operator(alpha, 90.0))[0]
+                        @ np.asarray([0.0, 0.0, 1.0]))
 
-    def cost(rf):
-        net = _combined_rotation(rf * alphas, phis)
-        z = net @ jnp.asarray([0.0, 0.0, 1.0], net.dtype)
-        return jnp.sum((jnp.abs(z) - target) ** 2)
+        def cost(rf):
+            net = _combined_rotation(rf * alphas, phis)
+            z = net @ jnp.asarray([0.0, 0.0, 1.0], net.dtype)
+            return jnp.sum((jnp.abs(z) - target) ** 2)
 
-    grad = jax.jit(jax.value_and_grad(cost))
-    rf = jnp.asarray(alpha / 180.0 / np.abs(np.sum(values)))
-    lr = 0.1 * float(rf)
-    best_rf, best_c = float(rf), np.inf
-    for _ in range(steps):
-        c, g = grad(rf)
-        c = float(c)
-        if c < best_c:
-            best_c, best_rf = c, float(rf)
-        rf = jnp.clip(rf - lr * g, 0.0, None)
-        if abs(float(g)) < 1e-12 or c < 1e-14:
-            break
+        grad = jax.jit(jax.value_and_grad(cost))
+        rf = jnp.asarray(alpha / 180.0 / np.abs(np.sum(values)))
+        lr = 0.1 * float(rf)
+        best_rf, best_c = float(rf), np.inf
+        for _ in range(steps):
+            c, g = grad(rf)
+            c = float(c)
+            if c < best_c:
+                best_c, best_rf = c, float(rf)
+            rf = jnp.clip(rf - lr * g, 0.0, None)
+            if abs(float(g)) < 1e-12 or c < 1e-14:
+                break
     return best_rf
 
 

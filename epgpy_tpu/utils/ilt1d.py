@@ -120,10 +120,14 @@ def ilt1d(times, signal, *, bounds=None, kernel=None, tol=1e-5, ls=True):
     if ls:
         return ilt1d_ls(t, y, rates)
 
-    # direct amplitudes from the pencil residues
+    # direct amplitudes from the pencil residues.  Y2 is the SHIFTED
+    # Hankel matrix (Y2[i, j] = y[i+j+1]), so its residues carry one
+    # extra decay step z_m = e^{-r_m dt}: divide it back out (the
+    # reference's identical code omits this and under-reports fast
+    # components by exp(-r dt) -- 22% at r dt = 0.25, measured)
     Z = np.linalg.pinv(zs[:, None] ** np.arange(L)).T
     A = Z @ Y2 @ Z.T
-    amps = np.diag(A)
+    amps = np.diag(A) / zs
     pos = amps > 0
     return rates[pos], amps[pos]
 

@@ -45,10 +45,16 @@ def imaging(positions, states, wavenumbers, acctime=None, *, phase=None,
         voxel_shape: "box" (sinc weighting) or "point".
         reduce: True -> sum all axes; int/tuple -> sum those axes;
             False/None -> no reduction.
+        tol: accepted for reference API parity only.  The reference
+            uses it to PRUNE near-zero voxel/modulation columns (a
+            host-side speed optimization); the dense TPU implementation
+            multiplies instead, so results always equal the reference
+            at tol=0.
 
     Returns:
         image values (complex).
     """
+    del tol  # see docstring: dense implementation needs no pruning
     rdt = config.real_dtype()
     F = jnp.asarray(states)
     k = jnp.asarray(wavenumbers, rdt)

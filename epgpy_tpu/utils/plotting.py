@@ -150,19 +150,28 @@ def plot_epg(seq, *, kvalue=1, kgrid=None, yaxis=0, ops="S,T,E", title=None,
                 ax_grad[i].fill_between([prev, now], [shiftvec[i]] * 2,
                                         color="gray", alpha=0.3)
             # EPG lines: each state's k moves by shiftvec over [prev, now]
-            ks_before = index0(sm.k, sm.k.ndim - 2)
             sm = op(sm)
             F = index0(sm.F, sm.F.ndim - 1)
+            Z = index0(sm.Z, sm.Z.ndim - 1)
             ks = index0(sm.k, sm.k.ndim - 2)
             for i in range(ks.shape[0]):
                 mag = min(float(np.abs(F[i])), 1.0)
-                if mag < 1e-6:
-                    continue
-                y0 = float(ks[i, yax] - shiftvec[yax])
-                y1 = float(ks[i, yax])
-                ax_epg.plot([prev, now], [y0, y1], color=_line_color(ks[i]),
-                            alpha=max(mag ** calpha, 0.05),
-                            lw=1 + cwidth * mag)
+                if mag >= 1e-6:
+                    y0 = float(ks[i, yax] - shiftvec[yax])
+                    y1 = float(ks[i, yax])
+                    ax_epg.plot([prev, now], [y0, y1],
+                                color=_line_color(ks[i]),
+                                alpha=max(mag ** calpha, 0.05),
+                                lw=1 + cwidth * mag)
+                # stored longitudinal states: dotted horizontal lines (Z
+                # does not shift) -- reference epgpy/plotting.py:133-142
+                zmag = min(float(np.abs(Z[i])), 1.0)
+                if zmag >= 1e-5:
+                    y = float(ks[i, yax])
+                    ax_epg.plot([prev, now], [y, y], ls=":",
+                                color=_line_color(ks[i]),
+                                alpha=max(zmag ** calpha, 0.05),
+                                lw=1 + cwidth * zmag)
         elif isinstance(op, probe_mod.Probe):
             ax_epg.axvline(now, color="C0", ls=":", alpha=0.6)
         else:

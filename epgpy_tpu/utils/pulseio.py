@@ -60,10 +60,17 @@ def load_pta(filename):
             m = _SAMPLE_RE.match(line.replace("\t", " "))
             if m:
                 mag, phase, idx = float(m[1]), float(m[2]), int(m[3])
+                if idx in samples:
+                    raise IOError(f"Duplicate sample index {idx}")
                 samples[idx] = mag * np.exp(1j * phase)
                 continue
             raise IOError(f"Could not parse line: {line!r}")
-    values = np.asarray([samples[i] for i in sorted(samples)])
+    keys = sorted(samples)
+    if keys and keys != list(range(keys[0], keys[0] + len(keys))):
+        # a truncated/concatenated file would otherwise silently load
+        # as a shorter waveform
+        raise IOError("Non-contiguous sample indices in .pta file")
+    values = np.asarray([samples[i] for i in keys])
     return header, values
 
 

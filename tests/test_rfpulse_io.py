@@ -118,3 +118,30 @@ def test_mt_super_lorentzian_extrapolation():
     G = mt.absorption_rate(12e-3, "super-lorentzian", np.asarray([0.0, 0.5, 1.0]))
     assert np.all(np.isfinite(G))
     assert G[0] > G[2] > 0  # line peaks at resonance
+
+
+def test_load_pta_rejects_bad_indices(tmp_path):
+    """Duplicate or non-contiguous sample indices are file corruption:
+    raise instead of silently loading a shorter waveform."""
+    import pytest
+    from epgpy_tpu.utils.pulseio import load_pta
+
+    head = "PULSENAME:\ttest\nCOMMENT:\tsynthetic\n"
+    good = head + "".join(
+        f"{0.5:.6f} {0.0:.6f} ; ({i})\n" for i in range(3))
+    p = tmp_path / "ok.pta"
+    p.write_text(good)
+    _, vals = load_pta(p)
+    assert len(vals) == 3
+
+    dup = head + "0.5 0.0 ; (0)\n0.5 0.0 ; (1)\n0.7 0.0 ; (1)\n"
+    p2 = tmp_path / "dup.pta"
+    p2.write_text(dup)
+    with pytest.raises(IOError, match="Duplicate"):
+        load_pta(p2)
+
+    gap = head + "0.5 0.0 ; (0)\n0.5 0.0 ; (2)\n"
+    p3 = tmp_path / "gap.pta"
+    p3.write_text(gap)
+    with pytest.raises(IOError, match="contiguous"):
+        load_pta(p3)

@@ -124,3 +124,34 @@ def test_k_colors_maps():
     # the k-plane origin is desaturated (gray); corners are saturated hues
     assert np.ptp(c2[2, 2]) < 1e-6
     assert np.ptp(c2[0, 0]) > 0.5
+
+
+def test_ilt1d_direct_amplitudes_unbiased():
+    """ls=False residues from the shifted Hankel must divide out the
+    one-step decay (the reference's identical code under-reports fast
+    components by exp(-r dt): 22% at r dt = 0.25)."""
+    from epgpy_tpu.utils.ilt1d import ilt1d
+
+    t = np.arange(0, 50.5, 0.5)
+    y = 1.0 * np.exp(-0.05 * t) + 0.8 * np.exp(-0.5 * t)
+    rates, amps = ilt1d(t, y, ls=False)
+    order = np.argsort(rates)
+    assert np.allclose(rates[order], [0.05, 0.5], atol=1e-6)
+    assert np.allclose(amps[order], [1.0, 0.8], atol=1e-6)
+
+
+def test_diffusion_shape_checks():
+    """Tensor D with a lower-dim explicit k raises (reference parity);
+    direct op application with an incompatible state batch raises a
+    clear error instead of an obscure broadcast failure."""
+    import pytest
+    import epgpy_tpu as epg
+
+    with pytest.raises(ValueError, match="Incompatible D and k"):
+        epg.D(10.0, np.eye(3) * 1e-3, k=[1.0])
+    epg.D(10.0, np.eye(3) * 1e-3, k=[1.0, 0.5, 0.2])   # 3-D k is fine
+
+    sm = epg.StateMatrix([0, 0, 1], nstate=2).broadcast((2, 3))
+    sm = sm.setup_coords(1)
+    with pytest.raises(ValueError, match="Incompatible StateMatrix"):
+        epg.D(np.array([1.0, 2.0, 3.0]), 1e-3)(sm)
