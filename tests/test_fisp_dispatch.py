@@ -869,3 +869,40 @@ def test_off_resonance_prep_dispatch():
 
     # a prep g that is NOT the train's df falls through
     assert fisp_dispatch.match_fisp(train(2 * df + 0.01)) is None
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_fuzz_df_prep_dispatch_parity(case):
+    """Random off-resonance trains with/without inversion preps: a
+    matching-g prep dispatches with inv_df, a mismatched one falls
+    through -- parity with the planner is the invariant either way."""
+    rng = np.random.default_rng(300 + case)
+    P = int(rng.integers(8, 24))
+    B = int(rng.integers(2, 6))
+    T1 = np.linspace(300, 1500, B)
+    T2 = np.linspace(30, 120, B)
+    b1 = np.linspace(0.8, 1.2, B) if rng.random() < 0.5 else None
+    df = rng.uniform(-0.04, 0.04, B)
+    FA = 10 + 40 * np.abs(np.sin(np.arange(P) / 3.0))
+    seq = []
+    for i in range(P):
+        a = FA[i] * b1 if b1 is not None else float(FA[i])
+        seq += [epg.T(a, 90.0), epg.E(5.0, T1, T2, g=df), epg.ADC,
+                epg.E(7.0, T1, T2, g=df), epg.S(1)]
+    kind = case % 3
+    if kind:
+        a0 = 180.0 * b1 if b1 is not None else 180.0
+        TI = float(rng.uniform(5, 30))
+        gp = df if kind == 1 else df * 0.5 + 0.001
+        seq = [epg.T(a0, 0.0), epg.E(TI, T1, T2, g=gp)] + seq
+        p = fisp_dispatch.match_fisp(list(seq))
+        if kind == 1:
+            assert p is not None and p["inv_df"] is True
+        else:
+            assert p is None
+    sig_k = np.asarray(epg.simulate(list(seq), max_nstate=10,
+                                    fisp_kernel="force"))
+    sig_e = np.asarray(epg.simulate(list(seq), max_nstate=10,
+                                    fisp_kernel=False))
+    assert sig_k.shape == sig_e.shape
+    assert np.abs(sig_k - sig_e).max() < 2e-5

@@ -9,6 +9,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 import epgpy_tpu as epg
 from epgpy_tpu.models.mrf import fisp_mrf_dictionary
@@ -161,3 +162,47 @@ def test_gauss_newton_refine_off_grid(dict_and_grid):
         bounds=[(200, 2000), (20, 250)], solve_scale=True)
     err2 = np.hypot(theta2[0] - T1t, theta2[1] - T2t)
     assert err2.mean() < 0.2 * err0.mean(), (err0.mean(), err2.mean())
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_serving_pipeline(case):
+    """Random dictionary shapes / ranks / noise: the compressed match
+    must agree with full-length matching at sufficient rank, the
+    sharded serve must agree with single-device, and the recovered PD
+    must reconstruct the observation."""
+    rng = np.random.default_rng(500 + case)
+    B = int(rng.integers(60, 300))
+    P = int(rng.integers(40, 160))
+    V = int(rng.integers(5, 40))
+    rank = int(rng.integers(P // 3, P // 2))
+    dre = rng.standard_normal((B, P)).astype(np.float32)
+    dim = rng.standard_normal((B, P)).astype(np.float32)
+    grid = rng.uniform(10, 2000, (B, 2)).astype(np.float32)
+    pick = rng.integers(0, B, V)
+    pd = (rng.uniform(0.5, 2.0, V)
+          * np.exp(2j * np.pi * rng.random(V))).astype(np.complex64)
+    obs = (dre[pick] + 1j * dim[pick]) * pd[:, None]
+    obs += 1e-4 * (rng.standard_normal((V, P))
+                   + 1j * rng.standard_normal((V, P))).astype(np.complex64)
+
+    full = mrf_reconstruct(obs.real, obs.imag, dre, dim, grid)
+    comp = mrf_reconstruct(obs.real, obs.imag, dre, dim, grid, rank=rank)
+    # random gaussian rows are near-orthogonal: matches are unambiguous
+    assert np.array_equal(np.asarray(full["index"]), pick)
+    assert np.array_equal(np.asarray(comp["index"]), pick)
+
+    pd_hat = np.asarray(full["pd_re"]) + 1j * np.asarray(full["pd_im"])
+    recon = (dre[pick] + 1j * dim[pick]) * pd_hat[:, None]
+    rel = np.abs(recon - obs).max() / np.abs(obs).max()
+    assert rel < 1e-3, rel
+
+    cpus = jax.devices("cpu")[:4]
+    mesh = Mesh(np.asarray(cpus), ("atoms",))
+    pad = (-B) % 4
+    dre_p = np.concatenate([dre, np.zeros((pad, P), np.float32)])
+    dim_p = np.concatenate([dim, np.zeros((pad, P), np.float32)])
+    grid_p = np.concatenate([grid, np.zeros((pad, 2), np.float32)])
+    sharded = jax.jit(lambda a, b: mrf_reconstruct(
+        a, b, jnp.asarray(dre_p), jnp.asarray(dim_p),
+        jnp.asarray(grid_p), mesh=mesh))(obs.real, obs.imag)
+    assert np.array_equal(np.asarray(sharded["index"]), pick)
