@@ -894,7 +894,8 @@ def simulate(
                 values = tuple(_to_numpy_probe(v) for v in values)
             values = values[0]
             if adc_time:
-                return np.asarray(get_adc_times(sequence)), values
+                t = get_adc_times(sequence)
+                return (np.asarray(t) if asarray else t), values
             return values
     _preamble_ncap = ncap
     # `nstate` is a capacity FLOOR for the initial ladder (reference
@@ -983,7 +984,8 @@ def simulate(
                     if len(values) == 1:
                         values = values[0]
                     if adc_time:
-                        return np.asarray(get_adc_times(sequence)), values
+                        t = get_adc_times(sequence)
+                        return (np.asarray(t) if asarray else t), values
                     return values
             # cheap probe-shape pre-check against the maximal var set:
             # eval-string probes reject in O(#probes) without
@@ -1028,7 +1030,8 @@ def simulate(
                 if len(values) == 1:
                     values = values[0]
                 if adc_time:
-                    return np.asarray(get_adc_times(sequence)), values
+                    t = get_adc_times(sequence)
+                    return (np.asarray(t) if asarray else t), values
                 return values
         # NOTE (r3, measured): the diff programs deliberately run in the
         # compat (*batch, K, 3) layout.  Converting to the half-ladder
@@ -1047,7 +1050,8 @@ def simulate(
         if len(values) == 1:
             values = values[0]
         if adc_time:
-            return np.asarray(get_adc_times(sequence)), values
+            t = get_adc_times(sequence)
+            return (np.asarray(t) if asarray else t), values
         return values
 
     use_jit = jit and callback is None

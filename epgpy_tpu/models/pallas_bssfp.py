@@ -323,42 +323,7 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     jax.lax.fori_loop(0, pchunk, step, 0)
 
 
-def _pad_setup(FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout):
-    f32 = jnp.float32
-    FA = jnp.asarray(FA, f32)
-    P = FA.shape[0]
-    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
-    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
-    TE = jnp.asarray(TE, f32)
-    var_te = TE.ndim == 1
-    T1s = jnp.asarray(T1s, f32)
-    T2s = jnp.asarray(T2s, f32)
-    B1s = jnp.asarray(B1s, f32)
-    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
-    B = T1s.shape[0]
-
-    if pchunk is None:
-        pchunk = P if nout * P * btile * 4 <= (1 << 25) else 1024
-    Bp = -(-B // btile) * btile
-    Pp = -(-P // pchunk) * pchunk
-
-    def padb(x):
-        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
-
-    def padp(x, fill):
-        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
-                if Pp > P else x)
-
-    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    # padded pulses are FA=0 no-ops; TR fill just needs TR - TE > 0
-    TR_p = padp(TR, 2.0) if var_te else padp(TR, TE + 1.0)
-    TE_arr = (padp(jnp.broadcast_to(TE, (P,)), 1.0).reshape(1, -1)
-              if var_te else jnp.full((1, 1), TE, f32))
-    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
-    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    return (P, B, Pp, Bp, pchunk, var_te, args, TE_arr,
-            [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)])
-
+from .pallas_common import _pad_setup  # shared with DESS
 
 @partial(jax.jit, static_argnames=("btile", "pchunk", "demodulate",
                                    "normalize", "interpret"))

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pallas_bssfp import _pad_setup
+from .pallas_common import _cmul, _pad_setup
 
 __all__ = ["dess_dictionary_pallas"]
 
@@ -78,8 +78,7 @@ def _kernel_dess(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
         m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
         m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
 
-        def cmul(cr, ci, xr, xi):
-            return cr * xr - ci * xi, cr * xi + ci * xr
+        cmul = _cmul
 
         TRi = tr_ref[0, base + i]
         cF = jnp.exp(-TRi / T2)
@@ -108,8 +107,7 @@ def _kernel_dess(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
             cFpR = cF
             cFpI = jnp.zeros_like(cF)
 
-        def cmul3(cr, ci, mr, mi):
-            return cr * mr - ci * mi, cr * mi + ci * mr
+        cmul3 = _cmul
 
         c00r, c00i = cmul3(cFpR, cFpI, cos2, jnp.zeros_like(cos2))
         c01r, c01i = cmul3(cFpR, cFpI, m01r, m01i)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from .pallas_common import _cmul
+
 import jax
 import jax.numpy as jnp
 
@@ -183,8 +185,7 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
         m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
         m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
 
-        def cmul(cr, ci, xr, xi):
-            return cr * xr - ci * xi, cr * xi + ci * xr
+        cmul = _cmul
 
         # both relaxations fold into the coefficients (k-independent decay
         # commutes with the shift); one fused plane pass per TR
@@ -369,8 +370,7 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
         m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
 
-        def cmul(cr, ci, xr, xi):
-            return cr * xr - ci * xi, cr * xi + ci * xr
+        cmul = _cmul
 
         rem = tr_ref[0, base + i] - te
         E1b = jnp.exp(-rem / T1)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from .pallas_common import _cmul, _rot_A, _rot_B, _rot_Z
+
 import jax
 import jax.numpy as jnp
 
@@ -99,8 +101,7 @@ def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     st_ref[3, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones      # BI
     st_ref[4, 0, :] = jnp.cos(ea) * ones                     # ZR
 
-    def cmul(cr, ci, xr, xi):
-        return cr * xr - ci * xi, cr * xi + ci * xr
+    cmul = _cmul
 
     def step(i, _):
         AR, AI = st_ref[0], st_ref[1]
@@ -278,8 +279,7 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     st_ref[3, 0, :] = -jnp.cos(ep) * jnp.sin(ea) * ones
     st_ref[4, 0, :] = jnp.cos(ea) * ones
 
-    def cmul(cr, ci, xr, xi):
-        return cr * xr - ci * xi, cr * xi + ci * xr
+    cmul = _cmul
 
     def relax_shift(tau, sets):
         """E(tau) then S(1) on (primal, dT1, dT2, dB1) plane sets.
@@ -315,23 +315,9 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
 
         return tuple(shift(s) for s in (out_P, out_1, out_2, out_b))
 
-    def rot_A(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
-        im = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
-        return re, im
-
-    def rot_B(c2, a1r, a1i, a2r, a2i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
-        im = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
-        return re, im
-
-    def rot_Z(caa, b0r, b0i, b1r, b1i, s):
-        AR, AI, BR, BI, ZR, ZI = s
-        re = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
-        im = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
-        return re, im
+    # rotation forms shared across kernel families (pallas_common):
+    # the tangent passes below reuse them with derivative coefficients
+    rot_A, rot_B, rot_Z = _rot_A, _rot_B, _rot_Z
 
     def step(i, _):
         sets = tuple(tuple(st_ref[6 * s + j] for j in range(6))

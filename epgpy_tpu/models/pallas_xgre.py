@@ -40,80 +40,9 @@ __all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded",
            "xgre_jacobian_pallas", "exchange_stage_mats"]
 
 
-# -- plane math shared by the primal and Jacobian kernels.  A sign or
-# coefficient fix here updates BOTH (primal and tangent propagation must
-# stay bit-synchronized; the FD-validation tests enforce it). --
-
-def _cmul(cr, ci, xr, xi):
-    return cr * xr - ci * xi, cr * xi + ci * xr
-
-
-def _rot_coeffs(a, ph):
-    """Weigel rotation closed forms (same as pallas_mse): the 10-tuple
-    (c2, m01r, m01i, m02r, m02i, ca, m20r, m20i, m21r, m21i)."""
-    ca, sa = jnp.cos(a), jnp.sin(a)
-    cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
-    cp, sp = jnp.cos(ph), jnp.sin(ph)
-    c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
-    return (cos2, c2p * sin2, s2p * sin2, sp * sa, -cp * sa,
-            ca, -0.5 * sp * sa, -0.5 * cp * sa,
-            -0.5 * sp * sa, 0.5 * cp * sa)
-
-
-def _apply_rot(rc, s):
-    """Apply the rotation to one (AR, AI, BR, BI, ZR, ZI) plane set.
-    B planes are F+(-k) -- still F+ states, same coefficients as A up
-    to the conjugate-pair signs below."""
-    c2, a1r, a1i, a2r, a2i, caa, b0r, b0i, b1r, b1i = rc
-    AR, AI, BR, BI, ZR, ZI = s
-    are = c2 * AR + a1r * BR + a1i * BI + a2r * ZR - a2i * ZI
-    aim = c2 * AI + a1i * BR - a1r * BI + a2r * ZI + a2i * ZR
-    bre = c2 * BR + a1r * AR + a1i * AI + a2r * ZR + a2i * ZI
-    bim = c2 * BI + a1i * AR - a1r * AI + a2i * ZR - a2r * ZI
-    zre = b0r * AR - b0i * AI + b1r * BR + b1i * BI + caa * ZR
-    zim = b0r * AI + b0i * AR + b1i * BR - b1r * BI + caa * ZI
-    return are, aim, bre, bim, zre, zim
-
-
-def _mix_planes(sets, m, dens, rowmask, C):
-    """C x C exchange madd: F planes with mT, Z with mL around the k=0
-    equilibrium (dev = Z - dens*rowmask).  ``m(part, i, j)`` streams
-    the stage-matrix rows (part 0/1/2 = mT_re / mT_im / mL);
-    ``dens(j)`` the compartment densities."""
-    devs = [(sets[j][4] - dens(j) * rowmask, sets[j][5])
-            for j in range(C)]
-    out = []
-    for i in range(C):
-        nAR = nAI = nBR = nBI = nZR = nZI = None
-        for j in range(C):
-            mr, mi = m(0, i, j), m(1, i, j)
-            ml = m(2, i, j)
-            AR, AI, BR, BI, _, _ = sets[j]
-            ar, ai = _cmul(mr, mi, AR, AI)
-            br, bi = _cmul(mr, mi, BR, BI)
-            zr, zi = ml * devs[j][0], ml * devs[j][1]
-            if j == 0:
-                nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
-            else:
-                nAR, nAI = nAR + ar, nAI + ai
-                nBR, nBI = nBR + br, nBI + bi
-                nZR, nZI = nZR + zr, nZI + zi
-        out.append((nAR, nAI, nBR, nBI,
-                    nZR + dens(i) * rowmask, nZI))
-    return out
-
-
-def _shift_store(st_ref, base, planes):
-    """Unit ladder shift of one folded plane set into VMEM: A gains the
-    reflected B(1) row at k=0, B drops it, Z is unshifted."""
-    AR, AI, BR, BI, ZR, ZI = planes
-    zrow = jnp.zeros_like(AR[:1])
-    st_ref[base + 0] = jnp.concatenate([BR[1:2], AR[:-1]], axis=0)
-    st_ref[base + 1] = jnp.concatenate([BI[1:2], AI[:-1]], axis=0)
-    st_ref[base + 2] = jnp.concatenate([BR[1:], zrow], axis=0)
-    st_ref[base + 3] = jnp.concatenate([BI[1:], zrow], axis=0)
-    st_ref[base + 4] = ZR
-    st_ref[base + 5] = ZI
+# plane math shared across kernel families -- see pallas_common
+from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
+                            _shift_store)
 
 
 def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,

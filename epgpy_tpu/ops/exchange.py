@@ -126,7 +126,12 @@ def _expm2(m):
     # of cosh(D), sinh(D)/D -- division-free, D^2 computed directly
     # from the entries; truncation error ~ |D|^8/8! ~ 1e-16 at the
     # 0.04 threshold, below both f32 and f64 roundoff
-    degen = jnp.abs(diff) <= 0.04 * (1.0 + jnp.abs(la) + jnp.abs(lb))
+    # absolute cap: the series accuracy depends only on |D| = |diff|/2
+    # (error ~ |D|^8/8!), so a purely relative threshold would route
+    # large-common-magnitude eigenvalue pairs (e.g. both pools at kHz
+    # off-resonance) with |diff| >> 1 into a divergent series
+    degen = jnp.abs(diff) <= jnp.minimum(
+        0.04 * (1.0 + jnp.abs(la) + jnp.abs(lb)), 0.5)
     safe = jnp.where(degen, 1.0, diff)
     ea, eb = jnp.exp(la), jnp.exp(lb)
     # spectral form: expm = (ea (A - lb I) - eb (A - la I)) / (la - lb)

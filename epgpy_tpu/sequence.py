@@ -548,11 +548,11 @@ class Sequence:
             ops = self.check(op)
         else:
             ops = self.check([op])
-        if isinstance(item, int):
+        if isinstance(item, (int, np.integer)):
             # replace exactly one element (a raw slice(item, item+1)
             # would be EMPTY for item=-1 and insert instead of replace)
             n = len(self.operators)
-            idx = item + n if item < 0 else item
+            idx = int(item) + n if item < 0 else int(item)
             if not 0 <= idx < n:
                 raise IndexError(item)
             item = slice(idx, idx + 1)

@@ -686,3 +686,27 @@ def test_kernel_vmem_gate():
     finally:
         fisp_dispatch._KERNEL_VMEM_BUDGET = old
     assert np.allclose(got, want, atol=1e-10)
+
+
+def test_adc_time_type_consistent_across_paths():
+    """simulate(adc_time=True) returns the same times type (list when
+    asarray=False, ndarray otherwise) whether the train routes to a
+    fused kernel or the planner."""
+    import epgpy_tpu as epg
+
+    def train():
+        seq = []
+        for i in range(8):
+            seq += [epg.T(30.0 + i, 90, duration=0.1),
+                    epg.E(5.0, 800.0, 80.0, duration=True), epg.ADC,
+                    epg.E(7.0, 800.0, 80.0, duration=True), epg.S(1)]
+        return seq
+
+    for fk in ("force", False):
+        t_arr, _ = epg.simulate(train(), max_nstate=8, adc_time=True,
+                                fisp_kernel=fk)
+        assert isinstance(t_arr, np.ndarray), fk
+        t_raw, _ = epg.simulate(train(), max_nstate=8, adc_time=True,
+                                asarray=False, fisp_kernel=fk)
+        assert isinstance(t_raw, list), fk
+    assert np.allclose(t_arr, [0.1 + 5.0 + 12.1 * i for i in range(8)])

@@ -77,3 +77,22 @@ def test_expm2_near_degeneracy_f32():
         rel64 = np.abs(got64 - truth).max() / np.abs(truth).max()
         assert rel32 < 3e-6, (delta, rel32)
         assert rel64 < 1e-12, (delta, rel64)
+
+
+def test_expm2_large_common_magnitude():
+    """Eigenvalue pairs with a large common (imaginary) component but
+    O(1) separation must stay on the exact spectral formula: a purely
+    relative degeneracy threshold would route them into the truncated
+    series (error ~ |D|^8/8!, garbage at |D| ~ 1)."""
+    import scipy.linalg as sla
+
+    for mu_im, delta in ((60.0, 1.0), (600.0, 2.5), (60.0, 8.0)):
+        # eigenvalues mu +- delta/... : a = mu + x, d = mu - x, bc free
+        x, b = delta / 2, 0.7
+        m = np.array([[1j * mu_im - 0.5 + x, b],
+                      [0.0, 1j * mu_im - 0.5 - x]], complex)
+        m[1, 0] = 0.03
+        truth = sla.expm(m)
+        got64 = np.asarray(_expm2(jnp.asarray(m, jnp.complex128)))
+        rel = np.abs(got64 - truth).max() / np.abs(truth).max()
+        assert rel < 1e-10, (mu_im, delta, rel)

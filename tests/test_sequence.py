@@ -314,3 +314,14 @@ def test_hessian_cross_pair_order():
     h21 = np.asarray(seq.hessian(["B1"], ["T2"])(T2=50.0, B1=1.0)[2])
     assert np.abs(h12).max() > 0
     assert np.allclose(h12, np.swapaxes(h21, -1, -2), atol=1e-10)
+
+
+def test_setitem_numpy_integer_index():
+    from epgpy_tpu import sequence as seqm
+
+    v = seqm.Variable("T2")
+    s = seqm.Sequence([seqm.T(90, 90), seqm.E(5.0, 1400.0, v), "ADC"])
+    s[np.int64(0)] = seqm.T(45, 0)          # was: wrapped list stored
+    assert len(s) == 3
+    sig = s.signal()(T2=50.0)               # build() must not crash
+    assert np.isfinite(np.asarray(sig)).all()
