@@ -710,3 +710,26 @@ def test_adc_time_type_consistent_across_paths():
                                 asarray=False, fisp_kernel=fk)
         assert isinstance(t_raw, list), fk
     assert np.allclose(t_arr, [0.1 + 5.0 + 12.1 * i for i in range(8)])
+
+
+def test_batch_varying_2d_int_shifts_reference_parity():
+    """kdim=2 batch-varying integer shifts through the vmapped merge,
+    with capacity truncation active, against the reference."""
+    import sys
+    import epgpy_tpu as epg
+    sys.path.insert(0, "/root/reference")
+    import epgpy as ref
+
+    kv = np.array([[1, 0], [2, 1], [3, -1]])
+
+    def build(mod):
+        seq = []
+        for _ in range(6):
+            seq += [mod.T(30, 90), mod.E(5.0, 800.0, 80.0),
+                    mod.S(kv.copy()), mod.ADC]
+        return seq
+
+    ours = np.asarray(epg.simulate(build(epg), max_nstate=40))
+    theirs = np.asarray(ref.simulate(build(ref), max_nstate=40))
+    assert ours.shape == theirs.shape == (6, 3)
+    assert np.abs(ours - theirs).max() < 1e-12
