@@ -1094,59 +1094,87 @@ def main():
             parity = float(np.abs(ours - ref8).max())
 
     engine = {}
-    if os.environ.get("BENCH_ENGINE", "1") not in ("0", "false"):
+    t_sections = time.perf_counter()
+    # 360 s default: the budget is checked BEFORE each section, so the
+    # worst case is budget + one contended section (~2-3 min) -- keeps
+    # the JSON line safely inside a ~10 min driver timeout
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", 360))
+
+    def within_budget(name):
+        # the headline metric above is always measured; optional
+        # sections stop once the cumulative budget is spent (tunnel
+        # contention can triple section times -- better a JSON line
+        # with a few sections marked skipped than a killed process
+        # that records nothing)
+        if time.perf_counter() - t_sections <= budget:
+            return True
+        engine[name + "_skipped"] = "time budget"
+        return False
+
+    if os.environ.get("BENCH_ENGINE", "1") not in ("0", "false") \
+            and within_budget("engine"):
         try:
             engine = measure_engine(FA, T1, T2, B1)
         except Exception as exc:  # keep the headline metric alive
             engine = {"engine_error": f"{type(exc).__name__}: {exc}"[:200]}
-    if os.environ.get("BENCH_TABLE", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_TABLE", "1") not in ("0", "false") \
+            and within_budget("table"):
         try:
             engine.update(measure_table())
         except Exception as exc:
             engine["table_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_JAC", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_JAC", "1") not in ("0", "false") \
+            and within_budget("jac"):
         try:
             engine.update(measure_jacobian(FA, T1, T2, B1))
         except Exception as exc:
             engine["jac_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_DIFF", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_DIFF", "1") not in ("0", "false") \
+            and within_budget("diff"):
         try:
             engine.update(measure_engine_diff(T1, T2, B1))
         except Exception as exc:
             engine["diff_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_MSE", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_MSE", "1") not in ("0", "false") \
+            and within_budget("mse"):
         try:
             engine.update(measure_mse())
         except Exception as exc:
             engine["mse_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_BSSFP", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_BSSFP", "1") not in ("0", "false") \
+            and within_budget("bssfp"):
         try:
             engine.update(measure_bssfp())
         except Exception as exc:
             engine["bssfp_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_EXCHANGE", "1") not in ("0", "false") \
+            and within_budget("exchange"):
         try:
             engine.update(measure_exchange())
         except Exception as exc:
             engine["exchange_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_DIFF3D", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_DIFF3D", "1") not in ("0", "false") \
+            and within_budget("diff3d"):
         try:
             engine.update(measure_diffusion3d())
         except Exception as exc:
             engine["diff3d_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    if os.environ.get("BENCH_PRUNE", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_PRUNE", "1") not in ("0", "false") \
+            and within_budget("prune"):
         try:
             engine.update(measure_prune())
         except Exception as exc:
             engine["prune_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    if os.environ.get("BENCH_HESSIAN", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_HESSIAN", "1") not in ("0", "false") \
+            and within_budget("hessian"):
         try:
             engine.update(measure_hessian())
         except Exception as exc:
             engine["hessian_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    if os.environ.get("BENCH_RECON", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_RECON", "1") not in ("0", "false") \
+            and within_budget("recon"):
         try:
             atom_params = np.stack([np.asarray(T1), np.asarray(T2),
                                     np.asarray(B1)], axis=1)
