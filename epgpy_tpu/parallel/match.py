@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["dictionary_match", "compress_dictionary", "project_signals"]
+__all__ = ["dictionary_match", "compress_dictionary", "project_signals",
+           "streamed_compress_dictionary"]
 
 
 def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
@@ -107,19 +108,32 @@ def compress_dictionary(dict_re, dict_im, rank):
         "cdict_re"/"cdict_im" ((B, r) compressed atoms, device arrays)
         and "energy" (fraction of total singular energy captured).
     """
+    g_re, g_im = jax.device_get(_gram(jnp.asarray(dict_re),
+                                      jnp.asarray(dict_im)))
+    b_re, b_im, energy = _host_eigh_basis(g_re, g_im, rank)
+    c_re, c_im = project_signals(b_re, b_im, dict_re, dict_im)
+    return {"basis_re": b_re, "basis_im": b_im,
+            "cdict_re": c_re, "cdict_im": c_im, "energy": energy}
+
+
+@jax.jit
+def _gram(dre, dim):
+    """(P, P) Gram G = D^H D of a (B, P) split-complex dictionary block
+    via four real MXU matmuls (HIGHEST: see local_match)."""
+    hi = jax.lax.Precision.HIGHEST
+    grr = jnp.matmul(dre.T, dre, precision=hi)
+    gii = jnp.matmul(dim.T, dim, precision=hi)
+    gri = jnp.matmul(dre.T, dim, precision=hi)
+    gir = jnp.matmul(dim.T, dre, precision=hi)
+    # G = D^H D = (Dr - i Di)^T (Dr + i Di)
+    return grr + gii, gri - gir
+
+
+def _host_eigh_basis(g_re, g_im, rank):
+    """Top-`rank` eigenbasis of a Hermitian Gram (host-side NumPy;
+    the Gram is tiny: 2 x P x P floats)."""
     import numpy as np
 
-    @jax.jit
-    def gram(dre, dim):
-        hi = jax.lax.Precision.HIGHEST
-        grr = jnp.matmul(dre.T, dre, precision=hi)
-        gii = jnp.matmul(dim.T, dim, precision=hi)
-        gri = jnp.matmul(dre.T, dim, precision=hi)
-        gir = jnp.matmul(dim.T, dre, precision=hi)
-        # G = D^H D = (Dr - i Di)^T (Dr + i Di)
-        return grr + gii, gri - gir
-
-    g_re, g_im = jax.device_get(gram(dict_re, dict_im))
     G = np.asarray(g_re) + 1j * np.asarray(g_im)
     w, V = np.linalg.eigh((G + G.conj().T) / 2)   # ascending eigenvalues
     order = np.argsort(w)[::-1][:rank]
@@ -128,9 +142,85 @@ def compress_dictionary(dict_re, dict_im, rank):
                    / max(np.clip(w, 0, None).sum(), 1e-30))
     b_re = np.ascontiguousarray(basis.real, dtype=np.asarray(g_re).dtype)
     b_im = np.ascontiguousarray(basis.imag, dtype=np.asarray(g_re).dtype)
-    c_re, c_im = project_signals(b_re, b_im, dict_re, dict_im)
+    return b_re, b_im, energy
+
+
+@jax.jit
+def _normalize_rows(dre, dim):
+    """L2-normalize split-complex rows; returns (re, im, norms)."""
+    n = jnp.sqrt(jnp.sum(dre * dre + dim * dim, axis=-1))
+    safe = jnp.where(n == 0, 1.0, n)
+    return dre / safe[:, None], dim / safe[:, None], n
+
+
+@jax.jit
+def _gram_accum(dre, dim, acc_re, acc_im):
+    dre, dim, _ = _normalize_rows(dre, dim)
+    g_re, g_im = _gram(dre, dim)
+    return acc_re + g_re, acc_im + g_im
+
+
+@jax.jit
+def _project_block(b_re, b_im, dre, dim):
+    dre, dim, n = _normalize_rows(dre, dim)
+    c_re, c_im = project_signals(b_re, b_im, dre, dim)
+    return c_re, c_im, n
+
+
+def streamed_compress_dictionary(generate, nblocks, rank):
+    """Rank-r compression of a dictionary too large to materialize.
+
+    Two passes over generated atom blocks (the dictionary itself never
+    exists as one (B, P) array — only one block at a time lives in HBM,
+    and only the compressed (B, r) atoms plus per-atom norms persist):
+
+    1. accumulate the (P, P) Gram of the row-NORMALIZED blocks on
+       device (``sum_b D_b^H D_b`` — exactly the full dictionary's
+       Gram), then the host eigendecomposition gives the same basis as
+       :func:`compress_dictionary` on the normalized full dictionary;
+    2. re-generate each block and project it onto the basis.
+
+    Generation runs twice, but with the fused dictionary kernels a
+    block costs milliseconds while materializing a 1M-atom x 1000-pulse
+    dictionary would need 8 GB of HBM (and ~5 min of d2h through a
+    tunnel at 25 MB/s if brought to host).
+
+    Args:
+        generate: ``generate(i) -> (re, im)`` UNnormalized split-complex
+            (B_i, P) fingerprint block for ``i in range(nblocks)``;
+            called twice per block (make it deterministic).  Blocks may
+            differ in row count (each distinct B_i compiles once).
+        nblocks: number of blocks.
+        rank: singular vectors to keep.
+
+    Returns:
+        dict like :func:`compress_dictionary` — "basis_re"/"basis_im"
+        (P, r), "cdict_re"/"cdict_im" (B, r) compressed NORMALIZED
+        atoms (device arrays), "energy" — plus "norms" (B,) original
+        atom norms, so :func:`~epgpy_tpu.parallel.mrf_reconstruct`
+        can recover the proton-density scale without the full
+        dictionary (pass ``dict_re=None``).
+    """
+    if nblocks < 1:
+        raise ValueError("streamed_compress_dictionary: nblocks >= 1")
+    acc_re = acc_im = None
+    for i in range(nblocks):
+        dre, dim = (jnp.asarray(a) for a in generate(i))
+        if acc_re is None:
+            P = dre.shape[-1]
+            acc_re = jnp.zeros((P, P), dre.dtype)
+            acc_im = jnp.zeros((P, P), dre.dtype)
+        acc_re, acc_im = _gram_accum(dre, dim, acc_re, acc_im)
+    g_re, g_im = jax.device_get((acc_re, acc_im))
+    b_re, b_im, energy = _host_eigh_basis(g_re, g_im, rank)
+    parts = [_project_block(b_re, b_im, *(jnp.asarray(a)
+                                          for a in generate(i)))
+             for i in range(nblocks)]
     return {"basis_re": b_re, "basis_im": b_im,
-            "cdict_re": c_re, "cdict_im": c_im, "energy": energy}
+            "cdict_re": jnp.concatenate([p[0] for p in parts]),
+            "cdict_im": jnp.concatenate([p[1] for p in parts]),
+            "norms": jnp.concatenate([p[2] for p in parts]),
+            "energy": energy}
 
 
 @jax.jit

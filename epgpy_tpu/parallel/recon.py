@@ -65,6 +65,7 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
         rank: optional SVD compression rank (McGivney 2014): matching
             runs in the r-dim subspace (P/r fewer FLOPs + bytes).
         compression: reuse the "compression" dict of a previous call
+            or of :func:`~epgpy_tpu.parallel.streamed_compress_dictionary`
             (serving: compress ONCE, then match batch after batch --
             the Gram eigendecomposition is host-side and would
             otherwise dominate).  With it the whole call is pure jnp:
@@ -89,6 +90,14 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
                 out = serve(sre, sim, dre, dim, grid,
                             *(comp[k] for k in keys))
 
+            Dictionary-free serving: when ``compression`` came from
+            :func:`~epgpy_tpu.parallel.streamed_compress_dictionary`
+            (it carries per-atom "norms"), pass ``dict_re=None,
+            dict_im=None`` — the proton-density scale is then computed
+            in the compressed space, ``pd = <c_idx, v> / norms[idx]``
+            (exact up to the discarded singular energy), and the full
+            (B, P) dictionary is never needed.
+
     Returns dict:
         "index" (V,) matched atom ids; "corr" (V,) |normalized inner
         product| in [0, 1]; "pd_re"/"pd_im" (V,) complex proton-density
@@ -97,7 +106,13 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
     """
     f = jnp.asarray
     sig_re, sig_im = f(sig_re), f(sig_im)
-    dict_re, dict_im = f(dict_re), f(dict_im)
+    if dict_re is None or dict_im is None:
+        if compression is None or "norms" not in compression:
+            raise ValueError(
+                "mrf_reconstruct: dict_re=None requires compression= "
+                "from streamed_compress_dictionary (with 'norms')")
+    else:
+        dict_re, dict_im = f(dict_re), f(dict_im)
 
     out = {}
     if compression is not None:
@@ -126,11 +141,25 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
     out["index"] = idx
     out["corr"] = val / jnp.where(snorm == 0, 1.0, snorm)
 
-    # complex PD against the matched UNnormalized atom, in the full
-    # (uncompressed) space: pd = <d, s> / <d, d>
-    dre_m = jnp.take(dict_re, idx, axis=0)
-    dim_m = jnp.take(dict_im, idx, axis=0)
-    out["pd_re"], out["pd_im"] = _pd_scale(dre_m, dim_m, sig_re, sig_im)
+    if dict_re is None:
+        # dictionary-free (streamed compression): pd = <d, s> / <d, d>
+        # with d = norms[idx] * d_hat and <d_hat, s> ~= <c_idx, v> (the
+        # projection is orthogonal, so the error is the atom's energy
+        # outside the rank-r subspace)
+        cre_m = jnp.take(compression["cdict_re"], idx, axis=0)
+        cim_m = jnp.take(compression["cdict_im"], idx, axis=0)
+        num_re = jnp.sum(cre_m * vre + cim_m * vim, axis=-1)
+        num_im = jnp.sum(cre_m * vim - cim_m * vre, axis=-1)
+        n_m = jnp.take(f(compression["norms"]), idx, axis=0)
+        n_m = jnp.where(n_m == 0, 1.0, n_m)
+        out["pd_re"], out["pd_im"] = num_re / n_m, num_im / n_m
+    else:
+        # complex PD against the matched UNnormalized atom, in the full
+        # (uncompressed) space: pd = <d, s> / <d, d>
+        dre_m = jnp.take(dict_re, idx, axis=0)
+        dim_m = jnp.take(dict_im, idx, axis=0)
+        out["pd_re"], out["pd_im"] = _pd_scale(dre_m, dim_m,
+                                               sig_re, sig_im)
 
     if atom_params is not None:
         out["maps"] = jnp.take(f(atom_params), idx, axis=0)

@@ -13,8 +13,9 @@ from jax.sharding import Mesh
 
 import epgpy_tpu as epg
 from epgpy_tpu.models.mrf import fisp_mrf_dictionary
-from epgpy_tpu.parallel import (gauss_newton_refine, make_mesh,
-                                mrf_reconstruct)
+from epgpy_tpu.parallel import (compress_dictionary, gauss_newton_refine,
+                                make_mesh, mrf_reconstruct,
+                                streamed_compress_dictionary)
 
 P = 60
 FA = 10 + 50 * np.abs(np.sin(np.arange(P) * 2 * np.pi / 250))
@@ -162,6 +163,54 @@ def test_gauss_newton_refine_off_grid(dict_and_grid):
         bounds=[(200, 2000), (20, 250)], solve_scale=True)
     err2 = np.hypot(theta2[0] - T1t, theta2[1] - T2t)
     assert err2.mean() < 0.2 * err0.mean(), (err0.mean(), err2.mean())
+
+
+def test_streamed_compression_matches_full(dict_and_grid):
+    """Blockwise two-pass compression == one-shot compression of the
+    normalized full dictionary (same Gram, same subspace), and the
+    dictionary-free reconstruction path recovers index/maps/PD."""
+    dre, dim, grid = dict_and_grid
+    B = dre.shape[0]
+    cuts = [0, B // 3, B // 3 + B // 4, B]          # uneven blocks
+
+    def generate(i):
+        a, b = cuts[i], cuts[i + 1]
+        return dre[a:b], dim[a:b]
+
+    comp = streamed_compress_dictionary(generate, 3, 24)
+
+    norms = np.sqrt((dre ** 2 + dim ** 2).sum(-1))
+    assert np.allclose(np.asarray(comp["norms"]), norms, rtol=1e-12)
+
+    ref = compress_dictionary(dre / norms[:, None], dim / norms[:, None], 24)
+    assert abs(comp["energy"] - ref["energy"]) < 1e-9
+
+    # bases agree up to intra-subspace rotation: compare the projected
+    # atoms' pairwise Gram (rotation-invariant) instead of the basis
+    cd = np.asarray(comp["cdict_re"]) + 1j * np.asarray(comp["cdict_im"])
+    rd = np.asarray(ref["cdict_re"]) + 1j * np.asarray(ref["cdict_im"])
+    assert np.allclose(cd @ cd.conj().T, rd @ rd.conj().T, atol=1e-8)
+
+    # dictionary-free serving: match + maps + PD without the (B, P) dict
+    rng = np.random.default_rng(11)
+    pick, pd, sre, sim = _observations(dre, dim, grid, 32, rng)
+    free = mrf_reconstruct(sre, sim, None, None, grid, compression=comp)
+    full = mrf_reconstruct(sre, sim, dre, dim, grid)
+    assert np.array_equal(np.asarray(free["index"]),
+                          np.asarray(full["index"]))
+    assert np.allclose(np.asarray(free["maps"]), np.asarray(full["maps"]))
+    pd_free = np.asarray(free["pd_re"]) + 1j * np.asarray(free["pd_im"])
+    # exact up to the discarded singular energy (1 - energy ~ 1e-5)
+    assert np.allclose(pd_free, pd, rtol=2e-2, atol=1e-3)
+
+    # single block == multi block
+    one = streamed_compress_dictionary(lambda i: (dre, dim), 1, 24)
+    assert abs(one["energy"] - comp["energy"]) < 1e-9
+
+    with pytest.raises(ValueError):
+        mrf_reconstruct(sre, sim, None, None, grid)
+    with pytest.raises(ValueError):
+        streamed_compress_dictionary(generate, 0, 24)
 
 
 @pytest.mark.parametrize("case", range(6))
