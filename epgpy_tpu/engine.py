@@ -195,6 +195,21 @@ def _capacity(sequence, nshift: int, max_nstate, kgrid=None,
         if kdim == 4:
             scales[3] = abs(float(tvalue)) if tvalue is not None else 1.0
         sums = sums * scales / float(kgrid)
+    from . import config
+    if kdim > 1 and not config.x64_enabled():
+        # int32 merge-key capacity (f32 mode): shiftnd._encode_keys
+        # packs the kdim-D cell coords into one integer key; past 2^31
+        # the antisymmetric keys wrap and distinct cells can collide.
+        # The device-side runtime check only runs on CPU (host
+        # callbacks are unsupported through the tunneled TPU backend),
+        # so warn here from the host-known lattice bound.
+        key_space = float(np.prod(2.0 * np.ceil(sums) + 1.0))
+        if key_space > 2.0 ** 31:
+            LOGGER.warning(
+                "Sequence lattice bound %.3g exceeds the int32 merge key "
+                "space: multi-dim table merges may be UNRELIABLE at this "
+                "extent; use a coarser kgrid/tvalue or run in x64.",
+                key_space)
     box = int(np.prod(np.minimum(2 * np.ceil(sums) + 1, 2**20)))
     paths = 3 ** min(len(shift_ops), 16)
     bound = (min(box, paths) - 1) // 2 + 1

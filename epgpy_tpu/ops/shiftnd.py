@@ -60,6 +60,14 @@ def _intdtype():
     return jnp.int64 if config.x64_enabled() else jnp.int32
 
 
+def _callbacks_ok():
+    """Whether in-program host callbacks (jax.debug.print) are safe on
+    the default backend.  CPU only: the tunneled TPU backend rejects
+    any program containing callback custom-calls at execution
+    (UNIMPLEMENTED) even when the emitting branch is never taken."""
+    return jax.default_backend() == "cpu"
+
+
 def _encode_keys(q):
     """Antisymmetric lexicographic key: key(-q) == -key(q), no collisions.
 
@@ -72,13 +80,18 @@ def _encode_keys(q):
     strides = jnp.cumprod(
         jnp.concatenate([jnp.ones((1,), idt), span[:-1].astype(idt)])
     )
-    if q.shape[-1] > 1 and not config.x64_enabled():
-        # int32 capacity check (f32/TPU mode; 1-D keys are the coords
+    if q.shape[-1] > 1 and not config.x64_enabled() and _callbacks_ok():
+        # int32 capacity check (f32 mode; 1-D keys are the coords
         # themselves and cannot wrap).  The stride product is the total
         # lattice extent: past 2^31 keys wrap, the antisymmetry the
         # merge relies on breaks, and distinct cells can collide --
         # detectable only at run time (spans are data-dependent), so
-        # warn loudly instead of corrupting silently.
+        # warn loudly instead of corrupting silently.  CPU-only: the
+        # debug.print lowers to a host callback custom-call, which the
+        # tunneled TPU backend rejects at execution (UNIMPLEMENTED) --
+        # the whole program would crash even when the predicate is
+        # false.  On TPU the equivalent guard runs host-side at plan
+        # time from the sequence's lattice bound (engine._capacity).
         total = jnp.cumprod(span.astype(jnp.float32))[-1]
         jax.lax.cond(
             total > 2.0 ** 31,

@@ -619,3 +619,42 @@ def test_expm2_matches_pade():
     ours = np.asarray(_expm2(jnp.asarray(m_big)))
     assert np.isfinite(ours).all()
     assert np.allclose(np.diag(ours), [0.0, np.exp(-1e-3)])
+
+
+def test_encode_keys_no_host_callbacks_off_cpu(monkeypatch):
+    """The int32 key-capacity runtime warning must lower to a host
+    callback ONLY on CPU: the tunneled TPU backend rejects any program
+    containing callback custom-calls at execution (UNIMPLEMENTED) even
+    when the warning predicate is false -- this crashed every kdim>1
+    f32 table merge on TPU (caught by bench diff3d).  The TPU-side
+    guard is host-side at plan time instead (engine._capacity)."""
+    import jax
+    from epgpy_tpu.ops import shiftnd
+
+    monkeypatch.setattr(shiftnd.config, "x64_enabled", lambda: False)
+    q = np.array([[0, 0], [1, 2], [-3, 4]], np.int32)
+
+    # NB fresh lambda per trace: make_jaxpr memoizes on function
+    # identity, so re-tracing the same function after the monkeypatch
+    # would return the stale jaxpr
+    monkeypatch.setattr(shiftnd, "_callbacks_ok", lambda: False)
+    jx = jax.make_jaxpr(lambda x: shiftnd._encode_keys(x))(q)
+    assert "debug_print" not in str(jx)
+
+    monkeypatch.setattr(shiftnd, "_callbacks_ok", lambda: True)
+    jx = jax.make_jaxpr(lambda x: shiftnd._encode_keys(x))(q)
+    assert "debug_print" in str(jx)
+
+
+def test_capacity_warns_on_int32_key_overflow(monkeypatch, caplog):
+    """Host-side plan-time guard: a kdim>1 f32 sequence whose lattice
+    bound exceeds the int32 key space warns at capacity analysis."""
+    import logging
+    from epgpy_tpu import config as cfg
+    from epgpy_tpu import engine as eng
+
+    monkeypatch.setattr(cfg, "x64_enabled", lambda: False)
+    seq = [epg.S(np.array([60000.5, 60000.5])), epg.ADC]
+    with caplog.at_level(logging.WARNING, logger="epgpy_tpu.engine"):
+        eng._capacity(seq, 1, 64, kgrid=1e-3)
+    assert any("int32 merge key space" in r.message for r in caplog.records)
