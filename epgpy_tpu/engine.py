@@ -1017,6 +1017,9 @@ def simulate(
                 if fparams is None:
                     fparams = fisp_dispatch.match_bssfp(sequence)
                     runner = fisp_dispatch.run_bssfp_jacobian
+                if fparams is None:
+                    fparams = fisp_dispatch.match_dess(sequence)
+                    runner = fisp_dispatch.run_dess_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
@@ -1030,7 +1033,8 @@ def simulate(
             if specs is not None:
                 if disp:
                     _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",
-                            fisp_dispatch.run_bssfp_jacobian: "bSSFP"}
+                            fisp_dispatch.run_bssfp_jacobian: "bSSFP",
+                            fisp_dispatch.run_dess_jacobian: "DESS"}
                     LOGGER.info(
                         "simulate: %s diff train -> fused Pallas "
                         "Jacobian kernel (%d pulses, nstate=%d)",

@@ -47,6 +47,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
            "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
            "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
+           "run_dess_jacobian",
            "match_dwfisp", "run_dwfisp_kernel", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -769,6 +770,58 @@ def run_dess_kernel(params, nstate, *, interpret=False):
                            use_df=params.get("df") is not None,
                            bshape=tuple(params["shape"]))
     return {"__c_re": re, "__c_im": im}
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "specs", "demod", "use_df",
+                                             "bshape"))
+def _run_dess_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
+                      interpret, specs, demod=False, use_df=False,
+                      bshape=None):
+    from .models.pallas_dess import dess_jacobian_pallas
+
+    ((r1, i1), (r2, i2)), ((j1r, j1i), (j2r, j2i)) = dess_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret, demodulate=demod)
+    P = r1.shape[1]
+    bshape = (r1.shape[0],) if bshape is None else bshape
+
+    def inter(e1, e2, k=0):
+        """Interleave the two echo trains in sequence-ADC order:
+        (B, P[, k]) pair -> (2P,) + bshape (+ (k,))."""
+        x = jnp.stack((e1, e2), axis=2)                    # (B, P, 2[, k])
+        x = x.reshape((e1.shape[0], 2 * P) + e1.shape[2:])
+        x = jnp.moveaxis(x, 0, 1)                          # (2P, B[, k])
+        return x.reshape((2 * P,) + bshape + ((k,) if k else ()))
+
+    col = {"magnitude": (r1, i1, r2, i2),
+           "T1": (j1r[..., 0], j1i[..., 0], j2r[..., 0], j2i[..., 0]),
+           "T2": (j1r[..., 1], j1i[..., 1], j2r[..., 1], j2i[..., 1])}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": inter(r1, r2),
+                         "__c_im": inter(i1, i2)})
+        else:
+            k = len(spec[1])
+            rs1 = jnp.stack([col[n][0] for n in spec[1]], axis=-1)
+            is1 = jnp.stack([col[n][1] for n in spec[1]], axis=-1)
+            rs2 = jnp.stack([col[n][2] for n in spec[1]], axis=-1)
+            is2 = jnp.stack([col[n][3] for n in spec[1]], axis=-1)
+            outs.append({"__c_re": inter(rs1, rs2, k),
+                         "__c_im": inter(is1, is2, k)})
+    return tuple(outs)
+
+
+def run_dess_jacobian(params, nstate, specs, *, interpret=False):
+    """Fused DESS primal+tangent kernel for matched diff probes: both
+    echoes' signal/Jacobian rows interleaved on the ADC axis."""
+    dev = _device_params(params)
+    return _run_dess_jac_jit(*dev, nstate=max(int(nstate), 1),
+                             interpret=interpret, specs=specs,
+                             demod=bool(params.get("demod")),
+                             use_df=params.get("df") is not None,
+                             bshape=tuple(params["shape"]))
 
 
 def match_mse(sequence):

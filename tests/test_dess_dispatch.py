@@ -136,3 +136,94 @@ def test_fuzz_parity_or_fallthrough():
         tol = 2e-5 if matched else 1e-7
         err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
         assert err < tol, (trial, matched, err)
+
+
+@pytest.mark.parametrize("use_df,demod", [(False, False), (True, True)])
+def test_dess_jacobian_kernel_matches_planner(use_df, demod):
+    """Fused DESS primal + (dT1, dT2, dB1) tangents vs the f64 engine
+    planner with Jacobian probes (T carries the B1 chain-rule
+    coefficient d(alpha)/dB1 = FA; E ops track T1/T2).  Both echoes'
+    derivative columns must match -- the PSIF echo tangents flow
+    through the post-shift k=0 row including the full-TR dcF term."""
+    from epgpy_tpu.models.pallas_dess import dess_jacobian_pallas
+
+    P, B, NS = 24, 5, 8
+    rng = np.random.default_rng(21)
+    FA = rng.uniform(15, 50, P)
+    phi = ((117.0 * np.arange(P) * (np.arange(P) + 1) / 2) % 360.0
+           if demod else np.zeros(P))
+    TR, TE = 18.0, 5.0
+    T1 = rng.uniform(500, 1800, B)
+    T2 = rng.uniform(40, 150, B)
+    B1 = rng.uniform(0.85, 1.15, B)
+    df = np.linspace(-0.02, 0.02, B) if use_df else None
+
+    seq = []
+    for i in range(P):
+        adc = epg.Adc(phase=-phi[i]) if demod else epg.ADC
+        adc2 = epg.Adc(phase=-phi[i]) if demod else epg.ADC
+        g = 0.0 if df is None else df
+        seq += [epg.T(FA[i] * B1, phi[i],
+                      order1={"B1": {"alpha": float(FA[i])}}),
+                epg.E(TE, T1, T2, g, order1=["T1", "T2"]), adc,
+                epg.E(TR - TE - 6.0, T1, T2, g, order1=["T1", "T2"]),
+                epg.S(1),
+                epg.E(6.0, T1, T2, g, order1=["T1", "T2"]), adc2]
+    sig, jac = epg.simulate(
+        seq, max_nstate=NS, fisp_kernel=False,
+        probe=[epg.ADC, epg.Jacobian(["T1", "T2", "B1"])])
+    sig = np.asarray(sig)                       # (2P, B)
+    jac = np.asarray(jac)                       # (2P, B, 3)
+
+    (e1, e2), (j1, j2) = dess_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, df, nstate=NS, btile=128,
+        pchunk=P, demodulate=demod, interpret=True)
+    k_sig1 = np.asarray(e1[0]) + 1j * np.asarray(e1[1])   # (B, P)
+    k_sig2 = np.asarray(e2[0]) + 1j * np.asarray(e2[1])
+    assert np.abs(k_sig1.T - sig[0::2]).max() < 2e-5
+    assert np.abs(k_sig2.T - sig[1::2]).max() < 2e-5
+
+    k_j1 = np.asarray(j1[0]) + 1j * np.asarray(j1[1])     # (B, P, 3)
+    k_j2 = np.asarray(j2[0]) + 1j * np.asarray(j2[1])
+    scale = np.array([1e3, 1e2, 1.0])           # typical param sizes
+    err1 = np.abs((k_j1.transpose(1, 0, 2) - jac[0::2]) * scale).max()
+    err2 = np.abs((k_j2.transpose(1, 0, 2) - jac[1::2]) * scale).max()
+    assert err1 < 2e-4, err1
+    assert err2 < 2e-4, err2
+
+
+def test_dess_jacobian_dispatch_parity():
+    """simulate() routes tracked DESS trains with Adc/Jacobian probes
+    to the fused kernel; force-vs-planner parity on both the signal
+    rows and the (magnitude, T1, T2) Jacobian columns (interleaved
+    echo ADC order)."""
+    P, B, NS = 12, 3, 8
+    rng = np.random.default_rng(31)
+    FA = rng.uniform(15, 50, P)
+    T1 = rng.uniform(500, 1800, B)
+    T2 = rng.uniform(40, 150, B)
+    seq = []
+    for i in range(P):
+        seq += [epg.T(float(FA[i]), 0.0),
+                epg.E(5.0, T1, T2, order1=["T1", "T2"]), epg.ADC,
+                epg.E(7.0, T1, T2, order1=["T1", "T2"]), epg.S(1),
+                epg.E(6.0, T1, T2, order1=["T1", "T2"]), epg.ADC]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    sig_k, jac_k = epg.simulate(list(seq), max_nstate=NS,
+                                probe=probes, fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(list(seq), max_nstate=NS,
+                                probe=probes, fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape == (2 * P, B)
+    assert jac_k.shape == jac_e.shape == (2 * P, B, 3)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    scale = np.array([1.0, 1e3, 1e2])
+    err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
+    assert err < 2e-4, err
+
+    # off-pattern diff spec (alias) falls through to the planner
+    seq2 = list(seq)
+    e = seq2[1]
+    seq2[1] = epg.E(5.0, T1, T2, order1={"R1": "T1", "T2": "T2"})
+    from epgpy_tpu import fisp_dispatch
+    m = fisp_dispatch.match_dess(seq2)
+    assert m is None or not m["vars"]
