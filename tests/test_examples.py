@@ -42,6 +42,13 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+def test_dess_t1t2_mapping_smoke(monkeypatch, tmp_path):
+    """Joint T1+T2 GN fit from both DESS echoes (fused Jacobian
+    kernel); recovery RMSE asserted inside the example."""
+    monkeypatch.setenv("DESS_NVOX", "24")
+    _run("dess_t1t2_mapping.py", monkeypatch, tmp_path)
+
+
 def test_mt_qmt_fit_refine_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("QMTFIT_NTR", "32")
     monkeypatch.setenv("QMTFIT_NVOX", "12")
