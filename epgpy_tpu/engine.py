@@ -876,6 +876,7 @@ def simulate(
             (_fd.match_mse, _fd.run_mse_kernel, "CPMG", "mse"),
             (_fd.match_bssfp, _fd.run_bssfp_kernel, "bSSFP", "bssfp"),
             (_fd.match_dess, _fd.run_dess_kernel, "DESS", "dess"),
+            (_fd.match_megre, _fd.run_megre_kernel, "ME-GRE", "megre"),
             (lambda seq: _fd.match_dwfisp(seq, kvalue),
              _fd.run_dwfisp_kernel, "DW-FISP", "dw"),
         ]
@@ -890,6 +891,7 @@ def simulate(
             # VMEM-resident -- stay on the scan planner (bSSFP is k=0
             # only and always fits)
             nplanes = {"fisp": 6, "dw": 6, "mse": 6, "dess": 6,
+                       "megre": 6,
                        "xgre": 6 * len(fparams["dens"])
                        if tag == "xgre" else 6}.get(tag)
             if tag != "bssfp" and not _fd.kernel_fits_vmem(nplanes, ncap):

@@ -47,7 +47,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_fisp_jacobian", "match_mse", "run_mse_kernel",
            "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
            "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
-           "run_dess_jacobian",
+           "run_dess_jacobian", "match_megre", "run_megre_kernel",
            "match_dwfisp", "run_dwfisp_kernel", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -822,6 +822,169 @@ def run_dess_jacobian(params, nstate, specs, *, interpret=False):
                              demod=bool(params.get("demod")),
                              use_df=params.get("df") is not None,
                              bshape=tuple(params["shape"]))
+
+
+def match_megre(sequence):
+    """Match multi-echo spoiled GRE trains
+    ``[T, (E, Adc) * m, E?, S(1)] * N`` with m >= 2 echoes per TR.
+
+    The T2*/B0-mapping acquisition: m echoes at increasing cumulative
+    TEs before the spoiler (single-echo trains belong to match_fisp;
+    the DESS pattern reads its second echo AFTER the shift and is
+    disjoint).  Per-TR flip/phase/timing variation, rank-1
+    ``outer(FA, B1)`` flips, per-atom off-resonance and
+    ``Adc(phase=-phi)`` demodulation are accepted; the echo count and
+    the presence of the trailing E must be uniform across TRs.
+    Returns a param dict or None; memoized on operator identities.
+    """
+    if len(sequence) < 12:
+        return None
+    key = ("megre",) + tuple(id(op) for op in sequence)
+    return _memoized(key, sequence,
+                     lambda: _match_megre_impl(sequence))
+
+
+def _match_megre_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc
+
+    # echo count + block shape from the first TR
+    if type(sequence[0]) is not T:
+        return None
+    m = 0
+    i = 1
+    while (i + 1 < len(sequence) and type(sequence[i]) is E
+           and type(sequence[i + 1]) is Adc):
+        m += 1
+        i += 2
+    if m < 2 or i >= len(sequence):
+        return None
+    has_rest = type(sequence[i]) is E
+    L = 1 + 2 * m + (1 if has_rest else 0) + 1
+    if len(sequence) % L != 0 or len(sequence) // L < 2:
+        return None
+
+    N = len(sequence) // L
+    alphas, phis, adc_phases, te_rows, tr_taus = [], [], [], [], []
+    T1 = T2 = DF = None
+    tracked = None
+    for b in range(N):
+        blk = sequence[L * b:L * (b + 1)]
+        t_op, s_op = blk[0], blk[-1]
+        e_ops = blk[1:1 + 2 * m:2] + (list(blk[-2:-1]) if has_rest else [])
+        adcs = blk[2:2 + 2 * m:2]
+        if (type(t_op) is not T or type(s_op) is not S
+                or any(type(e) is not E for e in e_ops)
+                or any(type(a) is not Adc for a in adcs)):
+            return None
+        if not all(map(_no_diff, [t_op, s_op] + adcs)):
+            return None
+        if getattr(s_op, "_kint", None) != 1:
+            return None
+        cs = [_canonical_order1(e) for e in e_ops]
+        if cs[0] is None or any(c != cs[0] for c in cs):
+            return None
+        if tracked is None:
+            tracked = cs[0]
+        elif tracked != cs[0]:
+            return None
+        if any(op.axes is not None for op in [t_op] + e_ops):
+            return None
+        ph = _scalar(t_op.phi)
+        taus = [_scalar(e.tau) for e in e_ops]
+        if ph is None or any(t is None for t in taus):
+            return None
+        for adc in adcs:
+            ph_adc = None if adc.phase is None else _scalar(adc.phase)
+            if (adc.attr != "F0" or (adc.phase is not None
+                                     and ph_adc is None)
+                    or adc.weights is not None
+                    or adc.reduce not in (None, False)):
+                return None
+            adc_phases.append(ph_adc)
+        gs = [_host_nd(e.g) for e in e_ops]
+        if any(g is None for g in gs) \
+                or any(not np.array_equal(gs[0], g) for g in gs[1:]):
+            return None
+        if DF is None:
+            DF = gs[0]
+        elif not np.array_equal(DF, gs[0]):
+            return None
+        for e in e_ops:
+            t1v, t2v = _host_nd(e.T1), _host_nd(e.T2)
+            if t1v is None or t2v is None:
+                return None
+            if T1 is None:
+                T1, T2 = t1v, t2v
+            elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)):
+                return None
+        a = _host_nd(t_op.alpha)
+        if a is None:
+            return None
+        alphas.append(a)
+        phis.append(ph)
+        te_rows.append(np.cumsum(taus[:m]))
+        tr_taus.append(float(np.sum(taus)))
+
+    TE = np.asarray(te_rows).T                       # (m, N)
+    TR = np.asarray(tr_taus)
+
+    if all(p is None for p in adc_phases):
+        demod = False
+    elif any(p is None for p in adc_phases):
+        return None
+    else:
+        d = (np.asarray(adc_phases)
+             + np.repeat(np.asarray(phis), m)) % 360.0
+        if (np.minimum(d, 360.0 - d) > 1e-6).any():
+            return None
+        demod = True
+
+    fab = _rank1_factor(alphas)
+    if fab is None:
+        return None
+    FA, B1 = fab
+
+    if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
+    T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
+    return {
+        "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
+        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None, "vars": tracked,
+        "demod": demod, "shape": bshape, "nechoes": m,
+        "df": DFf if DFf.any() else None,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "demod", "use_df", "bshape"))
+def _run_megre_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
+                   interpret, demod=False, use_df=False, bshape=None):
+    from .models.pallas_megre import megre_dictionary_pallas
+
+    re, im = megre_dictionary_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret, demodulate=demod)
+    # (B, P, m) -> sequence-ADC order (echo-major within TR)
+    B, P, m = re.shape
+    bshape = (B,) if bshape is None else bshape
+    re = jnp.moveaxis(re.reshape(B, P * m), 0, 1).reshape((P * m,) + bshape)
+    im = jnp.moveaxis(im.reshape(B, P * m), 0, 1).reshape((P * m,) + bshape)
+    return re, im
+
+
+def run_megre_kernel(params, nstate, *, interpret=False):
+    """Run the fused ME-GRE kernel; engine-layout (m*N, batch) output."""
+    dev = _device_params(params)
+    re, im = _run_megre_jit(*dev, nstate=max(int(nstate), 1),
+                            interpret=interpret,
+                            demod=bool(params.get("demod")),
+                            use_df=params.get("df") is not None,
+                            bshape=tuple(params["shape"]))
+    return {"__c_re": re, "__c_im": im}
 
 
 def match_mse(sequence):

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: fused multi-echo spoiled GRE (ME-GRE) trains.
+
+Multi-echo gradient echo reads m echoes per TR at increasing echo
+times before the spoiler — the standard T2*/R2*/B0-mapping and QSM
+acquisition.  Per TR the operator train is
+``[T, E(te1), ADC, E(te2-te1), ADC, ..., E(rest), S(1)]`` (reference
+analog: the per-op trains of epgpy/evolution.py + shift.py applied in
+sequence; epgpy has no fused path for any of this).
+
+k-independent relaxation commutes with everything between the pulse
+and the shift, so echo j is the k=0 row of the rotated state decayed
+by ``exp(-te_j / T2)`` (plus the off-resonance phase ``2 pi df te_j``)
+— the kernel evaluates the rotation ONCE per TR and writes m decayed
+copies of its center row, then applies the full-TR decay and the
+folded unit shift exactly like the FISP kernel
+(models/pallas_fisp._kernel_half).
+
+State: 6 folded half-ladder planes (A=F+(k), B=F+(-k), Z; re/im) of
+nstate+1 rows in VMEM; outputs are m (P, B) echo pairs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_common import (_rot_A, _rot_B, _rot_Z, _rot_coeffs,
+                            _shift_store)
+
+__all__ = ["megre_dictionary_pallas"]
+
+
+def _kernel_megre(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
+                  b1_ref, df_ref, *refs, nstate, pchunk, nechoes,
+                  demodulate, use_df):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    out_refs, st_ref = refs[:2 * nechoes], refs[2 * nechoes]
+    pc = pl.program_id(1)
+    H = nstate + 1
+    f32 = jnp.float32
+
+    @pl.when(pc == 0)
+    def _init():
+        st_ref[...] = jnp.zeros_like(st_ref)
+        st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])  # Z(0) = 1
+
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
+    base = pc * pchunk
+
+    def step(i, _):
+        planes = [st_ref[j] for j in range(6)]
+
+        fa = fa_ref[0, base + i]
+        ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
+        a = fa * B1 * (jnp.pi / 180.0)
+        rc = _rot_coeffs(a, ph)
+        cp, sp = jnp.cos(ph), jnp.sin(ph)
+
+        RA = _rot_A(*rc[:5], planes)
+        RB = _rot_B(*rc[:5], planes)
+        SZ = _rot_Z(*rc[5:], planes)
+
+        # m echoes from the rotated k=0 row, each with its own decay
+        # and off-resonance phase (static unroll: m is tiny)
+        for j in range(nechoes):
+            te = te_ref[j, base + i]
+            e2te = jnp.exp(-te / T2)
+            eR = e2te * RA[0][0, :]
+            eI = e2te * RA[1][0, :]
+            if use_df:
+                ang = 2 * jnp.pi * DF * te
+                c, s = jnp.cos(ang), jnp.sin(ang)
+                eR, eI = eR * c - eI * s, eI * c + eR * s
+            if demodulate:
+                eR, eI = eR * cp + eI * sp, eI * cp - eR * sp
+            out_refs[2 * j][i, :] = eR
+            out_refs[2 * j + 1][i, :] = eI
+
+        TRi = tr_ref[0, base + i]
+        cF = jnp.exp(-TRi / T2)
+        cZ = jnp.exp(-TRi / T1)
+        rec = 1.0 - cZ
+        if use_df:
+            ang = 2 * jnp.pi * DF * TRi
+            cFr, cFi = cF * jnp.cos(ang), cF * jnp.sin(ang)
+            nAR = cFr * RA[0] - cFi * RA[1]
+            nAI = cFr * RA[1] + cFi * RA[0]
+            nBR = cFr * RB[0] - cFi * RB[1]
+            nBI = cFr * RB[1] + cFi * RB[0]
+        else:
+            nAR, nAI = cF * RA[0], cF * RA[1]
+            nBR, nBI = cF * RB[0], cF * RB[1]
+        nZR = cZ * SZ[0] + rowmask * rec
+        nZI = cZ * SZ[1]
+        _shift_store(st_ref, 0, (nAR, nAI, nBR, nBI, nZR, nZI))
+        return 0
+
+    jax.lax.fori_loop(0, pchunk, step, 0)
+
+
+@partial(jax.jit, static_argnames=("nstate", "btile", "pchunk",
+                                   "demodulate", "interpret"))
+def megre_dictionary_pallas(FA, phi, TR, TEs, T1s, T2s, B1s, dfs=None, *,
+                            nstate=10, btile=512, pchunk=None,
+                            demodulate=False, interpret=False):
+    """Multi-echo spoiled GRE via the fused folded-half-ladder kernel.
+
+    FA (P,) degrees; phi/TR broadcast to (P,); TEs (m,) cumulative echo
+    times shared across TRs, or (m, P) per-pulse.  T1s/T2s/B1s/dfs are
+    (B,) per-atom; per-atom `dfs` (kHz) gives each echo its
+    ``exp(2 pi i df te_j)`` phase — the B0-mapping signal model.
+    Returns (re, im): (B, P, m) float32 echo trains, echo index last.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    nstate = max(int(nstate), 1)
+    FA = jnp.asarray(FA, f32)
+    P = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
+    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
+    TEs = jnp.asarray(TEs, f32)
+    if TEs.ndim == 1:
+        TEs = jnp.broadcast_to(TEs[:, None], (TEs.shape[0], P))
+    m = TEs.shape[0]
+    T1s = jnp.asarray(T1s, f32)
+    T2s = jnp.asarray(T2s, f32)
+    B1s = jnp.asarray(B1s, f32)
+    use_df = dfs is not None
+    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
+    B = T1s.shape[0]
+
+    if pchunk is None:
+        pchunk = P if 2 * m * P * btile * 4 <= (1 << 25) else 1024
+    Bp = -(-B // btile) * btile
+    Pp = -(-P // pchunk) * pchunk
+
+    def padb(x):
+        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
+
+    def padp(x, fill):
+        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
+                if Pp > P else x)
+
+    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
+    TR_p = padp(TR, 2.0)           # padded pulses are FA=0 no-ops
+    TE_p = (jnp.concatenate([TEs, jnp.ones((m, Pp - P), f32)], axis=1)
+            if Pp > P else TEs)
+    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
+    nP, nB = Pp // pchunk, Bp // btile
+    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
+    args += [TE_p] + [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
+
+    kernel = partial(_kernel_megre, nstate=nstate, pchunk=pchunk,
+                     nechoes=m, demodulate=demodulate, use_df=use_df)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nB, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # TEs (m, Pp)
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
+        ],
+        out_specs=[pl.BlockSpec((pchunk, btile),
+                                lambda b, pc: (pc, b))] * (2 * m),
+        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * (2 * m),
+        scratch_shapes=[pltpu.VMEM((6, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    o = [x[:P, :B].T for x in outs]
+    re = jnp.stack(o[0::2], axis=-1)            # (B, P, m)
+    im = jnp.stack(o[1::2], axis=-1)
+    return re, im

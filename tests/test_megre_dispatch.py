@@ -1,0 +1,126 @@
+"""Multi-echo GRE train -> fused Pallas kernel dispatch (match_megre).
+
+ME-GRE reads m >= 2 echoes per TR before the spoiler (the T2*/B0
+mapping acquisition): ``[T, (E, Adc) * m, E?, S(1)] * N``.  The kernel
+evaluates the rotation once per TR and writes m decayed copies of the
+k=0 row (k-independent relaxation commutes with everything between
+pulse and shift).
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import fisp_dispatch
+
+
+def _metrain(P=10, B=3, m=3, *, df=0.0, b1=None, demod=False,
+             has_rest=True, vary_te=False):
+    rng = np.random.default_rng(13)
+    T1 = np.linspace(500, 1600, B)
+    T2 = np.linspace(40, 130, B)
+    seq = []
+    for i in range(P):
+        ph = float((117.0 * i * (i + 1) / 2) % 360) if demod else 0.0
+        alpha = (15.0 + i) if b1 is None else (15.0 + i) * b1
+        seq.append(epg.T(alpha, ph))
+        prev = 0.0
+        for j in range(m):
+            te = 3.0 * (j + 1) + (0.4 * i if vary_te else 0.0)
+            seq += [epg.E(te - prev, T1, T2, df),
+                    epg.Adc(phase=-ph) if demod else epg.ADC]
+            prev = te
+        if has_rest:
+            seq.append(epg.E(4.0 + (i % 2), T1, T2, df))
+        seq.append(epg.S(1))
+    return seq
+
+
+def _parity(seq, tol=2e-5):
+    sig_k = epg.simulate(list(seq), fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape
+    err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
+    assert err < tol, err
+    return np.asarray(sig_k)
+
+
+def test_match_extracts_params():
+    seq = _metrain(P=8, B=2, m=3)
+    params = fisp_dispatch.match_megre(seq)
+    assert params is not None
+    assert params["nechoes"] == 3
+    assert params["FA"].shape == (8,)
+    assert params["TE"].shape == (3, 8)
+    assert np.allclose(params["TE"][:, 0], [3.0, 6.0, 9.0])
+
+
+def test_dispatch_matches_planner():
+    _parity(_metrain(P=12, B=3, m=2))
+    _parity(_metrain(P=8, B=2, m=4, has_rest=False))
+
+
+def test_dispatch_matches_planner_loaded():
+    """Batched atoms, off-resonance, rank-1 B1 flips, RF-spoiling
+    demodulation, per-TR echo-time variation."""
+    seq = _metrain(P=10, B=4, m=3, df=np.linspace(-0.03, 0.03, 4),
+                   b1=np.linspace(0.85, 1.15, 4), demod=True,
+                   vary_te=True)
+    _parity(seq)
+
+
+@pytest.mark.parametrize("mutate", [
+    "shift2",          # non-unit shift
+    "adc_attr",        # Z-probe echo
+    "one_echo",        # m = 1 belongs to match_fisp
+    "ragged",          # echo count changes mid-train
+])
+def test_no_match_off_pattern(mutate):
+    seq = _metrain(P=6, B=2, m=2)
+    if mutate == "shift2":
+        i = next(j for j, op in enumerate(seq) if type(op) is epg.S)
+        seq[i] = epg.S(2)
+    elif mutate == "adc_attr":
+        idxs = [j for j, op in enumerate(seq) if isinstance(op, epg.Adc)]
+        seq[idxs[1]] = epg.Adc(attr="Z0")
+    elif mutate == "one_echo":
+        seq = _metrain(P=6, B=2, m=1)
+    elif mutate == "ragged":
+        # drop one echo from the second TR
+        L = len(seq) // 6
+        del seq[L + 3:L + 5]
+    assert fisp_dispatch.match_megre(list(seq)) is None
+    sig_k = epg.simulate(list(seq), fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-7
+
+
+def test_fuzz_parity_or_fallthrough():
+    rng = np.random.default_rng(47)
+    for trial in range(6):
+        P = int(rng.integers(2, 6))
+        B = int(rng.integers(1, 4))
+        m = int(rng.integers(2, 5))
+        T1 = rng.uniform(400, 1600, B)
+        T2 = rng.uniform(40, 130, B)
+        df = (rng.uniform(-0.03, 0.03, B) if rng.random() < 0.5 else 0.0)
+        demod = bool(rng.random() < 0.5)
+        has_rest = bool(rng.random() < 0.7)
+        seq = []
+        for i in range(P):
+            ph = float(rng.uniform(0, 360)) if demod else 0.0
+            seq.append(epg.T(float(rng.uniform(10, 50)), ph))
+            for _ in range(m):
+                seq += [epg.E(float(rng.uniform(1, 5)), T1, T2, df),
+                        epg.Adc(phase=-ph) if demod else epg.ADC]
+            if has_rest:
+                seq.append(epg.E(float(rng.uniform(2, 8)), T1, T2, df))
+            seq.append(epg.S(1))
+        if rng.random() < 0.3:
+            seq.insert(int(rng.integers(0, len(seq))), epg.S(1))
+        sig_k = epg.simulate(list(seq), fisp_kernel="force")
+        sig_e = epg.simulate(list(seq), fisp_kernel=False)
+        matched = fisp_dispatch.match_megre(list(seq)) is not None
+        tol = 2e-5 if matched else 1e-7
+        err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
+        assert err < tol, (trial, matched, err)
