@@ -1008,7 +1008,7 @@ def simulate(
             # eval-string probes reject in O(#probes) without
             # paying the host-side train factorization
             specs = fisp_dispatch.match_jacobian_probes(
-                probes, ("T1", "T2"))
+                probes, ("T1", "T2", "g"))
             runner = None
             if specs is not None:
                 fparams = fisp_dispatch.match_fisp(sequence)
@@ -1022,21 +1022,28 @@ def simulate(
                 if fparams is None:
                     fparams = fisp_dispatch.match_dess(sequence)
                     runner = fisp_dispatch.run_dess_jacobian
+                if fparams is None:
+                    fparams = fisp_dispatch.match_megre(sequence)
+                    runner = fisp_dispatch.run_megre_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
                 # VMEM gate: the fused Jacobian kernels keep 24 folded
-                # planes resident (bSSFP is k=0 only and always fits)
+                # planes resident (30 for ME-GRE: it adds a df tangent
+                # group; bSSFP is k=0 only and always fits)
                 if (specs is not None
                         and runner is not fisp_dispatch.run_bssfp_jacobian
                         and not fisp_dispatch.kernel_fits_vmem(
-                            24, _preamble_ncap)):
+                            30 if runner is
+                            fisp_dispatch.run_megre_jacobian else 24,
+                            _preamble_ncap)):
                     specs = None
             if specs is not None:
                 if disp:
                     _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",
                             fisp_dispatch.run_bssfp_jacobian: "bSSFP",
-                            fisp_dispatch.run_dess_jacobian: "DESS"}
+                            fisp_dispatch.run_dess_jacobian: "DESS",
+                            fisp_dispatch.run_megre_jacobian: "ME-GRE"}
                     LOGGER.info(
                         "simulate: %s diff train -> fused Pallas "
                         "Jacobian kernel (%d pulses, nstate=%d)",

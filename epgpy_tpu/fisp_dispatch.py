@@ -48,6 +48,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_mse_jacobian", "match_bssfp", "run_bssfp_kernel",
            "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
            "run_dess_jacobian", "match_megre", "run_megre_kernel",
+           "run_megre_jacobian",
            "match_dwfisp", "run_dwfisp_kernel", "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -143,15 +144,16 @@ def _no_diff(op):
     return not getattr(op, "order1", None) and not getattr(op, "order2", None)
 
 
-def _canonical_order1(op):
-    """E-op order1 as a sorted tuple of tracked (T1/T2) names, or None.
+def _canonical_order1(op, allowed=("T1", "T2")):
+    """E-op order1 as a sorted tuple of tracked names, or None.
 
-    The fused Jacobian kernel propagates dS/d(T1, T2) for the GLOBAL
-    atom parameters, which corresponds to order1 specs where the
-    variable IS the parameter with unit coefficient (the common
+    The fused Jacobian kernels propagate dS/d(param) for GLOBAL atom
+    parameters, which corresponds to order1 specs where the variable
+    IS the parameter with unit coefficient (the common
     ``order1=["T1", "T2"]`` form).  Aliased variables, chain-rule
-    coefficients, other parameters (g/tau) and order2 disqualify the
-    train (fall through to the general jacfwd path)."""
+    coefficients, parameters outside `allowed` (ME-GRE also admits
+    "g": its kernel carries a df tangent group) and order2 disqualify
+    the train (fall through to the general jacfwd path)."""
     if getattr(op, "order2", None):
         return None
     o1 = getattr(op, "order1", None)
@@ -159,7 +161,7 @@ def _canonical_order1(op):
         return ()
     names = []
     for var, cfs in o1.items():
-        if var not in ("T1", "T2") or set(cfs) != {var}:
+        if var not in allowed or set(cfs) != {var}:
             return None
         c = cfs[var]
         # coefficient must be the host scalar 1.0 (array/device/traced
@@ -883,7 +885,8 @@ def _match_megre_impl(sequence):
             return None
         if getattr(s_op, "_kint", None) != 1:
             return None
-        cs = [_canonical_order1(e) for e in e_ops]
+        cs = [_canonical_order1(e, allowed=("T1", "T2", "g"))
+              for e in e_ops]
         if cs[0] is None or any(c != cs[0] for c in cs):
             return None
         if tracked is None:
@@ -985,6 +988,55 @@ def run_megre_kernel(params, nstate, *, interpret=False):
                             use_df=params.get("df") is not None,
                             bshape=tuple(params["shape"]))
     return {"__c_re": re, "__c_im": im}
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "specs", "demod", "use_df",
+                                             "bshape"))
+def _run_megre_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
+                       interpret, specs, demod=False, use_df=False,
+                       bshape=None):
+    from .models.pallas_megre import megre_jacobian_pallas
+
+    (re, im), (jre, jim) = megre_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret, demodulate=demod)
+    B, P, m = re.shape
+    bshape = (B,) if bshape is None else bshape
+
+    def flat(x):
+        """(B, P, m[, k]) -> (P*m,) + bshape (+ (k,)) in ADC order."""
+        x = x.reshape((B, P * m) + x.shape[3:])
+        x = jnp.moveaxis(x, 0, 1)
+        return x.reshape((P * m,) + bshape + x.shape[2:])
+
+    sre, sim_ = flat(re), flat(im)
+    jre_f, jim_f = flat(jre), flat(jim)            # (Pm,)+bshape+(4,)
+    cols = {"T1": 0, "T2": 1, "g": 3}
+    outs = []
+    for spec in specs:
+        if spec[0] == "sig":
+            outs.append({"__c_re": sre, "__c_im": sim_})
+        else:
+            rs = jnp.stack(
+                [sre if n == "magnitude" else jre_f[..., cols[n]]
+                 for n in spec[1]], axis=-1)
+            ims = jnp.stack(
+                [sim_ if n == "magnitude" else jim_f[..., cols[n]]
+                 for n in spec[1]], axis=-1)
+            outs.append({"__c_re": rs, "__c_im": ims})
+    return tuple(outs)
+
+
+def run_megre_jacobian(params, nstate, specs, *, interpret=False):
+    """Fused ME-GRE primal+tangent kernel for matched diff probes
+    (tracked vars from {T1, T2, g}; "g" is the df/B0 column)."""
+    dev = _device_params(params)
+    return _run_megre_jac_jit(*dev, nstate=max(int(nstate), 1),
+                              interpret=interpret, specs=specs,
+                              demod=bool(params.get("demod")),
+                              use_df=params.get("df") is not None,
+                              bshape=tuple(params["shape"]))
 
 
 def match_mse(sequence):

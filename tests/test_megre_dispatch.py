@@ -124,3 +124,84 @@ def test_fuzz_parity_or_fallthrough():
         tol = 2e-5 if matched else 1e-7
         err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
         assert err < tol, (trial, matched, err)
+
+
+@pytest.mark.parametrize("use_df,demod", [(False, False), (True, True)])
+def test_megre_jacobian_kernel_matches_planner(use_df, demod):
+    """Fused ME-GRE primal + (dT1, dT2, dB1, ddf) tangents vs the f64
+    planner (the E op has analytic dg, so all four columns have an
+    exact oracle; the df tangent flows through BOTH the per-echo TE
+    phasor and the carried full-TR phasor)."""
+    from epgpy_tpu.models.pallas_megre import megre_jacobian_pallas
+
+    P, B, NS, m = 10, 4, 8, 3
+    rng = np.random.default_rng(23)
+    FA = rng.uniform(10, 40, P)
+    phi = ((117.0 * np.arange(P) * (np.arange(P) + 1) / 2) % 360.0
+           if demod else np.zeros(P))
+    tes = np.array([3.0, 7.5, 12.0])
+    TR = 20.0
+    T1 = rng.uniform(400, 1800, B)
+    T2 = rng.uniform(30, 150, B)
+    B1 = rng.uniform(0.85, 1.15, B)
+    df = np.linspace(-0.03, 0.03, B) if use_df else None
+    o1 = ["T1", "T2", "g"]
+    seq = []
+    for i in range(P):
+        g = 0.0 if df is None else df
+        seq.append(epg.T(FA[i] * B1, phi[i],
+                         order1={"B1": {"alpha": float(FA[i])}}))
+        prev = 0.0
+        for te in tes:
+            seq += [epg.E(te - prev, T1, T2, g, order1=o1),
+                    epg.Adc(phase=-phi[i]) if demod else epg.ADC]
+            prev = te
+        seq += [epg.E(TR - prev, T1, T2, g, order1=o1), epg.S(1)]
+    sig, jac = epg.simulate(
+        seq, max_nstate=NS, fisp_kernel=False,
+        probe=[epg.ADC, epg.Jacobian(["T1", "T2", "B1", "g"])])
+    sig = np.asarray(sig)
+    jac = np.asarray(jac)
+
+    (re, im), (jre, jim) = megre_jacobian_pallas(
+        FA, phi, TR, tes, T1, T2, B1, df, nstate=NS, btile=128,
+        pchunk=P, demodulate=demod, interpret=True)
+    k = (np.asarray(re) + 1j * np.asarray(im)).reshape(B, P * m).T
+    assert np.abs(k - sig).max() < 2e-5
+    kj = np.moveaxis((np.asarray(jre) + 1j * np.asarray(jim))
+                     .reshape(B, P * m, 4), 0, 1)
+    scale = np.array([1e3, 1e2, 1.0, 1e-2])      # typical param sizes
+    err = np.abs((kj - jac) * scale).max()
+    assert err < 2e-4, err
+
+
+def test_megre_jacobian_dispatch_parity():
+    """simulate() routes g-tracked ME-GRE trains with Adc/Jacobian
+    probes to the fused kernel; force-vs-planner parity over the
+    (magnitude, T2, g) columns -- the B0-mapping spec."""
+    P, B, NS, m = 8, 3, 8, 2
+    rng = np.random.default_rng(37)
+    FA = rng.uniform(10, 40, P)
+    T1 = rng.uniform(500, 1600, B)
+    T2 = rng.uniform(40, 130, B)
+    df = np.linspace(-0.02, 0.02, B)
+    o1 = ["T1", "T2", "g"]
+    seq = []
+    for i in range(P):
+        seq.append(epg.T(float(FA[i]), 0.0))
+        prev = 0.0
+        for te in (4.0, 9.0):
+            seq += [epg.E(te - prev, T1, T2, df, order1=o1), epg.ADC]
+            prev = te
+        seq += [epg.E(6.0, T1, T2, df, order1=o1), epg.S(1)]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T2", "g"])]
+    sig_k, jac_k = epg.simulate(list(seq), max_nstate=NS,
+                                probe=probes, fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(list(seq), max_nstate=NS,
+                                probe=probes, fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape == (m * P, B)
+    assert jac_k.shape == jac_e.shape == (m * P, B, 3)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    scale = np.array([1.0, 1e2, 1e-2])
+    err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
+    assert err < 2e-4, err
