@@ -49,6 +49,15 @@ def test_dess_t1t2_mapping_smoke(monkeypatch, tmp_path):
     _run("dess_t1t2_mapping.py", monkeypatch, tmp_path)
 
 
+def test_megre_t2_b0_mapping_smoke(monkeypatch, tmp_path):
+    """Joint T2+B0 GN fit of multi-echo GRE through the simulate()
+    dispatch; recovery RMSE asserted inside the example."""
+    monkeypatch.setenv("MEGRE_NVOX", "16")
+    monkeypatch.setenv("MEGRE_NTR", "16")
+    monkeypatch.setenv("MEGRE_ITERS", "6")
+    _run("megre_t2_b0_mapping.py", monkeypatch, tmp_path)
+
+
 def test_mt_qmt_fit_refine_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("QMTFIT_NTR", "32")
     monkeypatch.setenv("QMTFIT_NVOX", "12")
