@@ -205,3 +205,27 @@ def test_megre_jacobian_dispatch_parity():
     scale = np.array([1.0, 1e2, 1e-2])
     err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
     assert err < 2e-4, err
+
+
+def test_golden_reference_parity():
+    """Physics pinned against the reference (tests/golden/megre.npz):
+    the planner at 1e-10 and the fused kernel at f32 tolerance."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "megre.npz"))
+    n, TR = 20, 22.0
+    tes = [4.0, 9.0, 15.0]
+    seq = []
+    for i in range(n):
+        seq.append(epg.T(15 + i, 0))
+        prev = 0.0
+        for te in tes:
+            seq += [epg.E(te - prev, 900, 70, 0.02), epg.ADC]
+            prev = te
+        seq += [epg.E(TR - prev, 900, 70, 0.02), epg.S(1)]
+    sig_e = np.asarray(epg.simulate(list(seq), fisp_kernel=False,
+                                    max_nstate=12))
+    assert np.abs(sig_e - g["signal"]).max() < 1e-10
+    sig_k = np.asarray(epg.simulate(list(seq), fisp_kernel="force",
+                                    max_nstate=12))
+    assert np.abs(sig_k - g["signal"]).max() < 1e-6

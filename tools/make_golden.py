@@ -224,6 +224,23 @@ def dess():
     return {"signal": np.asarray(fun.simulate(seq, max_nstate=15))}
 
 
+def megre():
+    """Multi-echo spoiled GRE: m=3 echoes per TR before the spoiler
+    (T2*/B0-mapping acquisition), varying flips, off-resonance."""
+    n, TR = 20, 22.0
+    tes = [4.0, 9.0, 15.0]
+    g = 0.02
+    seq = []
+    for i in range(n):
+        seq.append(ops.T(15 + i, 0))
+        prev = 0.0
+        for te in tes:
+            seq += [ops.E(te - prev, 900, 70, g), ops.ADC]
+            prev = te
+        seq += [ops.E(TR - prev, 900, 70, g), ops.S(1)]
+    return {"signal": np.asarray(fun.simulate(seq, max_nstate=12))}
+
+
 def t2star():
     """C operator: accumulated-time dephasing (4th coordinate) with F0
     readout weighted by exp(-|t|) (reference t2star example)."""
@@ -972,6 +989,7 @@ CASES = {
     "spgr": spgr,
     "t2star": t2star,
     "dess": dess,
+    "megre": megre,
     "shift_prune": shift_prune,
     "rfpulse_profile": rfpulse_profile,
     "imaging_probe": imaging_probe,
