@@ -121,7 +121,12 @@ def _pad_setup(FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout):
     B = T1s.shape[0]
 
     if pchunk is None:
-        pchunk = P if nout * P * btile * 4 <= (1 << 25) else 1024
+        # chunked fallback bounded by output-window VMEM: blocks live
+        # double-buffered, so cap the single-buffer footprint at 16 MB
+        # (nout=16 jac kernels at pchunk=1024 would be 33 MB single /
+        # 67 MB double -- too close to the 100 MB kernel limit)
+        pchunk = (P if nout * P * btile * 4 <= (1 << 25)
+                  else min(1024, max((1 << 24) // (nout * btile * 4), 1)))
     Bp = -(-B // btile) * btile
     Pp = -(-P // pchunk) * pchunk
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_common import (_cmul, _pad_setup, _rot_A, _rot_B, _rot_Z,
-                            _shift_store)
+                            _rot_coeffs, _shift_store)
 
 __all__ = ["dess_dictionary_pallas", "dess_jacobian_pallas"]
 
@@ -261,23 +261,18 @@ def _kernel_dess_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
         ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
         rad = jnp.pi / 180.0
         a = fa * B1 * rad
+        rc = _rot_coeffs(a, ph)
         ca, sa = jnp.cos(a), jnp.sin(a)
-        cos2, sin2 = (1 + ca) / 2, (1 - ca) / 2
         cp, sp = jnp.cos(ph), jnp.sin(ph)
         c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
-
-        m01r, m01i = c2p * sin2, s2p * sin2
-        m02r, m02i = sp * sa, -cp * sa
-        m20r, m20i = -0.5 * sp * sa, -0.5 * cp * sa
-        m21r, m21i = -0.5 * sp * sa, 0.5 * cp * sa
-        # B1 tangents of the rotation coefficients
+        # B1 tangents of the rotation coefficients (shared-form
+        # derivatives of _rot_coeffs' 10-tuple)
         da = fa * rad
         dsa, dca = ca * da, -sa * da
         dcos2, dsin2 = -0.5 * sa * da, 0.5 * sa * da
-        dm01r, dm01i = c2p * dsin2, s2p * dsin2
-        dm02r, dm02i = sp * dsa, -cp * dsa
-        dm20r, dm20i = -0.5 * sp * dsa, -0.5 * cp * dsa
-        dm21r, dm21i = -0.5 * sp * dsa, 0.5 * cp * dsa
+        drc = (dcos2, c2p * dsin2, s2p * dsin2, sp * dsa, -cp * dsa,
+               dca, -0.5 * sp * dsa, -0.5 * cp * dsa,
+               -0.5 * sp * dsa, 0.5 * cp * dsa)
 
         TRi = tr_ref[0, base + i]
         cF = jnp.exp(-TRi / T2)
@@ -301,9 +296,9 @@ def _kernel_dess_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
                 return dcFr * re - dcFi * im, dcFr * im + dcFi * re
             return dcF * re, dcF * im
 
-        prim = partial(_rot_A, cos2, m01r, m01i, m02r, m02i)
-        primB = partial(_rot_B, cos2, m01r, m01i, m02r, m02i)
-        primZ = partial(_rot_Z, ca, m20r, m20i, m21r, m21i)
+        prim = partial(_rot_A, *rc[:5])
+        primB = partial(_rot_B, *rc[:5])
+        primZ = partial(_rot_Z, *rc[5:])
 
         RA = prim(P6)
         RB = primB(P6)
@@ -312,9 +307,9 @@ def _kernel_dess_jac(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
         tRB = [primB(t) for t in tans]
         tSZ = [primZ(t) for t in tans]
         # B1 coefficient-derivative pass over the primal planes
-        cRA = _rot_A(dcos2, dm01r, dm01i, dm02r, dm02i, P6)
-        cRB = _rot_B(dcos2, dm01r, dm01i, dm02r, dm02i, P6)
-        cSZ = _rot_Z(dca, dm20r, dm20i, dm21r, dm21i, P6)
+        cRA = _rot_A(*drc[:5], P6)
+        cRB = _rot_B(*drc[:5], P6)
+        cSZ = _rot_Z(*drc[5:], P6)
 
         def demod_write(re_ref, im_ref, eR, eI, with_df_te):
             if use_df and with_df_te:

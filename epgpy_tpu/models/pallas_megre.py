@@ -32,6 +32,60 @@ from .pallas_common import (_rot_A, _rot_B, _rot_Z, _rot_coeffs,
 __all__ = ["megre_dictionary_pallas", "megre_jacobian_pallas"]
 
 
+def _pick_pchunk(P, btile, nout):
+    """Pulse-chunk size bounding the kernel's output-window VMEM.
+
+    Output blocks live in VMEM double-buffered: total live bytes are
+    ~2 * nout * pchunk * btile * 4.  Cap the single-buffer footprint at
+    16 MB so any echo count m stays well under the 100 MB kernel limit
+    (high-m trains must dispatch-and-run, never dispatch-and-crash)."""
+    cap = max((1 << 24) // (nout * btile * 4), 1)
+    return min(P, cap)
+
+
+def _pad_megre(FA, phi, TR, TEs, T1s, T2s, B1s, dfs, btile, pchunk, nout):
+    """Pad/chunk setup shared by the ME-GRE primal and Jacobian
+    wrappers (the (m, P) echo-time matrix keeps it out of
+    pallas_common._pad_setup, which assumes one TE row).  Padded
+    pulses are FA=0 no-ops; their TR/TE fills only need to be valid
+    positive times."""
+    f32 = jnp.float32
+    FA = jnp.asarray(FA, f32)
+    P = FA.shape[0]
+    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
+    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
+    TEs = jnp.asarray(TEs, f32)
+    if TEs.ndim == 1:
+        TEs = jnp.broadcast_to(TEs[:, None], (TEs.shape[0], P))
+    m = TEs.shape[0]
+    T1s = jnp.asarray(T1s, f32)
+    T2s = jnp.asarray(T2s, f32)
+    B1s = jnp.asarray(B1s, f32)
+    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
+    B = T1s.shape[0]
+
+    if pchunk is None:
+        pchunk = _pick_pchunk(P, btile, nout * m)
+    Bp = -(-B // btile) * btile
+    Pp = -(-P // pchunk) * pchunk
+
+    def padb(x):
+        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
+
+    def padp(x, fill):
+        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
+                if Pp > P else x)
+
+    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
+    TR_p = padp(TR, 2.0)
+    TE_p = (jnp.concatenate([TEs, jnp.ones((m, Pp - P), f32)], axis=1)
+            if Pp > P else TEs)
+    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
+    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
+    args += [TE_p] + [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
+    return P, B, Pp, Bp, m, pchunk, args
+
+
 def _kernel_megre(fa_ref, phi_ref, tr_ref, te_ref, t1_ref, t2_ref,
                   b1_ref, df_ref, *refs, nstate, pchunk, nechoes,
                   demodulate, use_df):
@@ -124,41 +178,10 @@ def megre_dictionary_pallas(FA, phi, TR, TEs, T1s, T2s, B1s, dfs=None, *,
 
     f32 = jnp.float32
     nstate = max(int(nstate), 1)
-    FA = jnp.asarray(FA, f32)
-    P = FA.shape[0]
-    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
-    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
-    TEs = jnp.asarray(TEs, f32)
-    if TEs.ndim == 1:
-        TEs = jnp.broadcast_to(TEs[:, None], (TEs.shape[0], P))
-    m = TEs.shape[0]
-    T1s = jnp.asarray(T1s, f32)
-    T2s = jnp.asarray(T2s, f32)
-    B1s = jnp.asarray(B1s, f32)
     use_df = dfs is not None
-    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
-    B = T1s.shape[0]
-
-    if pchunk is None:
-        pchunk = P if 2 * m * P * btile * 4 <= (1 << 25) else 1024
-    Bp = -(-B // btile) * btile
-    Pp = -(-P // pchunk) * pchunk
-
-    def padb(x):
-        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
-
-    def padp(x, fill):
-        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
-                if Pp > P else x)
-
-    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    TR_p = padp(TR, 2.0)           # padded pulses are FA=0 no-ops
-    TE_p = (jnp.concatenate([TEs, jnp.ones((m, Pp - P), f32)], axis=1)
-            if Pp > P else TEs)
-    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
+    P, B, Pp, Bp, m, pchunk, args = _pad_megre(
+        FA, phi, TR, TEs, T1s, T2s, B1s, dfs, btile, pchunk, nout=2)
     nP, nB = Pp // pchunk, Bp // btile
-    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    args += [TE_p] + [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
 
     kernel = partial(_kernel_megre, nstate=nstate, pchunk=pchunk,
                      nechoes=m, demodulate=demodulate, use_df=use_df)
@@ -379,41 +402,10 @@ def megre_jacobian_pallas(FA, phi, TR, TEs, T1s, T2s, B1s, dfs=None, *,
 
     f32 = jnp.float32
     nstate = max(int(nstate), 1)
-    FA = jnp.asarray(FA, f32)
-    P = FA.shape[0]
-    phi = jnp.broadcast_to(jnp.asarray(phi, f32), (P,))
-    TR = jnp.broadcast_to(jnp.asarray(TR, f32), (P,))
-    TEs = jnp.asarray(TEs, f32)
-    if TEs.ndim == 1:
-        TEs = jnp.broadcast_to(TEs[:, None], (TEs.shape[0], P))
-    m = TEs.shape[0]
-    T1s = jnp.asarray(T1s, f32)
-    T2s = jnp.asarray(T2s, f32)
-    B1s = jnp.asarray(B1s, f32)
     use_df = dfs is not None
-    DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
-    B = T1s.shape[0]
-
-    if pchunk is None:
-        pchunk = P if 10 * m * P * btile * 4 <= (1 << 25) else 256
-    Bp = -(-B // btile) * btile
-    Pp = -(-P // pchunk) * pchunk
-
-    def padb(x):
-        return jnp.concatenate([x, jnp.ones((Bp - B,), f32)]) if Bp > B else x
-
-    def padp(x, fill):
-        return (jnp.concatenate([x, jnp.full((Pp - P,), fill, f32)])
-                if Pp > P else x)
-
-    FA_p, phi_p = padp(FA, 0.0), padp(phi, 0.0)
-    TR_p = padp(TR, 2.0)
-    TE_p = (jnp.concatenate([TEs, jnp.ones((m, Pp - P), f32)], axis=1)
-            if Pp > P else TEs)
-    T1p, T2p, B1p, DFp = (padb(T1s), padb(T2s), padb(B1s), padb(DFs))
+    P, B, Pp, Bp, m, pchunk, args = _pad_megre(
+        FA, phi, TR, TEs, T1s, T2s, B1s, dfs, btile, pchunk, nout=10)
     nP, nB = Pp // pchunk, Bp // btile
-    args = [x.reshape(1, -1) for x in (FA_p, phi_p, TR_p)]
-    args += [TE_p] + [x.reshape(1, -1) for x in (T1p, T2p, B1p, DFp)]
 
     kernel = partial(_kernel_megre_jac, nstate=nstate, pchunk=pchunk,
                      nechoes=m, demodulate=demodulate, use_df=use_df)

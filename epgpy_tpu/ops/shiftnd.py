@@ -62,9 +62,17 @@ def _intdtype():
 
 def _callbacks_ok():
     """Whether in-program host callbacks (jax.debug.print) are safe on
-    the default backend.  CPU only: the tunneled TPU backend rejects
+    the execution device.  CPU only: the tunneled TPU backend rejects
     any program containing callback custom-calls at execution
-    (UNIMPLEMENTED) even when the emitting branch is never taken."""
+    (UNIMPLEMENTED) even when the emitting branch is never taken.
+    Checks jax_default_device first -- jax.default_backend() reflects
+    plugin registration priority, not where programs run: with the
+    axon plugin installed it says "tpu" even after steering to CPU
+    (the conftest / CLAUDE.md fact-7 idiom), which would silently
+    disable the check in the repo's own CPU mode."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", dev) == "cpu"
     return jax.default_backend() == "cpu"
 
 

@@ -644,6 +644,12 @@ def test_encode_keys_no_host_callbacks_off_cpu(monkeypatch):
     monkeypatch.setattr(shiftnd, "_callbacks_ok", lambda: True)
     jx = jax.make_jaxpr(lambda x: shiftnd._encode_keys(x))(q)
     assert "debug_print" in str(jx)
+    monkeypatch.undo()
+
+    # the gate itself: the conftest steers jax_default_device to CPU,
+    # where callbacks are safe -- default_backend() alone says "tpu"
+    # here (plugin registration priority) and would wrongly disable it
+    assert shiftnd._callbacks_ok() is True
 
 
 def test_capacity_warns_on_int32_key_overflow(monkeypatch, caplog):
