@@ -940,6 +940,84 @@ def measure_engine_diff(T1, T2, B1):
     return out
 
 
+def measure_families(ntr=200, natoms=8192, nstate=8):
+    """Compact throughput probes for the newer kernel families (DESS
+    Jacobian; ME-GRE primal + Jacobian via the simulate() dispatch).
+    Pipelined device timings with one-element completion reads (fact
+    14: single-shot walls are launch-floor-bound); absolute numbers
+    swing with tunnel load -- treat as liveness + order-of-magnitude."""
+    import jax
+    import epgpy_tpu as epg
+    from epgpy_tpu.models.pallas_dess import dess_jacobian_pallas
+
+    rng = np.random.default_rng(12)
+    FA = rng.uniform(12.0, 45.0, ntr)
+    T1 = rng.uniform(300.0, 2500.0, natoms).astype(np.float32)
+    T2 = np.minimum(rng.uniform(20.0, 300.0, natoms),
+                    0.8 * T1).astype(np.float32)
+    df = rng.uniform(-0.05, 0.05, natoms).astype(np.float32)
+    out = {}
+    M = 8
+
+    def timed(fn, read):
+        t0 = time.perf_counter()
+        r = fn()
+        read(r)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(M):
+            r = fn()
+        read(r)
+        return warm, (time.perf_counter() - t0) / M
+
+    # DESS Jacobian kernel (both echoes' dT1/dT2/dB1 columns)
+    warm, best = timed(
+        lambda: dess_jacobian_pallas(FA, 0.0, 18.0, 5.0, T1, T2,
+                                     np.ones(natoms, np.float32),
+                                     nstate=nstate),
+        lambda r: float(np.asarray(r[1][1][0][0, 0, 0])))
+    out["dess_jac_atoms_per_sec"] = round(natoms / best, 1)
+    out["dess_jac_best_seconds"] = round(float(best), 4)
+    out["dess_jac_warmup_seconds"] = round(float(warm), 2)
+
+    # ME-GRE through the public simulate() dispatch (3 echoes/TR)
+    tes = (3.0, 7.0, 11.0)
+    seq = []
+    for i in range(ntr):
+        seq.append(epg.T(float(FA[i]), 0.0))
+        prev = 0.0
+        for te in tes:
+            seq += [epg.E(te - prev, T1, T2, df), epg.ADC]
+            prev = te
+        seq += [epg.E(5.0, T1, T2, df), epg.S(1)]
+    warm, best = timed(
+        lambda: epg.simulate(seq, max_nstate=nstate, asarray=False),
+        lambda r: float(np.asarray(r["__c_re"][0, 0])))
+    out["megre_atoms_per_sec"] = round(natoms / best, 1)
+    out["megre_best_seconds"] = round(float(best), 4)
+    out["megre_warmup_seconds"] = round(float(warm), 2)
+
+    # ME-GRE Jacobian dispatch: (T2, g)-tracked train, B0-mapping spec
+    o1 = ["T2", "g"]
+    seqj = []
+    for i in range(ntr):
+        seqj.append(epg.T(float(FA[i]), 0.0))
+        prev = 0.0
+        for te in tes:
+            seqj += [epg.E(te - prev, T1, T2, df, order1=o1), epg.ADC]
+            prev = te
+        seqj += [epg.E(5.0, T1, T2, df, order1=o1), epg.S(1)]
+    probes = [epg.ADC, epg.Jacobian(["T2", "g"])]
+    warm, best = timed(
+        lambda: epg.simulate(seqj, max_nstate=nstate, probe=probes,
+                             asarray=False),
+        lambda r: float(np.asarray(r[1]["__c_re"][0, 0, 0])))
+    out["megre_jac_atoms_per_sec"] = round(natoms / best, 1)
+    out["megre_jac_best_seconds"] = round(float(best), 4)
+    out["megre_jac_warmup_seconds"] = round(float(warm), 2)
+    return out
+
+
 def measure_recon(dict_re, dict_im, params):
     """Serving-path throughput: steady-state reconstruction of V voxel
     fingerprints against the headline dictionary in a rank-32
@@ -1181,6 +1259,13 @@ def main():
             engine.update(measure_recon(out[0], out[1], atom_params))
         except Exception as exc:
             engine["recon_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if os.environ.get("BENCH_FAMILIES", "1") not in ("0", "false") \
+            and within_budget("families"):
+        try:
+            engine.update(measure_families())
+        except Exception as exc:
+            engine["families_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     result = {
         "metric": "mrf_fisp_atoms_per_sec",
