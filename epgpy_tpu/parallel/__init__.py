@@ -17,7 +17,8 @@ from .crlb import (crlb_train_step, fingerprint_crlb_loss,
                    mrf_design_loss, mrf_design_step, mrf_design_slsqp,
                    mrf_design_loss_grad_fused)
 from .match import (dictionary_match, compress_dictionary,
-                    project_signals, streamed_compress_dictionary)
+                    project_signals, streamed_compress_dictionary,
+                    save_compression, load_compression)
 from .recon import mrf_reconstruct, gauss_newton_refine
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
     "mrf_design_loss_grad_fused",
     "dictionary_match", "compress_dictionary", "project_signals",
-    "streamed_compress_dictionary",
+    "streamed_compress_dictionary", "save_compression",
+    "load_compression",
     "mrf_reconstruct", "gauss_newton_refine",
 ]

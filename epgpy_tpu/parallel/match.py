@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["dictionary_match", "compress_dictionary", "project_signals",
-           "streamed_compress_dictionary"]
+           "streamed_compress_dictionary", "save_compression",
+           "load_compression"]
 
 
 def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
@@ -203,6 +204,41 @@ def streamed_compress_dictionary(generate, nblocks, rank):
     """
     if nblocks < 1:
         raise ValueError("streamed_compress_dictionary: nblocks >= 1")
+    return _streamed_impl(generate, nblocks, rank)
+
+
+def save_compression(path, comp):
+    """Persist a compression dict (compress_dictionary /
+    streamed_compress_dictionary output) as one .npz — the serving
+    artifact: at rank 32 it is ~P/32 smaller than the dictionary it
+    replaces, and reloading skips both dictionary generation and the
+    Gram eigendecomposition."""
+    import numpy as np
+
+    arrays = {k: np.asarray(jax.device_get(v)) if hasattr(v, "shape")
+              else np.asarray(v) for k, v in comp.items()}
+    np.savez_compressed(path, **arrays)
+
+
+def load_compression(path):
+    """Load a compression artifact saved by :func:`save_compression`.
+
+    Basis leaves come back as host arrays, per-atom leaves as device
+    arrays — ready for ``mrf_reconstruct(compression=...)`` (pass them
+    as jit arguments in steady-state serving, see that docstring)."""
+    import numpy as np
+
+    with np.load(path) as data:
+        comp = {k: data[k] for k in data.files}
+    if "energy" in comp:
+        comp["energy"] = float(comp["energy"])
+    for k in ("cdict_re", "cdict_im", "norms"):
+        if k in comp:
+            comp[k] = jnp.asarray(comp[k])
+    return comp
+
+
+def _streamed_impl(generate, nblocks, rank):
     acc_re = acc_im = None
     for i in range(nblocks):
         dre, dim = (jnp.asarray(a) for a in generate(i))

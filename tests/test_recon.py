@@ -213,6 +213,28 @@ def test_streamed_compression_matches_full(dict_and_grid):
         streamed_compress_dictionary(generate, 0, 24)
 
 
+def test_compression_save_load_roundtrip(dict_and_grid, tmp_path):
+    """The compression artifact round-trips through one .npz and
+    serves identically (index/maps/PD bit-equal)."""
+    from epgpy_tpu.parallel import load_compression, save_compression
+
+    dre, dim, grid = dict_and_grid
+    comp = streamed_compress_dictionary(lambda i: (dre, dim), 1, 24)
+    path = tmp_path / "comp.npz"
+    save_compression(path, comp)
+    comp2 = load_compression(path)
+    assert set(comp2) == set(comp)
+    assert abs(comp2["energy"] - comp["energy"]) < 1e-15
+
+    rng = np.random.default_rng(13)
+    _, _, sre, sim = _observations(dre, dim, grid, 16, rng)
+    a = mrf_reconstruct(sre, sim, None, None, grid, compression=comp)
+    b = mrf_reconstruct(sre, sim, None, None, grid, compression=comp2)
+    assert np.array_equal(np.asarray(a["index"]), np.asarray(b["index"]))
+    assert np.array_equal(np.asarray(a["pd_re"]), np.asarray(b["pd_re"]))
+    assert np.array_equal(np.asarray(a["maps"]), np.asarray(b["maps"]))
+
+
 @pytest.mark.parametrize("case", range(6))
 def test_fuzz_serving_pipeline(case):
     """Random dictionary shapes / ranks / noise: the compressed match
