@@ -19,13 +19,21 @@ __all__ = ["dictionary_match", "compress_dictionary", "project_signals",
 
 
 def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
-                     *, axis: str = "atoms"):
+                     *, axis: str = "atoms", atom_chunk: int = None):
     """Best-matching atom index + correlation per voxel.
 
     Args:
         dict_re/dict_im: (B, P) dictionary fingerprints (split complex).
         sig_re/sig_im: (V, P) measured signals.
         mesh: optional mesh; dictionary sharded over `axis`.
+        atom_chunk: optional atom-axis chunk size: the (V, B)
+            correlation plane is the match's memory footprint (8192
+            voxels x 1M atoms = 33 GB in f32 -- past HBM), so at
+            dictionary scale the match runs as a lax.scan over atom
+            chunks with a running (max, argmax) carry, materializing
+            only (V, atom_chunk) per step.  Exact: ties resolve to the
+            lowest atom index either way.  Applies per shard under a
+            mesh.
 
     Returns:
         (indices (V,), correlations (V,)) -- global atom indices.
@@ -34,6 +42,8 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
     per component.
     """
     def local_match(dre, dim, sre, sim):
+        if atom_chunk and dre.shape[0] > atom_chunk:
+            return _chunked_match(dre, dim, sre, sim, int(atom_chunk))
         # complex inner product via real matmuls (MXU path).  precision
         # "highest": the TPU default is bf16 passes (~4e-3 relative),
         # but close dictionary atoms are separated by 1e-4..1e-3 in
@@ -82,6 +92,47 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
         in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P()), check_vma=False,
     )(dict_re, dict_im, sig_re, sig_im)
+
+
+def _chunked_match(dre, dim, sre, sim, C):
+    """Atom-chunked |corr|^2 argmax: lax.scan with a running (val,
+    index) carry; only a (V, C) plane is live per step.  Zero-padded
+    rows have corr 0 and strict-> merge keeps the earlier chunk on
+    ties, so results match the one-shot argmax exactly."""
+    hi = jax.lax.Precision.HIGHEST
+    B = dre.shape[0]
+    nc = -(-B // C)
+    pad = nc * C - B
+    if pad:
+        dre = jnp.concatenate([dre, jnp.zeros((pad,) + dre.shape[1:],
+                                              dre.dtype)])
+        dim = jnp.concatenate([dim, jnp.zeros((pad,) + dim.shape[1:],
+                                              dim.dtype)])
+    s_cat = jnp.concatenate([sre, sim], axis=1)            # (V, 2P)
+    d_x = jnp.concatenate([dre, dim], axis=1).reshape(nc, C, -1)
+    d_y = jnp.concatenate([-dim, dre], axis=1).reshape(nc, C, -1)
+    V = s_cat.shape[0]
+
+    def body(carry, blk):
+        best, val, off = carry
+        bx, by = blk
+        x = jnp.matmul(s_cat, bx.T, precision=hi)
+        y = jnp.matmul(s_cat, by.T, precision=hi)
+        corr2 = x * x + y * y                              # (V, C)
+        # int32 indices regardless of x64 mode (an HBM-resident
+        # dictionary is far below 2^31 atoms); keeps the carry dtype
+        # stable across backends
+        am = jnp.argmax(corr2, axis=-1).astype(best.dtype)
+        mx = jnp.max(corr2, axis=-1)
+        take = mx > val
+        best = jnp.where(take, am + off, best)
+        val = jnp.where(take, mx, val)
+        return (best, val, off + C), None
+
+    init = (jnp.zeros((V,), jnp.int32), jnp.full((V,), -1.0, sre.dtype),
+            jnp.int32(0))
+    (best, val, _), _ = jax.lax.scan(body, init, (d_x, d_y))
+    return best, jnp.sqrt(jnp.maximum(val, 0.0))
 
 
 def compress_dictionary(dict_re, dict_im, rank):

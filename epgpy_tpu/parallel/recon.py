@@ -49,7 +49,7 @@ def _pd_scale(dre, dim, sre, sim):
 
 def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
                     *, mesh=None, axis="atoms", rank=None,
-                    compression=None):
+                    compression=None, atom_chunk=None):
     """Match measured fingerprints against a dictionary; produce maps.
 
     Args:
@@ -64,6 +64,10 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
             ``axis``.
         rank: optional SVD compression rank (McGivney 2014): matching
             runs in the r-dim subspace (P/r fewer FLOPs + bytes).
+        atom_chunk: optional atom-axis chunking for the match (see
+            dictionary_match) -- required at dictionary scales where
+            the (V, B) correlation plane exceeds HBM (e.g. 1M atoms x
+            8k voxels); results are exact.
         compression: reuse the "compression" dict of a previous call
             or of :func:`~epgpy_tpu.parallel.streamed_compress_dictionary`
             (serving: compress ONCE, then match batch after batch --
@@ -137,7 +141,8 @@ def mrf_reconstruct(sig_re, sig_im, dict_re, dict_im, atom_params=None,
         vre, vim = sig_re, sig_im
 
     snorm = _row_norms(sig_re, sig_im)
-    idx, val = dictionary_match(mre, mim, vre, vim, mesh, axis=axis)
+    idx, val = dictionary_match(mre, mim, vre, vim, mesh, axis=axis,
+                                atom_chunk=atom_chunk)
     out["index"] = idx
     out["corr"] = val / jnp.where(snorm == 0, 1.0, snorm)
 

@@ -906,3 +906,59 @@ def test_fuzz_df_prep_dispatch_parity(case):
                                     fisp_kernel=False))
     assert sig_k.shape == sig_e.shape
     assert np.abs(sig_k - sig_e).max() < 2e-5
+
+
+def test_fuzz_cross_family_concatenations():
+    """Trains formed by CONCATENATING blocks of different kernel
+    families (FISP TRs then DESS TRs, CPMG echoes after a GRE train,
+    ME-GRE then FISP, ...) must never misfire a whole-train matcher:
+    every matcher requires its pattern for the full sequence, so these
+    must fall through to the planner -- and "force" must equal the
+    planner bit-for-bit (no kernel engaged)."""
+    import numpy as np
+    import epgpy_tpu as epg
+    from epgpy_tpu import fisp_dispatch as fd
+
+    rng = np.random.default_rng(61)
+    T1 = np.array([800.0, 1400.0])
+    T2 = np.array([60.0, 110.0])
+
+    def fisp_tr(i):
+        return [epg.T(20.0 + i, 0.0), epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(7.0, T1, T2), epg.S(1)]
+
+    def dess_tr(i):
+        return [epg.T(25.0 + i, 0.0), epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(8.0, T1, T2), epg.S(1), epg.E(6.0, T1, T2),
+                epg.ADC]
+
+    def megre_tr(i):
+        return [epg.T(15.0 + i, 0.0), epg.E(3.0, T1, T2), epg.ADC,
+                epg.E(4.0, T1, T2), epg.ADC, epg.E(5.0, T1, T2),
+                epg.S(1)]
+
+    def mse_echo(i):
+        return [epg.E(4.0, T1, T2), epg.S(1), epg.T(160.0, 0.0),
+                epg.E(4.0, T1, T2), epg.S(1), epg.ADC]
+
+    makers = [fisp_tr, dess_tr, megre_tr]
+    for trial in range(8):
+        kinds = rng.choice(len(makers), size=2, replace=False)
+        na, nb = int(rng.integers(2, 4)), int(rng.integers(2, 4))
+        seq = []
+        for i in range(na):
+            seq += makers[kinds[0]](i)
+        for i in range(nb):
+            seq += makers[kinds[1]](i)
+        if trial == 0:
+            seq = [epg.T(90.0, 90.0)] + seq + mse_echo(0) + mse_echo(1)
+        # no whole-train matcher may claim a mixed train
+        assert fd.match_fisp(list(seq)) is None
+        assert fd.match_dess(list(seq)) is None
+        assert fd.match_megre(list(seq)) is None
+        assert fd.match_mse(list(seq)) is None
+        assert fd.match_bssfp(list(seq)) is None
+        sig_k = epg.simulate(list(seq), fisp_kernel="force")
+        sig_e = epg.simulate(list(seq), fisp_kernel=False)
+        assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() == 0.0, \
+            trial

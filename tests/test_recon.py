@@ -277,3 +277,29 @@ def test_fuzz_serving_pipeline(case):
         a, b, jnp.asarray(dre_p), jnp.asarray(dim_p),
         jnp.asarray(grid_p), mesh=mesh))(obs.real, obs.imag)
     assert np.array_equal(np.asarray(sharded["index"]), pick)
+
+
+def test_atom_chunked_match_exact(dict_and_grid):
+    """lax.scan atom-chunked matching == one-shot matching exactly
+    (indices, correlations, PD), incl. non-divisible chunk sizes and
+    under jit + compression."""
+    from epgpy_tpu.parallel import dictionary_match
+
+    dre, dim, grid = dict_and_grid
+    rng = np.random.default_rng(17)
+    pick, _, sre, sim = _observations(dre, dim, grid, 24, rng)
+
+    i0, v0 = dictionary_match(dre, dim, sre, sim)
+    for chunk in (7, 16, len(dre) - 1, len(dre) + 5):
+        i1, v1 = dictionary_match(dre, dim, sre, sim, atom_chunk=chunk)
+        assert np.array_equal(np.asarray(i0), np.asarray(i1)), chunk
+        assert np.allclose(np.asarray(v0), np.asarray(v1), rtol=0,
+                           atol=1e-12), chunk
+
+    full = mrf_reconstruct(sre, sim, dre, dim, grid, rank=24)
+    chunked = mrf_reconstruct(sre, sim, dre, dim, grid, rank=24,
+                              atom_chunk=13)
+    assert np.array_equal(np.asarray(full["index"]),
+                          np.asarray(chunked["index"]))
+    assert np.allclose(np.asarray(full["pd_re"]),
+                       np.asarray(chunked["pd_re"]), atol=1e-12)
