@@ -1025,6 +1025,9 @@ def simulate(
                 if fparams is None:
                     fparams = fisp_dispatch.match_megre(sequence)
                     runner = fisp_dispatch.run_megre_jacobian
+                if fparams is None and isinstance(kvalue, (int, float)):
+                    fparams = fisp_dispatch.match_dwfisp(sequence, kvalue)
+                    runner = fisp_dispatch.run_dwfisp_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
@@ -1043,7 +1046,8 @@ def simulate(
                     _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",
                             fisp_dispatch.run_bssfp_jacobian: "bSSFP",
                             fisp_dispatch.run_dess_jacobian: "DESS",
-                            fisp_dispatch.run_megre_jacobian: "ME-GRE"}
+                            fisp_dispatch.run_megre_jacobian: "ME-GRE",
+                            fisp_dispatch.run_dwfisp_jacobian: "DW-FISP"}
                     LOGGER.info(
                         "simulate: %s diff train -> fused Pallas "
                         "Jacobian kernel (%d pulses, nstate=%d)",

@@ -49,7 +49,8 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_bssfp_jacobian", "match_dess", "run_dess_kernel",
            "run_dess_jacobian", "match_megre", "run_megre_kernel",
            "run_megre_jacobian",
-           "match_dwfisp", "run_dwfisp_kernel", "clear_cache"]
+           "match_dwfisp", "run_dwfisp_kernel", "run_dwfisp_jacobian",
+           "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
 #: as engine._sequence_preamble): dictionary services call simulate()
@@ -533,6 +534,46 @@ def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
     P = re.shape[1]
     bshape = (re.shape[0],) if bshape is None else bshape
     return re.T.reshape((P,) + bshape), im.T.reshape((P,) + bshape)
+
+
+@functools.partial(jax.jit, static_argnames=("nstate", "interpret",
+                                             "use_inv", "specs", "demod",
+                                             "use_df", "bshape", "ramp",
+                                             "inv_df"))
+def _run_dw_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
+                    nstate, interpret, use_inv, specs, demod=False,
+                    use_df=False, bshape=None, ramp=True, inv_df=False):
+    from .models.pallas_fisp import fisp_jacobian_pallas
+
+    Dc = Dco if Dco.ndim == 0 else jnp.sum(Dco, axis=(-2, -1))
+    Dc = jnp.broadcast_to(Dc, T1.shape)
+    (re, im), (dre, dim) = fisp_jacobian_pallas(
+        FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
+        nstate=nstate, interpret=interpret, demodulate=demod,
+        inversion=TI if use_inv else None, inversion_df=inv_df,
+        diffusion=(bT, bL, Dc), diff_ramp=ramp)
+    bshape = (re.shape[0],) if bshape is None else bshape
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
+
+
+def run_dwfisp_jacobian(params, nstate, specs, *, interpret=False):
+    """Fused DW-FISP primal+tangent kernel for matched diff probes
+    (tracked T1/T2; the diffusion attenuation is parameter-independent
+    for those, so the tangent groups just ride through it.  The dD
+    column exists at model level only: the D op carries no order1,
+    matching the reference)."""
+    dev = _device_params(params)
+    diff = params["diffusion"]
+    return _run_dw_jac_jit(*dev, np.float32(diff["bT"]),
+                           np.float32(diff["bL"]),
+                           jnp.asarray(diff["Dcoef"], jnp.float32),
+                           nstate=max(int(nstate), 1), interpret=interpret,
+                           use_inv=params.get("TI") is not None,
+                           specs=specs, demod=bool(params.get("demod")),
+                           use_df=params.get("df") is not None,
+                           bshape=tuple(params["shape"]),
+                           ramp=diff["ramp"],
+                           inv_df=bool(params.get("inv_df")))
 
 
 def run_dwfisp_kernel(params, nstate, *, interpret=False):

@@ -445,27 +445,40 @@ def _kernel_half(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
 
 
 def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
-                b1_ref, df_ref, out_re_ref, out_im_ref,
-                d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
-                db_re_ref, db_im_ref, st_ref, *, nstate, pchunk, demodulate,
-                use_inv, use_df, var_te=False, inv_df=True):
-    """Fused primal + (dT1, dT2, dB1) tangent propagation, folded ladder.
+                b1_ref, df_ref, *rest, nstate, pchunk, demodulate,
+                use_inv, use_df, var_te=False, inv_df=True,
+                use_diff=False, diff_ramp=True, track_d=False):
+    """Fused primal + (dT1, dT2, dB1[, dD]) tangents, folded ladder.
 
     Forward-mode derivative of `_kernel_half` with the tangent state
     held in VMEM alongside the primal (24 planes of N+1 rows: primal
-    A/B/Z re+im at indices 0-5, then 6 planes per variable).  The
-    coefficient tangents are sparse: T1 only perturbs cZ and the k=0
-    recovery (rec = 1 - cZ exactly, so drec = -dcZ), T2 only cF and the
-    TE-decay on the echo, B1 only the rotation coefficients.  Each
-    tangent costs one rotation pass over its own planes plus one
-    cheap coefficient-derivative pass over the primal planes — ~4.5x
-    the primal kernel instead of the XLA path's HBM-bound 1+3-wide
-    scan (reference cost model: epgpy diff.py propagates ~2x full
-    state matrices per variable).
+    A/B/Z re+im at indices 0-5, then 6 planes per variable; 30 with
+    `track_d`).  The coefficient tangents are sparse: T1 only perturbs
+    cZ and the k=0 recovery (rec = 1 - cZ exactly, so drec = -dcZ), T2
+    only cF and the TE-decay on the echo, B1 only the rotation
+    coefficients.  Each tangent costs one rotation pass over its own
+    planes plus one cheap coefficient-derivative pass over the primal
+    planes — ~4.5x the primal kernel instead of the XLA path's
+    HBM-bound 1+3-wide scan (reference cost model: epgpy diff.py
+    propagates ~2x full state matrices per variable).
+
+    `use_diff` adds the DW-FISP post-shift diffusion attenuation (see
+    `_kernel_half`); it is parameter-independent for T1/T2/B1, so it
+    multiplies every tangent group identically.  `track_d` adds a
+    dS/dD tangent group whose only coefficient derivative is the
+    attenuation's: d(a)/dD = -f a per row, applied to the SHIFTED
+    primal planes (x_{n+1} = A(D) M x_n, so t_{n+1} = A M t + A' M x).
     """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    if use_diff:
+        bd_ref, dc_ref, rest = rest[0], rest[1], rest[2:]
+    (out_re_ref, out_im_ref, d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+     db_re_ref, db_im_ref) = rest[:8]
+    if track_d:
+        dd_re_ref, dd_im_ref = rest[8:10]
+    st_ref = rest[-1]
     pc = pl.program_id(1)
     H = nstate + 1
     f32 = jnp.float32
@@ -516,6 +529,25 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     B1 = b1_ref[0, :]
     DF = df_ref[0, :]
     base = pc * pchunk
+    if use_diff:
+        # post-shift diffusion attenuation rows (see _kernel_half)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0).astype(f32)
+        bT = bd_ref[0, 0]
+        bL = bd_ref[0, 1]
+        Dc = dc_ref[0, :]
+        k2r = rows * rows
+        if diff_ramp:
+            fA = bT * (k2r - rows + 1.0 / 3.0)
+            fB = bT * (k2r + rows + 1.0 / 3.0)
+        else:
+            fA = bT * k2r
+            fB = fA
+        fZ = bL * k2r
+        aA = jnp.exp(-fA * Dc)
+        aB = jnp.exp(-fB * Dc)
+        aZ = jnp.exp(-fZ * Dc)
+        if track_d:
+            daA, daB, daZ = -fA * aA, -fB * aB, -fZ * aZ
     if not var_te:
         TE = te_ref[0, 0]
         E1te = jnp.exp(-TE / T1)
@@ -543,7 +575,9 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         if not use_df:
             pter = ptei = None
         P = [st_ref[j] for j in range(6)]           # primal planes
-        tans = [[st_ref[6 * v + j] for j in range(6)] for v in (1, 2, 3)]
+        nvar = 4 if track_d else 3
+        tans = [[st_ref[6 * v + j] for j in range(6)]
+                for v in range(1, nvar + 1)]
 
         fa = fa_ref[0, base + i]
         ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
@@ -651,51 +685,88 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         demod_write(db_re_ref, db_im_ref,
                     e2te * (tRA[2][0][0, :] + cRA[0][0, :]),
                     e2te * (tRA[2][1][0, :] + cRA[1][0, :]))
+        if track_d:
+            demod_write(dd_re_ref, dd_im_ref,
+                        e2te * tRA[3][0][0, :], e2te * tRA[3][1][0, :])
 
-        def shift6(nAR, nAI, nBR, nBI, nZR, nZI, s0):
+        def shifted6(nAR, nAI, nBR, nBI, nZR, nZI):
             zrow = jnp.zeros_like(nAR[:1])
-            st_ref[s0 + 0] = jnp.concatenate([nBR[1:2], nAR[:-1]], axis=0)
-            st_ref[s0 + 1] = jnp.concatenate([nBI[1:2], nAI[:-1]], axis=0)
-            st_ref[s0 + 2] = jnp.concatenate([nBR[1:], zrow], axis=0)
-            st_ref[s0 + 3] = jnp.concatenate([nBI[1:], zrow], axis=0)
-            st_ref[s0 + 4] = nZR
-            st_ref[s0 + 5] = nZI
+            return (jnp.concatenate([nBR[1:2], nAR[:-1]], axis=0),
+                    jnp.concatenate([nBI[1:2], nAI[:-1]], axis=0),
+                    jnp.concatenate([nBR[1:], zrow], axis=0),
+                    jnp.concatenate([nBI[1:], zrow], axis=0),
+                    nZR, nZI)
+
+        def store6(s0, pl6, dprimal=None):
+            sAr, sAi, sBr, sBi, sZr, sZi = pl6
+            if use_diff:
+                sAr, sAi = sAr * aA, sAi * aA
+                sBr, sBi = sBr * aB, sBi * aB
+                sZr, sZi = sZr * aZ, sZi * aZ
+                if dprimal is not None:
+                    # dD coefficient term: A'(D) applied to the shifted
+                    # (pre-attenuation) primal planes
+                    sAr = sAr + daA * dprimal[0]
+                    sAi = sAi + daA * dprimal[1]
+                    sBr = sBr + daB * dprimal[2]
+                    sBi = sBi + daB * dprimal[3]
+                    sZr = sZr + daZ * dprimal[4]
+                    sZi = sZi + daZ * dprimal[5]
+            st_ref[s0 + 0] = sAr
+            st_ref[s0 + 1] = sAi
+            st_ref[s0 + 2] = sBr
+            st_ref[s0 + 3] = sBi
+            st_ref[s0 + 4] = sZr
+            st_ref[s0 + 5] = sZi
 
         # primal update
         pAr, pAi = fmul(RA[0], RA[1])
         pBr, pBi = fmul(RB[0], RB[1])
-        shift6(pAr, pAi, pBr, pBi,
-               cZ * SZ[0] + rowmask * rec, cZ * SZ[1], 0)
+        psh = shifted6(pAr, pAi, pBr, pBi,
+                       cZ * SZ[0] + rowmask * rec, cZ * SZ[1])
+        store6(0, psh)
         # dT1: only cZ and rec = 1 - cZ carry tangents
         t1Ar, t1Ai = fmul(tRA[0][0], tRA[0][1])
         t1Br, t1Bi = fmul(tRB[0][0], tRB[0][1])
-        shift6(t1Ar, t1Ai, t1Br, t1Bi,
-               cZ * tSZ[0][0] + dcZ * SZ[0] - rowmask * dcZ,
-               cZ * tSZ[0][1] + dcZ * SZ[1], 6)
+        store6(6, shifted6(t1Ar, t1Ai, t1Br, t1Bi,
+                           cZ * tSZ[0][0] + dcZ * SZ[0] - rowmask * dcZ,
+                           cZ * tSZ[0][1] + dcZ * SZ[1]))
         # dT2: only cF (and E2te on the echo) carries tangents
         t2Ar, t2Ai = fmul(tRA[1][0], tRA[1][1])
         x2Ar, x2Ai = dfmul(RA[0], RA[1])
         t2Br, t2Bi = fmul(tRB[1][0], tRB[1][1])
         x2Br, x2Bi = dfmul(RB[0], RB[1])
-        shift6(t2Ar + x2Ar, t2Ai + x2Ai, t2Br + x2Br, t2Bi + x2Bi,
-               cZ * tSZ[1][0], cZ * tSZ[1][1], 12)
+        store6(12, shifted6(t2Ar + x2Ar, t2Ai + x2Ai,
+                            t2Br + x2Br, t2Bi + x2Bi,
+                            cZ * tSZ[1][0], cZ * tSZ[1][1]))
         # dB1: only the rotation coefficients carry tangents
         bAr, bAi = fmul(tRA[2][0] + cRA[0], tRA[2][1] + cRA[1])
         bBr, bBi = fmul(tRB[2][0] + cRB[0], tRB[2][1] + cRB[1])
-        shift6(bAr, bAi, bBr, bBi,
-               cZ * (tSZ[2][0] + cSZ[0]), cZ * (tSZ[2][1] + cSZ[1]), 18)
+        store6(18, shifted6(bAr, bAi, bBr, bBi,
+                            cZ * (tSZ[2][0] + cSZ[0]),
+                            cZ * (tSZ[2][1] + cSZ[1])))
+        if track_d:
+            # dD: relaxation/rotation coefficients are D-independent;
+            # the attenuation derivative enters via store6(dprimal=)
+            dAr, dAi = fmul(tRA[3][0], tRA[3][1])
+            dBr, dBi = fmul(tRB[3][0], tRB[3][1])
+            store6(24, shifted6(dAr, dAi, dBr, dBi,
+                                cZ * tSZ[3][0], cZ * tSZ[3][1]),
+                   dprimal=psh)
         return 0
 
     jax.lax.fori_loop(0, pchunk, step, 0)
 
 
 @partial(jax.jit, static_argnames=("nstate", "btile", "pchunk", "demodulate",
-                                   "interpret", "inversion_df"))
+                                   "interpret", "inversion_df", "diff_ramp",
+                                   "track_diffusivity"))
 def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                          nstate=10, btile=512, pchunk=None, demodulate=False,
                          inversion=None, inversion_df=True,
-                         interpret=False):
-    """Fingerprints + dS/d(T1, T2, B1) via one fused Pallas kernel.
+                         interpret=False, diffusion=None, diff_ramp=True,
+                         track_diffusivity=False):
+    """Fingerprints + dS/d(T1, T2, B1[, D]) via one fused Pallas kernel.
 
     Returns ((re, im), (dre, dim)): (B, P) fingerprints and (B, P, 3)
     derivatives ordered (T1, T2, B1) — the layout of
@@ -705,6 +776,12 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     closed form.  `dfs` is the optional (B,) per-atom off-resonance
     (kHz): the phase is parameter-independent, so tangent planes rotate
     with the same complex F coefficients as the primal.
+
+    `diffusion=(bT, bL, Dc)` adds the DW-FISP post-shift attenuation
+    (see fisp_dictionary_pallas); with `track_diffusivity=True` a
+    fourth dS/dD column is appended (30 VMEM planes) — joint
+    (T1, T2[, B1], ADC) Gauss-Newton fitting for diffusion-weighted
+    MRF, beyond the reference (its D op carries no derivatives).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -724,9 +801,15 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     DFs = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, f32)
     B = T1s.shape[0]
 
+    use_diff = diffusion is not None
+    track_d = bool(track_diffusivity)
+    if track_d and not use_diff:
+        raise ValueError("track_diffusivity requires diffusion=")
+    nout = 10 if track_d else 8
     if pchunk is None:
-        # 8 output blocks: single-chunk while they stay under ~32 MB
-        pchunk = P if 8 * P * btile * 4 <= (1 << 25) else 1024
+        # output blocks: single-chunk while they stay under ~32 MB
+        pchunk = (P if nout * P * btile * 4 <= (1 << 25)
+                  else min(1024, max((1 << 24) // (nout * btile * 4), 1)))
     Bp = -(-B // btile) * btile
     Pp = -(-P // pchunk) * pchunk
 
@@ -752,32 +835,46 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
     kernel = partial(_kernel_jac, nstate=nstate, pchunk=pchunk,
                      demodulate=demodulate, use_inv=inversion is not None,
                      use_df=use_df, var_te=var_te,
-                     inv_df=bool(inversion_df))
+                     inv_df=bool(inversion_df), use_diff=use_diff,
+                     diff_ramp=bool(diff_ramp), track_d=track_d)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
+        pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
+        pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
+    ]
+    if use_diff:
+        bT, bL, Dc = diffusion
+        bd_arr = jnp.stack([jnp.asarray(bT, f32),
+                            jnp.asarray(bL, f32)]).reshape(1, 2)
+        Dcp = padb(jnp.broadcast_to(jnp.asarray(Dc, f32),
+                                    (B,))).reshape(1, -1)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec((1, btile), lambda b, pc: (0, b))]
+        args += [bd_arr, Dcp]
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # FA
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TR
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TE
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # TI
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T1
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # T2
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
-            pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
-        ],
-        out_specs=[pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b))] * 8,
-        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * 8,
-        scratch_shapes=[pltpu.VMEM((24, nstate + 1, btile), f32)],
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((pchunk, btile),
+                                lambda b, pc: (pc, b))] * nout,
+        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * nout,
+        scratch_shapes=[pltpu.VMEM((30 if track_d else 24,
+                                    nstate + 1, btile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
-    re, im, d1r, d1i, d2r, d2i, dbr, dbi = [o[:P, :B].T for o in outs]
-    dre = jnp.stack([d1r, d2r, dbr], axis=-1)
-    dim = jnp.stack([d1i, d2i, dbi], axis=-1)
+    o = [x[:P, :B].T for x in outs]
+    re, im = o[0], o[1]
+    dre = jnp.stack(o[2::2], axis=-1)        # (B, P, 3[+1])
+    dim = jnp.stack(o[3::2], axis=-1)
     return (re, im), (dre, dim)
 
 

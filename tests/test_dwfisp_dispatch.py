@@ -189,3 +189,112 @@ def test_sharded_dictionary_per_atom_diffusion():
         FA, 90.0, 12.0, 5.0, T1, T2, B1, mesh=mesh, diffusion=diff, **kw)
     assert np.array_equal(np.asarray(re0), np.asarray(re1))
     assert np.array_equal(np.asarray(im0), np.asarray(im1))
+
+
+def test_dw_jacobian_kernel_matches_planner_and_fd():
+    """fisp_jacobian_pallas(diffusion=, track_diffusivity=True):
+    (dT1, dT2, dB1) columns vs the f64 planner on the DW train (the
+    attenuation is parameter-independent for those), the dD column vs
+    central finite differences of the planner primal (the D op takes
+    only scalar/tensor D -- reference semantics -- so per-atom D is
+    checked by kernel self-consistency)."""
+    from epgpy_tpu.models.pallas_fisp import fisp_jacobian_pallas
+
+    P, B, NS = 12, 4, 6
+    rng = np.random.default_rng(29)
+    FA = rng.uniform(10, 50, P)
+    T1 = rng.uniform(500, 1800, B)
+    T2 = rng.uniform(40, 150, B)
+    B1 = rng.uniform(0.85, 1.15, B)
+    Dv = 1.2e-3
+    tau = 7.0
+    bT = tau * 1e-3 * (KV * 1e-3) ** 2
+    bL = bT
+
+    def train(D, order1=None):
+        seq = []
+        for i in range(P):
+            seq += [epg.T(FA[i] * B1, 90.0,
+                          order1=(None if order1 is None else
+                                  {"B1": {"alpha": float(FA[i])}})),
+                    epg.E(5.0, T1, T2, order1=order1), epg.ADC,
+                    epg.E(7.0, T1, T2, order1=order1), epg.S(1),
+                    epg.D(tau, D, k=1)]
+        return seq
+
+    o1 = ["T1", "T2"]
+    sig, jac = epg.simulate(
+        train(Dv, o1), max_nstate=NS, kvalue=KV, fisp_kernel=False,
+        probe=[epg.ADC, epg.Jacobian(["T1", "T2", "B1"])])
+    sig = np.asarray(sig)
+    jac = np.asarray(jac)
+
+    Dc = np.full(B, Dv)
+    (re, im), (dre, dim) = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, nstate=NS, btile=128,
+        pchunk=P, diffusion=(bT, bL, Dc), track_diffusivity=True,
+        interpret=True)
+    k = (np.asarray(re) + 1j * np.asarray(im)).T
+    assert np.abs(k - sig).max() < 2e-5
+    kj = np.moveaxis(np.asarray(dre) + 1j * np.asarray(dim), 0, 1)
+    scale = np.array([1e3, 1e2, 1.0])
+    err = np.abs((kj[..., :3] - jac) * scale).max()
+    assert err < 2e-4, err
+
+    # dD column vs central FD of the f64 planner primal (scalar D)
+    h = 1e-6
+    up = np.asarray(epg.simulate(train(Dv + h), max_nstate=NS,
+                                 kvalue=KV, fisp_kernel=False))
+    dn = np.asarray(epg.simulate(train(Dv - h), max_nstate=NS,
+                                 kvalue=KV, fisp_kernel=False))
+    fd = (up - dn) / (2 * h)                     # (P, B)
+    errd = np.abs(kj[..., 3] - fd).max() / max(np.abs(fd).max(), 1e-30)
+    assert errd < 1e-3, errd
+
+    # per-atom D self-consistency: mixed-D columns == the matching
+    # columns of two uniform-D runs
+    d2 = 2.1e-3
+    mixed = np.array([Dv, d2, Dv, d2])
+    out_m = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, nstate=NS, btile=128,
+        pchunk=P, diffusion=(bT, bL, mixed), track_diffusivity=True,
+        interpret=True)
+    out_2 = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, nstate=NS, btile=128,
+        pchunk=P, diffusion=(bT, bL, np.full(B, d2)),
+        track_diffusivity=True, interpret=True)
+    for part in range(2):
+        a = np.asarray(out_m[1][part])           # (B, P, 4)
+        u1 = np.asarray((dre, dim)[part])
+        u2 = np.asarray(out_2[1][part])
+        assert np.array_equal(a[0], u1[0]) and np.array_equal(a[2], u1[2])
+        assert np.array_equal(a[1], u2[1]) and np.array_equal(a[3], u2[3])
+
+
+def test_dw_jacobian_dispatch_parity():
+    """simulate() routes tracked DW-FISP trains with Adc/Jacobian
+    probes to the fused kernel; force-vs-planner parity over the
+    (magnitude, T1, T2) columns."""
+    P, B, NS = 10, 3, 6
+    rng = np.random.default_rng(41)
+    FA = rng.uniform(10, 50, P)
+    T1 = rng.uniform(500, 1600, B)
+    T2 = rng.uniform(40, 130, B)
+    d_op = epg.D(7.0, 1.1e-3, k=1)
+    o1 = ["T1", "T2"]
+    seq = []
+    for i in range(P):
+        seq += [epg.T(float(FA[i]), 90.0),
+                epg.E(5.0, T1, T2, order1=o1), epg.ADC,
+                epg.E(7.0, T1, T2, order1=o1), epg.S(1), d_op]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    sig_k, jac_k = epg.simulate(list(seq), max_nstate=NS, kvalue=KV,
+                                probe=probes, fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(list(seq), max_nstate=NS, kvalue=KV,
+                                probe=probes, fisp_kernel=False)
+    assert sig_k.shape == sig_e.shape == (P, B)
+    assert jac_k.shape == jac_e.shape == (P, B, 3)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    scale = np.array([1.0, 1e3, 1e2])
+    err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
+    assert err < 2e-4, err
