@@ -20,6 +20,15 @@ def _cmul(cr, ci, xr, xi):
     return cr * xr - ci * xi, cr * xi + ci * xr
 
 
+def _round_block(n):
+    """Round a block dim down to TPU divisibility: a multiple of 128
+    when possible, else a multiple of 8 (block dims must divide
+    (8, 128) or equal the array dim -- Mosaic rejects e.g. 819)."""
+    if n >= 128:
+        return n - n % 128
+    return max(n - n % 8, 8)
+
+
 def _rot_coeffs(a, ph):
     """Weigel rotation closed forms: the 10-tuple
     (c2, m01r, m01i, m02r, m02i, ca, m20r, m20i, m21r, m21i)."""
@@ -124,9 +133,11 @@ def _pad_setup(FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout):
         # chunked fallback bounded by output-window VMEM: blocks live
         # double-buffered, so cap the single-buffer footprint at 16 MB
         # (nout=16 jac kernels at pchunk=1024 would be 33 MB single /
-        # 67 MB double -- too close to the 100 MB kernel limit)
+        # 67 MB double -- too close to the 100 MB kernel limit);
+        # rounded to TPU block divisibility
         pchunk = (P if nout * P * btile * 4 <= (1 << 25)
-                  else min(1024, max((1 << 24) // (nout * btile * 4), 1)))
+                  else _round_block(
+                      min(1024, max((1 << 24) // (nout * btile * 4), 8))))
     Bp = -(-B // btile) * btile
     Pp = -(-P // pchunk) * pchunk
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import partial
 
-from .pallas_common import _cmul
+from .pallas_common import _cmul, _round_block
 
 import jax
 import jax.numpy as jnp
@@ -40,21 +40,32 @@ def fisp_jacobian_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
     from jax.sharding import PartitionSpec as PS
 
     use_df = dfs is not None
+    # a per-atom diffusion coefficient (B,) must shard WITH the atoms
+    # (same plumbing as fisp_dictionary_pallas_sharded); scalar /
+    # shared-tensor Dc stays a replicated closure constant
+    diffusion = kw.pop("diffusion", None)
+    dshard = (diffusion is not None
+              and getattr(jnp.asarray(diffusion[2]), "ndim", 0) == 1)
 
-    def local(t1, t2, b1, df):
+    def local(t1, t2, b1, df, dc):
+        diff = ((diffusion[0], diffusion[1], dc) if dshard
+                else diffusion)
         return fisp_jacobian_pallas(FA, phi, TR, TE, t1, t2, b1,
-                                    df if use_df else None, **kw)
+                                    df if use_df else None,
+                                    diffusion=diff, **kw)
 
     spec = PS(axis)
     f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(spec, spec, spec, spec),
+                      in_specs=(spec, spec, spec, spec, spec),
                       out_specs=((PS(axis, None),) * 2,
                                  (PS(axis, None, None),) * 2),
                       check_vma=False)
     T1s = jnp.asarray(T1s, jnp.float32)
     dfz = jnp.zeros_like(T1s) if dfs is None else jnp.asarray(dfs, jnp.float32)
+    dcz = (jnp.asarray(diffusion[2], jnp.float32) if dshard
+           else jnp.zeros_like(T1s))
     return jax.jit(f)(T1s, jnp.asarray(T2s, jnp.float32),
-                      jnp.asarray(B1s, jnp.float32), dfz)
+                      jnp.asarray(B1s, jnp.float32), dfz, dcz)
 
 
 def fisp_dictionary_pallas_sharded(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None,
@@ -807,9 +818,13 @@ def fisp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
         raise ValueError("track_diffusivity requires diffusion=")
     nout = 10 if track_d else 8
     if pchunk is None:
-        # output blocks: single-chunk while they stay under ~32 MB
+        # output blocks: single-chunk while they stay under ~32 MB;
+        # the chunked fallback must honor TPU block divisibility
+        # (a block dim is legal only as a multiple of 8/128 or equal
+        # to the array dim -- CLAUDE.md fact 8)
         pchunk = (P if nout * P * btile * 4 <= (1 << 25)
-                  else min(1024, max((1 << 24) // (nout * btile * 4), 1)))
+                  else _round_block(
+                      min(1024, max((1 << 24) // (nout * btile * 4), 8))))
     Bp = -(-B // btile) * btile
     Pp = -(-P // pchunk) * pchunk
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_common import (_rot_A, _rot_B, _rot_Z, _rot_coeffs,
+                            _round_block,
                             _shift_store)
 
 __all__ = ["megre_dictionary_pallas", "megre_jacobian_pallas"]
@@ -38,9 +39,12 @@ def _pick_pchunk(P, btile, nout):
     Output blocks live in VMEM double-buffered: total live bytes are
     ~2 * nout * pchunk * btile * 4.  Cap the single-buffer footprint at
     16 MB so any echo count m stays well under the 100 MB kernel limit
-    (high-m trains must dispatch-and-run, never dispatch-and-crash)."""
-    cap = max((1 << 24) // (nout * btile * 4), 1)
-    return min(P, cap)
+    (high-m trains must dispatch-and-run, never dispatch-and-crash).
+    A chunk below P must honor TPU block divisibility (multiple of
+    8/128 -- CLAUDE.md fact 8); pchunk == P equals the array dim and
+    is always legal."""
+    cap = max((1 << 24) // (nout * btile * 4), 8)
+    return P if cap >= P else _round_block(cap)
 
 
 def _pad_megre(FA, phi, TR, TEs, T1s, T2s, B1s, dfs, btile, pchunk, nout):

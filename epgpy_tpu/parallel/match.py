@@ -95,27 +95,27 @@ def dictionary_match(dict_re, dict_im, sig_re, sig_im, mesh: Mesh = None,
 
 
 def _chunked_match(dre, dim, sre, sim, C):
-    """Atom-chunked |corr|^2 argmax: lax.scan with a running (val,
-    index) carry; only a (V, C) plane is live per step.  Zero-padded
-    rows have corr 0 and strict-> merge keeps the earlier chunk on
-    ties, so results match the one-shot argmax exactly."""
+    """Atom-chunked |corr|^2 argmax: lax.scan over chunk offsets with a
+    running (val, index) carry; only a (V, C) plane plus one (C, 2P)
+    block is live per step.  The dictionary is sliced in place (no
+    padded/concatenated copy: at the 1M-atom scale this function
+    exists for, a duplicate would double HBM).  The last offset clamps
+    to B - C, so its window overlaps the previous one; re-evaluated
+    atoms produce identical corr values and the strict-> merge keeps
+    the first occurrence — results match the one-shot argmax exactly."""
     hi = jax.lax.Precision.HIGHEST
     B = dre.shape[0]
     nc = -(-B // C)
-    pad = nc * C - B
-    if pad:
-        dre = jnp.concatenate([dre, jnp.zeros((pad,) + dre.shape[1:],
-                                              dre.dtype)])
-        dim = jnp.concatenate([dim, jnp.zeros((pad,) + dim.shape[1:],
-                                              dim.dtype)])
     s_cat = jnp.concatenate([sre, sim], axis=1)            # (V, 2P)
-    d_x = jnp.concatenate([dre, dim], axis=1).reshape(nc, C, -1)
-    d_y = jnp.concatenate([-dim, dre], axis=1).reshape(nc, C, -1)
     V = s_cat.shape[0]
+    offs = jnp.minimum(jnp.arange(nc, dtype=jnp.int32) * C, B - C)
 
-    def body(carry, blk):
-        best, val, off = carry
-        bx, by = blk
+    def body(carry, off):
+        best, val = carry
+        br = jax.lax.dynamic_slice_in_dim(dre, off, C)     # (C, P)
+        bi = jax.lax.dynamic_slice_in_dim(dim, off, C)
+        bx = jnp.concatenate([br, bi], axis=1)             # -> Re<d,s>
+        by = jnp.concatenate([-bi, br], axis=1)            # -> Im<d,s>
         x = jnp.matmul(s_cat, bx.T, precision=hi)
         y = jnp.matmul(s_cat, by.T, precision=hi)
         corr2 = x * x + y * y                              # (V, C)
@@ -127,11 +127,10 @@ def _chunked_match(dre, dim, sre, sim, C):
         take = mx > val
         best = jnp.where(take, am + off, best)
         val = jnp.where(take, mx, val)
-        return (best, val, off + C), None
+        return (best, val), None
 
-    init = (jnp.zeros((V,), jnp.int32), jnp.full((V,), -1.0, sre.dtype),
-            jnp.int32(0))
-    (best, val, _), _ = jax.lax.scan(body, init, (d_x, d_y))
+    init = (jnp.zeros((V,), jnp.int32), jnp.full((V,), -1.0, sre.dtype))
+    (best, val), _ = jax.lax.scan(body, init, offs)
     return best, jnp.sqrt(jnp.maximum(val, 0.0))
 
 
@@ -266,8 +265,10 @@ def save_compression(path, comp):
     Gram eigendecomposition."""
     import numpy as np
 
-    arrays = {k: np.asarray(jax.device_get(v)) if hasattr(v, "shape")
-              else np.asarray(v) for k, v in comp.items()}
+    # ONE batched fetch: per-leaf device_get pays the ~25 ms tunnel
+    # latency per transfer (CLAUDE.md fact 10)
+    arrays = {k: np.asarray(v)
+              for k, v in jax.device_get(dict(comp)).items()}
     np.savez_compressed(path, **arrays)
 
 

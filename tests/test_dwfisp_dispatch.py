@@ -190,6 +190,20 @@ def test_sharded_dictionary_per_atom_diffusion():
     assert np.array_equal(np.asarray(re0), np.asarray(re1))
     assert np.array_equal(np.asarray(im0), np.asarray(im1))
 
+    # same plumbing for the Jacobian sibling (incl. the dD column)
+    from epgpy_tpu.models.pallas_fisp import (
+        fisp_jacobian_pallas, fisp_jacobian_pallas_sharded)
+
+    (jr0, ji0), (dr0, di0) = fisp_jacobian_pallas(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, diffusion=diff,
+        track_diffusivity=True, **kw)
+    (jr1, ji1), (dr1, di1) = fisp_jacobian_pallas_sharded(
+        FA, 90.0, 12.0, 5.0, T1, T2, B1, mesh=mesh, diffusion=diff,
+        track_diffusivity=True, **kw)
+    assert np.array_equal(np.asarray(jr0), np.asarray(jr1))
+    assert np.array_equal(np.asarray(dr0), np.asarray(dr1))
+    assert np.array_equal(np.asarray(di0), np.asarray(di1))
+
 
 def test_dw_jacobian_kernel_matches_planner_and_fd():
     """fisp_jacobian_pallas(diffusion=, track_diffusivity=True):
