@@ -206,6 +206,15 @@ def test_pssfp_offres_smoke(monkeypatch, tmp_path):
     _run("pssfp_offres.py", monkeypatch, tmp_path)
 
 
+def test_slice_profile_mrf_smoke(monkeypatch, tmp_path):
+    """Slice-profile-corrected dictionary must beat the ideal-pulse one
+    against the exact shaped-pulse oracle (asserted inside)."""
+    monkeypatch.setenv("SLICE_NT1", "8")
+    monkeypatch.setenv("SLICE_NT2", "6")
+    monkeypatch.setenv("SLICE_NTR", "40")
+    _run("slice_profile_mrf.py", monkeypatch, tmp_path)
+
+
 def test_mse_t2_b1_mapping_smoke(monkeypatch, tmp_path):
     """Joint (T2, B1) EPG fit from CPMG echoes (fused Jacobian kernel)
     must halve the mono-exponential T2 error (asserted inside)."""
