@@ -251,6 +251,12 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     from .ops.diffusion import D as Dop
 
     group = 6 if dw else (5 if spoiled else 4)
+    # balanced trains admit off-resonance tracking (bSSFP resolves df,
+    # so dS/dg is a fitted column in MRF-bSSFP; the kernel carries a
+    # ddf tangent group).  Spoiled FISP leaves g untracked here: the
+    # spoiler makes df nearly unidentifiable (global echo phase) and
+    # the FISP kernels have no df tangent group.
+    allowed = ("T1", "T2") if spoiled else ("T1", "T2", "g")
     # optional inversion prep: [T(180-family, phi), E(TI)] prefix (the
     # reference MRF pattern, e.g. examples/sequence/optim_mrf.py:28-29).
     # The kernel's prep is a 180*B1 pulse about phi=0 + TI relaxation;
@@ -263,7 +269,7 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         t0, e0 = sequence[0], sequence[1]
         if type(t0) is not T or type(e0) is not E:
             return None
-        if not _no_diff(t0) or _canonical_order1(e0) is None:
+        if not _no_diff(t0) or _canonical_order1(e0, allowed) is None:
             return None
         if t0.axes is not None or e0.axes is not None:
             return None
@@ -308,7 +314,8 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         # E ops may carry canonical T1/T2 order1 tracking (the Jacobian
         # dispatch consumes it; it is value-neutral for the primal) --
         # but the spec must be IDENTICAL on every E, incl. the prep
-        c1, c2 = _canonical_order1(e1), _canonical_order1(e2)
+        c1, c2 = (_canonical_order1(e1, allowed),
+                  _canonical_order1(e2, allowed))
         if c1 is None or c1 != c2:
             return None
         if tracked is None:
@@ -413,7 +420,7 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
             if DF is None or not np.array_equal(g0, DF):
                 return None
             inv_df = True
-        if _canonical_order1(e0) != tracked:
+        if _canonical_order1(e0, allowed) != tracked:
             # the kernel seeds prep tangents in closed form, i.e. the
             # prep relaxation IS differentiated: tracking must agree
             return None
@@ -641,29 +648,32 @@ def run_bssfp_kernel(params, nstate=None, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_inv",
                                              "specs", "demod", "use_df",
-                                             "bshape"))
+                                             "bshape", "track_df"))
 def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
                        use_inv, specs, demod=False, use_df=False,
-                       bshape=None):
+                       bshape=None, track_df=False):
     from .models.pallas_bssfp import bssfp_jacobian_pallas
 
     (re, im), (dre, dim) = bssfp_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         interpret=interpret, demodulate=demod,
-        inversion=TI if use_inv else None)
+        inversion=TI if use_inv else None, track_df=track_df)
     bshape = (re.shape[0],) if bshape is None else bshape
-    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
+                                 cols={"g": 3} if track_df else None)
 
 
 def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
     """Fused bSSFP Jacobian runner (simulate_diff output format;
-    `nstate` ignored — no ladder)."""
+    `nstate` ignored — no ladder).  A tracked ``g`` variable turns on
+    the kernel's ddf tangent group (bSSFP resolves off-resonance)."""
     dev = _device_params(params)
     return _run_bssfp_jac_jit(*dev, interpret=interpret,
                               use_inv=params.get("TI") is not None,
                               specs=specs, demod=bool(params.get("demod")),
                               use_df=params.get("df") is not None,
-                              bshape=tuple(params["shape"]))
+                              bshape=tuple(params["shape"]),
+                              track_df="g" in (params.get("vars") or ()))
 
 
 def match_dess(sequence):
@@ -1603,18 +1613,22 @@ def run_fisp_hessian(params, nstate, specs, second_order, *,
                          interpret=interpret)
 
 
-def _assemble_jac_outputs(re, im, dre, dim, specs, bshape):
+def _assemble_jac_outputs(re, im, dre, dim, specs, bshape, cols=None):
     """Per-probe output dicts from a fused Jacobian kernel's results.
 
     ``re/im``: (B, P) signal; ``dre/dim``: (B, P, >=2) tangent columns
-    ordered (T1, T2, ...).  Every fused Jacobian runner shares this
-    layout; keeping the spec loop here means a column addition or an
-    output-layout change lands in all families at once.
+    ordered (T1, T2, ...).  ``cols`` maps extra tracked names to column
+    indices (e.g. ``{"g": 3}`` for bSSFP's ddf group).  Every fused
+    Jacobian runner shares this layout; keeping the spec loop here
+    means a column addition or an output-layout change lands in all
+    families at once.
     """
     P = re.shape[1]
     col = {"magnitude": (re, im),
            "T1": (dre[..., 0], dim[..., 0]),
            "T2": (dre[..., 1], dim[..., 1])}
+    for name, j in (cols or {}).items():
+        col[name] = (dre[..., j], dim[..., j])
     outs = []
     for spec in specs:
         if spec[0] == "sig":

@@ -151,11 +151,9 @@ def _kernel(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref, b1_ref,
 
 
 def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
-                b1_ref, df_ref, out_re_ref, out_im_ref,
-                d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
-                db_re_ref, db_im_ref, st_ref, *, pchunk, demodulate,
-                use_inv, use_df, var_te=False):
-    """Fused primal + (dT1, dT2, dB1) tangents at k=0.
+                b1_ref, df_ref, *rest, pchunk, demodulate,
+                use_inv, use_df, var_te=False, track_df=False):
+    """Fused primal + (dT1, dT2, dB1[, ddf]) tangents at k=0.
 
     Forward-mode derivative of `_kernel`: 12 planes of (1, B_TILE) in
     VMEM — primal (FpR, FpI, Z) then 3 planes per variable.  The
@@ -164,9 +162,23 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
     Coefficient tangents are sparse: T1 only perturbs cZ and the
     recovery (rec = 1 - cZ exactly), T2 only cF and the echo's TE
     decay, B1 only the rotation coefficients.
+
+    With ``track_df`` (15 planes, 10 outputs) a ddf column is carried:
+    df enters only through the precession phases, so its coefficient
+    tangent is i*2*pi*t times the primal — per-TR (t=TR), per-echo
+    (t=TE) and through the inversion prep (t=TI).  Exact at any df
+    (the phase is linear in df); df in kHz, times in ms, matching the
+    planner's dS/dg units.
     """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    if track_df:
+        (out_re_ref, out_im_ref, d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+         db_re_ref, db_im_ref, dg_re_ref, dg_im_ref, st_ref) = rest
+    else:
+        (out_re_ref, out_im_ref, d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+         db_re_ref, db_im_ref, st_ref) = rest
 
     pc = pl.program_id(1)
 
@@ -201,6 +213,14 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
             seed_f(6, -sai * dE2i)                          # dT2: F+
             seed_f(9, -cai * jnp.pi * E2i)                  # dB1: F+
             st_ref[11, 0, :] = -sai * jnp.pi * E1i          # dB1: Z
+            if track_df:
+                # ddf of the prep seed: i * 2*pi*TI * (F+ seed); the
+                # seed is i*v0*e^{i angi} with v0 = -sin(ai) E2i, so
+                # d/ddf = (re, im) = (-2*pi*TI*v0*ci, -2*pi*TI*v0*si)
+                tTI = 2 * jnp.pi * TI
+                v0 = -sai * E2i
+                st_ref[12, 0, :] = -tTI * v0 * ci
+                st_ref[13, 0, :] = -tTI * v0 * si
         else:
             st_ref[2, 0, :] = jnp.ones_like(st_ref[2, 0, :])
 
@@ -222,7 +242,9 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         else:
             te, e2te, de2te = TE, E2te, dE2te
         P = [st_ref[j] for j in range(3)]
-        tans = [[st_ref[3 * v + j] for j in range(3)] for v in (1, 2, 3)]
+        nvars = 4 if track_df else 3
+        tans = [[st_ref[3 * v + j] for j in range(3)]
+                for v in range(1, nvars + 1)]
 
         fa = fa_ref[0, base + i]
         ph = phi_ref[0, base + i] * (jnp.pi / 180.0)
@@ -284,6 +306,13 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         demod_write(db_re_ref, db_im_ref,
                     e2te * (tRF[2][0] + cRF[0]),
                     e2te * (tRF[2][1] + cRF[1]))
+        if track_df:
+            # ddf echo: e^{i ang_te} (e2te tRF_df + i 2*pi*te e2te RF)
+            # — demod_write applies the phasor, so pass the bracket
+            wte = 2 * jnp.pi * te
+            demod_write(dg_re_ref, dg_im_ref,
+                        e2te * (tRF[3][0] - wte * RF[1]),
+                        e2te * (tRF[3][1] + wte * RF[0]))
 
         TRi = tr_ref[0, base + i]
         cF = jnp.exp(-TRi / T2)
@@ -318,6 +347,12 @@ def _kernel_jac(fa_ref, phi_ref, tr_ref, te_ref, ti_ref, t1_ref, t2_ref,
         # dB1: only the rotation coefficients carry tangents
         gFr, gFi = fmul(cF, tRF[2][0] + cRF[0], tRF[2][1] + cRF[1])
         store3(9, gFr, gFi, cZ * (tRZ[2] + cRZ))
+        if track_df:
+            # ddf: e^{i ang}(cF tRF_df + i 2*pi*TR cF RF); Z phase-free
+            wtr = 2 * jnp.pi * TRi
+            hFr, hFi = fmul(cF, tRF[3][0] - wtr * RF[1],
+                            tRF[3][1] + wtr * RF[0])
+            store3(12, hFr, hFi, cZ * tRZ[3])
         return 0
 
     jax.lax.fori_loop(0, pchunk, step, 0)
@@ -382,27 +417,31 @@ def bssfp_dictionary_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
 
 
 @partial(jax.jit, static_argnames=("btile", "pchunk", "demodulate",
-                                   "interpret"))
+                                   "interpret", "track_df"))
 def bssfp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
                           btile=1024, pchunk=None, demodulate=False,
-                          inversion=None, interpret=False):
-    """Fingerprints + dS/d(T1, T2, B1) via one fused k=0 kernel.
+                          inversion=None, interpret=False, track_df=False):
+    """Fingerprints + dS/d(T1, T2, B1[, df]) via one fused k=0 kernel.
 
     Returns ((re, im), (dre, dim)): (B, P) and (B, P, 3) with columns
-    ordered (T1, T2, B1) — the fisp_jacobian_pallas layout."""
+    ordered (T1, T2, B1) — the fisp_jacobian_pallas layout.  With
+    ``track_df`` a 4th dS/ddf column is appended (df in kHz; bSSFP
+    resolves off-resonance, so df is a fitted parameter in MRF-bSSFP
+    — Ma 2013); exact at any df, including df=None (df=0)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     use_df = dfs is not None
+    nout = 10 if track_df else 8
     (P, B, Pp, Bp, pchunk, var_te, args, TE_arr, atom_args) = _pad_setup(
-        FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout=8)
+        FA, phi, TR, TE, T1s, T2s, B1s, dfs, btile, pchunk, nout=nout)
     TI_arr = jnp.full((1, 1), 0.0 if inversion is None else inversion, f32)
     nP, nB = Pp // pchunk, Bp // btile
 
     kernel = partial(_kernel_jac, pchunk=pchunk, demodulate=demodulate,
                      use_inv=inversion is not None, use_df=use_df,
-                     var_te=var_te)
+                     var_te=var_te, track_df=track_df)
     outs = pl.pallas_call(
         kernel,
         grid=(nB, nP),
@@ -417,15 +456,17 @@ def bssfp_jacobian_pallas(FA, phi, TR, TE, T1s, T2s, B1s, dfs=None, *,
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # B1
             pl.BlockSpec((1, btile), lambda b, pc: (0, b)),     # df
         ],
-        out_specs=[pl.BlockSpec((pchunk, btile), lambda b, pc: (pc, b))] * 8,
-        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * 8,
-        scratch_shapes=[pltpu.VMEM((12, 1, btile), f32)],
+        out_specs=[pl.BlockSpec((pchunk, btile),
+                                lambda b, pc: (pc, b))] * nout,
+        out_shape=[jax.ShapeDtypeStruct((Pp, Bp), f32)] * nout,
+        scratch_shapes=[pltpu.VMEM((15 if track_df else 12, 1, btile), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args, TE_arr, TI_arr, *atom_args)
 
-    re, im, d1r, d1i, d2r, d2i, dbr, dbi = [o[:P, :B].T for o in outs]
-    dre = jnp.stack([d1r, d2r, dbr], axis=-1)
-    dim = jnp.stack([d1i, d2i, dbi], axis=-1)
+    planes = [o[:P, :B].T for o in outs]
+    re, im = planes[0], planes[1]
+    dre = jnp.stack(planes[2::2], axis=-1)
+    dim = jnp.stack(planes[3::2], axis=-1)
     return (re, im), (dre, dim)

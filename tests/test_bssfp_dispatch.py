@@ -161,6 +161,52 @@ def test_jacobian_dispatch_matches_planner():
         assert err < 2e-5, (c, err)
 
 
+def test_jacobian_dispatch_tracks_df():
+    """bSSFP admits ``g`` tracking (ddf tangent group — off-resonance
+    is a fitted parameter in MRF-bSSFP): the fused kernel's 4th column
+    matches the planner's dS/dg, with and without an inversion prep
+    and at df=0 (df=None)."""
+    for df, inv in [(np.linspace(-0.03, 0.03, 4), 16.0),
+                    (np.linspace(-0.03, 0.03, 4), None),
+                    (None, 12.0)]:
+        seq = _btrain(P=16, B=4, df=df, inversion=inv,
+                      order1=["T1", "T2", "g"])
+        params = fisp_dispatch.match_bssfp(list(seq))
+        assert params is not None
+        assert params["vars"] == ("T1", "T2", "g")
+        probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2", "g"])]
+        sig_k, jac_k = epg.simulate(list(seq), probe=probes,
+                                    fisp_kernel="force")
+        sig_e, jac_e = epg.simulate(list(seq), probe=probes,
+                                    fisp_kernel=False)
+        assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+        je, jk = np.asarray(jac_e), np.asarray(jac_k)
+        assert je.shape == jk.shape
+        for c in range(4):
+            err = (np.abs(jk[..., c] - je[..., c]).max()
+                   / max(np.abs(je[..., c]).max(), 1e-12))
+            assert err < 2e-5, (df is None, inv, c, err)
+
+
+def test_g_tracking_stays_balanced_only():
+    """A g-tracked FISP (spoiled) train must fall through to the
+    planner — the FISP kernels carry no df tangent group — and still
+    agree bit-for-bit between fisp_kernel settings."""
+    T1, T2 = np.array([800.0, 1200.0]), np.array([60.0, 90.0])
+    fseq = []
+    for i in range(8):
+        fseq += [epg.T(30 + i, 0),
+                 epg.E(4.0, T1, T2, 0.01, order1=["T1", "T2", "g"]),
+                 epg.ADC,
+                 epg.E(8.0, T1, T2, 0.01, order1=["T1", "T2", "g"]),
+                 epg.S(1)]
+    assert fisp_dispatch.match_fisp(list(fseq)) is None
+    probes = [epg.Jacobian(["T1", "g"])]
+    out = epg.simulate(list(fseq), probe=probes, fisp_kernel="force")
+    ref = epg.simulate(list(fseq), probe=probes, fisp_kernel=False)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-12
+
+
 def test_jacobian_hessian_falls_through():
     seq = _btrain(P=12, B=3, order1=["T1", "T2"])
     out = epg.simulate(list(seq), fisp_kernel="force",
