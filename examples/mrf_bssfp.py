@@ -7,8 +7,11 @@ simulate() routes the balanced train to the fused k=0 Pallas kernel
 (fisp_dispatch.match_bssfp; ~5M atoms/s on one TPU v5e chip), the
 dictionary is SVD-compressed (McGivney 2014, parallel.compress_
 dictionary) and noisy voxel signals are matched in the compressed
-space.  Reference workflow anchor: epgpy builds the same train from
-T/E/Adc operators (no dedicated bSSFP model exists there).
+space.  A final Gauss-Newton stage refines (T1, T2, df) OFF-grid:
+g-tracked balanced trains route Jacobian probes to the fused kernel's
+(dT1, dT2, ddf) tangent groups, so each iteration is one VMEM pass
+for all voxels.  Reference workflow anchor: epgpy builds the same
+train from T/E/Adc operators (no dedicated bSSFP model exists there).
 """
 
 import os
@@ -89,6 +92,97 @@ def main():
     assert (np.abs(ri - ti) <= 1).all(), "recovery beyond one grid step"
     assert (idx == picks).mean() >= 0.5
     assert float(np.asarray(corr).min()) > 0.99
+
+    # --- off-grid (T1, T2, df) Gauss-Newton refinement ---------------
+    # bSSFP resolves off-resonance, so df is a REFINABLE parameter (the
+    # balanced train's g-tracked Jacobian dispatch provides the dS/ddf
+    # column; spoiled FISP cannot do this).  Voxels at off-grid truth
+    # with an unknown complex PD scale: match for the init, then damped
+    # GN with the per-voxel scale solved in closed form each iteration
+    # (variable projection, solve_scale=True).  Short trains don't
+    # constrain the fit — a df init one grid step off lands in a
+    # different band lobe (banding period 1/TR ~ 83 Hz) — so the
+    # refinement stage needs a realistic train length.
+    if P < 96:
+        print(f"refinement skipped: P={P} too short to condition "
+              "the (T1, T2, df) fit")
+        return
+    from epgpy_tpu.parallel import gauss_newton_refine
+
+    nv = int(os.environ.get("BSSFP_NVOX", 24))
+    T1t = rng.uniform(300, 1800, nv)
+    T2t = np.minimum(rng.uniform(30, 170, nv), 0.6 * T1t)
+    dft = rng.uniform(-0.045, 0.045, nv)
+
+    def signal_and_jac(theta):
+        sq = bssfp_sequence(FA, TR, T1=theta[0], T2=theta[1],
+                            df=theta[2], inversion=18.0,
+                            order1=["T1", "T2", "g"])
+        s, j = epg.simulate(sq, asarray=False,
+                            probe=[epg.ADC,
+                                   epg.Jacobian(["T1", "T2", "g"])])
+        return ((s["__c_re"], s["__c_im"]), (j["__c_re"], j["__c_im"]))
+
+    (tr_, ti_), _ = signal_and_jac(np.stack([T1t, T2t, dft]))
+    pd = rng.normal(size=nv) + 1j * rng.normal(size=nv)
+    meas = pd * (np.asarray(tr_) + 1j * np.asarray(ti_))
+    meas += 2e-3 * np.abs(pd) * (rng.normal(size=meas.shape)
+                                 + 1j * rng.normal(size=meas.shape))
+
+    # init from the compressed-space match
+    mn = np.sqrt((meas.real ** 2 + meas.imag ** 2).sum(0))
+    cm = project_signals(comp["basis_re"], comp["basis_im"],
+                         jnp.asarray(meas.real.T / mn[:, None]),
+                         jnp.asarray(meas.imag.T / mn[:, None]))
+    idx0, _ = dictionary_match(comp["cdict_re"], comp["cdict_im"],
+                               cm[0], cm[1])
+    theta0 = grid[np.asarray(idx0)].T.copy()       # (3, nv)
+    e0 = [np.sqrt(np.mean((theta0[k] - t) ** 2))
+          for k, t in enumerate((T1t, T2t, dft))]
+
+    # multi-start GN: the |corr| match with an unknown COMPLEX PD scale
+    # confuses +-df for some (T1, T2) (near-conjugate fingerprints),
+    # which strands single-start GN in the wrong band lobe, and a
+    # matched init sitting between df basins (> half a grid step off)
+    # can stall mid-slope.  Refine from the matched init, its
+    # df-negated twin, and +-half-grid-step df perturbations; keep the
+    # lowest per-voxel residual.
+    def residual(theta):
+        sq = bssfp_sequence(FA, TR, T1=theta[0], T2=theta[1],
+                            df=theta[2], inversion=18.0)
+        s = epg.simulate(sq, asarray=False)
+        sc = (np.asarray(s["__c_re"]) + 1j * np.asarray(s["__c_im"]))
+        c = (np.conj(sc) * meas).sum(0) / np.maximum(
+            (np.abs(sc) ** 2).sum(0), 1e-30)
+        return (np.abs(meas - c * sc) ** 2).sum(0)
+
+    bounds = [(150.0, 2500.0), (15.0, 250.0), (-0.06, 0.06)]
+    half = 0.5 * float(df.flat[1] - df.flat[0])
+    starts = []
+    for ddf, neg in ((0.0, False), (0.0, True), (half, False), (-half, False)):
+        t0 = theta0.copy()
+        t0[2] = (-t0[2] if neg else t0[2]) + ddf
+        starts.append(t0)
+    cands = [gauss_newton_refine(signal_and_jac, t0, meas.real, meas.imag,
+                                 iters=10, solve_scale=True, bounds=bounds)
+             for t0 in starts]
+    res = np.stack([residual(c) for c in cands])
+    pick = res.argmin(0)
+    theta = np.stack(cands, 0)[pick, :, np.arange(nv)].T
+    e1 = [np.sqrt(np.mean((theta[k] - t) ** 2))
+          for k, t in enumerate((T1t, T2t, dft))]
+    if os.environ.get("BSSFP_DEBUG"):
+        print("per-voxel df err (Hz) init:", (1e3 * (theta0[2] - dft)).round(2))
+        print("per-voxel df err (Hz) refined:", (1e3 * (theta[2] - dft)).round(3))
+        print("per-voxel T1 err refined:", (theta[0] - T1t).round(1))
+        print("per-voxel T2 err refined:", (theta[1] - T2t).round(2))
+        print("picked start index:", np.asarray(pick))
+    print(f"match RMSE:  T1={e0[0]:.1f} ms  T2={e0[1]:.2f} ms  "
+          f"df={1e3 * e0[2]:.2f} Hz")
+    print(f"refine RMSE: T1={e1[0]:.2f} ms  T2={e1[1]:.3f} ms  "
+          f"df={1e3 * e1[2]:.4f} Hz")
+    assert e1[0] < 0.3 * e0[0] and e1[1] < 0.3 * e0[1] \
+        and e1[2] < 0.3 * e0[2], (e0, e1)
 
 
 if __name__ == "__main__":

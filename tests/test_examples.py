@@ -83,6 +83,17 @@ def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
     _run("mrf_bssfp.py", monkeypatch, tmp_path)
 
 
+def test_mrf_bssfp_refine_smoke(monkeypatch, tmp_path):
+    """Off-grid (T1, T2, df) Gauss-Newton stage (g-tracked balanced
+    Jacobian dispatch): needs a refinement-capable train length."""
+    monkeypatch.setenv("BSSFP_NPULSE", "200")
+    monkeypatch.setenv("BSSFP_NGRID", "10")
+    monkeypatch.setenv("BSSFP_NDF", "9")
+    monkeypatch.setenv("BSSFP_RANK", "20")
+    monkeypatch.setenv("BSSFP_NVOX", "16")
+    _run("mrf_bssfp.py", monkeypatch, tmp_path)
+
+
 def test_mrf_dw_smoke(monkeypatch, tmp_path):
     """DW-MRF (T1, T2, ADC) mapping via the diffusion kernel axis."""
     monkeypatch.setenv("DW_NPULSE", "60")
