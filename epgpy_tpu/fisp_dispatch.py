@@ -1780,7 +1780,12 @@ def match_xgre(sequence, shape, density=None):
 
     Pattern (per TR, consistent across the train):
 
-        [ R(sat)? , T , X? , Adc , X? , S(1) ]        (>= one X stage)
+        [ R(sat)? , T , X? , Adc , X? , S(1)? ]       (>= one X stage)
+
+    The trailing S(1) must be present in EVERY block (spoiled GRE) or
+    in NONE (the balanced family: bSSFP-MT / exchange-bSSFP, Gloor
+    2008 — the ladder stays at k=0 and the kernel runs shiftless at
+    nstate=0; alternating RF phase rides the per-TR phi train).
 
     -- the canonical EPG-X spoiled-GRE family (reference
     epgpy/exchange.py:89-120 applied per TR, MT saturation via a raw-rate
@@ -1898,9 +1903,12 @@ def _match_xgre_impl(sequence, shape, density):
         if j < n and type(sequence[j]) is X:
             x2 = sequence[j]
             j += 1
-        if j >= n or type(sequence[j]) is not S:
-            return None
-        return sat, t, x1, adc, x2, sequence[j], j + 1
+        # trailing unit shift: present (spoiled GRE) or absent (balanced)
+        s = None
+        if j < n and type(sequence[j]) is S:
+            s = sequence[j]
+            j += 1
+        return sat, t, x1, adc, x2, s, j
 
     blocks = []
     i = 0
@@ -1913,20 +1921,22 @@ def _match_xgre_impl(sequence, shape, density):
     if len(blocks) < 2:
         return None
 
-    # consistent block signature; shared X instances across TRs
-    sat0, _, x1_0, _, x2_0, _ = blocks[0]
+    # consistent block signature; shared X instances across TRs; the
+    # unit shift is all-or-none (spoiled vs balanced family)
+    sat0, _, x1_0, _, x2_0, s0 = blocks[0]
     xop = x1_0 if x1_0 is not None else x2_0
     if xop is None:
         return None
     for sat, _, x1, adc, x2, s in blocks:
         if ((sat is None) != (sat0 is None) or (x1 is not x1_0)
-                or (x2 is not x2_0)):
+                or (x2 is not x2_0) or (s is None) != (s0 is None)):
             return None
         if (type(adc) is not Adc or adc.attr != "F0"
                 or adc.phase is not None or adc.weights is not None
                 or adc.reduce not in (None, False) or not _no_diff(adc)):
             return None
-        if getattr(s, "_kint", None) != 1 or not _no_diff(s):
+        if s is not None and (getattr(s, "_kint", None) != 1
+                              or not _no_diff(s)):
             return None
 
     C = int(xop.khi.shape[-1])
@@ -2026,7 +2036,7 @@ def _match_xgre_impl(sequence, shape, density):
         "T2B": None if x2_0 is None else x2_0.T2,
         "gB": None if x2_0 is None else x2_0.g,
         "tauB": 0.0 if x2_0 is None else x2_0.tau,
-        "shape": tuple(shape), "C": C,
+        "shape": tuple(shape), "C": C, "balanced": s0 is None,
     }
 
 
@@ -2041,9 +2051,9 @@ def _prep_comp_atoms(x, bshape, default):
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "bshape",
-                                             "interpret"))
+                                             "interpret", "shift"))
 def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, b1, stageA, stageB,
-                  *, nstate, bshape, interpret):
+                  *, nstate, bshape, interpret, shift=True):
     from .models.pallas_xgre import xgre_dictionary_pallas
 
     # an absent stage (tau = 0, khi = 0) yields identity matrices
@@ -2061,7 +2071,7 @@ def _run_xgre_jit(alpha, phi, sfr, sfi, szr, szi, dens, b1, stageA, stageB,
         b1 = jnp.broadcast_to(b1, rest).reshape(-1)
     re, im = xgre_dictionary_pallas(
         alpha, phi, sfr, sfi, szr, szi, dens, prep(stageA), prep(stageB),
-        b1, nstate=nstate, interpret=interpret)
+        b1, nstate=nstate, interpret=interpret, shift=shift)
     N = re.shape[0]
     return re.reshape((N,) + bshape), im.reshape((N,) + bshape)
 
@@ -2090,8 +2100,9 @@ def run_xgre_kernel(params, nstate, *, interpret=False):
     """Run the fused EPG-X kernel; engine-layout output
     ``{"__c_re": (N, C, *rest), "__c_im": ...}`` device arrays."""
     host, stages = _xgre_device_params(params)
+    balanced = bool(params.get("balanced", False))
     re, im = _run_xgre_jit(*host, *stages,
-                           nstate=max(int(nstate), 1),
+                           nstate=0 if balanced else max(int(nstate), 1),
                            bshape=tuple(params["shape"]),
-                           interpret=interpret)
+                           interpret=interpret, shift=not balanced)
     return {"__c_re": re, "__c_im": im}

@@ -99,6 +99,13 @@ def _mix_planes(sets, m, dens, rowmask, C):
     return out
 
 
+def _store_set(st_ref, base, planes):
+    """Store one folded plane set into VMEM unshifted (balanced trains:
+    no gradient between TRs, the ladder never moves)."""
+    for j in range(6):
+        st_ref[base + j] = planes[j]
+
+
 def _shift_store(st_ref, base, planes):
     """Unit ladder shift of one folded plane set into VMEM: A gains the
     reflected B(1) row at k=0, B drops it, Z is unshifted."""

@@ -42,11 +42,12 @@ __all__ = ["xgre_dictionary_pallas", "xgre_dictionary_pallas_sharded",
 
 # plane math shared across kernel families -- see pallas_common
 from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
-                            _shift_store)
+                            _shift_store, _store_set)
 
 
 def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
-                 dens_ref, b1_ref, coef_ref, *refs, nstate, ntr, ncomp):
+                 dens_ref, b1_ref, coef_ref, *refs, nstate, ntr, ncomp,
+                 shift=True):
     """See module docstring.  refs = (out_re_0, out_im_0, ..., st_ref).
 
     st_ref: (6*C, nstate+1, btile) VMEM scratch; per compartment c the
@@ -106,8 +107,9 @@ def _kernel_xgre(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
             out_refs[2 * c][i, :] = sets[c][0][0, :]
             out_refs[2 * c + 1][i, :] = sets[c][1][0, :]
         sets = mix(1, sets)
+        store = _shift_store if shift else _store_set
         for c in range(C):
-            _shift_store(st_ref, 6 * c, sets[c])
+            store(st_ref, 6 * c, sets[c])
         return 0
 
     jax.lax.fori_loop(0, ntr, step, 0)
@@ -136,11 +138,18 @@ def _exchange_mats(khi, T1, T2, g, tau):
     return mT, jnp.real(mT), jnp.imag(mT), mL
 
 
-@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret", "shift"))
 def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
                            dens, stageA, stageB, b1=None, *,
-                           nstate, btile=512, interpret=False):
+                           nstate, btile=512, interpret=False, shift=True):
     """EPG-X GRE trains via the fused Pallas kernel.
+
+    With ``shift=False`` the per-TR unit gradient shift is omitted —
+    the balanced EPG-X family (bSSFP-MT / exchange-bSSFP, Gloor 2008):
+    the whole ladder stays at k=0, so pass ``nstate=0`` and the scratch
+    is (6C, 1, btile).  Alternating RF phase rides the per-TR ``phi``
+    train; per-TR relaxation+exchange splits TE/TR-TE across the two X
+    stages.
 
     Args:
         alpha, phi: (N, C) per-TR per-compartment flip angles / phases
@@ -194,7 +203,8 @@ def xgre_dictionary_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
         b1 = jnp.concatenate([b1, jnp.ones(Bp - B, f32)])
     b1 = b1.reshape(1, Bp)
 
-    kernel = partial(_kernel_xgre, nstate=nstate, ntr=N, ncomp=C)
+    kernel = partial(_kernel_xgre, nstate=nstate, ntr=N, ncomp=C,
+                     shift=shift)
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
@@ -271,7 +281,7 @@ def exchange_stage_mats(khi, T1, T2, g=None, tau=1.0):
 
 def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                      b1_ref, dens_ref, coef_ref, *refs,
-                     nstate, ntr, ncomp, nvar):
+                     nstate, ntr, ncomp, nvar, shift=True):
     """Fused primal + tangent EPG-X GRE propagation.
 
     Plane groups g = 0 (primal), 1..nvar (one tangent per fit variable)
@@ -377,18 +387,20 @@ def _kernel_xgre_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
         groups = ([mix_primal(1, groups[0])]
                   + [mix_tangent(1, g, groups[g], groups[0])
                      for g in range(1, G)])
+        store = _shift_store if shift else _store_set
         for g in range(G):
             for c in range(C):
-                _shift_store(st_ref, 6 * (g * C + c), groups[g][c])
+                store(st_ref, 6 * (g * C + c), groups[g][c])
         return 0
 
     jax.lax.fori_loop(0, ntr, step, 0)
 
 
-@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret", "shift"))
 def xgre_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
                          dens, matsA, matsB, dmatsA, dmatsB, ddens,
-                         b1=None, *, nstate, btile=512, interpret=False):
+                         b1=None, *, nstate, btile=512, interpret=False,
+                         shift=True):
     """EPG-X GRE train Jacobian via the fused primal+tangent kernel.
 
     A capability BEYOND the reference: epgpy's X operator is not
@@ -461,7 +473,7 @@ def xgre_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
     b1 = b1.reshape(1, Bp)
 
     kernel = partial(_kernel_xgre_jac, nstate=nstate, ntr=N, ncomp=C,
-                     nvar=V)
+                     nvar=V, shift=shift)
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),

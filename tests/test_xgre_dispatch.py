@@ -9,6 +9,8 @@ the scan planner (fisp_kernel=False) in float64; off-pattern trains
 must fall through.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -16,8 +18,16 @@ import epgpy_tpu as epg
 from epgpy_tpu import fisp_dispatch
 
 
+def load_golden(name):
+    path = os.path.join(os.path.dirname(__file__), "golden", f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden file missing: {name}")
+    return np.load(path)
+
+
 def _mt_train(N=10, B=5, *, sat=True, order="adc_first", g=None, C=2,
-              vary=False, two_stage=False, dens=(0.8, 0.2)):
+              vary=False, two_stage=False, dens=(0.8, 0.2),
+              balanced=False):
     """Reference-style two-pool MT-GRE train (bench workload family)."""
     dens = np.asarray(dens[:C]) / np.sum(dens[:C])
     khi = epg.exchange_matrix(0.005, ncomp=C, densities=dens)
@@ -52,7 +62,8 @@ def _mt_train(N=10, B=5, *, sat=True, order="adc_first", g=None, C=2,
         else:  # readout after the exchange stage
             blk = ([X1] if X1 is not None else []) + [X2, epg.ADC]
         seq += blk
-        seq.append(epg.S(1))
+        if not balanced:
+            seq.append(epg.S(1))
     return seq, dens
 
 
@@ -372,3 +383,69 @@ def test_traced_x_leaves_fall_through():
 
     jax.make_jaxpr(probe)(jnp.float32(10.0), jnp.float32(80.0))
     assert got["m"] is None
+
+
+# ---- balanced family (bSSFP-MT / exchange-bSSFP, no spoiler) ---------------
+
+def test_balanced_exchange_parity():
+    """[R, T, X(TE), ADC, X(TR-TE)] * N -- Gloor-2008 bSSFP-MT family:
+    no unit shift anywhere, the kernel runs shiftless at nstate=0."""
+    seq, dens = _mt_train(N=12, B=5, balanced=True, two_stage=True,
+                          vary=True)
+    params = _assert_match(seq, dens, (2, 5))
+    assert params["balanced"] is True
+    _parity(seq, dens)
+
+
+def test_balanced_no_sat_off_resonance():
+    seq, dens = _mt_train(N=10, B=4, balanced=True, sat=False,
+                          g=[0.02, -0.01])
+    params = _assert_match(seq, dens, (2, 4))
+    assert params["balanced"] is True
+    _parity(seq, dens)
+
+
+def test_balanced_three_compartments():
+    seq, dens = _mt_train(N=8, B=4, C=3, balanced=True,
+                          dens=(0.6, 0.25, 0.15))
+    _assert_match(seq, dens, (3, 4))
+    # C > 2 mixes via the f32 Pade expm (~8e-6 per-stage error, vs the
+    # roundoff-exact 2x2 closed form); a balanced train never spoils,
+    # so 2 stages x 8 TRs accumulate ~2.5e-5 on the undamped k=0 row
+    _parity(seq, dens, tol=1e-4)
+
+
+def test_fallthrough_mixed_balanced_and_spoiled():
+    """Some blocks with S(1), some without: no family matches."""
+    X = _mk_x()
+    seq = []
+    for i in range(6):
+        seq += _bench_block(X) if i % 2 == 0 else _bench_block(X)[:-1]
+    assert fisp_dispatch.match_xgre(seq, (2, 4), [0.8, 0.2]) is None
+
+
+def test_xbssfp_golden():
+    """Reference-generated golden: phase-alternating two-pool balanced
+    EPG-X train (tools/make_golden.py:xbssfp).  The planner must agree
+    at 1e-9 (f64) and the fused shiftless kernel at f32 tolerance."""
+    g = load_golden("xbssfp")
+    dens = [0.85, 0.15]
+    khi = epg.exchange_matrix(0.004, axis=0, ncomp=2, densities=dens)
+    T1 = [900.0, 400.0]
+    T2 = [70.0, 0.02]
+    gg = [0.003, 0.0]
+    n = 36
+    TR, TE = 5.0, 2.3
+    FAs, phases = g["FAs"], g["phases"]
+    X1 = epg.X(TE, khi, axis=0, T1=T1, T2=T2, g=gg)
+    X2 = epg.X(TR - TE, khi, axis=0, T1=T1, T2=T2, g=gg)
+    seq = []
+    for i in range(n):
+        seq += [epg.R(0, rL=np.asarray([0.0, 0.3])),
+                epg.T(np.array([FAs[i], 0.0]), float(phases[i])),
+                X1, epg.ADC, X2]
+    ref = np.asarray(epg.simulate(seq, density=dens, fisp_kernel=False))
+    assert np.abs(ref - g["signal"]).max() < 1e-9
+    assert fisp_dispatch.match_xgre(seq, (2,), dens) is not None
+    out = np.asarray(epg.simulate(seq, density=dens, fisp_kernel="force"))
+    assert np.abs(out - g["signal"]).max() / np.abs(g["signal"]).max() < 2e-6

@@ -179,6 +179,68 @@ def test_xgre_jacobian_three_compartments_fd():
                                                     np.abs(fd).max())
 
 
+def test_xgre_jacobian_balanced_fd():
+    """Balanced train (no spoiler, shift=False, nstate=0): bSSFP-MT
+    family (Gloor 2008).  Phase-alternating RF; FD oracle on the
+    bound-pool fraction f and the free-pool T2 as in the spoiled test."""
+    phases = (180.0 * np.arange(N)) % 360.0
+
+    def planner_balanced(f, T2f):
+        dens = [1.0 - f, f]
+        khi = epg.exchange_matrix(K_EX, densities=dens)
+        T2 = np.stack([np.asarray(T2f, float),
+                       np.full(len(T2f), T2_BOUND)], 0)
+        Xop = epg.X(TRv, khi, axis=0, T1=T1C, T2=T2)
+        sat = epg.R(0, rL=np.asarray([0.0, RL_SAT]), r0=None)
+        seq = []
+        for i in range(N):
+            seq += [sat, epg.T(np.asarray([FAS[i], 0.0]), float(phases[i])),
+                    epg.ADC, Xop]
+        return np.asarray(epg.simulate(seq, max_nstate=NSTATE, density=dens,
+                                       fisp_kernel=False))
+
+    fv = 0.17
+    T2f = np.linspace(45.0, 110.0, B)
+    f = jnp.full(B, fv, jnp.float32)
+    t2 = jnp.asarray(T2f, jnp.float32)
+    one, zero = jnp.ones_like(f), jnp.zeros_like(f)
+
+    def jvp(tf, tt):
+        return jax.jvp(lambda a, b: stage_fn(a, b, None), (f, t2), (tf, tt))
+
+    (mr, mi, ml, dens), tf = jvp(one, zero)
+    _, tt = jvp(zero, one)
+    eye = jnp.broadcast_to(jnp.eye(C, dtype=jnp.float32), (B, C, C))
+    zer = jnp.zeros_like(eye)
+    dmatsA = tuple(jnp.zeros((2, B, C, C), jnp.float32) for _ in range(3))
+    dmatsB = tuple(jnp.stack([a, b]) for a, b in zip(tf[:3], tt[:3]))
+    ddens = jnp.stack([tf[3], tt[3]])
+
+    alpha = np.stack([FAS, np.zeros(N)], axis=1)
+    phi = np.stack([phases, np.zeros(N)], axis=1)
+    satf = np.ones((N, C))
+    satz = np.stack([np.ones(N), np.full(N, np.exp(-RL_SAT))], axis=1)
+    (re, im), (jre, jim) = xgre_jacobian_pallas(
+        alpha, phi, satf, np.zeros((N, C)), satz, np.zeros((N, C)),
+        dens, (eye, zer, eye), (mr, mi, ml), dmatsA, dmatsB, ddens,
+        nstate=0, btile=128, interpret=True, shift=False)
+    re, im = np.asarray(re), np.asarray(im)
+    jre, jim = np.asarray(jre), np.asarray(jim)
+
+    ref = planner_balanced(fv, T2f)
+    assert np.abs((re + 1j * im) - ref).max() < 3e-6
+
+    eps_f, eps_t = 1e-4, 1e-2
+    fd_f = (planner_balanced(fv + eps_f, T2f)
+            - planner_balanced(fv - eps_f, T2f)) / (2 * eps_f)
+    fd_t = (planner_balanced(fv, T2f + eps_t)
+            - planner_balanced(fv, T2f - eps_t)) / (2 * eps_t)
+    jac_f = jre[:, 0] + 1j * jim[:, 0]
+    jac_t = jre[:, 1] + 1j * jim[:, 1]
+    assert np.abs(jac_f - fd_f).max() < 1e-4 + 1e-3 * np.abs(fd_f).max()
+    assert np.abs(jac_t - fd_t).max() < 1e-6 + 1e-3 * np.abs(fd_t).max()
+
+
 def test_xgre_jacobian_zero_tangents():
     """dM = 0, ddens = 0 must give exactly zero tangents, and the primal
     must match xgre_dictionary_pallas bit-for-bit."""

@@ -969,8 +969,36 @@ def bssfp():
             "dfs": dfs, "B1s": B1s, "phases": phases}
 
 
+def xbssfp():
+    """Two-pool balanced EPG-X (bSSFP-MT, Gloor 2008 style): no spoiler
+    so the ladder stays at k=0; phase-alternating train, per-TR
+    bound-pool saturation, unequal densities, TE/TR-TE exchange split."""
+    from epgpy import exchange as rexch
+
+    dens = np.array([0.85, 0.15])
+    khi = rexch.exchange_matrix(0.004, axis=0, ncomp=2, densities=dens)
+    T1 = [900.0, 400.0]
+    T2 = [70.0, 0.02]
+    g = [0.003, 0.0]
+    n = 36
+    TR, TE = 5.0, 2.3
+    FAs = 20 + 25 * np.abs(np.sin(np.arange(n) / 4.0))
+    phases = (180.0 * np.arange(n)) % 360.0
+    W = 0.3  # bound-pool saturation rate x pulse duration (total rate)
+    X1 = ops.X(TE, khi, axis=0, T1=T1, T2=T2, g=g)
+    X2 = ops.X(TR - TE, khi, axis=0, T1=T1, T2=T2, g=g)
+    seq = []
+    for i in range(n):
+        seq += [ops.R(0, rL=[0.0, W]),
+                ops.T(np.array([FAs[i], 0.0]), phases[i]),
+                X1, ops.ADC, X2]
+    sig = np.asarray(fun.simulate(seq, density=list(dens)))
+    return {"signal": sig, "FAs": FAs, "phases": phases}
+
+
 CASES = {
     "bssfp": bssfp,
+    "xbssfp": xbssfp,
     "cpmg": cpmg,
     "press": press,
     "fuzz": fuzz,
