@@ -882,6 +882,12 @@ def simulate(
         ]
         families.append((lambda seq: _fd.match_xgre(seq, shape, _dens_opt),
                          _fd.run_xgre_kernel, "EPG-X GRE", "xgre"))
+        if _dens_opt is None:
+            # generic stage trains (MPRAGE/T2prep/sat-recovery): LAST --
+            # the exact-pattern families above stay on their (faster,
+            # diff-capable) kernels
+            families.append((_fd.match_composite, _fd.run_composite_kernel,
+                             "composite GRE", "comp"))
         enc = None
         for matcher, runner, family, tag in families:
             fparams = matcher(sequence)
@@ -893,7 +899,12 @@ def simulate(
             nplanes = {"fisp": 6, "dw": 6, "mse": 6, "dess": 6,
                        "megre": 6,
                        "xgre": 6 * len(fparams["dens"])
-                       if tag == "xgre" else 6}.get(tag)
+                       if tag == "xgre" else 6}.get(tag, 6)
+            if tag == "comp":
+                # the composite kernel's un-chunked (nadc, btile) output
+                # windows live in VMEM too: fold them into the gate as
+                # plane-equivalents (4 bytes x 2 arrays x 2 buffers)
+                nplanes = 6 + -(-4 * fparams["nadc"] // (ncap + 1))
             if tag != "bssfp" and not _fd.kernel_fits_vmem(nplanes, ncap):
                 continue
             if disp:

@@ -50,6 +50,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_dess_jacobian", "match_megre", "run_megre_kernel",
            "run_megre_jacobian",
            "match_dwfisp", "run_dwfisp_kernel", "run_dwfisp_jacobian",
+           "match_composite", "run_composite_kernel",
            "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -2105,4 +2106,239 @@ def run_xgre_kernel(params, nstate, *, interpret=False):
                            nstate=0 if balanced else max(int(nstate), 1),
                            bshape=tuple(params["shape"]),
                            interpret=interpret, shift=not balanced)
+    return {"__c_re": re, "__c_im": im}
+
+
+# ---------------------------------------------------------------------------
+# Composite-GRE dispatch: segmented/prepared stage trains -> pallas_composite
+# ---------------------------------------------------------------------------
+
+def match_composite(sequence):
+    """Match arbitrary gradient-echo *stage* trains for the composite
+    kernel (models/pallas_composite).
+
+    A stage is ``[T?, E*, Adc?, E*, S(+-k)?]`` with every element
+    optional: the matcher greedily folds the op list into stages
+    (consecutive E taus accumulate; a shift or a second Adc closes the
+    stage; ``S(+-k)`` expands into |k| unit-shift stages; Wait/Offset/
+    NULL are state no-ops and are skipped).  This covers the segmented
+    and prepared GRE families the specialized matchers reject --
+    MPRAGE/MP2RAGE (per-segment ``[T(180), E(TI)]`` inversions +
+    recovery delays), cardiac MRF T2prep composites (back-to-back
+    pulses with no gradient), saturation-recovery GRE -- while the
+    exact-pattern families (FISP/MSE/bSSFP/DESS/ME-GRE/EPG-X) keep
+    priority in the engine's dispatch table.
+
+    Requirements: host-known scalar taus/phases, one shared
+    (T1, T2, g) across all E ops, Adc(F0) with optional host-scalar
+    phase, and a rank-1 ``outer(FA, B1)`` factorization of the
+    *vector* flip stages (scalar-flip stages -- adiabatic preps --
+    bypass B1, the MPRAGE inversion convention).  Returns the kernel
+    params dict or None.
+
+    Reference anchor: epgpy composes these trains op-by-op
+    (/root/reference/epgpy/transition.py, evolution.py, shift.py); the
+    reference has no fused path for them at all.
+    """
+    if len(sequence) < 8:
+        return None
+    key = ("comp",) + tuple(id(op) for op in sequence)
+    return _memoized(key, sequence,
+                     lambda: _match_composite_impl(sequence))
+
+
+def _match_composite_impl(sequence):
+    from .ops.transition import T
+    from .ops.evolution import E
+    from .ops.shift import S
+    from .ops.probe import Adc, Probe
+    from .ops import base as _base
+
+    stages = []
+    cur = None
+
+    def new_stage(fa, ph):
+        return {"fa": fa, "phi": ph, "ta": 0.0, "tb": 0.0,
+                "adc": False, "aph": 0.0, "shift": 0}
+
+    def neutral():
+        return new_stage(np.zeros(1), 0.0)
+
+    def close():
+        nonlocal cur
+        if cur is not None:
+            stages.append(cur)
+            cur = None
+
+    T1 = T2 = DF = None
+    tracked = None
+    for op in sequence:
+        if type(op) is T:
+            if not _no_diff(op) or getattr(op, "axes", None) is not None:
+                return None
+            a = _host_nd(op.alpha)
+            ph = _scalar(op.phi)
+            if a is None or ph is None:
+                return None
+            close()
+            cur = new_stage(a, ph)
+        elif type(op) is E:
+            c = _canonical_order1(op)
+            if c is None or getattr(op, "axes", None) is not None:
+                return None
+            if tracked is None:
+                tracked = c
+            elif tracked != c:
+                return None
+            tau = _scalar(op.tau)
+            if tau is None or tau < 0:
+                return None
+            t1v, t2v = _host_nd(op.T1), _host_nd(op.T2)
+            gv = _host_nd(op.g)
+            if t1v is None or t2v is None or gv is None:
+                return None
+            if T1 is None:
+                T1, T2, DF = t1v, t2v, gv
+            elif not (np.array_equal(T1, t1v) and np.array_equal(T2, t2v)
+                      and np.array_equal(DF, gv)):
+                return None
+            if cur is None or cur["shift"]:
+                close()
+                cur = neutral()
+            cur["tb" if cur["adc"] else "ta"] += tau
+        elif type(op) is Adc:
+            ph_adc = None if op.phase is None else _scalar(op.phase)
+            if (op.attr != "F0" or (op.phase is not None and ph_adc is None)
+                    or op.weights is not None
+                    or op.reduce not in (None, False)):
+                return None
+            if cur is None or cur["adc"] or cur["shift"]:
+                close()
+                cur = neutral()
+            cur["adc"] = True
+            cur["aph"] = 0.0 if ph_adc is None else float(ph_adc)
+        elif type(op) is S:
+            k = op._kint
+            if k is None or not _no_diff(op) or abs(k) > 8:
+                return None
+            sgn = 1 if k > 0 else -1
+            if cur is None:
+                cur = neutral()
+            for _ in range(abs(k)):
+                if cur["shift"]:
+                    close()
+                    cur = neutral()
+                cur["shift"] = sgn
+        elif isinstance(op, Probe):
+            return None              # non-Adc probes: planner
+        elif isinstance(op, _base.EmptyOperator):
+            continue                 # Wait/Offset/NULL: no state effect
+        else:
+            return None
+    close()
+
+    N = len(stages)
+    nadc = sum(1 for s in stages if s["adc"])
+    if N < 3 or nadc < 1 or N > 8192 or T1 is None:
+        return None
+
+    # rank-1 flip factorization; scalar-flip stages (adiabatic preps)
+    # bypass the per-atom B1 scale (b1u = 0)
+    FA = np.zeros(N)
+    b1u = np.ones(N)
+    vec = [i for i, s in enumerate(stages) if s["fa"].size > 1]
+    if vec:
+        fab = _rank1_factor([stages[i]["fa"] for i in vec])
+        if fab is None:
+            return None
+        FAv, B1 = fab
+        for j, i in enumerate(vec):
+            FA[i] = FAv[j]
+        for i, s in enumerate(stages):
+            if s["fa"].size == 1:
+                FA[i] = float(s["fa"].reshape(-1)[0])
+                b1u[i] = 0.0
+        if np.all(B1 == 1.0):
+            b1u[:] = 1.0
+    else:
+        B1 = np.ones(1)
+        for i, s in enumerate(stages):
+            FA[i] = float(s["fa"].reshape(-1)[0])
+
+    adci = np.full(N, -1, np.int64)
+    aph = np.zeros(N)
+    shift = np.zeros(N, np.int64)
+    j = 0
+    for i, s in enumerate(stages):
+        if s["adc"]:
+            adci[i] = j
+            j += 1
+            aph[i] = s["aph"] * np.pi / 180.0
+        shift[i] = s["shift"]
+
+    if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
+        return None
+    bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
+    T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
+    return {
+        "FA": FA, "phi": np.asarray([s["phi"] for s in stages]),
+        "ta": np.asarray([s["ta"] for s in stages]),
+        "tb": np.asarray([s["tb"] for s in stages]),
+        "adci": adci, "shift": shift, "aph": aph, "b1u": b1u,
+        "T1": T1f, "T2": T2f, "B1": B1f,
+        "df": DFf if DFf.any() else None,
+        "nadc": int(nadc), "shape": bshape, "vars": tracked,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nstate", "nadc", "interpret", "use_df", "bshape", "has_up",
+    "has_down", "has_adcph", "has_b1u"))
+def _run_comp_jit(FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1, DF,
+                  *, nstate, nadc, interpret, use_df, bshape, has_up,
+                  has_down, has_adcph, has_b1u):
+    from .models.pallas_composite import composite_pallas
+
+    re, im = composite_pallas(
+        FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
+        DF if use_df else None, nadc=nadc, nstate=nstate,
+        has_up=has_up, has_down=has_down, has_adcph=has_adcph,
+        has_b1u=has_b1u, interpret=interpret)
+    return (re.reshape((nadc,) + bshape), im.reshape((nadc,) + bshape))
+
+
+def _comp_device_params(params):
+    f32 = np.float32
+
+    def build():
+        return tuple(np.asarray(params[k], f32)
+                     for k in ("FA", "phi", "ta", "tb")) + (
+            np.asarray(params["adci"], np.int32),
+            np.asarray(params["shift"], np.int32),
+            np.asarray(params["aph"], f32),
+            np.asarray(params["b1u"], f32),
+            np.asarray(params["T1"], f32), np.asarray(params["T2"], f32),
+            np.asarray(params["B1"], f32),
+            np.zeros_like(params["T1"], f32) if params.get("df") is None
+            else np.asarray(params["df"], f32))
+
+    return _cached_device(params, build)
+
+
+def run_composite_kernel(params, nstate, *, interpret=False):
+    """Run the composite-GRE kernel; engine-layout output
+    ``{"__c_re": (nadc, *batch), "__c_im": ...}`` device arrays."""
+    dev = _comp_device_params(params)
+    shift = np.asarray(params["shift"])
+    has_up = bool((shift == 1).any())
+    has_down = bool((shift == -1).any())
+    ns = int(nstate)
+    if (has_up or has_down) and ns < 1:
+        ns = 1
+    re, im = _run_comp_jit(
+        *dev, nstate=ns, nadc=int(params["nadc"]), interpret=interpret,
+        use_df=params.get("df") is not None,
+        bshape=tuple(params["shape"]), has_up=has_up, has_down=has_down,
+        has_adcph=bool(np.asarray(params["aph"]).any()),
+        has_b1u=not bool(np.asarray(params["b1u"]).all()))
     return {"__c_re": re, "__c_im": im}

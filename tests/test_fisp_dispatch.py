@@ -611,11 +611,14 @@ def test_mse_off_pattern_fall_through():
     # FISP trains are not MSE and vice versa
     assert fisp_dispatch.match_mse(_train(P=16, B=4)) is None
     assert fisp_dispatch.match_fisp(base) is None
-    # parity holds anyway on a mutated train (fall-through to planner)
+    # parity holds anyway on a mutated train (the generic composite
+    # family claims it at f32 tolerance, else planner bit-exact)
     s = list(base); s[1] = epg.S(2)
     a = np.asarray(epg.simulate(s, fisp_kernel="force"))
     b = np.asarray(epg.simulate(s, fisp_kernel=False))
-    assert np.abs(a - b).max() < 2e-10
+    tol = (2e-5 if fisp_dispatch.match_composite(list(s)) is not None
+           else 2e-10)
+    assert np.abs(a - b).max() < tol
 
 
 def _mse_diff_train(necho=10, B=6, *, order1=("T1", "T2"), grid=False):
@@ -952,13 +955,16 @@ def test_fuzz_cross_family_concatenations():
             seq += makers[kinds[1]](i)
         if trial == 0:
             seq = [epg.T(90.0, 90.0)] + seq + mse_echo(0) + mse_echo(1)
-        # no whole-train matcher may claim a mixed train
+        # no SPECIALIZED whole-train matcher may claim a mixed train
         assert fd.match_fisp(list(seq)) is None
         assert fd.match_dess(list(seq)) is None
         assert fd.match_megre(list(seq)) is None
         assert fd.match_mse(list(seq)) is None
         assert fd.match_bssfp(list(seq)) is None
+        # ... but the generic composite stage family DOES (by design:
+        # T/E/Adc/S(1) blocks are its grammar), at f32 tolerance
+        assert fd.match_composite(list(seq)) is not None
         sig_k = epg.simulate(list(seq), fisp_kernel="force")
         sig_e = epg.simulate(list(seq), fisp_kernel=False)
-        assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() == 0.0, \
+        assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5, \
             trial

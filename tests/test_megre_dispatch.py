@@ -92,7 +92,10 @@ def test_no_match_off_pattern(mutate):
     assert fisp_dispatch.match_megre(list(seq)) is None
     sig_k = epg.simulate(list(seq), fisp_kernel="force")
     sig_e = epg.simulate(list(seq), fisp_kernel=False)
-    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-7
+    # the generic composite family may claim the mutated train (f32)
+    tol = (2e-5 if fisp_dispatch.match_composite(list(seq)) is not None
+           else 1e-7)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < tol
 
 
 def test_fuzz_parity_or_fallthrough():
@@ -120,7 +123,8 @@ def test_fuzz_parity_or_fallthrough():
             seq.insert(int(rng.integers(0, len(seq))), epg.S(1))
         sig_k = epg.simulate(list(seq), fisp_kernel="force")
         sig_e = epg.simulate(list(seq), fisp_kernel=False)
-        matched = fisp_dispatch.match_megre(list(seq)) is not None
+        matched = (fisp_dispatch.match_megre(list(seq)) is not None
+                   or fisp_dispatch.match_composite(list(seq)) is not None)
         tol = 2e-5 if matched else 1e-7
         err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
         assert err < tol, (trial, matched, err)

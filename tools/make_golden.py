@@ -996,7 +996,57 @@ def xbssfp():
     return {"signal": sig, "FAs": FAs, "phases": phases}
 
 
+def mprage():
+    # segmented inversion-recovery GRE (MPRAGE): per-segment adiabatic
+    # 180 + TI delay, short FISP readout blocks, recovery delay
+    T1s = np.array([400.0, 800.0, 1200.0, 1600.0])
+    T2s = np.array([40.0, 70.0, 100.0, 130.0])
+    seq = []
+    for seg in range(4):
+        seq += [ops.T(180, 0), ops.E(120.0, T1s, T2s)]
+        for i in range(8):
+            seq += [ops.T(9.0 + 0.5 * i + seg, 30.0 * i),
+                    ops.E(3.0, T1s, T2s), ops.ADC,
+                    ops.E(5.5, T1s, T2s), ops.S(1)]
+        seq += [ops.E(250.0, T1s, T2s)]
+    return {"signal": np.asarray(fun.simulate(seq)),
+            "T1s": T1s, "T2s": T2s}
+
+
+def cardiac_mrf():
+    # cardiac-MRF-style blocks (Hamilton 2017): T2prep composites
+    # (90x - 180y - 180y - 90-x, no gradient) + crusher, B1-scaled FISP
+    # readouts, recovery gaps
+    T1s = np.array([300.0, 900.0, 1400.0])
+    T2s = np.array([35.0, 60.0, 110.0])
+    B1s = np.array([0.85, 0.95, 1.05, 1.15])
+    # NB the atom (3) and B1 (4) batch sizes differ ON PURPOSE: for
+    # EQUAL sizes the reference's append-broadcast right-aligns the
+    # (1, B) alpha row onto the existing atom axis (elementwise
+    # T2/B1 pairing + a dead appended axis) instead of giving B1 its
+    # own axis; with distinct sizes both frameworks agree on the
+    # (atom, B1) outer grid.  Also every block starts with a
+    # scalar-pulse T2prep whose E ops establish the atom batch before
+    # the first vector flip.
+    eco = [12.0, 24.0, 12.0]
+    seq = []
+    for blk in range(3):
+        scale = blk + 1.0
+        seq += [ops.T(90, 0), ops.E(eco[0] * scale, T1s, T2s),
+                ops.T(180, 90), ops.E(eco[1] * scale, T1s, T2s),
+                ops.T(180, 90), ops.E(eco[2] * scale, T1s, T2s),
+                ops.T(90, 180), ops.S(1)]
+        for i in range(10):
+            fa = (12.0 + i + 2.0 * blk) * B1s[None, :]
+            seq += [ops.T(fa, 15.0 * i), ops.E(2.5, T1s, T2s), ops.ADC,
+                    ops.E(6.0, T1s, T2s), ops.S(1)]
+        seq += [ops.E(180.0, T1s, T2s)]
+    return {"signal": np.asarray(fun.simulate(seq)),
+            "T1s": T1s, "T2s": T2s, "B1s": B1s}
+
 CASES = {
+    "mprage": mprage,
+    "cardiac_mrf": cardiac_mrf,
     "bssfp": bssfp,
     "xbssfp": xbssfp,
     "cpmg": cpmg,
