@@ -942,7 +942,8 @@ def measure_engine_diff(T1, T2, B1):
 
 def measure_families(ntr=200, natoms=8192, nstate=8):
     """Compact throughput probes for the newer kernel families (DESS
-    Jacobian; ME-GRE primal + Jacobian via the simulate() dispatch).
+    Jacobian; ME-GRE primal + Jacobian, composite-GRE/MPRAGE, balanced
+    EPG-X -- all via the simulate() dispatch).
     Pipelined device timings with one-element completion reads (fact
     14: single-shot walls are launch-floor-bound); absolute numbers
     swing with tunnel load -- treat as liveness + order-of-magnitude."""
@@ -1015,6 +1016,44 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
     out["megre_jac_atoms_per_sec"] = round(natoms / best, 1)
     out["megre_jac_best_seconds"] = round(float(best), 4)
     out["megre_jac_warmup_seconds"] = round(float(warm), 2)
+
+    # Composite-GRE dispatch: segmented MPRAGE-style IR train (prep +
+    # readout blocks + recovery delays -> match_composite)
+    nseg = 8
+    nread = ntr // nseg
+    seqc = []
+    for seg in range(nseg):
+        seqc += [epg.T(180.0, 0.0), epg.E(120.0, T1, T2)]
+        for i in range(nread):
+            seqc += [epg.T(float(FA[seg * nread + i]), 0.0),
+                     epg.E(3.0, T1, T2), epg.ADC,
+                     epg.E(5.0, T1, T2), epg.S(1)]
+        seqc += [epg.E(250.0, T1, T2)]
+    warm, best = timed(
+        lambda: epg.simulate(seqc, max_nstate=nstate, asarray=False),
+        lambda r: float(np.asarray(r["__c_re"][0, 0])))
+    out["composite_atoms_per_sec"] = round(natoms / best, 1)
+    out["composite_best_seconds"] = round(float(best), 4)
+    out["composite_warmup_seconds"] = round(float(warm), 2)
+
+    # Balanced EPG-X (bSSFP-MT): shiftless two-pool train, alternating
+    # RF phase (match_xgre balanced=True -> nstate=0 kernel)
+    dens = [0.85, 0.15]
+    khi = epg.exchange_matrix(0.004, ncomp=2, densities=dens)
+    T2x = np.stack([T2, np.full(natoms, 0.02, np.float32)], axis=0)
+    T1x = np.array([1000.0, 1100.0])
+    X1 = epg.X(3.0, khi, axis=0, T1=T1x, T2=T2x)
+    X2 = epg.X(7.0, khi, axis=0, T1=T1x, T2=T2x)
+    seqb = []
+    for i in range(ntr):
+        seqb += [epg.T(np.array([float(FA[i]), 0.0]), 180.0 * (i % 2)),
+                 X1, epg.ADC, X2]
+    warm, best = timed(
+        lambda: epg.simulate(seqb, density=dens, asarray=False),
+        lambda r: float(np.asarray(r["__c_re"][0, 0])))
+    out["xbssfp_atoms_per_sec"] = round(natoms / best, 1)
+    out["xbssfp_best_seconds"] = round(float(best), 4)
+    out["xbssfp_warmup_seconds"] = round(float(warm), 2)
     return out
 
 

@@ -873,7 +873,8 @@ def simulate(
         # (their kernels assume unit equilibrium); EPG-X consumes it.
         families = [] if _dens_opt is not None else [
             (_fd.match_fisp, _fd.run_fisp_kernel, "FISP", "fisp"),
-            (_fd.match_mse, _fd.run_mse_kernel, "CPMG", "mse"),
+            (lambda seq: _fd.match_mse(seq, kvalue),
+             _fd.run_mse_kernel, "CPMG", "mse"),
             (_fd.match_bssfp, _fd.run_bssfp_kernel, "bSSFP", "bssfp"),
             (_fd.match_dess, _fd.run_dess_kernel, "DESS", "dess"),
             (_fd.match_megre, _fd.run_megre_kernel, "ME-GRE", "megre"),
@@ -896,10 +897,12 @@ def simulate(
             # capacity gate: oversized ladders cannot keep their planes
             # VMEM-resident -- stay on the scan planner (bSSFP is k=0
             # only and always fits)
-            nplanes = {"fisp": 6, "dw": 6, "mse": 6, "dess": 6,
+            nplanes = {"fisp": 6, "dw": 9, "mse": 6, "dess": 6,
                        "megre": 6,
                        "xgre": 6 * len(fparams["dens"])
                        if tag == "xgre" else 6}.get(tag, 6)
+            if tag == "mse" and fparams.get("diffusion") is not None:
+                nplanes = 12        # + 6 loop-invariant attenuation planes
             if tag == "comp":
                 # the composite kernel's un-chunked (nadc, btile) output
                 # windows live in VMEM too: fold them into the gate as
@@ -1025,7 +1028,7 @@ def simulate(
                 fparams = fisp_dispatch.match_fisp(sequence)
                 runner = fisp_dispatch.run_fisp_jacobian
                 if fparams is None:
-                    fparams = fisp_dispatch.match_mse(sequence)
+                    fparams = fisp_dispatch.match_mse(sequence, kvalue)
                     runner = fisp_dispatch.run_mse_jacobian
                 if fparams is None:
                     fparams = fisp_dispatch.match_bssfp(sequence)
@@ -1045,13 +1048,16 @@ def simulate(
                 # VMEM gate: the fused Jacobian kernels keep 24 folded
                 # planes resident (30 for ME-GRE: it adds a df tangent
                 # group; bSSFP is k=0 only and always fits)
-                if (specs is not None
-                        and runner is not fisp_dispatch.run_bssfp_jacobian
-                        and not fisp_dispatch.kernel_fits_vmem(
-                            30 if runner is
-                            fisp_dispatch.run_megre_jacobian else 24,
-                            _preamble_ncap)):
-                    specs = None
+                if specs is not None and runner is not \
+                        fisp_dispatch.run_bssfp_jacobian:
+                    _njp = 24
+                    if runner is fisp_dispatch.run_megre_jacobian:
+                        _njp = 30          # + df tangent group
+                    elif fparams.get("diffusion") is not None:
+                        _njp = 30          # + 6 attenuation planes
+                    if not fisp_dispatch.kernel_fits_vmem(
+                            _njp, _preamble_ncap):
+                        specs = None
             if specs is not None:
                 if disp:
                     _fam = {fisp_dispatch.run_mse_jacobian: "CPMG",

@@ -1091,34 +1091,42 @@ def run_megre_jacobian(params, nstate, specs, *, interpret=False):
                               bshape=tuple(params["shape"]))
 
 
-def match_mse(sequence):
+def match_mse(sequence, kvalue=1.0):
     """Match CPMG / multi-spin-echo trains and extract kernel params.
 
-    Pattern: ``[T(exc)] + [E, S(1), T(ref_i), E, S(1), ADC] * E`` with
-    the E/S pair in either order within each half (they commute exactly:
-    the shift moves only F states, relaxation decay is k-independent and
-    recovery always lands at k=0).  This is the reference's published
-    benchmark family (reference docs/basics.md:250-267, sequence built
-    in examples/basics/mse.py): echo spacings may vary per echo,
-    refocusing angles may be a rank-1 ``outer(FA, B1)`` batch (the
-    ``T(180*att, 0)`` attenuation sweep).  Scalar excitation only;
-    g must be 0 on every E.  E ops may carry canonical
-    ``order1=["T1","T2"]`` tracking (identical on every E): Jacobian
-    probes then route to the fused primal+tangent kernel
-    (``run_mse_jacobian``).  Returns a param dict or None; results
-    memoized on operator identities alongside the FISP matches.
+    Pattern: ``[T(exc)] + [E, S(1), D?, T(ref_i), E, S(1), D?, ADC] * E``
+    with the E and S ops in either order within each half (they commute
+    exactly: the shift moves only F states, relaxation decay is
+    k-independent and recovery always lands at k=0).  This is the
+    reference's published benchmark family (reference
+    docs/basics.md:250-267, sequence built in examples/basics/mse.py):
+    echo spacings may vary per echo, refocusing angles may be a rank-1
+    ``outer(FA, B1)`` batch (the ``T(180*att, 0)`` attenuation sweep).
+    Scalar excitation only; g must be 0 on every E.  E ops may carry
+    canonical ``order1=["T1","T2"]`` tracking (identical on every E):
+    Jacobian probes then route to the fused primal+tangent kernel
+    (``run_mse_jacobian``).
+
+    The optional ``D`` ops make it a DW-TSE train (Weigel 2010
+    diffusion-trap physics): one D op instance per half position,
+    reused across echoes (the same-op idiom -- its Dcoef stays on
+    device), placed after the half's shift (D with k=1 ramps, k=None
+    constant-k); ``kvalue`` sets the physical b-values.  Returns a
+    param dict or None; results memoized on operator identities
+    alongside the FISP matches.
     """
-    if len(sequence) < 13 or len(sequence) % 6 != 1:
+    if len(sequence) < 13 or not isinstance(kvalue, (int, float)):
         return None
-    key = ("mse",) + tuple(id(op) for op in sequence)
+    key = ("mse", float(kvalue)) + tuple(id(op) for op in sequence)
     return _memoized(key, sequence,
-                     lambda: _match_mse_impl(sequence))
+                     lambda: _match_mse_impl(sequence, kvalue))
 
 
-def _match_mse_impl(sequence):
+def _match_mse_impl(sequence, kvalue=1.0):
     from .ops.transition import T
     from .ops.evolution import E
     from .ops.shift import S
+    from .ops.diffusion import D as Dop
     from .ops.probe import Adc
 
     exc = sequence[0]
@@ -1128,17 +1136,25 @@ def _match_mse_impl(sequence):
     if exc_a is None or exc_p is None:
         return None
 
-    def half(op1, op2):
-        """(E, S) or (S, E) half; returns the E op or None.
+    def half(ops_):
+        """One echo half: exactly one E and one S(1) in either order,
+        optionally one D placed after the S (E commutes with both, but
+        a D before the shift would see pre-shift wavenumbers).
 
         The E op may carry canonical T1/T2 order1 tracking (consumed by
         the Jacobian dispatch, value-neutral for the primal) -- the spec
         must be IDENTICAL on every E, enforced in the loop below."""
-        if type(op1) is E and type(op2) is S:
-            e, s = op1, op2
-        elif type(op1) is S and type(op2) is E:
-            s, e = op1, op2
-        else:
+        e = s = d = None
+        for op in ops_:
+            if type(op) is E and e is None:
+                e = op
+            elif type(op) is S and s is None:
+                s = op
+            elif type(op) is Dop and d is None and s is not None:
+                d = op
+            else:
+                return None
+        if e is None or s is None:
             return None
         if (_canonical_order1(e) is None or not _no_diff(s)
                 or e.axes is not None):
@@ -1147,17 +1163,35 @@ def _match_mse_impl(sequence):
             return None
         if _scalar(e.g) != 0.0:
             return None
-        return e
+        return e, d
 
-    nech = len(sequence) // 6
+    n = len(sequence)
     alphas, phis, tau1s, tau2s = [], [], [], []
+    d1_ops, d2_ops = [], []
     T1 = T2 = None
     tracked = None
-    for i in range(nech):
-        o1, o2, t_op, o4, o5, adc = sequence[1 + 6 * i:7 + 6 * i]
-        e1, e2 = half(o1, o2), half(o4, o5)
-        if e1 is None or e2 is None:
+    i = 1
+    while i < n:
+        # half1 up to the refocusing T, half2 up to the Adc
+        j = i
+        while j < n and type(sequence[j]) is not T:
+            j += 1
+        if j >= n or not 2 <= j - i <= 3:
             return None
+        k = j + 1
+        while k < n and type(sequence[k]) is not Adc:
+            k += 1
+        if k >= n or not 2 <= k - j - 1 <= 3:
+            return None
+        h1, h2 = half(sequence[i:j]), half(sequence[j + 1:k])
+        t_op, adc = sequence[j], sequence[k]
+        i = k + 1
+        if h1 is None or h2 is None:
+            return None
+        e1, d1 = h1
+        e2, d2 = h2
+        d1_ops.append(d1)
+        d2_ops.append(d2)
         c1, c2 = _canonical_order1(e1), _canonical_order1(e2)
         if c1 != c2:
             return None
@@ -1169,8 +1203,7 @@ def _match_mse_impl(sequence):
                 or adc.phase is not None or adc.weights is not None
                 or adc.reduce not in (None, False) or not _no_diff(adc)):
             return None
-        if (type(t_op) is not T or not _no_diff(t_op)
-                or t_op.axes is not None):
+        if not _no_diff(t_op) or t_op.axes is not None:
             return None
         ph = _scalar(t_op.phi)
         t1v1, t2v1 = _scalar(e1.tau), _scalar(e2.tau)
@@ -1192,10 +1225,45 @@ def _match_mse_impl(sequence):
         tau1s.append(t1v1)
         tau2s.append(t2v1)
 
+    if len(alphas) < 2:
+        return None
     fab = _rank1_factor(alphas)
     if fab is None:
         return None
     FA, B1 = fab
+
+    # DW-TSE: per-half D validation mirrors match_dwfisp (same-op
+    # idiom, host-scalar tau, unit-ramp or constant-k, scalar/tensor
+    # Dcoef -- value checks on device leaves would cost d2h transfers)
+    diffusion = None
+    if any(d is not None for d in d1_ops) or any(d is not None
+                                                 for d in d2_ops):
+        def half_diff(dops):
+            d0 = dops[0]
+            if any(d is not d0 for d in dops):
+                return None
+            if d0 is None:
+                return 0.0, True, np.float32(0.0)
+            if not isinstance(d0.tau, float):
+                return None
+            if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
+                    d0.kshift, jax.core.Tracer):
+                return None
+            ramp = d0.kshift is not None
+            if ramp:
+                ks = np.asarray(d0.kshift)
+                if ks.shape != (1, 1) or float(ks[0, 0]) != 1.0:
+                    return None
+            if getattr(d0.Dcoef, "ndim", 0) not in (0, 2):
+                return None
+            b = d0.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2
+            return b, ramp, d0.Dcoef
+
+        f1, f2 = half_diff(d1_ops), half_diff(d2_ops)
+        if f1 is None or f2 is None:
+            return None
+        diffusion = {"b1": f1[0], "ramp1": f1[1], "D1": f1[2],
+                     "b2": f2[0], "ramp2": f2[1], "D2": f2[2]}
 
     # n-D batch grids (the reference's published config is a 2-D
     # T2 x attenuation sweep) flatten to the kernel's atom axis; the
@@ -1208,18 +1276,37 @@ def _match_mse_impl(sequence):
         "exc": (exc_a, exc_p), "FA": FA, "phi": np.asarray(phis),
         "tau1": np.asarray(tau1s), "tau2": np.asarray(tau2s),
         "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape, "vars": tracked,
+        "diffusion": diffusion,
     }
 
 
+def _mse_diff_planes(diffusion, T1):
+    """Kernel-layout diffusion stages from the matched tuple: tensor D
+    with 1-D wavenumbers reduces to b00 * sum(D) (reference
+    epgpy/diffusion.py broadcast semantics); scalars broadcast to the
+    atom axis."""
+    bT1, bL1, bT2, bL2, D1, D2 = diffusion
+
+    def dcoef(Dc):
+        Dc = jnp.asarray(Dc, jnp.float32)
+        Dc = Dc if Dc.ndim == 0 else jnp.sum(Dc, axis=(-2, -1))
+        return jnp.broadcast_to(Dc, T1.shape)
+
+    return bT1, bL1, bT2, bL2, dcoef(D1), dcoef(D2)
+
+
 @functools.partial(jax.jit, static_argnames=("nstate", "bshape",
-                                             "interpret"))
+                                             "interpret", "ramps"))
 def _run_mse_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
-                 nstate, bshape, interpret):
+                 nstate, bshape, interpret, diffusion=None,
+                 ramps=(True, True)):
     from .models.pallas_mse import cpmg_dictionary_pallas
 
+    diff = None if diffusion is None else _mse_diff_planes(diffusion, T1)
     re, im = cpmg_dictionary_pallas((exc_a, exc_p), FA, phi, tau1, tau2,
                                     T1, T2, B1, nstate=nstate,
-                                    interpret=interpret)
+                                    interpret=interpret, diffusion=diff,
+                                    diff_ramp=ramps)
     E = re.shape[1]
     # ADC axis first; restore the append-broadcast batch shape
     return (re.T.reshape((E,) + bshape), im.T.reshape((E,) + bshape))
@@ -1244,25 +1331,41 @@ def _mse_device_params(params):
         for k in ("FA", "phi", "tau1", "tau2", "T1", "T2", "B1")))
 
 
+def _mse_diffusion_args(params):
+    """(diffusion tuple or None, static ramp flags) for the run jits."""
+    diff = params.get("diffusion")
+    if diff is None:
+        return None, (True, True)
+    dtup = (np.float32(diff["b1"]), np.float32(diff["b1"]),
+            np.float32(diff["b2"]), np.float32(diff["b2"]),
+            jnp.asarray(diff["D1"], jnp.float32),
+            jnp.asarray(diff["D2"], jnp.float32))
+    return dtup, (bool(diff["ramp1"]), bool(diff["ramp2"]))
+
+
 def run_mse_kernel(params, nstate, *, interpret=False):
     """Run the fused CPMG kernel; return the echo train in engine layout
     (``{"__c_re": (E, *batch), "__c_im": (E, *batch)}`` device arrays)."""
     dev = _mse_device_params(params)
+    diff, ramps = _mse_diffusion_args(params)
     re, im = _run_mse_jit(*dev, nstate=max(int(nstate), 1),
                           bshape=tuple(params["shape"]),
-                          interpret=interpret)
+                          interpret=interpret, diffusion=diff, ramps=ramps)
     return {"__c_re": re, "__c_im": im}
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "bshape", "specs",
-                                             "interpret"))
+                                             "interpret", "ramps"))
 def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
-                     nstate, bshape, specs, interpret):
+                     nstate, bshape, specs, interpret, diffusion=None,
+                     ramps=(True, True)):
     from .models.pallas_mse import cpmg_jacobian_pallas
 
+    diff = None if diffusion is None else _mse_diff_planes(diffusion, T1)
     (re, im), (dre, dim) = cpmg_jacobian_pallas(
         (exc_a, exc_p), FA, phi, tau1, tau2, T1, T2, B1,
-        nstate=nstate, interpret=interpret)
+        nstate=nstate, interpret=interpret, diffusion=diff,
+        diff_ramp=ramps)
     # re/im: (B, E); dre/dim: (B, E, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
     return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
@@ -1271,13 +1374,18 @@ def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
 def run_mse_jacobian(params, nstate, specs, *, interpret=False):
     """Run the fused CPMG Jacobian kernel for matched diff probes.
 
-    Returns the simulate_diff-format tuple over probes of
-    ``{"__c_re", "__c_im"}`` device dicts (signal: (E, *batch);
-    Jacobian: (E, *batch, nvars) in probe-variable order)."""
+    DW-TSE trains ride through: the attenuation is parameter-
+    independent for (T1, T2, B1), so it multiplies primal and tangent
+    planes identically.  Returns the simulate_diff-format tuple over
+    probes of ``{"__c_re", "__c_im"}`` device dicts (signal:
+    (E, *batch); Jacobian: (E, *batch, nvars) in probe-variable
+    order)."""
     dev = _mse_device_params(params)
+    diff, ramps = _mse_diffusion_args(params)
     return _run_mse_jac_jit(*dev, nstate=max(int(nstate), 1),
                             bshape=tuple(params["shape"]), specs=specs,
-                            interpret=interpret)
+                            interpret=interpret, diffusion=diff,
+                            ramps=ramps)
 
 
 def match_fisp_hessian(sequence):

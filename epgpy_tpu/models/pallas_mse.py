@@ -18,6 +18,12 @@ and the readout sits at k=0 after the second shift.  Echo spacings may
 vary per echo (tau1/tau2 are SMEM arrays); refocusing angles may be
 per-atom B1-scaled (rank-1 ``outer(FA, B1)``, e.g. the reference's
 ``T(180*att, 0)`` attenuation sweep).
+
+``diffusion=`` adds the DW-TSE variant (Weigel 2010 "diffusion trap"
+physics on the unit-shift grid): per-stage Stejskal-Tanner row factors
+x per-atom diffusivity, applied after each of the two shifts — the
+``[E, S(1), D] ... [E, S(1), D]`` half idiom (reference places D right
+after the matching S, epgpy/diffusion.py:126-147).
 """
 
 from __future__ import annotations
@@ -77,10 +83,43 @@ def cpmg_jacobian_pallas_sharded(exc, FA, phi, tau1, tau2, T1s, T2s, B1s,
                       jnp.asarray(B1s, jnp.float32))
 
 
+def _diff_att_planes(bd_ref, dc1_ref, dc2_ref, H, ramp1, ramp2):
+    """Per-row diffusion attenuation planes for the two shift stages.
+
+    Same math as pallas_fisp's DW block (D(tau, D, k=1) placed after a
+    unit S(1)): A(k)=F+(k) ramped k-1 -> k, B(k)=F+(-k) ramped
+    -(k+1) -> -k (Stejskal-Tanner 1/3 terms), Z at constant k;
+    aZ(0) = 1 exactly so the k=0 recovery is untouched.  ``ramp=False``
+    is the constant-k variant (D with k=None).  b factors are per-stage
+    host scalars (the matcher requires one D op instance per half), so
+    the six (H, btile) planes are loop-invariant.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0).astype(jnp.float32)
+    k2r = rows * rows
+
+    def att(bT, bL, ramp, Dc):
+        if ramp:
+            fA = bT * (k2r - rows + 1.0 / 3.0)
+            fB = bT * (k2r + rows + 1.0 / 3.0)
+        else:
+            fA = fB = bT * k2r
+        return (jnp.exp(-fA * Dc), jnp.exp(-fB * Dc),
+                jnp.exp(-(bL * k2r) * Dc))
+
+    a1 = att(bd_ref[0, 0], bd_ref[0, 1], ramp1, dc1_ref[0, :])
+    a2 = att(bd_ref[0, 2], bd_ref[0, 3], ramp2, dc2_ref[0, :])
+    return a1, a2
+
+
 def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
-                t2_ref, b1_ref, out_re_ref, out_im_ref, st_ref, *,
-                nstate, nech):
+                t2_ref, b1_ref, *rest, nstate, nech, use_diff=False,
+                ramp1=True, ramp2=True):
     import jax.numpy as jnp
+
+    if use_diff:
+        bd_ref, dc1_ref, dc2_ref, out_re_ref, out_im_ref, st_ref = rest
+    else:
+        out_re_ref, out_im_ref, st_ref = rest
 
     H = nstate + 1
     f32 = jnp.float32
@@ -88,6 +127,9 @@ def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
     rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+    if use_diff:
+        att1, att2 = _diff_att_planes(bd_ref, dc1_ref, dc2_ref, H,
+                                      ramp1, ramp2)
 
     # excitation from equilibrium, closed form: F+(0) = -i e^{i p} sin a,
     # Z(0) = cos a (folded layout keeps B(0) = A(0))
@@ -125,9 +167,13 @@ def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
             nBI = jnp.concatenate([BI[1:], zrow], axis=0)
             return nAR, nAI, nBR, nBI
 
-        # E(tau1) -> S(1)
+        # E(tau1) -> S(1) [-> D]
         AR, AI, BR, BI, ZR, ZI = relax(tau1_ref[0, i], AR, AI, BR, BI, ZR, ZI)
         AR, AI, BR, BI = shift(AR, AI, BR, BI)
+        if use_diff:
+            aA, aB, aZ = att1
+            AR, AI, BR, BI = AR * aA, AI * aA, BR * aB, BI * aB
+            ZR, ZI = ZR * aZ, ZI * aZ
 
         # refocusing rotation (Weigel matrix, same forms as _kernel_half)
         a = fa_ref[0, i] * B1 * (jnp.pi / 180.0)
@@ -157,10 +203,14 @@ def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
         nZR = ar + br_ + ca * ZR
         nZI = ai + bi_ + ca * ZI
 
-        # E(tau2) -> S(1) -> echo = F0 = A(0)
+        # E(tau2) -> S(1) [-> D] -> echo = F0 = A(0)
         nAR, nAI, nBR, nBI, nZR, nZI = relax(tau2_ref[0, i],
                                              nAR, nAI, nBR, nBI, nZR, nZI)
         nAR, nAI, nBR, nBI = shift(nAR, nAI, nBR, nBI)
+        if use_diff:
+            aA, aB, aZ = att2
+            nAR, nAI, nBR, nBI = nAR * aA, nAI * aA, nBR * aB, nBI * aB
+            nZR, nZI = nZR * aZ, nZI * aZ
         out_re_ref[i, :] = nAR[0, :]
         out_im_ref[i, :] = nAI[0, :]
 
@@ -172,9 +222,11 @@ def _kernel_mse(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     jax.lax.fori_loop(0, nech, step, 0)
 
 
-@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret",
+                                   "diff_ramp"))
 def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
-                           nstate, btile=512, interpret=False):
+                           nstate, btile=512, interpret=False,
+                           diffusion=None, diff_ramp=(True, True)):
     """CPMG echo trains via the fused Pallas kernel.
 
     Args:
@@ -184,6 +236,13 @@ def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
         tau1, tau2: (E,) pre-/post-refocusing relaxation times (ms).
         T1s, T2s, B1s: (B,) per-atom parameters.
         nstate: ladder half-size (static capacity; >= 2*E for exactness).
+        diffusion: optional ``(bT1, bL1, bT2, bL2, Dc1, Dc2)`` DW-TSE
+            attenuation — per-stage b-value bases (scalar, s/mm^2 per
+            squared state index) x per-atom diffusivities (scalar or
+            (B,), mm^2/s), applied after each of the two unit shifts
+            (the ``[E, S(1), D]`` half idiom).  A stage with b = 0 is
+            a no-op.  ``diff_ramp``: per-stage gradient-ramp flags
+            (D with k=1 vs k=None).
 
     Returns (re, im): (B, E) float32 echo trains.
     """
@@ -200,6 +259,7 @@ def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
     B = T1s.shape[0]
+    use_diff = diffusion is not None
 
     Bp = -(-B // btile) * btile
 
@@ -210,21 +270,25 @@ def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
                          jnp.asarray(exc[1], f32)]).reshape(1, 2)
     args = [exc_arr] + [x.reshape(1, E) for x in (FA, phi, tau1, tau2)]
     args += [padb(x).reshape(1, Bp) for x in (T1s, T2s, B1s)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 + [
+        pl.BlockSpec((1, btile), lambda b: (0, b))] * 3
+    if use_diff:
+        bT1, bL1, bT2, bL2, Dc1, Dc2 = diffusion
+        bd = jnp.stack([jnp.asarray(x, f32)
+                        for x in (bT1, bL1, bT2, bL2)]).reshape(1, 4)
+        args.append(bd)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        for dc in (Dc1, Dc2):
+            dc = jnp.broadcast_to(jnp.asarray(dc, f32), (B,))
+            args.append(padb(dc).reshape(1, Bp))
+            in_specs.append(pl.BlockSpec((1, btile), lambda b: (0, b)))
 
-    kernel = partial(_kernel_mse, nstate=nstate, nech=E)
+    kernel = partial(_kernel_mse, nstate=nstate, nech=E, use_diff=use_diff,
+                     ramp1=diff_ramp[0], ramp2=diff_ramp[1])
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # exc
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # FA
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau1
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau2
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T1
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T2
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # B1
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((E, btile), lambda b: (0, b)),
             pl.BlockSpec((E, btile), lambda b: (0, b)),
@@ -243,9 +307,8 @@ def cpmg_dictionary_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
 
 
 def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
-                    t2_ref, b1_ref, out_re_ref, out_im_ref,
-                    d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
-                    db_re_ref, db_im_ref, st_ref, *, nstate, nech):
+                    t2_ref, b1_ref, *rest, nstate, nech, use_diff=False,
+                    ramp1=True, ramp2=True):
     """Fused CPMG primal + (dT1, dT2, dB1) tangent propagation.
 
     Forward-mode derivative of `_kernel_mse`, following the layout of
@@ -258,8 +321,20 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     relax+shift stages per refocusing pulse and the echo is read
     directly from A(0) after the second shift -- no extra decay factor
     on the tangent echoes.
+
+    With ``use_diff`` the DW-TSE attenuation planes multiply EVERY set
+    (primal + tangents) identically post-shift: the attenuation is
+    parameter-independent for (T1, T2, B1), so d(a x) = a dx.
     """
     import jax.numpy as jnp
+
+    if use_diff:
+        (bd_ref, dc1_ref, dc2_ref, out_re_ref, out_im_ref,
+         d1_re_ref, d1_im_ref, d2_re_ref, d2_im_ref,
+         db_re_ref, db_im_ref, st_ref) = rest
+    else:
+        (out_re_ref, out_im_ref, d1_re_ref, d1_im_ref, d2_re_ref,
+         d2_im_ref, db_re_ref, db_im_ref, st_ref) = rest
 
     H = nstate + 1
     f32 = jnp.float32
@@ -267,6 +342,9 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     T2 = t2_ref[0, :]
     B1 = b1_ref[0, :]
     rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0).astype(f32)
+    if use_diff:
+        att1, att2 = _diff_att_planes(bd_ref, dc1_ref, dc2_ref, H,
+                                      ramp1, ramp2)
 
     # excitation from equilibrium (closed form); tangents start at zero
     ea = exc_ref[0, 0] * (jnp.pi / 180.0)
@@ -281,8 +359,8 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
 
     cmul = _cmul
 
-    def relax_shift(tau, sets):
-        """E(tau) then S(1) on (primal, dT1, dT2, dB1) plane sets.
+    def relax_shift(tau, att, sets):
+        """E(tau) then S(1) [then D] on (primal, dT1, dT2, dB1) sets.
 
         Tangent rules (d/dT1 hits E1 and rec = rowmask*(1-E1); d/dT2
         hits E2; dB1 passes through): each evaluated from the incoming
@@ -313,7 +391,12 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
                     jnp.concatenate([BI[1:], zrow], axis=0),
                     ZR, ZI)
 
-        return tuple(shift(s) for s in (out_P, out_1, out_2, out_b))
+        res = tuple(shift(s) for s in (out_P, out_1, out_2, out_b))
+        if att is not None:
+            aA, aB, aZ = att
+            res = tuple((s[0] * aA, s[1] * aA, s[2] * aB, s[3] * aB,
+                         s[4] * aZ, s[5] * aZ) for s in res)
+        return res
 
     # rotation forms shared across kernel families (pallas_common):
     # the tangent passes below reuse them with derivative coefficients
@@ -323,8 +406,8 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
         sets = tuple(tuple(st_ref[6 * s + j] for j in range(6))
                      for s in range(4))
 
-        # E(tau1) -> S(1)
-        sets = relax_shift(tau1_ref[0, i], sets)
+        # E(tau1) -> S(1) [-> D]
+        sets = relax_shift(tau1_ref[0, i], att1 if use_diff else None, sets)
 
         # refocusing rotation: a = FA_i * B1 (same Weigel forms as the
         # primal kernel); the dB1 set adds a coefficient-derivative
@@ -364,8 +447,8 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
                rGB[4] + czr, rGB[5] + czi)
         sets = (rot(P), rot(G1), rot(G2), rGB)
 
-        # E(tau2) -> S(1) -> echo = A(0) per set
-        sets = relax_shift(tau2_ref[0, i], sets)
+        # E(tau2) -> S(1) [-> D] -> echo = A(0) per set
+        sets = relax_shift(tau2_ref[0, i], att2 if use_diff else None, sets)
         for (s, rr, ii) in zip(sets, (out_re_ref, d1_re_ref, d2_re_ref,
                                       db_re_ref),
                                (out_im_ref, d1_im_ref, d2_im_ref,
@@ -380,16 +463,19 @@ def _kernel_mse_jac(exc_ref, fa_ref, phi_ref, tau1_ref, tau2_ref, t1_ref,
     jax.lax.fori_loop(0, nech, step, 0)
 
 
-@partial(jax.jit, static_argnames=("nstate", "btile", "interpret"))
+@partial(jax.jit, static_argnames=("nstate", "btile", "interpret",
+                                   "diff_ramp"))
 def cpmg_jacobian_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
-                         nstate, btile=256, interpret=False):
+                         nstate, btile=256, interpret=False,
+                         diffusion=None, diff_ramp=(True, True)):
     """CPMG echo trains + dS/d(T1, T2, B1) via one fused Pallas kernel.
 
-    Same arguments as `cpmg_dictionary_pallas`.  Returns
-    ``((re, im), (dre, dim))``: (B, E) echo trains and (B, E, 3)
-    derivatives ordered (T1, T2, B1) -- the layout of
-    pallas_fisp.fisp_jacobian_pallas (reference cost anchor: epgpy
-    diff.py order1 propagation, SURVEY §3.2).
+    Same arguments as `cpmg_dictionary_pallas` (incl. the optional
+    DW-TSE ``diffusion`` stages, which multiply primal and tangent
+    planes identically).  Returns ``((re, im), (dre, dim))``: (B, E)
+    echo trains and (B, E, 3) derivatives ordered (T1, T2, B1) -- the
+    layout of pallas_fisp.fisp_jacobian_pallas (reference cost anchor:
+    epgpy diff.py order1 propagation, SURVEY §3.2).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -404,6 +490,7 @@ def cpmg_jacobian_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
     T2s = jnp.asarray(T2s, f32)
     B1s = jnp.asarray(B1s, f32)
     B = T1s.shape[0]
+    use_diff = diffusion is not None
 
     Bp = -(-B // btile) * btile
 
@@ -414,21 +501,26 @@ def cpmg_jacobian_pallas(exc, FA, phi, tau1, tau2, T1s, T2s, B1s, *,
                          jnp.asarray(exc[1], f32)]).reshape(1, 2)
     args = [exc_arr] + [x.reshape(1, E) for x in (FA, phi, tau1, tau2)]
     args += [padb(x).reshape(1, Bp) for x in (T1s, T2s, B1s)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5 + [
+        pl.BlockSpec((1, btile), lambda b: (0, b))] * 3
+    if use_diff:
+        bT1, bL1, bT2, bL2, Dc1, Dc2 = diffusion
+        bd = jnp.stack([jnp.asarray(x, f32)
+                        for x in (bT1, bL1, bT2, bL2)]).reshape(1, 4)
+        args.append(bd)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        for dc in (Dc1, Dc2):
+            dc = jnp.broadcast_to(jnp.asarray(dc, f32), (B,))
+            args.append(padb(dc).reshape(1, Bp))
+            in_specs.append(pl.BlockSpec((1, btile), lambda b: (0, b)))
 
-    kernel = partial(_kernel_mse_jac, nstate=nstate, nech=E)
+    kernel = partial(_kernel_mse_jac, nstate=nstate, nech=E,
+                     use_diff=use_diff, ramp1=diff_ramp[0],
+                     ramp2=diff_ramp[1])
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # exc
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # FA
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # phi
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau1
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # tau2
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T1
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # T2
-            pl.BlockSpec((1, btile), lambda b: (0, b)),     # B1
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((E, btile), lambda b: (0, b))] * 8,
         out_shape=[jax.ShapeDtypeStruct((E, Bp), f32)] * 8,
         scratch_shapes=[pltpu.VMEM((24, nstate + 1, btile), f32)],

@@ -1013,6 +1013,38 @@ def mprage():
             "T1s": T1s, "T2s": T2s}
 
 
+def dw_cpmg():
+    """Diffusion-weighted CPMG on the unit-shift grid (Weigel 2010
+    diffusion-trap physics; the DW-TSE kernel family's exact pattern):
+    [T(exc)] + [E, S(1), D(k=1), T(ref), E, S(1), D(k=1), ADC] * n with
+    a physical kvalue setting the b-values."""
+    KV = 2 * np.pi / 1e-3          # 1 mm voxel (rad/m per state index)
+    T1s = np.array([800.0, 1200.0, 1600.0])
+    T2s = np.array([60.0, 90.0, 140.0])
+    Dc = 1.2e-3                    # mm^2/s
+    tau1, tau2 = 4.0, 4.5
+    d1 = ops.D(tau1, Dc, k=1)
+    d2 = ops.D(tau2, Dc, k=1)
+    seq = [ops.T(90, 90)]
+    for i in range(10):
+        fa = 100.0 + 4.0 * (i % 5)
+        seq += [ops.E(tau1, T1s, T2s), ops.S(1), d1, ops.T(fa, 0),
+                ops.E(tau2, T1s, T2s), ops.S(1), d2, ops.ADC]
+    sig = np.asarray(fun.simulate(seq, kvalue=KV))
+    # tensor-D variant (b00 * sum(D) reduction on the 1-D grid)
+    Dt = np.diag([1.5e-3, 0.5e-3, 0.25e-3])
+    d1t = ops.D(tau1, Dt, k=1)
+    d2t = ops.D(tau2, Dt, k=1)
+    seqt = [ops.T(90, 90)]
+    for i in range(10):
+        fa = 100.0 + 4.0 * (i % 5)
+        seqt += [ops.E(tau1, T1s, T2s), ops.S(1), d1t, ops.T(fa, 0),
+                 ops.E(tau2, T1s, T2s), ops.S(1), d2t, ops.ADC]
+    sigt = np.asarray(fun.simulate(seqt, kvalue=KV))
+    return {"signal": sig, "signal_tensor": sigt, "T1s": T1s, "T2s": T2s,
+            "kvalue": np.float64(KV)}
+
+
 def cardiac_mrf():
     # cardiac-MRF-style blocks (Hamilton 2017): T2prep composites
     # (90x - 180y - 180y - 90-x, no gradient) + crusher, B1-scaled FISP
@@ -1050,6 +1082,7 @@ CASES = {
     "bssfp": bssfp,
     "xbssfp": xbssfp,
     "cpmg": cpmg,
+    "dw_cpmg": dw_cpmg,
     "press": press,
     "fuzz": fuzz,
     "fuzz_diff": fuzz_diff,
