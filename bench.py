@@ -1050,7 +1050,7 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
                  X1, epg.ADC, X2]
     warm, best = timed(
         lambda: epg.simulate(seqb, density=dens, asarray=False),
-        lambda r: float(np.asarray(r["__c_re"][0, 0])))
+        lambda r: float(np.asarray(r["__c_re"].reshape(-1)[0])))
     out["xbssfp_atoms_per_sec"] = round(natoms / best, 1)
     out["xbssfp_best_seconds"] = round(float(best), 4)
     out["xbssfp_warmup_seconds"] = round(float(warm), 2)
