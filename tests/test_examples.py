@@ -42,6 +42,16 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+def test_mprage_t1_mapping_smoke(monkeypatch, tmp_path):
+    """MPRAGE dictionary T1 mapping (composite-GRE family): nearest-
+    grid recovery with randomized T2/PD asserted inside."""
+    monkeypatch.setenv("MPRAGE_NT1", "48")
+    monkeypatch.setenv("MPRAGE_NVOX", "16")
+    monkeypatch.setenv("MPRAGE_NSEG", "4")
+    monkeypatch.setenv("MPRAGE_NREAD", "12")
+    _run("mprage_t1_mapping.py", monkeypatch, tmp_path)
+
+
 def test_dess_t1t2_mapping_smoke(monkeypatch, tmp_path):
     """Joint T1+T2 GN fit from both DESS echoes (fused Jacobian
     kernel); recovery RMSE asserted inside the example."""
