@@ -450,36 +450,13 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
 
     diffusion = None
     if dw:
-        # one D op instance reused every TR (the same-op idiom match_xgre
-        # uses): its Dcoef stays on device — value checks would cost a
-        # d2h tunnel round-trip per leaf.  tau must be a host scalar;
-        # kshift (if set) must be the unit shift, verified with ONE
-        # 8-byte transfer memoized by the match cache.
-        d0 = d_ops[0]
-        if any(d is not d0 for d in d_ops):
-            return None
-        if not isinstance(d0.tau, float):
-            return None
         if not isinstance(kvalue, (int, float)):
             return None
-        if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
-                d0.kshift, jax.core.Tracer):
-            # concrete device leaves are fine (one-time d2h / passed
-            # through); a Tracer would crash np.asarray and leak through
-            # the match cache -- planner handles traced leaves natively
+        f = _dw_bvalue(d_ops, kvalue)
+        if f is None:
             return None
-        ramp = d0.kshift is not None
-        if ramp:
-            ks = np.asarray(d0.kshift)
-            if ks.shape != (1, 1) or float(ks[0, 0]) != 1.0:
-                return None
-        nd = getattr(d0.Dcoef, "ndim", 0)
-        if nd not in (0, 2):
-            # batched tensors need per-atom broadcast plumbing: planner
-            return None
-        # b-value base per squared state index: tau[s] * k[rad/mm]^2
-        bbase = d0.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2
-        diffusion = {"bT": bbase, "bL": bbase, "Dcoef": d0.Dcoef,
+        bbase, ramp, dcoef = f
+        diffusion = {"bT": bbase, "bL": bbase, "Dcoef": dcoef,
                      "ramp": ramp}
 
     # n-D batch grids (the [T2] / outer-grid dictionary idiom) flatten
@@ -497,6 +474,46 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         "df": DFf if DFf.any() else None,
         "diffusion": diffusion,
     }
+
+
+def _dw_bvalue(dops, kvalue):
+    """Shared D-op validation + b-value base for the DW matchers
+    (DW-FISP per-TR list / DW-TSE per-half list).
+
+    One D op instance reused across the train (the same-op idiom
+    match_xgre uses): its Dcoef stays on device — value checks would
+    cost a d2h tunnel round-trip per leaf.  tau must be a host scalar;
+    kshift (if set) must be the unit shift, verified with ONE 8-byte
+    transfer memoized by the match cache.  Concrete device leaves are
+    fine (one-time d2h / passed through); a Tracer would crash
+    np.asarray and leak through the match cache — the planner handles
+    traced leaves natively.
+
+    Returns ``(b_base, ramp, Dcoef)`` — b-value base per squared state
+    index, ``tau[s] * k[rad/mm]^2`` — or the zero stage when the list
+    is all-None, or None to fall through.
+    """
+    d0 = dops[0]
+    if any(d is not d0 for d in dops):
+        return None
+    if d0 is None:
+        return 0.0, True, np.float32(0.0)
+    if not isinstance(d0.tau, float):
+        return None
+    if not _no_diff(d0) or getattr(d0, "axes", None) is not None:
+        return None
+    if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
+            d0.kshift, jax.core.Tracer):
+        return None
+    ramp = d0.kshift is not None
+    if ramp:
+        ks = np.asarray(d0.kshift)
+        if ks.shape != (1, 1) or float(ks[0, 0]) != 1.0:
+            return None
+    if getattr(d0.Dcoef, "ndim", 0) not in (0, 2):
+        # batched tensors need per-atom broadcast plumbing: planner
+        return None
+    return d0.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2, ramp, d0.Dcoef
 
 
 def match_dwfisp(sequence, kvalue=1.0):
@@ -1232,34 +1249,13 @@ def _match_mse_impl(sequence, kvalue=1.0):
         return None
     FA, B1 = fab
 
-    # DW-TSE: per-half D validation mirrors match_dwfisp (same-op
-    # idiom, host-scalar tau, unit-ramp or constant-k, scalar/tensor
-    # Dcoef -- value checks on device leaves would cost d2h transfers)
+    # DW-TSE: per-half D validation shared with match_dwfisp
+    # (_dw_bvalue: same-op idiom, host-scalar tau, unit-ramp or
+    # constant-k, scalar/tensor Dcoef)
     diffusion = None
     if any(d is not None for d in d1_ops) or any(d is not None
                                                  for d in d2_ops):
-        def half_diff(dops):
-            d0 = dops[0]
-            if any(d is not d0 for d in dops):
-                return None
-            if d0 is None:
-                return 0.0, True, np.float32(0.0)
-            if not isinstance(d0.tau, float):
-                return None
-            if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
-                    d0.kshift, jax.core.Tracer):
-                return None
-            ramp = d0.kshift is not None
-            if ramp:
-                ks = np.asarray(d0.kshift)
-                if ks.shape != (1, 1) or float(ks[0, 0]) != 1.0:
-                    return None
-            if getattr(d0.Dcoef, "ndim", 0) not in (0, 2):
-                return None
-            b = d0.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2
-            return b, ramp, d0.Dcoef
-
-        f1, f2 = half_diff(d1_ops), half_diff(d2_ops)
+        f1, f2 = _dw_bvalue(d1_ops, kvalue), _dw_bvalue(d2_ops, kvalue)
         if f1 is None or f2 is None:
             return None
         diffusion = {"b1": f1[0], "ramp1": f1[1], "D1": f1[2],

@@ -57,7 +57,7 @@ def _parity(seq, tol=2e-5):
     assert sig_k.shape == sig_e.shape
     err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
     scale = max(np.abs(np.asarray(sig_e)).max(), 1e-12)
-    assert err < tol * max(scale, 1.0), err
+    assert err < tol * scale, err
     return np.asarray(sig_k)
 
 
