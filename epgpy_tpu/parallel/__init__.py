@@ -15,7 +15,8 @@ equivalents here:
 from .mesh import make_mesh, atom_sharding
 from .crlb import (crlb_train_step, fingerprint_crlb_loss,
                    mrf_design_loss, mrf_design_step, mrf_design_slsqp,
-                   mrf_design_loss_grad_fused)
+                   mrf_design_loss_grad_fused,
+                   mse_design_loss_grad_fused, tse_design_slsqp)
 from .match import (dictionary_match, compress_dictionary,
                     project_signals, streamed_compress_dictionary,
                     save_compression, load_compression)
@@ -26,6 +27,7 @@ __all__ = [
     "crlb_train_step", "fingerprint_crlb_loss",
     "mrf_design_loss", "mrf_design_step", "mrf_design_slsqp",
     "mrf_design_loss_grad_fused",
+    "mse_design_loss_grad_fused", "tse_design_slsqp",
     "dictionary_match", "compress_dictionary", "project_signals",
     "streamed_compress_dictionary", "save_compression",
     "load_compression",

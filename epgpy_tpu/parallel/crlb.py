@@ -323,6 +323,134 @@ def mrf_design_slsqp(FA0, TR0, T1s, T2s, mesh: Mesh, *, maxiter=250,
     return np.asarray(res.x[:nTR]), np.asarray(res.x[nTR:]), res
 
 
+def mse_design_loss_grad_fused(FA, ESP, T1s, T2s, mesh: Mesh = None, *,
+                               exc=(90.0, 90.0), nstate=None, sigma2=10.0,
+                               include_t1=False, interpret=False):
+    """(loss, gFA, gESP) for variable-flip TSE design via the fused
+    per-echo CPMG kernel.
+
+    Cost: mean (magnitude, T2)-CRLB over the atom grid (reference
+    weighting W = diag(1, 1/T2^2), epgpy stats.py:6-36) of the CPMG
+    echo train; value AND the full 2E-parameter gradient come from ONE
+    `cpmg_design_pallas(second_order=True)` launch per call —
+    J = dS/d(targets) and H = d2S/d(targets) d(FA_i, esp_i) per atom,
+    contracted by `stats.crlb`'s analytic gradient.  Atoms shard over
+    ``atoms`` when a mesh is given.  Jit the call.
+
+    ``include_t1`` adds the T1 column.  It is OFF by default for a
+    numerical reason measured on TPU: a CPMG train is a T2 measurement
+    — its dS/dT1 column is ~1e-6 of the signal scale, so the 3x3
+    Fisher matrix is singular in f32 and its inverse is NaN (the f64
+    CPU path survives).  Only enable it for trains that actually carry
+    T1 sensitivity (e.g. long recovery gaps).
+    """
+    from ..models.pallas_msedesign import cpmg_design_pallas
+    from .. import stats
+
+    E = FA.shape[0]
+    if nstate is None:
+        nstate = 2 * E
+
+    def local(fa, esp, t1, t2):
+        out = cpmg_design_pallas(exc, fa, 0.0, esp, t1, t2,
+                                 nstate=nstate, second_order=True,
+                                 interpret=interpret)
+
+        def c(key):
+            return out[key][0] + 1j * out[key][1]
+
+        cols = [c("sig"), c("dT2")]
+        rows = [jnp.concatenate([c("dalpha"), c("desp")], -1),
+                jnp.concatenate([c("dT2dalpha"), c("dT2desp")], -1)]
+        ws = [jnp.ones_like(t1), 1.0 / t2**2]
+        if include_t1:
+            cols.insert(1, c("dT1"))
+            rows.insert(1, jnp.concatenate([c("dT1dalpha"),
+                                            c("dT1desp")], -1))
+            ws.insert(1, 1.0 / t1**2)
+        J = jnp.stack(cols, axis=-1)
+        H = jnp.stack(rows, axis=-2)                  # (B, E, nv, 2E)
+        w = jnp.stack(ws, -1)
+        cost, grad = stats.crlb(J, H, W=w, sigma2=sigma2)
+        return jnp.mean(cost), jnp.mean(grad, axis=0)
+
+    if mesh is None:
+        loss, grad = local(FA, ESP, T1s, T2s)
+    else:
+        def shard_fn(fa, esp, t1, t2):
+            loss, grad = local(fa, esp, t1, t2)
+            return (jax.lax.pmean(loss, "atoms"),
+                    jax.lax.pmean(grad, "atoms"))
+
+        loss, grad = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("atoms"), P("atoms")),
+            out_specs=(P(), P()), check_vma=False)(FA, ESP, T1s, T2s)
+    return loss, grad[:E], grad[E:]
+
+
+def tse_design_slsqp(FA0, ESP0, T1s, T2s, mesh: Mesh = None, *,
+                     maxiter=200, ftol=1e-8, fa_bounds=(50.0, 180.0),
+                     esp_bounds=(5.0, 15.0), sar_budget=None,
+                     dfa_max=None, fix_esp=False, callback=None, **opts):
+    """Constrained variable-flip TSE CRLB design: scipy SLSQP driven by
+    the fused per-echo CPMG kernel's value-and-gradient.
+
+    The TSE design tension (Busse 2006): SAR scales with sum(FA_i^2)
+    while T2 precision wants large flips — ``sar_budget`` bounds
+    ``mean((FA_i/180)^2)`` as a hard inequality; ``dfa_max`` bounds
+    per-echo flip increments (signal-level smoothness); ``fix_esp``
+    freezes the echo spacings (flip-only design).
+
+    Returns (FA, ESP, scipy result).
+    """
+    from scipy import optimize
+
+    E = len(FA0)
+    val_grad = jax.jit(lambda fa, esp: mse_design_loss_grad_fused(
+        fa, esp, T1s, T2s, mesh, **opts))
+
+    def costjac(x):
+        fa, esp = x[:E], x[E:]
+        v, gfa, gesp = jax.device_get(
+            val_grad(jnp.asarray(fa, jnp.float32),
+                     jnp.asarray(esp, jnp.float32)))
+        g = np.concatenate([np.asarray(gfa),
+                            np.zeros(E) if fix_esp else np.asarray(gesp)])
+        return float(v), g.astype(float)
+
+    constraints = []
+    if sar_budget is not None:
+        def sar(x):
+            return sar_budget - np.mean((x[:E] / 180.0) ** 2)
+
+        def sar_jac(x):
+            g = np.zeros_like(x)
+            g[:E] = -2.0 * x[:E] / (180.0 ** 2 * E)
+            return g
+
+        constraints.append({"type": "ineq", "fun": sar, "jac": sar_jac})
+    if dfa_max is not None:
+        def smooth(x):
+            return dfa_max - np.abs(np.diff(x[:E]))
+
+        constraints.append({"type": "ineq", "fun": smooth})
+
+    if fix_esp:
+        esp_b = [(e, e) for e in np.asarray(ESP0, float)]
+    else:
+        esp_b = [esp_bounds] * E
+    res = optimize.minimize(
+        costjac, np.concatenate([np.asarray(FA0, float),
+                                 np.asarray(ESP0, float)]),
+        jac=True, method="SLSQP",
+        bounds=[fa_bounds] * E + esp_b,
+        constraints=constraints, callback=callback,
+        options={"ftol": ftol, "maxiter": maxiter},
+    )
+    return np.asarray(res.x[:E]), np.asarray(res.x[E:]), res
+
+
 def mrf_design_step(FA, TR, T1s, T2s, mesh: Mesh, *, lr_fa=1.0, lr_tr=0.05,
                     **opts):
     """One projected-gradient step on (FA, TR); jit this (eager shard_map

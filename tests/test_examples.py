@@ -42,6 +42,15 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+def test_optim_tse_smoke(monkeypatch, tmp_path):
+    """SAR-constrained variable-flip TSE CRLB design (fused per-echo
+    CPMG design kernel); constraint satisfaction + improvement over
+    the constant-flip train asserted inside."""
+    monkeypatch.setenv("TSE_NECHO", "12")
+    monkeypatch.setenv("TSE_ITERS", "40")
+    _run("optim_tse.py", monkeypatch, tmp_path)
+
+
 def test_mprage_t1_mapping_smoke(monkeypatch, tmp_path):
     """MPRAGE dictionary T1 mapping (composite-GRE family): nearest-
     grid recovery with randomized T2/PD asserted inside."""
