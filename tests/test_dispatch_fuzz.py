@@ -1,0 +1,153 @@
+"""Cross-family dispatch fuzz: random trains from a unified grammar.
+
+Every kernel family has its own fall-through fuzz; this suite attacks
+the DISPATCH LAYER as a whole: random trains drawn from all family
+grammars, concatenated, mutated, and salted with no-op ops must give
+``simulate(fisp_kernel="force") == simulate(fisp_kernel=False)`` no
+matter WHICH matcher (if any) claims them — the planner is the oracle
+(itself pinned to the reference by goldens).  A wrongly-greedy matcher
+that claims an off-pattern train is exactly the silent-wrongness bug
+this hunts.
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+
+B = 3
+T1 = np.array([600.0, 1100.0, 1700.0])
+T2 = np.array([50.0, 90.0, 150.0])
+
+
+def _fisp(rng, n):
+    seq = []
+    if rng.random() < 0.3:
+        seq += [epg.T(180.0, 0.0), epg.E(float(rng.uniform(10, 40)),
+                                         T1, T2)]
+    for i in range(n):
+        seq += [epg.T(float(rng.uniform(10, 60)), 90.0),
+                epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(7.0, T1, T2), epg.S(1)]
+    return seq
+
+
+def _mse(rng, n):
+    d = epg.D(4.0, 1e-3, k=1) if rng.random() < 0.5 else None
+    seq = [epg.T(90, 90)]
+    for i in range(n):
+        h1 = [epg.E(4.0, T1, T2), epg.S(1)]
+        h2 = [epg.E(4.0, T1, T2), epg.S(1)]
+        if d is not None:
+            h1, h2 = h1 + [d], h2 + [d]
+        seq += h1 + [epg.T(float(rng.uniform(100, 175)), 0.0)] + h2 \
+            + [epg.ADC]
+    return seq
+
+
+def _bssfp(rng, n):
+    seq = []
+    for i in range(n):
+        seq += [epg.T(float(rng.uniform(20, 70)), 180.0 * (i % 2)),
+                epg.E(6.0, T1, T2, -0.01), epg.ADC,
+                epg.E(6.0, T1, T2, -0.01)]
+    return seq
+
+
+def _dess(rng, n):
+    seq = []
+    for i in range(n):
+        seq += [epg.T(25.0, 0.0), epg.E(5.0, T1, T2), epg.ADC,
+                epg.E(8.0, T1, T2), epg.S(1), epg.E(5.0, T1, T2),
+                epg.ADC]
+    return seq
+
+
+def _megre(rng, n):
+    seq = []
+    for i in range(n):
+        seq.append(epg.T(14.0, 0.0))
+        prev = 0.0
+        for te in (3.0, 7.0, 11.0):
+            seq += [epg.E(te - prev, T1, T2), epg.ADC]
+            prev = te
+        seq += [epg.E(4.0, T1, T2), epg.S(1)]
+    return seq
+
+
+def _stages(rng, n):
+    """Composite-ish random stage soup."""
+    seq = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.25:
+            seq += [epg.T(180.0, 0.0), epg.E(float(rng.uniform(50, 200)),
+                                             T1, T2)]
+        elif r < 0.5:
+            seq += [epg.T(float(rng.uniform(5, 20)), float(15 * i)),
+                    epg.E(3.0, T1, T2), epg.Adc(),
+                    epg.E(4.0, T1, T2),
+                    epg.S(1) if rng.random() < 0.8 else epg.S(-1)]
+        elif r < 0.75:
+            seq += [epg.E(float(rng.uniform(20, 120)), T1, T2)]
+        else:
+            seq += [epg.T(90.0, float(rng.integers(0, 4)) * 90.0),
+                    epg.E(6.0, T1, T2), epg.S(1)]
+    return seq
+
+
+FAMS = [_fisp, _mse, _bssfp, _dess, _megre, _stages]
+
+
+def _salt(rng, seq):
+    """Random benign/pattern-breaking inserts."""
+    seq = list(seq)
+    if rng.random() < 0.3:      # no-op ops (skipped by some matchers)
+        pos = int(rng.integers(0, len(seq)))
+        seq.insert(pos, epg.Wait(1.0) if rng.random() < 0.5 else epg.NULL)
+    if rng.random() < 0.3:      # break one op
+        idx = [i for i, op in enumerate(seq) if isinstance(op, epg.E)]
+        if idx:
+            i = int(rng.choice(idx))
+            e = seq[i]
+            seq[i] = epg.E(e.tau, np.asarray(e.T1) * 1.01, e.T2)
+    return seq
+
+
+@pytest.mark.parametrize("case", range(24))
+def test_dispatch_parity_any_train(case):
+    rng = np.random.default_rng(1000 + case)
+    n = int(rng.integers(3, 9))
+    seq = FAMS[case % len(FAMS)](rng, n)
+    if rng.random() < 0.4:      # concatenate a second family block
+        seq = seq + FAMS[int(rng.integers(0, len(FAMS)))](rng,
+                                                          max(2, n // 2))
+    seq = _salt(rng, seq)
+    if not any(isinstance(op, (epg.Adc,)) for op in seq):
+        seq.append(epg.ADC)
+    kw = {"max_nstate": 16}
+    got = np.asarray(epg.simulate(list(seq), fisp_kernel="force", **kw))
+    ref = np.asarray(epg.simulate(list(seq), fisp_kernel=False, **kw))
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-9)
+    assert np.abs(got - ref).max() / scale < 3e-5, (
+        case, np.abs(got - ref).max() / scale)
+
+
+def test_fuzzer_exercises_kernels():
+    """The grammar must actually hit fused kernels, not only the
+    planner fall-through (else the parity checks prove nothing)."""
+    from epgpy_tpu import fisp_dispatch as fd
+
+    claimed = 0
+    for case in range(24):
+        rng = np.random.default_rng(1000 + case)
+        n = int(rng.integers(3, 9))
+        seq = FAMS[case % len(FAMS)](rng, n)
+        matchers = [fd.match_fisp, lambda s: fd.match_mse(s, 1.0),
+                    fd.match_bssfp, fd.match_dess, fd.match_megre,
+                    lambda s: fd.match_dwfisp(s, 1.0),
+                    fd.match_composite]
+        if any(m(list(seq)) is not None for m in matchers):
+            claimed += 1
+    assert claimed >= 12, claimed
