@@ -21,6 +21,7 @@ from .match import (dictionary_match, compress_dictionary,
                     project_signals, streamed_compress_dictionary,
                     save_compression, load_compression)
 from .recon import mrf_reconstruct, gauss_newton_refine
+from .t2spectrum import t2_basis, nnls, t2_spectrum_map
 
 __all__ = [
     "make_mesh", "atom_sharding",
@@ -32,4 +33,5 @@ __all__ = [
     "streamed_compress_dictionary", "save_compression",
     "load_compression",
     "mrf_reconstruct", "gauss_newton_refine",
+    "t2_basis", "nnls", "t2_spectrum_map",
 ]

@@ -1,0 +1,77 @@
+"""Myelin-water-fraction mapping by EPG-NNLS (Prasloski 2012).
+
+Multi-component T2 relaxometry from a 32-echo CPMG train: each voxel's
+echo decay is fit as a non-negative combination of EPG-simulated decay
+curves (stimulated-echo corrected), with the refocusing efficiency (B1)
+estimated per voxel by residual minimization over a candidate grid.
+MWF = spectrum fraction below 40 ms.
+
+This is the clinical-workflow extension of the reference's inverse
+Laplace utility (reference epgpy/utilities/ilt1d.py, used by
+examples/exchange/inverse_laplace_transform_1d.py): EPG basis columns
+instead of pure exponentials, batched FISTA NNLS on device instead of a
+per-curve matrix pencil.
+
+On TPU the basis simulation routes through the fused CPMG Pallas kernel
+and the NNLS fits run as one batched MXU pipeline over all
+(voxel, B1 candidate) problems.
+"""
+
+import numpy as np
+
+from epgpy_tpu.parallel import t2_basis, t2_spectrum_map
+
+
+def main():
+    necho, esp = 32, 10.0                      # 32 echoes, 10 ms spacing
+    t2grid = np.geomspace(15.0, 2000.0, 48)    # T2 bins (ms)
+    b1grid = np.linspace(0.75, 1.0, 6)         # refocusing-efficiency grid
+
+    print(f"basis: {necho} echoes x {t2grid.size} T2 bins x "
+          f"{b1grid.size} B1 candidates")
+    basis = t2_basis(necho, esp, t2grid, b1grid, T1=1000.0)
+
+    # synthetic tissue voxels: (MWF, IE-water T2, true B1)
+    rng = np.random.default_rng(7)
+    tissues = [
+        ("genu CC",      0.28, 72.0, 0.92),
+        ("frontal WM",   0.15, 78.0, 0.88),
+        ("cortical GM",  0.03, 95.0, 0.97),
+        ("CSF-partial",  0.00, 500.0, 1.00),
+    ]
+    nrep, sigma = 24, 2e-3                     # repeats per tissue, noise
+    signals, truth = [], []
+    for name, mwf, t2_ie, b1 in tissues:
+        # simulate the two-pool decay from its own EPG basis columns
+        # (myelin water at 20 ms) at the true B1 -- off the B1 grid
+        bmy = t2_basis(necho, esp, [20.0, t2_ie], b1, T1=1000.0)[0]
+        decay = mwf * bmy[:, 0] + (1 - mwf) * bmy[:, 1]
+        for _ in range(nrep):
+            signals.append(decay + sigma * rng.standard_normal(necho))
+            truth.append((name, mwf, b1))
+    signals = np.stack(signals)
+
+    # low-noise data: use a lighter Tikhonov weight than the default
+    # (the default 1e-3 x gram targets noisy in-vivo decays and smears
+    # the myelin peak past the 40 ms cutoff -- MWF underestimation)
+    reg = 1e-5 * float(np.mean(np.sum(basis ** 2, axis=1)))
+    out = t2_spectrum_map(signals, basis, t2grid, b1grid=b1grid,
+                          mwf_cutoff=40.0, reg=reg, iters=3000)
+
+    print(f"{'tissue':<14} {'true MWF':>8} {'est MWF':>16} "
+          f"{'true B1':>8} {'est B1':>8}")
+    i = 0
+    for name, mwf, _, b1 in tissues:
+        sl = slice(i, i + nrep)
+        i += nrep
+        est = out["mwf"][sl]
+        estb = out["b1"][sl]
+        print(f"{name:<14} {mwf:8.3f} {est.mean():8.3f} +-{est.std():5.3f} "
+              f"{b1:8.2f} {estb.mean():8.3f}")
+        assert abs(est.mean() - mwf) < 0.06, (name, est.mean(), mwf)
+    print("gm T2 (ms), first voxel per tissue:",
+          np.round(out["gm_t2"][::nrep], 1))
+
+
+if __name__ == "__main__":
+    main()
