@@ -31,6 +31,7 @@ the signal itself / its first derivatives (reference epgpy/diff.py:384-476).
 from __future__ import annotations
 
 import itertools
+import logging
 from typing import Dict, List, Optional
 
 import jax
@@ -162,9 +163,23 @@ class PartialsPruner:
     nothing to prune; the equivalent memory-control knob is
     ``simulate(..., jacobian_chunk=N)``, which processes the tangent basis
     (and Hessian blocks) N columns at a time (see ``simulate_diff``).
+
+    Because the reference documents a real accuracy-vs-cost trade here,
+    instantiation emits a one-time warning so users relying on that
+    behavior are not silently surprised.
     """
 
+    _warned = False
+
     def __init__(self, *, condition=1e-5, variables=None):
+        if not PartialsPruner._warned:
+            PartialsPruner._warned = True
+            logging.getLogger(__name__).warning(
+                "PartialsPruner is an API-compat no-op in epgpy_tpu: "
+                "derivatives are dense jacfwd tangents in one compiled "
+                "program (nothing to prune, no accuracy trade).  Use "
+                "simulate(..., jacobian_chunk=N) to bound derivative "
+                "memory instead.")
         self.condition = condition
         self.variables = variables
 

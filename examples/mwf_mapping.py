@@ -17,6 +17,8 @@ and the NNLS fits run as one batched MXU pipeline over all
 (voxel, B1 candidate) problems.
 """
 
+import os
+
 import numpy as np
 
 from epgpy_tpu.parallel import t2_basis, t2_spectrum_map
@@ -24,8 +26,10 @@ from epgpy_tpu.parallel import t2_basis, t2_spectrum_map
 
 def main():
     necho, esp = 32, 10.0                      # 32 echoes, 10 ms spacing
-    t2grid = np.geomspace(15.0, 2000.0, 48)    # T2 bins (ms)
-    b1grid = np.linspace(0.75, 1.0, 6)         # refocusing-efficiency grid
+    nbins = int(os.environ.get("MWF_NBINS", 48))
+    nb1 = int(os.environ.get("MWF_NB1", 6))
+    t2grid = np.geomspace(15.0, 2000.0, nbins)  # T2 bins (ms)
+    b1grid = np.linspace(0.75, 1.0, nb1)       # refocusing-efficiency grid
 
     print(f"basis: {necho} echoes x {t2grid.size} T2 bins x "
           f"{b1grid.size} B1 candidates")
@@ -39,7 +43,8 @@ def main():
         ("cortical GM",  0.03, 95.0, 0.97),
         ("CSF-partial",  0.00, 500.0, 1.00),
     ]
-    nrep, sigma = 24, 2e-3                     # repeats per tissue, noise
+    nrep = int(os.environ.get("MWF_NREP", 24))  # repeats per tissue
+    sigma = 2e-3                               # noise
     signals, truth = [], []
     for name, mwf, t2_ie, b1 in tissues:
         # simulate the two-pool decay from its own EPG basis columns
@@ -56,7 +61,8 @@ def main():
     # the myelin peak past the 40 ms cutoff -- MWF underestimation)
     reg = 1e-5 * float(np.mean(np.sum(basis ** 2, axis=1)))
     out = t2_spectrum_map(signals, basis, t2grid, b1grid=b1grid,
-                          mwf_cutoff=40.0, reg=reg, iters=3000)
+                          mwf_cutoff=40.0, reg=reg,
+                          iters=int(os.environ.get("MWF_ITERS", 3000)))
 
     print(f"{'tissue':<14} {'true MWF':>8} {'est MWF':>16} "
           f"{'true B1':>8} {'est B1':>8}")

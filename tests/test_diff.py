@@ -364,3 +364,19 @@ def test_jacobian_probe_tuple_and_unknown_variable():
             [epg.T(30, 90, order1="alpha"),
              epg.E(5.0, 800.0, 80.0, order1=["T1", "T2"]), epg.ADC] * 3,
             probe=epg.Jacobian(["T2 "]))   # typo: trailing space
+
+
+def test_partials_pruner_warns_once(caplog):
+    """PartialsPruner is a documented no-op; instantiation must warn
+    (once) so reference users are not silently surprised (VERDICT r3)."""
+    import logging
+
+    from epgpy_tpu import diff as diff_mod
+
+    diff_mod.PartialsPruner._warned = False
+    with caplog.at_level(logging.WARNING, logger="epgpy_tpu.diff"):
+        diff_mod.PartialsPruner(condition=1e-4)
+        diff_mod.PartialsPruner()
+    msgs = [r for r in caplog.records if "no-op" in r.message]
+    assert len(msgs) == 1
+    assert "jacobian_chunk" in msgs[0].message

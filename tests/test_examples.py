@@ -245,6 +245,16 @@ def test_slice_profile_mrf_smoke(monkeypatch, tmp_path):
     _run("slice_profile_mrf.py", monkeypatch, tmp_path)
 
 
+def test_mwf_mapping_smoke(monkeypatch, tmp_path):
+    """EPG-NNLS myelin-water mapping: per-tissue MWF recovery within
+    0.06 absolute asserted inside the example."""
+    monkeypatch.setenv("MWF_NBINS", "32")
+    monkeypatch.setenv("MWF_NB1", "4")
+    monkeypatch.setenv("MWF_NREP", "6")
+    monkeypatch.setenv("MWF_ITERS", "3000")
+    _run("mwf_mapping.py", monkeypatch, tmp_path)
+
+
 def test_mse_t2_b1_mapping_smoke(monkeypatch, tmp_path):
     """Joint (T2, B1) EPG fit from CPMG echoes (fused Jacobian kernel)
     must halve the mono-exponential T2 error (asserted inside)."""
