@@ -1042,17 +1042,33 @@ def simulate(
                 if fparams is None and isinstance(kvalue, (int, float)):
                     fparams = fisp_dispatch.match_dwfisp(sequence, kvalue)
                     runner = fisp_dispatch.run_dwfisp_jacobian
+                if fparams is None:
+                    # generic stage trains (MPRAGE/T2prep/sat-recovery)
+                    # with canonical (T1, T2[, g]) tracking: LAST, like
+                    # the primal dispatch table
+                    fparams = fisp_dispatch.match_composite(sequence)
+                    runner = fisp_dispatch.run_composite_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(
                         probes, fparams.get("vars"))
                 # VMEM gate: the fused Jacobian kernels keep 24 folded
-                # planes resident (30 for ME-GRE: it adds a df tangent
-                # group; bSSFP is k=0 only and always fits)
+                # planes resident (30 for ME-GRE and composite: they add
+                # a df tangent group; bSSFP is k=0 only and always fits)
                 if specs is not None and runner is not \
                         fisp_dispatch.run_bssfp_jacobian:
                     _njp = 24
                     if runner is fisp_dispatch.run_megre_jacobian:
                         _njp = 30          # + df tangent group
+                    elif runner is fisp_dispatch.run_composite_jacobian:
+                        # only the requested tangent groups cost
+                        # planes; the un-chunked (nadc, btile) output
+                        # windows (2 + 2*ng arrays, double-buffered)
+                        # fold in as plane-equivalents
+                        _ng = len(fisp_dispatch.composite_jac_groups(
+                            specs))
+                        _njp = 6 * (1 + _ng) + -(
+                            -2 * (2 + 2 * _ng) * fparams["nadc"]
+                            // (_preamble_ncap + 1))
                     elif fparams.get("diffusion") is not None:
                         _njp = 30          # + 6 attenuation planes
                     if not fisp_dispatch.kernel_fits_vmem(
@@ -1064,7 +1080,9 @@ def simulate(
                             fisp_dispatch.run_bssfp_jacobian: "bSSFP",
                             fisp_dispatch.run_dess_jacobian: "DESS",
                             fisp_dispatch.run_megre_jacobian: "ME-GRE",
-                            fisp_dispatch.run_dwfisp_jacobian: "DW-FISP"}
+                            fisp_dispatch.run_dwfisp_jacobian: "DW-FISP",
+                            fisp_dispatch.run_composite_jacobian:
+                                "composite GRE"}
                     LOGGER.info(
                         "simulate: %s diff train -> fused Pallas "
                         "Jacobian kernel (%d pulses, nstate=%d)",

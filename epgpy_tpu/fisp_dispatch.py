@@ -51,6 +51,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "run_megre_jacobian",
            "match_dwfisp", "run_dwfisp_kernel", "run_dwfisp_jacobian",
            "match_composite", "run_composite_kernel",
+           "run_composite_jacobian",
            "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -2287,7 +2288,11 @@ def _match_composite_impl(sequence):
             close()
             cur = new_stage(a, ph)
         elif type(op) is E:
-            c = _canonical_order1(op)
+            # composite E ops may carry canonical (T1, T2, g) tracking:
+            # the fused Jacobian kernel propagates a df tangent group
+            # (exact at df=0), so off-resonance-resolved trains (IR with
+            # precessing TI) are fittable through the fused path too
+            c = _canonical_order1(op, ("T1", "T2", "g"))
             if c is None or getattr(op, "axes", None) is not None:
                 return None
             if tracked is None:
@@ -2446,3 +2451,61 @@ def run_composite_kernel(params, nstate, *, interpret=False):
         has_adcph=bool(np.asarray(params["aph"]).any()),
         has_b1u=not bool(np.asarray(params["b1u"]).all()))
     return {"__c_re": re, "__c_im": im}
+
+
+def composite_jac_groups(specs):
+    """Kernel tangent groups needed by the matched probe specs, in
+    canonical order ("T1", "T2", "df").  Dispatch specs name the df
+    column "g" (the E-op parameter); the B1 group is never requested
+    through probes (model-level only, like the CPMG family)."""
+    want = set()
+    for spec in specs:
+        if spec[0] == "jac":
+            want.update(n for n in spec[1] if n != "magnitude")
+    return tuple(g for g in ("T1", "T2", "df")
+                 if (("g" if g == "df" else g) in want))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nstate", "nadc", "interpret", "use_df", "bshape", "has_up",
+    "has_down", "has_adcph", "has_b1u", "specs", "groups"))
+def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
+                      DF, *, nstate, nadc, interpret, use_df, bshape,
+                      has_up, has_down, has_adcph, has_b1u, specs,
+                      groups):
+    from .models.pallas_composite import composite_jacobian_pallas
+
+    (re, im), (jre, jim) = composite_jacobian_pallas(
+        FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
+        DF if use_df else None, nadc=nadc, nstate=nstate, groups=groups,
+        has_up=has_up, has_down=has_down, has_adcph=has_adcph,
+        has_b1u=has_b1u, interpret=interpret)
+    # kernel layout is (nadc, B); the shared assembler expects (B, P).
+    # The tangent columns follow `groups` order, so map every name
+    # explicitly (the assembler's T1/T2 defaults assume fixed slots).
+    cols = {("g" if g == "df" else g): j for j, g in enumerate(groups)}
+    return _assemble_jac_outputs(
+        re.T, im.T, jnp.swapaxes(jre, 0, 1), jnp.swapaxes(jim, 0, 1),
+        specs, bshape, cols=cols)
+
+
+def run_composite_jacobian(params, nstate, specs, *, interpret=False):
+    """Fused composite-GRE primal+tangent kernel for matched diff
+    probes (tracked vars from {T1, T2, g}; "g" is the df/B0 column).
+    Only the requested tangent groups are propagated (the MPRAGE
+    T1-fit spec pays 18 planes, not 30); the dB1 column is computed on
+    request at model level only (same convention as the CPMG family)."""
+    dev = _comp_device_params(params)
+    shift = np.asarray(params["shift"])
+    has_up = bool((shift == 1).any())
+    has_down = bool((shift == -1).any())
+    ns = int(nstate)
+    if (has_up or has_down) and ns < 1:
+        ns = 1
+    return _run_comp_jac_jit(
+        *dev, nstate=ns, nadc=int(params["nadc"]), interpret=interpret,
+        use_df=params.get("df") is not None,
+        bshape=tuple(params["shape"]), has_up=has_up, has_down=has_down,
+        has_adcph=bool(np.asarray(params["aph"]).any()),
+        has_b1u=not bool(np.asarray(params["b1u"]).all()), specs=specs,
+        groups=composite_jac_groups(specs))

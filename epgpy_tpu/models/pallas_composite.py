@@ -32,9 +32,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pallas_common import _cmul, _rot_coeffs, _rot_A
+from .pallas_common import (_cmul, _rot_coeffs, _rot_A, _rot_B, _rot_Z)
 
-__all__ = ["composite_pallas"]
+__all__ = ["composite_pallas", "composite_jacobian_pallas"]
 
 
 def _kernel_comp(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
@@ -173,40 +173,20 @@ def _kernel_comp(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
     jax.lax.fori_loop(0, nstages, step, 0)
 
 
-def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
-                     T1s, T2s, B1s, dfs=None, *, nadc, nstate,
-                     has_up=None, has_down=None, has_adcph=None,
-                     has_b1u=None, btile=512, interpret=False):
-    """Run a composite-GRE stage train through the fused kernel.
-
-    Args:
-        FA, phi: (N,) per-stage flip / pulse phase [deg].
-        ta, tb: (N,) pre-/post-ADC relaxation times [ms].
-        adci: (N,) int32 output-row index per stage, -1 = no readout.
-        shift: (N,) int32 unit-shift direction in {-1, 0, +1}.
-        aph: (N,) ADC phasor angle [rad] (0 when absent).
-        b1u: (N,) per-stage B1-sensitivity flag (0 = nominal angle),
-            or None when every stage scales with B1.
-        T1s, T2s, B1s: (B,) per-atom parameters; dfs optional (B,) [kHz].
-        nadc: number of readout rows (static).
-        nstate: ladder capacity (static); >= 1 when any stage shifts.
-        has_up/has_down/has_adcph/has_b1u: static codegen gates; when
-            None they are derived host-side from the corresponding
-            argument (which must then be a host array, not a tracer --
-            under jit pass them explicitly as statics).
-
-    Returns (re, im): (nadc, B) float32 echo trains.
-    """
+def _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s, B1s,
+                dfs, btile, has_up, has_down, has_adcph, has_b1u,
+                nstate):
+    """Shared pad/flag setup for the composite primal and Jacobian
+    wrappers: derive the static codegen gates from host arrays when not
+    given, ceil-pad the atom axis to btile, and build the kernel input
+    list (8 SMEM per-stage rows + 4 per-atom parameter planes)."""
     import numpy as np
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     FA = jnp.asarray(FA, f32)
     N = FA.shape[0]
     T1s = jnp.asarray(T1s, f32)
     B = T1s.shape[0]
-    use_df = dfs is not None
     if has_up is None:
         has_up = bool((np.asarray(shift) == 1).any())
     if has_down is None:
@@ -236,6 +216,42 @@ def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
              else jnp.broadcast_to(jnp.asarray(dfs, f32), (B,))
              ).reshape(1, Bp),
     ]
+    return N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
+
+
+def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
+                     T1s, T2s, B1s, dfs=None, *, nadc, nstate,
+                     has_up=None, has_down=None, has_adcph=None,
+                     has_b1u=None, btile=512, interpret=False):
+    """Run a composite-GRE stage train through the fused kernel.
+
+    Args:
+        FA, phi: (N,) per-stage flip / pulse phase [deg].
+        ta, tb: (N,) pre-/post-ADC relaxation times [ms].
+        adci: (N,) int32 output-row index per stage, -1 = no readout.
+        shift: (N,) int32 unit-shift direction in {-1, 0, +1}.
+        aph: (N,) ADC phasor angle [rad] (0 when absent).
+        b1u: (N,) per-stage B1-sensitivity flag (0 = nominal angle),
+            or None when every stage scales with B1.
+        T1s, T2s, B1s: (B,) per-atom parameters; dfs optional (B,) [kHz].
+        nadc: number of readout rows (static).
+        nstate: ladder capacity (static); >= 1 when any stage shifts.
+        has_up/has_down/has_adcph/has_b1u: static codegen gates; when
+            None they are derived host-side from the corresponding
+            argument (which must then be a host array, not a tracer --
+            under jit pass them explicitly as statics).
+
+    Returns (re, im): (nadc, B) float32 echo trains.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    (N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
+     ) = _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s,
+                     B1s, dfs, btile, has_up, has_down, has_adcph,
+                     has_b1u, nstate)
+    use_df = dfs is not None
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
         pl.BlockSpec((1, btile), lambda b: (0, b))] * 4
 
@@ -257,3 +273,293 @@ def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
         interpret=interpret,
     )(*inputs)
     return out_re[:, :B], out_im[:, :B]
+
+
+def _shift_sel(planes, s, has_up, has_down):
+    """Per-stage ladder shift of one folded plane set, selected by the
+    SMEM direction scalar ``s`` in {-1, 0, +1} (same algebra as the
+    primal kernel; applied identically to every tangent group -- the
+    shift is linear and parameter-independent)."""
+    nAR, nAI, nBR, nBI, nZR, nZI = planes
+    if not (has_up or has_down):
+        return planes
+    zrow = jnp.zeros_like(nAR[:1])
+    if has_up:
+        # S(+1): A(k) <- A(k-1), A(0) <- B(1); B(k) <- B(k+1)
+        uAR = jnp.concatenate([nBR[1:2], nAR[:-1]], axis=0)
+        uAI = jnp.concatenate([nBI[1:2], nAI[:-1]], axis=0)
+        uBR = jnp.concatenate([nBR[1:], zrow], axis=0)
+        uBI = jnp.concatenate([nBI[1:], zrow], axis=0)
+        up = s == 1
+        nAR, nAI = jnp.where(up, uAR, nAR), jnp.where(up, uAI, nAI)
+        nBR, nBI = jnp.where(up, uBR, nBR), jnp.where(up, uBI, nBI)
+    if has_down:
+        # S(-1): A(k) <- A(k+1); B(k) <- B(k-1), B(0) <- A(1)
+        dAR = jnp.concatenate([nAR[1:], zrow], axis=0)
+        dAI = jnp.concatenate([nAI[1:], zrow], axis=0)
+        dBR = jnp.concatenate([nAR[1:2], nBR[:-1]], axis=0)
+        dBI = jnp.concatenate([nAI[1:2], nBI[:-1]], axis=0)
+        dn = s == -1
+        nAR, nAI = jnp.where(dn, dAR, nAR), jnp.where(dn, dAI, nAI)
+        nBR, nBI = jnp.where(dn, dBR, nBR), jnp.where(dn, dBI, nBI)
+    return nAR, nAI, nBR, nBI, nZR, nZI
+
+
+def _kernel_comp_jac(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
+                     aph_ref, b1u_ref, t1_ref, t2_ref, b1_ref, df_ref,
+                     *refs, nstages, nstate, use_df, has_up, has_down,
+                     has_adcph, has_b1u, groups):
+    """Fused composite-GRE primal + selected tangent groups.
+
+    ``groups`` is a static tuple drawn from ("T1", "T2", "B1", "df"):
+    6 VMEM planes per entry after the primal at 0-5, and one
+    (re, im) output pair per entry after the signal pair.  Unrequested
+    groups cost nothing (the MPRAGE T1-fit spec tracks only (T1, T2):
+    18 planes, not 30).  Every EPG op in the stage grammar is affine in
+    the state, so each tangent group propagates through the SAME
+    per-stage operator as the primal plus the coefficient-derivative
+    term applied to the primal planes (reference chain-rule semantics:
+    /root/reference/epgpy/diff.py:119-139 accumulated op-by-op; here
+    one VMEM-resident pass):
+
+    - dT1: d(cZ)/dT1 = cZ (ta+tb)/T1^2 on the Z ladder; the recovery
+      term is rec = 1 - cZ, so d(rec)/dT1 = -dcZ (the k=0 row);
+    - dT2: d(cF)/dT2 = cF (ta+tb)/T2^2 on the F coefficient and
+      d(e2a)/dT2 = e2a ta/T2^2 on the echo decay;
+    - dB1: rotation-coefficient tangents with da/dB1 = fa*rad (all-B1
+      trains) or fa*b1u*rad (adiabatic stages drop out: their flip does
+      not scale with B1, the MPRAGE inversion convention);
+    - ddf: off-resonance enters only through phasors, so the tangents
+      are i 2 pi (ta+tb) x the carried F coefficient and i 2 pi ta x
+      the primal echo -- exact at df = 0 (the B0-fit initialization).
+
+    The per-stage ladder shift applies identically to all groups (it is
+    linear and parameter-independent).
+    """
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    H = nstate + 1
+    ng = len(groups)
+    nout = 2 + 2 * ng
+    out_refs, st_ref = refs[:nout], refs[nout]
+    gi = {name: j for j, name in enumerate(groups)}
+
+    st_ref[...] = jnp.zeros_like(st_ref)
+    st_ref[4, 0, :] = jnp.ones_like(st_ref[4, 0, :])   # primal Z(0) = 1
+
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0
+               ).astype(f32)
+    T1 = t1_ref[0, :]
+    T2 = t2_ref[0, :]
+    B1 = b1_ref[0, :]
+    DF = df_ref[0, :]
+    twopi = 2 * jnp.pi
+    rad = jnp.pi / 180.0
+
+    def step(i, _):
+        P6 = [st_ref[j] for j in range(6)]
+        tans = [[st_ref[6 * (g + 1) + j] for j in range(6)]
+                for g in range(ng)]
+
+        fa = fa_ref[0, i]
+        ph = phi_ref[0, i] * rad
+        if has_b1u:
+            b1u = b1u_ref[0, i]
+            a = fa * (1.0 + b1u * (B1 - 1.0)) * rad
+            da = fa * b1u * rad
+        else:
+            a = fa * B1 * rad
+            da = fa * rad
+        rc = _rot_coeffs(a, ph)
+
+        rotA = partial(_rot_A, *rc[:5])
+        rotB = partial(_rot_B, *rc[:5])
+        rotZ = partial(_rot_Z, *rc[5:])
+        RA, RB, SZ = rotA(P6), rotB(P6), rotZ(P6)
+        tRA = [rotA(t) for t in tans]
+        tRB = [rotB(t) for t in tans]
+        tSZ = [rotZ(t) for t in tans]
+        if "B1" in gi:
+            # B1 tangents of the rotation coefficients (d rc / da * da)
+            ca, sa = jnp.cos(a), jnp.sin(a)
+            dsa, dca = ca * da, -sa * da
+            dcos2, dsin2 = -0.5 * sa * da, 0.5 * sa * da
+            cp, sp = jnp.cos(ph), jnp.sin(ph)
+            c2p, s2p = jnp.cos(2 * ph), jnp.sin(2 * ph)
+            drc = (dcos2, c2p * dsin2, s2p * dsin2, sp * dsa, -cp * dsa,
+                   dca, -0.5 * sp * dsa, -0.5 * cp * dsa,
+                   -0.5 * sp * dsa, 0.5 * cp * dsa)
+            cRA = _rot_A(*drc[:5], P6)      # dB1 coefficient pass
+            cRB = _rot_B(*drc[:5], P6)
+            cSZ = _rot_Z(*drc[5:], P6)
+
+        ta = ta_ref[0, i]
+        tb = tb_ref[0, i]
+        tt = ta + tb
+        e1a = jnp.exp(-ta / T1)
+        e1b = jnp.exp(-tb / T1)
+        e2a = jnp.exp(-ta / T2)
+        cF = e2a * jnp.exp(-tb / T2)
+        cZ = e1a * e1b
+        rec = 1.0 - cZ                  # == (1-e1a) e1b + (1-e1b)
+        de2a = e2a * ta / (T2 * T2)
+        dcF = cF * tt / (T2 * T2)
+        dcZ = cZ * tt / (T1 * T1)
+
+        # echo phasor chain over ta (off-resonance + ADC phase)
+        if use_df:
+            ang_a = twopi * DF * ta
+            pc, ps = jnp.cos(ang_a), jnp.sin(ang_a)
+        else:
+            pc, ps = 1.0, 0.0
+        if has_adcph:
+            aph = aph_ref[0, i]
+            pc, ps = _cmul(pc, ps, jnp.cos(aph), jnp.sin(aph))
+
+        def echo(re0, im0):
+            return _cmul(pc, ps, e2a * re0, e2a * im0)
+
+        idx = adci_ref[0, i]
+        pe = echo(RA[0][0, :], RA[1][0, :])
+
+        @pl.when(idx >= 0)
+        def _write():
+            out_refs[0][idx, :] = pe[0]
+            out_refs[1][idx, :] = pe[1]
+            for name, g in gi.items():
+                t = tRA[g]
+                if name == "T1":
+                    er, ei = echo(t[0][0, :], t[1][0, :])
+                elif name == "T2":
+                    # tangent state + echo-decay derivative
+                    er, ei = echo(t[0][0, :], t[1][0, :])
+                    xr, xi = _cmul(pc, ps, de2a * RA[0][0, :],
+                                   de2a * RA[1][0, :])
+                    er, ei = er + xr, ei + xi
+                elif name == "B1":
+                    # tangent state + rotation-coefficient pass
+                    er, ei = echo(t[0][0, :] + cRA[0][0, :],
+                                  t[1][0, :] + cRA[1][0, :])
+                else:   # df: tangent state + i (2 pi ta) x primal echo
+                    er, ei = echo(t[0][0, :], t[1][0, :])
+                    er, ei = er - twopi * ta * pe[1], ei + twopi * ta * pe[0]
+                out_refs[2 + 2 * g][idx, :] = er
+                out_refs[3 + 2 * g][idx, :] = ei
+
+        # full-stage carried coefficients: cFp = cF e^{i 2 pi df tt}
+        if use_df:
+            ang = twopi * DF * tt
+            cc, cs = jnp.cos(ang), jnp.sin(ang)
+            cFr, cFi = cF * cc, cF * cs
+            dcFr, dcFi = dcF * cc, dcF * cs
+        else:
+            cFr, cFi = cF, jnp.zeros_like(cF)
+            dcFr, dcFi = dcF, jnp.zeros_like(dcF)
+        # d/ddf of the carried F coefficient: i (2 pi tt) (cFr + i cFi)
+        fFr, fFi = -twopi * tt * cFi, twopi * tt * cFr
+
+        s = shf_ref[0, i]
+
+        def fmul(re, im, cr=cFr, ci=cFi):
+            return _cmul(cr, ci, re, im)
+
+        def store(base, planes):
+            sh = _shift_sel(planes, s, has_up, has_down)
+            for j in range(6):
+                st_ref[base + j] = sh[j]
+
+        # primal
+        pAr, pAi = fmul(RA[0], RA[1])
+        pBr, pBi = fmul(RB[0], RB[1])
+        store(0, (pAr, pAi, pBr, pBi,
+                  cZ * SZ[0] + rowmask * rec, cZ * SZ[1]))
+        for name, g in gi.items():
+            base = 6 * (g + 1)
+            tA, tB, tZ = tRA[g], tRB[g], tSZ[g]
+            if name == "T1":
+                store(base, (*fmul(tA[0], tA[1]), *fmul(tB[0], tB[1]),
+                             cZ * tZ[0] + dcZ * SZ[0] - rowmask * dcZ,
+                             cZ * tZ[1] + dcZ * SZ[1]))
+            elif name == "T2":
+                t2A = fmul(tA[0], tA[1])
+                x2A = fmul(RA[0], RA[1], dcFr, dcFi)
+                t2B = fmul(tB[0], tB[1])
+                x2B = fmul(RB[0], RB[1], dcFr, dcFi)
+                store(base, (t2A[0] + x2A[0], t2A[1] + x2A[1],
+                             t2B[0] + x2B[0], t2B[1] + x2B[1],
+                             cZ * tZ[0], cZ * tZ[1]))
+            elif name == "B1":
+                store(base, (*fmul(tA[0] + cRA[0], tA[1] + cRA[1]),
+                             *fmul(tB[0] + cRB[0], tB[1] + cRB[1]),
+                             cZ * (tZ[0] + cSZ[0]), cZ * (tZ[1] + cSZ[1])))
+            else:   # df
+                fA = fmul(tA[0], tA[1])
+                xA = fmul(RA[0], RA[1], fFr, fFi)
+                fB = fmul(tB[0], tB[1])
+                xB = fmul(RB[0], RB[1], fFr, fFi)
+                store(base, (fA[0] + xA[0], fA[1] + xA[1],
+                             fB[0] + xB[0], fB[1] + xB[1],
+                             cZ * tZ[0], cZ * tZ[1]))
+        return 0
+
+    jax.lax.fori_loop(0, nstages, step, 0)
+
+
+COMP_JAC_GROUPS = ("T1", "T2", "B1", "df")
+
+
+def composite_jacobian_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
+                              T1s, T2s, B1s, dfs=None, *, nadc, nstate,
+                              groups=COMP_JAC_GROUPS,
+                              has_up=None, has_down=None, has_adcph=None,
+                              has_b1u=None, btile=512, interpret=False):
+    """Composite-GRE stage train + dS/d(selected params) in one fused
+    kernel.
+
+    Same contract as :func:`composite_pallas` plus derivatives:
+    ``groups`` selects tangent columns from ("T1", "T2", "B1", "df")
+    (canonical order enforced); returns ``(re, im), (jre, jim)`` with
+    signals (nadc, B) and Jacobians (nadc, B, len(groups)) in group
+    order.  The df column (signal per kHz of off-resonance) is exact at
+    any df including 0; the B1 column is w.r.t. the B1s actually passed
+    (dispatch callers get the matcher's max-normalized B1).
+    FD-validated against the f64 planner in
+    tests/test_composite_jacobian.py.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    groups = tuple(g for g in COMP_JAC_GROUPS if g in groups)
+    ng = len(groups)
+    (N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
+     ) = _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s,
+                     B1s, dfs, btile, has_up, has_down, has_adcph,
+                     has_b1u, nstate)
+    use_df = dfs is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
+        pl.BlockSpec((1, btile), lambda b: (0, b))] * 4
+
+    kernel = partial(
+        _kernel_comp_jac, nstages=N, nstate=nstate, use_df=use_df,
+        has_up=has_up, has_down=has_down, has_adcph=has_adcph,
+        has_b1u=has_b1u, groups=groups)
+    nout = 2 + 2 * ng
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((nadc, btile), lambda b: (0, b))] * nout,
+        out_shape=[jax.ShapeDtypeStruct((nadc, Bp), f32)] * nout,
+        scratch_shapes=[pltpu.VMEM((6 * (ng + 1), nstate + 1, btile),
+                                   f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    o = [x[:, :B] for x in outs]
+    re, im = o[0], o[1]
+    jre = jnp.stack(o[2::2], axis=-1)               # (nadc, B, ng)
+    jim = jnp.stack(o[3::2], axis=-1)
+    return (re, im), (jre, jim)
