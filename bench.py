@@ -1036,6 +1036,27 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
     out["composite_best_seconds"] = round(float(best), 4)
     out["composite_warmup_seconds"] = round(float(warm), 2)
 
+    # Composite-GRE Jacobian dispatch (r4): the same MPRAGE-style train
+    # with canonical (T1, T2) tracking + Adc/Jacobian probes -> fused
+    # composite tangent kernel (18 planes: only requested groups)
+    o1c = ["T1", "T2"]
+    seqcj = []
+    for seg in range(nseg):
+        seqcj += [epg.T(180.0, 0.0), epg.E(120.0, T1, T2, order1=o1c)]
+        for i in range(nread):
+            seqcj += [epg.T(float(FA[seg * nread + i]), 0.0),
+                      epg.E(3.0, T1, T2, order1=o1c), epg.ADC,
+                      epg.E(5.0, T1, T2, order1=o1c), epg.S(1)]
+        seqcj += [epg.E(250.0, T1, T2, order1=o1c)]
+    probc = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    warm, best = timed(
+        lambda: epg.simulate(seqcj, max_nstate=nstate, probe=probc,
+                             asarray=False),
+        lambda r: float(np.asarray(r[1]["__c_re"][0, 0, 0])))
+    out["composite_jac_atoms_per_sec"] = round(natoms / best, 1)
+    out["composite_jac_best_seconds"] = round(float(best), 4)
+    out["composite_jac_warmup_seconds"] = round(float(warm), 2)
+
     # Balanced EPG-X (bSSFP-MT): shiftless two-pool train, alternating
     # RF phase (match_xgre balanced=True -> nstate=0 kernel)
     dens = [0.85, 0.15]

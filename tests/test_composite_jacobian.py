@@ -204,3 +204,36 @@ def test_fall_through_off_pattern(mutate):
                        order1=["T1"])
         assert fisp_dispatch.match_composite(list(seq)) is None
         return
+
+
+def test_composite_jacobian_demodulated_train():
+    """RF-spoiled (phase-cycled, demodulated-Adc) composite train: the
+    probes inherit the in-train Adc phase through op.post, so the
+    kernel must phase the tangent columns identically (the MPRAGE
+    readout convention)."""
+    B, NS = 3, 8
+    rng = np.random.default_rng(9)
+    T1 = rng.uniform(400, 1600, B)
+    T2 = rng.uniform(30, 150, B)
+    o1 = ["T1", "T2"]
+    ph = np.cumsum(np.arange(8) * 117.0) % 360.0
+    seq = []
+    j = 0
+    for s in range(2):
+        seq += [epg.T(180.0, 0.0), epg.E(12.0, T1, T2, order1=o1)]
+        for i in range(4):
+            seq += [epg.T(9.0, float(ph[j])),
+                    epg.E(2.2, T1, T2, order1=o1),
+                    epg.Adc(phase=-float(ph[j])),
+                    epg.E(3.8, T1, T2, order1=o1), epg.S(1)]
+            j += 1
+        seq += [epg.E(60.0, T1, T2, order1=o1)]
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    sig_k, jac_k = epg.simulate(list(seq), max_nstate=NS, probe=probes,
+                                fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(list(seq), max_nstate=NS, probe=probes,
+                                fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    scale = np.array([1.0, 1e3, 1e2])
+    err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
+    assert err < 3e-4, err

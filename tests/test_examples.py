@@ -58,7 +58,21 @@ def test_mprage_t1_mapping_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MPRAGE_NVOX", "16")
     monkeypatch.setenv("MPRAGE_NSEG", "4")
     monkeypatch.setenv("MPRAGE_NREAD", "12")
+    monkeypatch.setenv("MPRAGE_ITERS", "3")
     _run("mprage_t1_mapping.py", monkeypatch, tmp_path)
+
+
+def test_cardiac_mrf_t1t2_smoke(monkeypatch, tmp_path):
+    """Prepared cardiac-MRF blocks (composite family): dictionary match
+    + GN refinement on the fused composite-Jacobian dispatch; halved
+    RMSE asserted inside the example."""
+    monkeypatch.setenv("CMRF_NBEAT", "6")
+    monkeypatch.setenv("CMRF_NREAD", "12")
+    monkeypatch.setenv("CMRF_NT1", "12")
+    monkeypatch.setenv("CMRF_NT2", "8")
+    monkeypatch.setenv("CMRF_NVOX", "12")
+    monkeypatch.setenv("CMRF_ITERS", "5")
+    _run("cardiac_mrf_t1t2.py", monkeypatch, tmp_path)
 
 
 def test_dess_t1t2_mapping_smoke(monkeypatch, tmp_path):
