@@ -164,6 +164,7 @@ def test_jacobian_dispatch_matches_planner():
         assert err < 2e-5, (c, err)
 
 
+@pytest.mark.slow
 def test_jacobian_dispatch_tracks_df():
     """bSSFP admits ``g`` tracking (ddf tangent group — off-resonance
     is a fitted parameter in MRF-bSSFP): the fused kernel's 4th column

@@ -7,6 +7,7 @@ exp(-Tr(b D)), anisotropic tensors contracted elementwise.
 """
 
 import numpy as np
+import pytest
 
 import epgpy_tpu as epg
 from epgpy_tpu.ops.diffusion import compute_bmatrix, diffusion_operator
@@ -141,6 +142,7 @@ def test_rare_diffusion_golden():
     assert b[0] > b[-1] > 0
 
 
+@pytest.mark.slow
 def test_ssfp_dwi_golden():
     """Anisotropic-D SSFP with conventional vs quasi-isotropic diffusion
     lobes (Gao 2021 part 3.2) matches the reference over 30 TRs.  The

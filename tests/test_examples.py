@@ -42,6 +42,7 @@ def test_mt_qmt_mapping_smoke(monkeypatch, tmp_path):
     _run("mt_qmt_mapping.py", monkeypatch, tmp_path)
 
 
+@pytest.mark.slow
 def test_optim_tse_smoke(monkeypatch, tmp_path):
     """SAR-constrained variable-flip TSE CRLB design (fused per-echo
     CPMG design kernel); constraint satisfaction + improvement over
@@ -116,6 +117,7 @@ def test_mrf_bssfp_smoke(monkeypatch, tmp_path):
     _run("mrf_bssfp.py", monkeypatch, tmp_path)
 
 
+@pytest.mark.slow
 def test_mrf_bssfp_refine_smoke(monkeypatch, tmp_path):
     """Off-grid (T1, T2, df) Gauss-Newton stage (g-tracked balanced
     Jacobian dispatch): needs a refinement-capable train length."""
@@ -181,6 +183,7 @@ def test_optim_mrf_pg_smoke(monkeypatch, tmp_path):
     _run("optim_mrf.py", monkeypatch, tmp_path)
 
 
+@pytest.mark.slow
 def test_hyperecho3d_smoke(monkeypatch, tmp_path):
     _run("hyperecho3d.py", monkeypatch, tmp_path)
 
@@ -205,6 +208,7 @@ def test_optim_mse_smoke(monkeypatch, tmp_path):
     _run("optim_mse.py", monkeypatch, tmp_path)
 
 
+@pytest.mark.slow
 def test_gradient_echo_2d_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("GRE2D_N", "16")
     _run("gradient_echo_2d.py", monkeypatch, tmp_path)
@@ -216,6 +220,7 @@ def test_iso_vs_epg_imaging_smoke(monkeypatch, tmp_path):
     _run("iso_vs_epg_imaging.py", monkeypatch, tmp_path)
 
 
+@pytest.mark.slow
 def test_ssfp_diffusion_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("SSFP_NRF", "20")
     monkeypatch.setenv("SSFP_NPOS", "41")

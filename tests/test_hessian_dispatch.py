@@ -216,6 +216,7 @@ def test_te_sep_inversion_kernel():
     check(cplx("dT2dtau"), hes[:, 2, NTR:])
 
 
+@pytest.mark.slow
 def test_fused_design_loss_grad():
     """mrf_design_loss_grad_fused == value_and_grad(mrf_design_loss)
     (the CRLB sequence-design objective), sharded and unsharded."""

@@ -76,6 +76,7 @@ def test_order1_fd_sweep(name):
         assert err < 1e-6 * scale, f"{name}.{p}: {err}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_order2_fd_sweep_all_pairs(name):
     """d2(signal)/dp1 dp2 vs FD of the analytic Jacobian, ALL pairs."""

@@ -212,6 +212,7 @@ def test_general_engine_sharding_propagates(cpu_devices):
     assert np.abs(dec - ref).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_mrf_design_slsqp_hard_constraints(cpu_devices):
     """SLSQP-driven design (reference optim_mrf.py:119-156 fidelity):
     the |dFA| <= 1 smoothness constraint and the box bounds must hold

@@ -178,6 +178,7 @@ def test_sequence_pickling():
     assert np.abs(a - b).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_sequence_crlb_gradient_fd():
     """crlb(variables, gradient=params): the analytic CRLB gradient
     (Hessian contraction, reference epgpy/stats.py:6-36) matches finite

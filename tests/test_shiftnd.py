@@ -325,6 +325,7 @@ def test_press_golden():
     assert np.abs(images - g["images"]).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_gre2d_golden():
     """2-D spatially-resolved gradient-echo imaging (reference
     isochromats_vs_epg_2d_vec.py structure): per-line phase encodes,
@@ -508,6 +509,7 @@ def test_exchange_tau_sweep():
     assert np.all(np.diff(mags, axis=-1) < 0)
 
 
+@pytest.mark.slow
 def test_exchange_scanned_lanes_precomputed():
     """A long EPG-X GRE train scan-compiles with the expm matrix
     precomputed at plan time (no per-step Pade expm, no compat-layout

@@ -289,6 +289,7 @@ def test_match_memoized():
     assert p1 is p2
 
 
+@pytest.mark.slow
 def test_fuzz_xgre_dispatch_parity_or_fallthrough():
     """Randomized trains: valid family members must match AND agree with
     the planner; mutated trains must fall through (match is None)."""

@@ -86,6 +86,7 @@ def kernel_jacobian(f, T2f, g=None):
         nstate=NSTATE, btile=128, interpret=True)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("g", [None, "offres"])
 def test_xgre_jacobian_fd_parity(g):
     rng = np.random.default_rng(5)
@@ -119,6 +120,7 @@ def test_xgre_jacobian_fd_parity(g):
                                                       np.abs(fd_t).max())
 
 
+@pytest.mark.slow
 def test_xgre_jacobian_three_compartments_fd():
     """C=3 (free + myelin water + bound pool): Pade expm path and the
     unrolled 3x3 mixes; FD oracle on the middle pool's T2."""
