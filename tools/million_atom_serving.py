@@ -38,6 +38,19 @@ def main():
     from epgpy_tpu.parallel import mrf_reconstruct, \
         streamed_compress_dictionary
 
+    if "--warm" in sys.argv or os.environ.get("MEGA_WARM") == "1":
+        # prime the block-shape kernels + compile cache first (see
+        # tools/warm_serving.py): the build/serve timings below then
+        # reflect a warm serving process
+        from warm_serving import warm_serving
+        t0 = time.perf_counter()
+        block = -(-NATOMS // NCHUNKS)
+        warm_serving(natoms=block, npulse=NPULSE, nvox=NVOX, rank=RANK,
+                     stages=("dictionary",), steady_repeats=1)
+        print(json.dumps({"warm_stage_seconds":
+                          round(time.perf_counter() - t0, 1)}),
+              file=sys.stderr)
+
     rng = np.random.default_rng(42)
     FA = (10 + 50 * np.abs(np.sin(np.arange(NPULSE) * 2 * np.pi / 500))
           + rng.uniform(0, 2, NPULSE)).astype(np.float32)
