@@ -1202,73 +1202,90 @@ def measure_recon(dict_re, dict_im, params):
 
 
 def measure_roofline():
-    """Measured single-chip roofline (r4, VERDICT #2): peak VPU f32
-    FLOP/s from a pure-fma Pallas loop, HBM stream bandwidth from a
-    1 GB-traffic elementwise copy, and MXU matmul FLOP/s in bf16
-    (default) and f32 (precision=HIGHEST, the physics path).  All
-    pipelined (fact 14: single-shot walls are launch-floor-bound).
+    """Measured single-chip roofline (r4, VERDICT #2).
 
-    These numbers anchor the ``*_flops_frac`` / ``*_bw_frac``
-    efficiency fractions computed in main(): sustained kernel FLOP/s
-    (from a hand-audited madd count per atom-TR) divided by the peak
-    measured HERE, in the same window class.  See
-    docs/performance.md "Roofline".
+    Four ceilings, all pipelined (fact 14: single-shot walls are
+    launch-floor-bound):
+
+    - ``vpu_f32_tflops``: raw fma peak -- 4 independent fma chains on
+      an (8, 512) block that stays in vector REGISTERS (measured
+      ~7.8 TFLOP/s = 8x128 lanes x 4 ALUs x 2 flops x ~0.94 GHz).
+    - ``vmem_madd_tflops``: the same fma chains on a (256, 512) block
+      whose accumulators live in VMEM (loop-carried ld/ld/st per fma).
+      This is the ATTAINABLE ceiling for plane-resident EPG kernels,
+      whose state planes are VMEM arrays by construction
+      (~1-1.5 TFLOP/s, i.e. ~6-9 TB/s of VMEM traffic at 12 B/fma).
+    - ``hbm_gbps``: K forced passes over a 256 MB buffer (a single
+      y = x + 1 is ~0.6 ms of traffic -- host-dispatch bound even
+      pipelined; the fori_loop materializes y every iteration).
+    - ``mxu_{bf16,f32_highest}_tflops``: n=8192 / n=4096 matmuls
+      (per-call input perturbed: identical repeated dispatches measure
+      suspiciously fast through the tunnel).
+
+    These anchor the ``*_flops_frac`` / ``*_bw_frac`` fractions in
+    main(); see docs/performance.md "Roofline".
     """
     import jax
     import jax.numpy as jnp
     from functools import partial as _partial
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     out = {}
     f32 = jnp.float32
 
-    # -- VPU f32 peak: 4 independent fma chains on a (256, 512) block
-    R, C, ITERS, CHAINS = 256, 512, 2000, 4
-
-    def _vpu_kernel(x_ref, o_ref, *, iters):
-        x = x_ref[...]
-        accs = [x * (1.0 + 1e-6 * j) for j in range(CHAINS)]
-
-        def body(i, accs):
-            # fma chains with a data dependence Mosaic cannot fold
-            return tuple(a * 0.9999998 + x for a in accs)
-
-        accs = jax.lax.fori_loop(0, iters, body, tuple(accs))
-        o_ref[...] = sum(accs[1:], accs[0])
-
-    xin = jnp.full((R, C), 0.5, f32)
-    vpu = jax.jit(lambda x: pl.pallas_call(
-        _partial(_vpu_kernel, iters=ITERS),
-        out_shape=jax.ShapeDtypeStruct((R, C), f32))(x))
-
     def _sync1(o):
         return float(np.asarray(o.reshape(-1)[0]))
 
-    _sync1(vpu(xin))
-    best, _ = _pipelined_best(lambda: vpu(xin), _sync1, REPEATS, M=8)
-    flops = 2.0 * CHAINS * R * C * ITERS
-    out["roofline_vpu_f32_tflops"] = round(flops / best / 1e12, 2)
+    def _vpu_rate(R, C, chains, iters):
+        def kern(x_ref, o_ref):
+            x = x_ref[...]
+            accs = [x * (1.0 + 1e-6 * j) for j in range(chains)]
 
-    # -- HBM stream: y = x + 1 over 256 MB (read + write = 512 MB)
-    N = 1 << 26
+            def body(i, accs):
+                # fma chains with a data dependence Mosaic cannot fold
+                return tuple(a * 0.9999998 + x for a in accs)
+
+            accs = jax.lax.fori_loop(0, iters, body, tuple(accs))
+            o_ref[...] = sum(accs[1:], accs[0])
+
+        xin = jnp.full((R, C), 0.5, f32)
+        run = jax.jit(lambda x: pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((R, C), f32))(x))
+        _sync1(run(xin))
+        best, _ = _pipelined_best(lambda: run(xin), _sync1, REPEATS, M=8)
+        return 2.0 * chains * R * C * iters / best
+
+    out["roofline_vpu_f32_tflops"] = round(
+        _vpu_rate(8, 512, 4, 100_000) / 1e12, 2)
+    out["roofline_vmem_madd_tflops"] = round(
+        _vpu_rate(256, 512, 8, 2_000) / 1e12, 2)
+
+    N, K = 1 << 26, 16
     xs = jnp.arange(N, dtype=f32)
-    stream = jax.jit(lambda x: x + 1.0)
+    stream = jax.jit(lambda x: jax.lax.fori_loop(
+        0, K, lambda i, y: y + 1.0, x))
     _sync1(stream(xs))
-    best, _ = _pipelined_best(lambda: stream(xs), _sync1, REPEATS, M=8)
-    out["roofline_hbm_gbps"] = round(2.0 * 4 * N / best / 1e9, 1)
+    best, _ = _pipelined_best(lambda: stream(xs), _sync1, REPEATS, M=4)
+    out["roofline_hbm_gbps"] = round(2.0 * 4 * N * K / best / 1e9, 1)
 
-    # -- MXU matmul: n=4096 (bf16 default passes, then f32 HIGHEST)
-    n = 4096
-    key = jax.random.PRNGKey(0)
-    A = jax.random.normal(key, (n, n), f32)
-    Bm = jax.random.normal(key, (n, n), f32)
-    mm_bf16 = jax.jit(lambda a, b: a @ b)
-    mm_f32 = jax.jit(lambda a, b: jnp.matmul(
-        a, b, precision=jax.lax.Precision.HIGHEST))
-    for name, fn in (("bf16", mm_bf16), ("f32_highest", mm_f32)):
-        _sync1(fn(A, Bm))
-        best, _ = _pipelined_best(lambda: fn(A, Bm), _sync1, REPEATS, M=8)
+    import itertools
+    for name, n, prec in (("bf16", 8192, None),
+                          ("f32_highest", 4096,
+                           jax.lax.Precision.HIGHEST)):
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (n, n), f32)
+        # 4 pre-built input variants cycled per call: repeated
+        # IDENTICAL dispatches measure suspiciously fast through the
+        # tunnel, and an in-call perturbation would add its own
+        # elementwise traffic to the timing
+        variants = [A + 1e-6 * j for j in range(4)]
+        mm = jax.jit(lambda a, b, prec=prec: (
+            a @ b if prec is None
+            else jnp.matmul(a, b, precision=prec)))
+        it = itertools.cycle(variants)
+        _sync1(mm(A, A))
+        best, _ = _pipelined_best(
+            lambda: mm(next(it), A), _sync1, REPEATS, M=8)
         out[f"roofline_mxu_{name}_tflops"] = round(
             2.0 * n ** 3 / best / 1e12, 2)
     return out
@@ -1297,9 +1314,16 @@ def efficiency_fracs(engine, headline_best, headline_atoms, npulse,
     - dictionary match (recon): HBM-bound -- model 4 passes over the
       (V, B) correlation plane (two matmul writes re/im + the fused
       |corr|^2 argmax read) = 4*V*B*4 bytes per call.
+
+    The FLOP fractions are against ``roofline_vmem_madd_tflops`` --
+    the madd rate with loop-carried VMEM operands -- because the EPG
+    kernels' state planes are VMEM arrays by construction; raw fma
+    peak (registers) is ~5-7x higher and unreachable for this work
+    shape.  See docs/performance.md "Roofline".
     """
     fr = {}
-    vpu = engine.get("roofline_vpu_f32_tflops")
+    vpu = engine.get("roofline_vmem_madd_tflops") or engine.get(
+        "roofline_vpu_f32_tflops")
     hbm = engine.get("roofline_hbm_gbps")
     H = nstate + 1
     if vpu:

@@ -887,7 +887,8 @@ def simulate(
             # generic stage trains (MPRAGE/T2prep/sat-recovery): LAST --
             # the exact-pattern families above stay on their (faster,
             # diff-capable) kernels
-            families.append((_fd.match_composite, _fd.run_composite_kernel,
+            families.append((lambda seq: _fd.match_composite(seq, kvalue),
+                             _fd.run_composite_kernel,
                              "composite GRE", "comp"))
         enc = None
         for matcher, runner, family, tag in families:
@@ -1042,11 +1043,12 @@ def simulate(
                 if fparams is None and isinstance(kvalue, (int, float)):
                     fparams = fisp_dispatch.match_dwfisp(sequence, kvalue)
                     runner = fisp_dispatch.run_dwfisp_jacobian
-                if fparams is None:
-                    # generic stage trains (MPRAGE/T2prep/sat-recovery)
-                    # with canonical (T1, T2[, g]) tracking: LAST, like
-                    # the primal dispatch table
-                    fparams = fisp_dispatch.match_composite(sequence)
+                if fparams is None and isinstance(kvalue, (int, float)):
+                    # generic stage trains (MPRAGE/T2prep/sat-recovery,
+                    # incl. D stages) with canonical (T1, T2[, g])
+                    # tracking: LAST, like the primal dispatch table
+                    fparams = fisp_dispatch.match_composite(sequence,
+                                                            kvalue)
                     runner = fisp_dispatch.run_composite_jacobian
                 specs = None if fparams is None else \
                     fisp_dispatch.match_jacobian_probes(

@@ -2218,44 +2218,52 @@ def run_xgre_kernel(params, nstate, *, interpret=False):
 # Composite-GRE dispatch: segmented/prepared stage trains -> pallas_composite
 # ---------------------------------------------------------------------------
 
-def match_composite(sequence):
+def match_composite(sequence, kvalue=1.0):
     """Match arbitrary gradient-echo *stage* trains for the composite
     kernel (models/pallas_composite).
 
-    A stage is ``[T?, E*, Adc?, E*, S(+-k)?]`` with every element
+    A stage is ``[T?, E*, Adc?, E*, S(+-k)?, D?]`` with every element
     optional: the matcher greedily folds the op list into stages
-    (consecutive E taus accumulate; a shift or a second Adc closes the
-    stage; ``S(+-k)`` expands into |k| unit-shift stages; Wait/Offset/
-    NULL are state no-ops and are skipped).  This covers the segmented
-    and prepared GRE families the specialized matchers reject --
-    MPRAGE/MP2RAGE (per-segment ``[T(180), E(TI)]`` inversions +
-    recovery delays), cardiac MRF T2prep composites (back-to-back
-    pulses with no gradient), saturation-recovery GRE -- while the
+    (consecutive E taus accumulate; a shift, a second Adc, or a D
+    closes the stage; ``S(+-k)`` expands into |k| unit-shift stages;
+    Wait/Offset/NULL are state no-ops and are skipped).  This covers
+    the segmented and prepared GRE families the specialized matchers
+    reject -- MPRAGE/MP2RAGE (per-segment ``[T(180), E(TI)]``
+    inversions + recovery delays), cardiac MRF T2prep composites
+    (back-to-back pulses with no gradient), saturation-recovery GRE,
+    and (r4) diffusion-weighted variants (DW-MPRAGE, crushed preps):
+    a ``D`` op closes its stage with a per-stage attenuation
+    (constant-k for ``k=None``, Stejskal-Tanner ramp when ``D(k=s)``
+    matches the stage's shift direction ``s``) -- while the
     exact-pattern families (FISP/MSE/bSSFP/DESS/ME-GRE/EPG-X) keep
     priority in the engine's dispatch table.
 
     Requirements: host-known scalar taus/phases, one shared
     (T1, T2, g) across all E ops, Adc(F0) with optional host-scalar
-    phase, and a rank-1 ``outer(FA, B1)`` factorization of the
+    phase, a rank-1 ``outer(FA, B1)`` factorization of the
     *vector* flip stages (scalar-flip stages -- adiabatic preps --
-    bypass B1, the MPRAGE inversion convention).  Returns the kernel
+    bypass B1, the MPRAGE inversion convention), and scalar-Dcoef D
+    ops sharing one coefficient (same instance, or equal host
+    scalars; tensors/batched D fall through).  Returns the kernel
     params dict or None.
 
     Reference anchor: epgpy composes these trains op-by-op
-    (/root/reference/epgpy/transition.py, evolution.py, shift.py); the
-    reference has no fused path for them at all.
+    (/root/reference/epgpy/transition.py, evolution.py, shift.py,
+    diffusion.py:126-171); the reference has no fused path for them
+    at all.
     """
-    if len(sequence) < 8:
+    if len(sequence) < 8 or not isinstance(kvalue, (int, float)):
         return None
-    key = ("comp",) + tuple(id(op) for op in sequence)
+    key = ("comp", float(kvalue)) + tuple(id(op) for op in sequence)
     return _memoized(key, sequence,
-                     lambda: _match_composite_impl(sequence))
+                     lambda: _match_composite_impl(sequence, kvalue))
 
 
-def _match_composite_impl(sequence):
+def _match_composite_impl(sequence, kvalue=1.0):
     from .ops.transition import T
     from .ops.evolution import E
     from .ops.shift import S
+    from .ops.diffusion import D as Dop
     from .ops.probe import Adc, Probe
     from .ops import base as _base
 
@@ -2264,7 +2272,7 @@ def _match_composite_impl(sequence):
 
     def new_stage(fa, ph):
         return {"fa": fa, "phi": ph, "ta": 0.0, "tb": 0.0,
-                "adc": False, "aph": 0.0, "shift": 0}
+                "adc": False, "aph": 0.0, "shift": 0, "d": None}
 
     def neutral():
         return new_stage(np.zeros(1), 0.0)
@@ -2338,6 +2346,14 @@ def _match_composite_impl(sequence):
                     close()
                     cur = neutral()
                 cur["shift"] = sgn
+        elif type(op) is Dop:
+            # a D op closes its stage: attenuation applies after the
+            # stage's shift (reference op order [... S, D]); detailed
+            # validation happens once below over the collected list
+            if cur is None:
+                cur = neutral()
+            cur["d"] = op
+            close()
         elif isinstance(op, Probe):
             return None              # non-Adc probes: planner
         elif isinstance(op, _base.EmptyOperator):
@@ -2385,6 +2401,55 @@ def _match_composite_impl(sequence):
             aph[i] = s["aph"] * np.pi / 180.0
         shift[i] = s["shift"]
 
+    # diffusion stages (r4): per-stage b-value base + ramp direction
+    # (fisp_dispatch._dw_bvalue conventions); scalar Dcoef only, one
+    # shared coefficient.  Dcoef leaves are device scalars (the D op
+    # stores jnp) -- equality checks are d2h round-trips, so compare
+    # only DISTINCT coefficient objects and cap their count.
+    diffusion = None
+    d_list = [(i, s["d"]) for i, s in enumerate(stages)
+              if s["d"] is not None]
+    if d_list:
+        btd = np.zeros(N)
+        rdir = np.zeros(N)
+        dc0 = None
+        seen_dc = {}
+        for i, d in d_list:
+            if not _no_diff(d) or getattr(d, "axes", None) is not None:
+                return None
+            if not isinstance(d.tau, float):
+                return None
+            if isinstance(d.Dcoef, jax.core.Tracer) or isinstance(
+                    d.kshift, jax.core.Tracer):
+                return None
+            if getattr(d.Dcoef, "ndim", 0) != 0:
+                return None      # tensor / batched Dcoef: planner
+            if d.kshift is None:
+                rd = 0.0
+            else:
+                ks = np.asarray(d.kshift)
+                if ks.shape != (1, 1):
+                    return None
+                rd = float(ks[0, 0])
+                if rd not in (-1.0, 1.0) \
+                        or rd != float(stages[i]["shift"]):
+                    return None
+            if dc0 is None:
+                dc0 = d.Dcoef
+                seen_dc[id(dc0)] = True
+            elif id(d.Dcoef) not in seen_dc:
+                if len(seen_dc) >= 16:
+                    # bound the one-time d2h comparisons (~25 ms each
+                    # through the tunnel; memoized by the match cache)
+                    return None
+                if not np.array_equal(np.asarray(dc0),
+                                      np.asarray(d.Dcoef)):
+                    return None
+                seen_dc[id(d.Dcoef)] = True
+            btd[i] = d.tau * 1e-3 * (float(kvalue) * 1e-3) ** 2
+            rdir[i] = rd
+        diffusion = {"btd": btd, "rdir": rdir, "Dc": dc0}
+
     if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
         return None
     bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
@@ -2397,20 +2462,23 @@ def _match_composite_impl(sequence):
         "T1": T1f, "T2": T2f, "B1": B1f,
         "df": DFf if DFf.any() else None,
         "nadc": int(nadc), "shape": bshape, "vars": tracked,
+        "diffusion": diffusion,
     }
 
 
 @functools.partial(jax.jit, static_argnames=(
     "nstate", "nadc", "interpret", "use_df", "bshape", "has_up",
-    "has_down", "has_adcph", "has_b1u"))
-def _run_comp_jit(FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1, DF,
-                  *, nstate, nadc, interpret, use_df, bshape, has_up,
-                  has_down, has_adcph, has_b1u):
+    "has_down", "has_adcph", "has_b1u", "has_d"))
+def _run_comp_jit(FA, phi, ta, tb, adci, shift, aph, b1u, btd, rdir,
+                  T1, T2, B1, DF, DC, *, nstate, nadc, interpret,
+                  use_df, bshape, has_up, has_down, has_adcph, has_b1u,
+                  has_d):
     from .models.pallas_composite import composite_pallas
 
     re, im = composite_pallas(
         FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
         DF if use_df else None, nadc=nadc, nstate=nstate,
+        diffusion=(btd, rdir, DC) if has_d else None,
         has_up=has_up, has_down=has_down, has_adcph=has_adcph,
         has_b1u=has_b1u, interpret=interpret)
     return (re.reshape((nadc,) + bshape), im.reshape((nadc,) + bshape))
@@ -2420,16 +2488,26 @@ def _comp_device_params(params):
     f32 = np.float32
 
     def build():
+        diff = params.get("diffusion")
+        if diff is None:
+            btd = rdir = np.zeros_like(params["FA"], f32)
+            dc = np.float32(0.0)
+        else:
+            btd = np.asarray(diff["btd"], f32)
+            rdir = np.asarray(diff["rdir"], f32)
+            dc = diff["Dc"]          # device scalar: keep on device
         return tuple(np.asarray(params[k], f32)
                      for k in ("FA", "phi", "ta", "tb")) + (
             np.asarray(params["adci"], np.int32),
             np.asarray(params["shift"], np.int32),
             np.asarray(params["aph"], f32),
             np.asarray(params["b1u"], f32),
+            btd, rdir,
             np.asarray(params["T1"], f32), np.asarray(params["T2"], f32),
             np.asarray(params["B1"], f32),
             np.zeros_like(params["T1"], f32) if params.get("df") is None
-            else np.asarray(params["df"], f32))
+            else np.asarray(params["df"], f32),
+            dc)
 
     return _cached_device(params, build)
 
@@ -2449,7 +2527,8 @@ def run_composite_kernel(params, nstate, *, interpret=False):
         use_df=params.get("df") is not None,
         bshape=tuple(params["shape"]), has_up=has_up, has_down=has_down,
         has_adcph=bool(np.asarray(params["aph"]).any()),
-        has_b1u=not bool(np.asarray(params["b1u"]).all()))
+        has_b1u=not bool(np.asarray(params["b1u"]).all()),
+        has_d=params.get("diffusion") is not None)
     return {"__c_re": re, "__c_im": im}
 
 
@@ -2468,16 +2547,17 @@ def composite_jac_groups(specs):
 
 @functools.partial(jax.jit, static_argnames=(
     "nstate", "nadc", "interpret", "use_df", "bshape", "has_up",
-    "has_down", "has_adcph", "has_b1u", "specs", "groups"))
-def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
-                      DF, *, nstate, nadc, interpret, use_df, bshape,
-                      has_up, has_down, has_adcph, has_b1u, specs,
-                      groups):
+    "has_down", "has_adcph", "has_b1u", "has_d", "specs", "groups"))
+def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, btd, rdir,
+                      T1, T2, B1, DF, DC, *, nstate, nadc, interpret,
+                      use_df, bshape, has_up, has_down, has_adcph,
+                      has_b1u, has_d, specs, groups):
     from .models.pallas_composite import composite_jacobian_pallas
 
     (re, im), (jre, jim) = composite_jacobian_pallas(
         FA, phi, ta, tb, adci, shift, aph, b1u, T1, T2, B1,
         DF if use_df else None, nadc=nadc, nstate=nstate, groups=groups,
+        diffusion=(btd, rdir, DC) if has_d else None,
         has_up=has_up, has_down=has_down, has_adcph=has_adcph,
         has_b1u=has_b1u, interpret=interpret)
     # kernel layout is (nadc, B); the shared assembler expects (B, P).
@@ -2507,5 +2587,6 @@ def run_composite_jacobian(params, nstate, specs, *, interpret=False):
         use_df=params.get("df") is not None,
         bshape=tuple(params["shape"]), has_up=has_up, has_down=has_down,
         has_adcph=bool(np.asarray(params["aph"]).any()),
-        has_b1u=not bool(np.asarray(params["b1u"]).all()), specs=specs,
+        has_b1u=not bool(np.asarray(params["b1u"]).all()),
+        has_d=params.get("diffusion") is not None, specs=specs,
         groups=composite_jac_groups(specs))

@@ -37,10 +37,39 @@ from .pallas_common import (_cmul, _rot_coeffs, _rot_A, _rot_B, _rot_Z)
 __all__ = ["composite_pallas", "composite_jacobian_pallas"]
 
 
+def _datten(btd_ref, rdir_ref, dc_ref, i, H):
+    """Per-stage diffusion attenuation planes (aA, aB, aZ).
+
+    Stage grammar: an optional ``D`` op closes a stage (placed after
+    its shift).  SMEM carries the b-value base ``bt = tau_D [s] *
+    (2 pi kvalue [rad/mm])^2 / (2 pi)^2``-style per squared state
+    index (same convention as fisp_dispatch._dw_bvalue: tau[s] *
+    k[rad/mm]^2) and the ramp direction ``rd`` in {-1, 0, +1}: rd = 0
+    is constant-k attenuation exp(-bt k^2 D); rd = +-1 the
+    Stejskal-Tanner gradient-ramp form -- A(k) was ramped (k-rd) -> k,
+    B(k) = F+(-k) was ramped -(k+rd) -> -k, so
+    b_A(k) = bt (k^2 - rd k + rd^2/3), b_B(k) = bt (k^2 + rd k +
+    rd^2/3); Z never ramps (b_Z = bt k^2).  Stages without a D have
+    bt = 0 (attenuation == 1).  Reference semantics:
+    /root/reference/epgpy/diffusion.py:126-171."""
+    f32 = jnp.float32
+    bt = btd_ref[0, i]
+    rd = rdir_ref[0, i]
+    Dc = dc_ref[0, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0).astype(f32)
+    k2 = rows * rows
+    third = (rd * rd) * (1.0 / 3.0)
+    aA = jnp.exp(-(bt * (k2 - rd * rows + third)) * Dc)
+    aB = jnp.exp(-(bt * (k2 + rd * rows + third)) * Dc)
+    aZ = jnp.exp(-(bt * k2) * Dc)
+    return aA, aB, aZ
+
+
 def _kernel_comp(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
-                 aph_ref, b1u_ref, t1_ref, t2_ref, b1_ref, df_ref,
+                 aph_ref, b1u_ref, btd_ref, rdir_ref,
+                 t1_ref, t2_ref, b1_ref, df_ref, dc_ref,
                  out_re_ref, out_im_ref, st_ref, *, nstages, nstate,
-                 use_df, has_up, has_down, has_adcph, has_b1u):
+                 use_df, has_up, has_down, has_adcph, has_b1u, has_d):
     """One atom tile: run all stages with the planes VMEM-resident.
 
     Folded half-ladder layout (see models/pallas_fisp._kernel_half):
@@ -162,6 +191,12 @@ def _kernel_comp(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
                             jnp.where(dn, dAI, nAI))
                 nBR, nBI = (jnp.where(dn, dBR, nBR),
                             jnp.where(dn, dBI, nBI))
+        if has_d:
+            # diffusion attenuation closes the stage (post-shift)
+            aA, aB, aZ = _datten(btd_ref, rdir_ref, dc_ref, i, H)
+            nAR, nAI = nAR * aA, nAI * aA
+            nBR, nBI = nBR * aB, nBI * aB
+            nZR, nZI = nZR * aZ, nZI * aZ
         st_ref[0] = nAR
         st_ref[1] = nAI
         st_ref[2] = nBR
@@ -175,11 +210,15 @@ def _kernel_comp(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
 
 def _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s, B1s,
                 dfs, btile, has_up, has_down, has_adcph, has_b1u,
-                nstate):
+                nstate, diffusion=None):
     """Shared pad/flag setup for the composite primal and Jacobian
     wrappers: derive the static codegen gates from host arrays when not
     given, ceil-pad the atom axis to btile, and build the kernel input
-    list (8 SMEM per-stage rows + 4 per-atom parameter planes)."""
+    list (10 SMEM per-stage rows + 5 per-atom parameter planes).
+
+    ``diffusion``: optional ``(btd, rdir, Dc)`` -- per-stage b-value
+    bases (N,), ramp directions (N,) in {-1, 0, +1}, and the per-atom
+    diffusion coefficient (scalar or (B,)); see :func:`_datten`."""
     import numpy as np
 
     f32 = jnp.float32
@@ -204,23 +243,36 @@ def _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s, B1s,
     def padb(x):
         return jnp.concatenate([x, jnp.ones((pad,), f32)]) if pad else x
 
+    def padb0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,), f32)]) if pad else x
+
+    if diffusion is None:
+        btd = rdir = jnp.zeros((N,), f32)
+        dc = jnp.zeros((B,), f32)
+    else:
+        btd, rdir, dc = diffusion
+        dc = jnp.broadcast_to(jnp.asarray(dc, f32).reshape(-1), (B,))
+
     row = lambda x: jnp.asarray(x, f32).reshape(1, N)
     irow = lambda x: jnp.asarray(x, jnp.int32).reshape(1, N)
     inputs = [
         row(FA), row(phi), row(ta), row(tb), irow(adci), irow(shift),
         row(jnp.zeros((N,), f32) if aph is None else aph),
         row(jnp.ones((N,), f32) if b1u is None else b1u),
+        row(btd), row(rdir),
         padb(T1s).reshape(1, Bp), padb(jnp.asarray(T2s, f32)).reshape(1, Bp),
         padb(jnp.broadcast_to(jnp.asarray(B1s, f32), (B,))).reshape(1, Bp),
         padb(jnp.zeros((B,), f32) if dfs is None
              else jnp.broadcast_to(jnp.asarray(dfs, f32), (B,))
              ).reshape(1, Bp),
+        padb0(dc).reshape(1, Bp),
     ]
     return N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
 
 
 def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
                      T1s, T2s, B1s, dfs=None, *, nadc, nstate,
+                     diffusion=None,
                      has_up=None, has_down=None, has_adcph=None,
                      has_b1u=None, btile=512, interpret=False):
     """Run a composite-GRE stage train through the fused kernel.
@@ -236,6 +288,9 @@ def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
         T1s, T2s, B1s: (B,) per-atom parameters; dfs optional (B,) [kHz].
         nadc: number of readout rows (static).
         nstate: ladder capacity (static); >= 1 when any stage shifts.
+        diffusion: optional ``(btd, rdir, Dc)`` per-stage diffusion
+            attenuation (see :func:`_datten`): DW-MPRAGE / crushed
+            trains.
         has_up/has_down/has_adcph/has_b1u: static codegen gates; when
             None they are derived host-side from the corresponding
             argument (which must then be a host array, not a tracer --
@@ -250,15 +305,15 @@ def composite_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
     (N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
      ) = _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s,
                      B1s, dfs, btile, has_up, has_down, has_adcph,
-                     has_b1u, nstate)
+                     has_b1u, nstate, diffusion)
     use_df = dfs is not None
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
-        pl.BlockSpec((1, btile), lambda b: (0, b))] * 4
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 10 + [
+        pl.BlockSpec((1, btile), lambda b: (0, b))] * 5
 
     kernel = partial(
         _kernel_comp, nstages=N, nstate=nstate, use_df=use_df,
         has_up=has_up, has_down=has_down, has_adcph=has_adcph,
-        has_b1u=has_b1u)
+        has_b1u=has_b1u, has_d=diffusion is not None)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
@@ -306,9 +361,10 @@ def _shift_sel(planes, s, has_up, has_down):
 
 
 def _kernel_comp_jac(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
-                     aph_ref, b1u_ref, t1_ref, t2_ref, b1_ref, df_ref,
+                     aph_ref, b1u_ref, btd_ref, rdir_ref,
+                     t1_ref, t2_ref, b1_ref, df_ref, dc_ref,
                      *refs, nstages, nstate, use_df, has_up, has_down,
-                     has_adcph, has_b1u, groups):
+                     has_adcph, has_b1u, has_d, groups):
     """Fused composite-GRE primal + selected tangent groups.
 
     ``groups`` is a static tuple drawn from ("T1", "T2", "B1", "df"):
@@ -460,12 +516,22 @@ def _kernel_comp_jac(fa_ref, phi_ref, ta_ref, tb_ref, adci_ref, shf_ref,
         fFr, fFi = -twopi * tt * cFi, twopi * tt * cFr
 
         s = shf_ref[0, i]
+        if has_d:
+            # stage-closing diffusion attenuation: multiplies every
+            # tangent group identically (the attenuation is independent
+            # of T1/T2/B1/df; a dD column would need the extra
+            # -b(k) a(k) primal term -- model level only, like DW-FISP)
+            atten = _datten(btd_ref, rdir_ref, dc_ref, i, H)
 
         def fmul(re, im, cr=cFr, ci=cFi):
             return _cmul(cr, ci, re, im)
 
         def store(base, planes):
             sh = _shift_sel(planes, s, has_up, has_down)
+            if has_d:
+                aA, aB, aZ = atten
+                sh = (sh[0] * aA, sh[1] * aA, sh[2] * aB, sh[3] * aB,
+                      sh[4] * aZ, sh[5] * aZ)
             for j in range(6):
                 st_ref[base + j] = sh[j]
 
@@ -511,7 +577,7 @@ COMP_JAC_GROUPS = ("T1", "T2", "B1", "df")
 
 def composite_jacobian_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
                               T1s, T2s, B1s, dfs=None, *, nadc, nstate,
-                              groups=COMP_JAC_GROUPS,
+                              groups=COMP_JAC_GROUPS, diffusion=None,
                               has_up=None, has_down=None, has_adcph=None,
                               has_b1u=None, btile=512, interpret=False):
     """Composite-GRE stage train + dS/d(selected params) in one fused
@@ -536,15 +602,15 @@ def composite_jacobian_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
     (N, B, Bp, has_up, has_down, has_adcph, has_b1u, inputs
      ) = _comp_setup(FA, phi, ta, tb, adci, shift, aph, b1u, T1s, T2s,
                      B1s, dfs, btile, has_up, has_down, has_adcph,
-                     has_b1u, nstate)
+                     has_b1u, nstate, diffusion)
     use_df = dfs is not None
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
-        pl.BlockSpec((1, btile), lambda b: (0, b))] * 4
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 10 + [
+        pl.BlockSpec((1, btile), lambda b: (0, b))] * 5
 
     kernel = partial(
         _kernel_comp_jac, nstages=N, nstate=nstate, use_df=use_df,
         has_up=has_up, has_down=has_down, has_adcph=has_adcph,
-        has_b1u=has_b1u, groups=groups)
+        has_b1u=has_b1u, has_d=diffusion is not None, groups=groups)
     nout = 2 + 2 * ng
     outs = pl.pallas_call(
         kernel,

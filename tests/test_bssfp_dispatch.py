@@ -192,10 +192,11 @@ def test_jacobian_dispatch_tracks_df():
             assert err < 2e-5, (df is None, inv, c, err)
 
 
-def test_g_tracking_stays_balanced_only():
-    """A g-tracked FISP (spoiled) train must fall through to the
-    planner — the FISP kernels carry no df tangent group — and still
-    agree bit-for-bit between fisp_kernel settings."""
+def test_g_tracking_spoiled_routes_to_composite():
+    """A g-tracked FISP (spoiled) train is rejected by the exact FISP
+    matcher (its kernels carry no df tangent group) but is claimed --
+    r4 -- by the generic composite family, whose Jacobian kernel has
+    an exact df column; parity vs the planner at f32 tolerance."""
     T1, T2 = np.array([800.0, 1200.0]), np.array([60.0, 90.0])
     fseq = []
     for i in range(8):
@@ -205,10 +206,12 @@ def test_g_tracking_stays_balanced_only():
                  epg.E(8.0, T1, T2, 0.01, order1=["T1", "T2", "g"]),
                  epg.S(1)]
     assert fisp_dispatch.match_fisp(list(fseq)) is None
+    assert fisp_dispatch.match_composite(list(fseq)) is not None
     probes = [epg.Jacobian(["T1", "g"])]
     out = epg.simulate(list(fseq), probe=probes, fisp_kernel="force")
     ref = epg.simulate(list(fseq), probe=probes, fisp_kernel=False)
-    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-12
+    scale = np.array([1e3, 1e-2])
+    assert np.abs((np.asarray(out) - np.asarray(ref)) * scale).max() < 3e-4
 
 
 def test_jacobian_hessian_falls_through():

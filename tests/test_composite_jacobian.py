@@ -237,3 +237,96 @@ def test_composite_jacobian_demodulated_train():
     scale = np.array([1.0, 1e3, 1e2])
     err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
     assert err < 3e-4, err
+
+
+KV = 2 * np.pi / 1e-3     # 1 mm voxel: rad/m per state index
+
+
+def _dw_mprage(B=3, track=None, *, Dc=1.2e-3, dkw=None, nseg=2,
+               nread=4, seed=3, shared_d=True):
+    """MPRAGE-like train with diffusion: a crusher ``D(tau, D, k=1)``
+    after every readout spoiler and a constant-k ``D`` inside each
+    recovery delay (acts on the spread ladder)."""
+    rng = np.random.default_rng(seed)
+    T1 = rng.uniform(500, 1700, B)
+    T2 = rng.uniform(40, 150, B)
+    o1 = {"order1": track} if track else {}
+    dkw = {"k": 1} if dkw is None else dkw
+    d_cr = epg.D(6.0, Dc, **dkw)
+    d_free = epg.D(30.0, Dc)
+    seq = []
+    for s in range(nseg):
+        seq += [epg.T(180.0, 0.0), epg.E(14.0, T1, T2, **o1)]
+        for i in range(nread):
+            seq += [epg.T(float(rng.uniform(6, 14)), 0.0),
+                    epg.E(2.2, T1, T2, **o1), epg.ADC,
+                    epg.E(3.8, T1, T2, **o1), epg.S(1),
+                    d_cr if shared_d else epg.D(6.0, Dc, **dkw)]
+        seq += [epg.E(40.0, T1, T2, **o1), d_free,
+                epg.E(40.0, T1, T2, **o1)]
+    return seq
+
+
+def test_dw_composite_primal_parity():
+    """Crusher (ramp) + free-evolution (constant-k) D stages through
+    the composite kernel vs the f64 planner; the D must MATTER (the
+    attenuated train differs from the unweighted one)."""
+    seq = _dw_mprage(B=3)
+    params = fisp_dispatch.match_composite(list(seq), KV)
+    assert params is not None and params["diffusion"] is not None
+    sig_k = epg.simulate(list(seq), max_nstate=8, kvalue=KV,
+                         fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), max_nstate=8, kvalue=KV,
+                         fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    sig_0 = epg.simulate(_dw_mprage(B=3, Dc=0.0), max_nstate=8,
+                         kvalue=KV, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_e) - np.asarray(sig_0)).max() > 1e-4
+
+
+def test_dw_composite_distinct_instances():
+    """Distinct D instances sharing one host-equal scalar coefficient
+    still match (bounded one-time d2h comparisons)."""
+    seq = _dw_mprage(B=2, shared_d=False)
+    assert fisp_dispatch.match_composite(list(seq), KV) is not None
+
+
+def test_dw_composite_jacobian_parity():
+    """Tracked DW-composite trains route to the fused Jacobian kernel
+    (attenuation multiplies every tangent group identically)."""
+    seq = _dw_mprage(B=3, track=["T1", "T2"])
+    probes = [epg.ADC, epg.Jacobian(["magnitude", "T1", "T2"])]
+    sig_k, jac_k = epg.simulate(list(seq), max_nstate=8, kvalue=KV,
+                                probe=probes, fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(list(seq), max_nstate=8, kvalue=KV,
+                                probe=probes, fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 2e-5
+    scale = np.array([1.0, 1e3, 1e2])
+    err = np.abs((np.asarray(jac_k) - np.asarray(jac_e)) * scale).max()
+    assert err < 3e-4, err
+
+
+@pytest.mark.parametrize("mutate", ["tensor", "ramp_noshift", "dc_vary"])
+def test_dw_composite_fall_through(mutate):
+    if mutate == "tensor":
+        seq = _dw_mprage(B=2, Dc=np.diag([1e-3, 1e-3, 1e-3]))
+        assert fisp_dispatch.match_composite(list(seq), KV) is None
+    elif mutate == "ramp_noshift":
+        # a ramp D on a shiftless stage: attenuation would claim a
+        # gradient the ladder never saw -> planner
+        seq = _dw_mprage(B=2)
+        i = next(j for j, op in enumerate(seq)
+                 if type(op) is epg.D and op.kshift is None)
+        seq[i] = epg.D(30.0, 1.2e-3, k=1)
+        assert fisp_dispatch.match_composite(list(seq), KV) is None
+    else:
+        seq = _dw_mprage(B=2, shared_d=False)
+        i = next(j for j, op in enumerate(seq) if type(op) is epg.D)
+        seq[i] = epg.D(6.0, 2.5e-3, k=1)
+        assert fisp_dispatch.match_composite(list(seq), KV) is None
+    # planner parity still holds for the rejected train
+    sig_k = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
+                         fisp_kernel="force")
+    sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
+                         fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-7
