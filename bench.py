@@ -1079,6 +1079,32 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
     out["composite_jac_best_seconds"] = round(float(best), 4)
     out["composite_jac_warmup_seconds"] = round(float(warm), 2)
 
+    # Composite EPG-X dispatch (r4): segmented MT-prepped GRE
+    # (saturation blocks + readout segments + recovery delays) ->
+    # match_xcomposite; the structure match_xgre rejects
+    dens2 = [0.85, 0.15]
+    khi2 = epg.exchange_matrix(0.005, ncomp=2, densities=dens2)
+    T2p = np.stack([T2, np.full(natoms, 0.012, np.float32)], axis=0)
+    T1p = np.array([1000.0, 1100.0])
+    Xte = epg.X(3.0, khi2, axis=0, T1=T1p, T2=T2p)
+    Xtr = epg.X(7.0, khi2, axis=0, T1=T1p, T2=T2p)
+    Xrec = epg.X(150.0, khi2, axis=0, T1=T1p, T2=T2p)
+    seqx = []
+    nseg = 4
+    for seg in range(nseg):
+        seqx += [epg.R(0, rL=np.asarray([0.0, 0.3]), r0=None), Xrec]
+        for i in range(ntr // (2 * nseg)):
+            seqx += [epg.T(np.asarray([float(FA[i] / 3), 0.0]), 0.0),
+                     Xte, epg.ADC, Xtr, epg.S(1)]
+        seqx += [Xrec]
+    warm, best = timed(
+        lambda: epg.simulate(seqx, max_nstate=nstate, density=dens2,
+                             asarray=False),
+        lambda r: float(np.asarray(r["__c_re"]).reshape(-1)[0]))
+    out["xcomp_atoms_per_sec"] = round(natoms / best, 1)
+    out["xcomp_best_seconds"] = round(float(best), 4)
+    out["xcomp_warmup_seconds"] = round(float(warm), 2)
+
     # Balanced EPG-X (bSSFP-MT): shiftless two-pool train, alternating
     # RF phase (match_xgre balanced=True -> nstate=0 kernel)
     dens = [0.85, 0.15]
@@ -1255,10 +1281,13 @@ def measure_roofline():
         best, _ = _pipelined_best(lambda: run(xin), _sync1, REPEATS, M=8)
         return 2.0 * chains * R * C * iters / best
 
+    # per-call work >= ~5 ms: sub-ms probes read as launch floor under
+    # tunnel contention (a 0.4 ms register probe once measured SLOWER
+    # than the VMEM one)
     out["roofline_vpu_f32_tflops"] = round(
-        _vpu_rate(8, 512, 4, 100_000) / 1e12, 2)
+        _vpu_rate(8, 512, 4, 1_000_000) / 1e12, 2)
     out["roofline_vmem_madd_tflops"] = round(
-        _vpu_rate(256, 512, 8, 2_000) / 1e12, 2)
+        _vpu_rate(256, 512, 8, 8_000) / 1e12, 2)
 
     N, K = 1 << 26, 16
     xs = jnp.arange(N, dtype=f32)

@@ -883,6 +883,13 @@ def simulate(
         ]
         families.append((lambda seq: _fd.match_xgre(seq, shape, _dens_opt),
                          _fd.run_xgre_kernel, "EPG-X GRE", "xgre"))
+        # composite EPG-X stage trains (MT-prepped/segmented; r4):
+        # after the exact-pattern xgre family, before the 1-pool
+        # composite (which rejects X ops anyway)
+        families.append((lambda seq: _fd.match_xcomposite(seq, shape,
+                                                          _dens_opt),
+                         _fd.run_xcomposite_kernel, "EPG-X composite",
+                         "xcomp"))
         if _dens_opt is None:
             # generic stage trains (MPRAGE/T2prep/sat-recovery): LAST --
             # the exact-pattern families above stay on their (faster,
@@ -904,6 +911,15 @@ def simulate(
                        if tag == "xgre" else 6}.get(tag, 6)
             if tag == "mse" and fparams.get("diffusion") is not None:
                 nplanes = 12        # + 6 loop-invariant attenuation planes
+            if tag == "xcomp":
+                # 6 planes per compartment + the un-chunked output
+                # windows (2C arrays, double-buffered) + the stage-
+                # matrix table block, as plane-equivalents
+                _C = int(fparams["C"])
+                _nm = len(fparams["taus"])
+                nplanes = 6 * _C + -(
+                    -(4 * _C * fparams["nadc"] + 2 * _nm * 3 * _C * _C)
+                    // (ncap + 1))
             if tag == "comp":
                 # the composite kernel's un-chunked (nadc, btile) output
                 # windows live in VMEM too: fold them into the gate as

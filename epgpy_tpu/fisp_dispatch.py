@@ -52,6 +52,7 @@ __all__ = ["match_fisp", "run_fisp_kernel", "match_jacobian_probes",
            "match_dwfisp", "run_dwfisp_kernel", "run_dwfisp_jacobian",
            "match_composite", "run_composite_kernel",
            "run_composite_jacobian",
+           "match_xcomposite", "run_xcomposite_kernel",
            "clear_cache"]
 
 #: per-sequence match memo, keyed on operator identities (same pattern
@@ -2211,6 +2212,325 @@ def run_xgre_kernel(params, nstate, *, interpret=False):
                            nstate=0 if balanced else max(int(nstate), 1),
                            bshape=tuple(params["shape"]),
                            interpret=interpret, shift=not balanced)
+    return {"__c_re": re, "__c_im": im}
+
+
+# ---------------------------------------------------------------------------
+# Composite EPG-X dispatch: MT-/exchange-prepared stage trains
+# ---------------------------------------------------------------------------
+
+def match_xcomposite(sequence, shape, density=None):
+    """Match composite EPG-X stage trains (r4, VERDICT #5):
+
+        stage = [R(sat)?, T(alpha_c, phi_c)?, X(tau)*, Adc?, X(tau)*,
+                 S(+-1)?]
+
+    -- arbitrary prepared/segmented multi-compartment schedules the
+    exact-pattern ``match_xgre`` rejects (MT-prepped GRE with
+    saturation blocks + recovery delays, IR-MT, sat-recovery MT).
+    Consecutive X ops accumulate their taus (one shared generator:
+    every X must carry the SAME khi/T1/T2/g leaf objects, so
+    X(t1) X(t2) = X(t1+t2) exactly); the distinct accumulated taus
+    become a small stage-matrix table indexed per stage.  Flips must
+    be host per-compartment scalars (leading C axis); saturation via
+    raw-rate ``R`` with no recovery.  Returns a param dict or None.
+
+    Reference anchor: /root/reference/epgpy/exchange.py:89-120,
+    evolution.py R -- applied op-by-op; no fused path exists there.
+    """
+    if len(sequence) < 6:
+        return None
+    if _is_device(density):
+        return None
+    try:
+        dkey = None if density is None else tuple(
+            np.ravel(np.asarray(density)).tolist())
+    except (TypeError, ValueError):
+        return None
+    key = ("xcomp", tuple(shape), dkey) + tuple(id(op) for op in sequence)
+    return _memoized(
+        key, sequence,
+        lambda: _match_xcomposite_impl(sequence, tuple(shape), density))
+
+
+def _match_xcomposite_impl(sequence, shape, density):
+    from .ops.transition import T
+    from .ops.evolution import R
+    from .ops.exchange import X
+    from .ops.shift import S
+    from .ops.probe import Adc, Probe
+    from .ops import base as _base
+
+    # one shared generator: every X op must be the same instance or
+    # carry identity-same khi/T1/T2/g leaves
+    xops = [op for op in sequence if type(op) is X]
+    if not xops:
+        return None
+    x0 = xops[0]
+    if not _xgre_stage_ok(x0, int(x0.khi.shape[-1])):
+        return None
+    if len({id(x) for x in xops}) > 64:
+        # tau reads on device leaves are one-time d2h round-trips
+        # (memoized); bound them -- reuse X instances (the same-op
+        # idiom) for long trains
+        return None
+    # one shared generator: the X op stores fresh jnp leaves per
+    # instance (ops/exchange.py), so group instances by leaf ids and
+    # value-compare only the (few) distinct group representatives --
+    # the (C, B) parameter transfers are one-time, memoized by the
+    # match cache, and bounded by the group cap
+    groups = {}
+    for x in xops:
+        if not _no_diff(x) or isinstance(x.tau, jax.core.Tracer):
+            return None
+        if np.ndim(x.tau) != 0 and np.size(x.tau) != 1:
+            return None
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in (x.tau, x.T1, x.T2, x.g) if leaf is not None):
+            return None
+        groups.setdefault((id(x.khi), id(x.T1), id(x.T2), id(x.g)), x)
+    if len(groups) > 8:
+        return None
+    for x in list(groups.values())[1:]:
+        for a, b in ((x.khi, x0.khi), (x.T1, x0.T1),
+                     (x.T2, x0.T2), (x.g, x0.g)):
+            if (a is None) != (b is None):
+                return None
+            if a is not None and not np.array_equal(np.asarray(a),
+                                                    np.asarray(b)):
+                return None
+    C = int(x0.khi.shape[-1])
+    if len(shape) < 1 or shape[0] != C:
+        return None
+
+    stages = []
+    cur = None
+
+    def new_stage():
+        return {"sat": None, "alpha": np.zeros(C), "phi": np.zeros(C),
+                "ta": 0.0, "tb": 0.0, "adc": False, "aph": 0.0,
+                "shift": 0}
+
+    def close():
+        nonlocal cur
+        if cur is not None:
+            stages.append(cur)
+            cur = None
+
+    _tau_cache = {}
+
+    def _xtau(op):
+        t = _tau_cache.get(id(op))
+        if t is None:
+            t = float(np.asarray(op.tau).reshape(()))   # one d2h per op
+            _tau_cache[id(op)] = t
+        return t
+
+    have_pulse = False
+    for op in sequence:
+        if type(op) is R:
+            close()
+            cur = new_stage()
+            cur["sat"] = op
+            have_pulse = False
+        elif type(op) is T:
+            if not _no_diff(op) or getattr(op, "axes", None) is not None:
+                return None
+            a = _comp_vec(op.alpha, C)
+            p = _comp_vec(op.phi, C)
+            if a is None or p is None:
+                return None
+            if cur is None or have_pulse or cur["ta"] or cur["tb"] \
+                    or cur["adc"] or cur["shift"]:
+                close()
+                cur = new_stage()
+            cur["alpha"] = a
+            cur["phi"] = p
+            have_pulse = True
+        elif type(op) is X:
+            # accumulated tau (host scalar; tiny one-time d2h memoized)
+            tau = _xtau(op)
+            if tau < 0:
+                return None
+            if cur is None or cur["shift"]:
+                close()
+                cur = new_stage()
+                have_pulse = False
+            cur["tb" if cur["adc"] else "ta"] += tau
+        elif type(op) is Adc:
+            ph_adc = None if op.phase is None else _scalar(op.phase)
+            if (op.attr != "F0" or (op.phase is not None
+                                    and ph_adc is None)
+                    or op.weights is not None
+                    or op.reduce not in (None, False)
+                    or not _no_diff(op)):
+                return None
+            if cur is None or cur["adc"] or cur["shift"]:
+                close()
+                cur = new_stage()
+                have_pulse = False
+            cur["adc"] = True
+            cur["aph"] = (0.0 if ph_adc is None
+                          else float(ph_adc) * np.pi / 180.0)
+        elif type(op) is S:
+            k = getattr(op, "_kint", None)
+            if k is None or not _no_diff(op) or abs(k) > 8:
+                return None
+            sgn = 1 if k > 0 else -1
+            if cur is None:
+                cur = new_stage()
+                have_pulse = False
+            for _ in range(abs(k)):
+                if cur["shift"]:
+                    close()
+                    cur = new_stage()
+                    have_pulse = False
+                cur["shift"] = sgn
+        elif isinstance(op, Probe):
+            return None
+        elif isinstance(op, _base.EmptyOperator):
+            continue
+        else:
+            return None
+    close()
+
+    N = len(stages)
+    nadc = sum(1 for s in stages if s["adc"])
+    if N < 2 or nadc < 1 or N > 8192:
+        return None
+
+    # densities + conservation (mirrors match_xgre)
+    if density is None:
+        dens = np.ones(C)
+    else:
+        d = np.asarray(density)
+        if np.iscomplexobj(d):
+            if not np.allclose(d.imag, 0):
+                return None
+            d = d.real
+        dens = _comp_vec(d.astype(float), C)
+        if dens is None:
+            return None
+    khi_h = np.asarray(x0.khi, dtype=float)       # tiny one-time d2h
+    if not np.allclose(khi_h @ dens, 0, atol=1e-8):
+        return None
+
+    # saturation factors
+    satf = np.ones((N, C), complex)
+    satz = np.ones((N, C), complex)
+    for i, s in enumerate(stages):
+        sat = s["sat"]
+        if sat is None:
+            continue
+        if (not _no_diff(sat) or sat.axes is not None
+                or sat.r0_re is not None):
+            return None
+        rT = _comp_cvec(sat.rT_re, sat.rT_im, C)
+        rL = _comp_cvec(sat.rL_re, sat.rL_im, C)
+        if rT is None or rL is None:
+            return None
+        satf[i] = np.conj(np.exp(-rT))
+        satz[i] = np.exp(-rL)
+
+    # distinct-tau stage-matrix table; entry 0 is the identity
+    taus = [0.0]
+    mia = np.zeros(N, np.int64)
+    mib = np.zeros(N, np.int64)
+
+    def tau_idx(t):
+        for j, tv in enumerate(taus):
+            if t == tv:
+                return j
+        taus.append(t)
+        return len(taus) - 1
+
+    for i, s in enumerate(stages):
+        mia[i] = tau_idx(float(s["ta"]))
+        mib[i] = tau_idx(float(s["tb"]))
+    if len(taus) > 16:
+        return None      # unbounded tables: planner
+
+    adci = np.full(N, -1, np.int64)
+    aph = np.zeros(N)
+    shift = np.zeros(N, np.int64)
+    j = 0
+    for i, s in enumerate(stages):
+        if s["adc"]:
+            adci[i] = j
+            j += 1
+            aph[i] = s["aph"]
+        shift[i] = s["shift"]
+
+    return {
+        "alpha": np.stack([s["alpha"] for s in stages]),
+        "phi": np.stack([s["phi"] for s in stages]),
+        "satf_re": satf.real, "satf_im": satf.imag,
+        "satz_re": satz.real, "satz_im": satz.imag,
+        "adci": adci, "shift": shift, "aph": aph,
+        "mia": mia, "mib": mib, "taus": np.asarray(taus),
+        "dens": dens, "khi": khi_h,
+        "T1": x0.T1, "T2": x0.T2, "g": x0.g,
+        "nadc": int(nadc), "shape": tuple(shape), "C": C,
+        "has_sat": bool(np.any(satf != 1.0) or np.any(satz != 1.0)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nadc", "nstate", "bshape", "interpret", "has_up", "has_down",
+    "has_adcph", "has_sat"))
+def _run_xcomp_jit(alpha, phi, sfr, sfi, szr, szi, adci, shift, aph,
+                   mia, mib, dens, taus, khi, T1, T2, g, *, nadc,
+                   nstate, bshape, interpret, has_up, has_down,
+                   has_adcph, has_sat):
+    from .models.pallas_xcomposite import xcomposite_pallas
+
+    re, im = xcomposite_pallas(
+        alpha, phi, sfr, sfi, szr, szi, adci, shift, aph, mia, mib,
+        dens, taus, khi,
+        _prep_comp_atoms(T1, bshape, np.inf),
+        _prep_comp_atoms(T2, bshape, np.inf),
+        _prep_comp_atoms(g, bshape, 0.0),
+        nadc=nadc, nstate=nstate, interpret=interpret, has_up=has_up,
+        has_down=has_down, has_adcph=has_adcph, has_sat=has_sat)
+    return (re.reshape((nadc,) + bshape), im.reshape((nadc,) + bshape))
+
+
+def _xcomp_device_params(params):
+    f32 = np.float32
+
+    def build():
+        host = tuple(np.asarray(params[k], f32) for k in (
+            "alpha", "phi", "satf_re", "satf_im", "satz_re", "satz_im"))
+        host += (np.asarray(params["adci"], np.int32),
+                 np.asarray(params["shift"], np.int32),
+                 np.asarray(params["aph"], f32),
+                 np.asarray(params["mia"], np.int32),
+                 np.asarray(params["mib"], np.int32),
+                 np.asarray(params["dens"], f32),
+                 np.asarray(params["taus"], f32),
+                 np.asarray(params["khi"], f32),
+                 params["T1"], params["T2"], params["g"])
+        return host
+
+    return _cached_device(params, build)
+
+
+def run_xcomposite_kernel(params, nstate, *, interpret=False):
+    """Run the composite EPG-X kernel; engine-layout output
+    ``{"__c_re": (nadc, C, *rest), "__c_im": ...}`` device arrays."""
+    dev = _xcomp_device_params(params)
+    shift = np.asarray(params["shift"])
+    has_up = bool((shift == 1).any())
+    has_down = bool((shift == -1).any())
+    ns = int(nstate)
+    if (has_up or has_down) and ns < 1:
+        ns = 1
+    re, im = _run_xcomp_jit(
+        *dev, nadc=int(params["nadc"]), nstate=ns,
+        bshape=tuple(params["shape"]), interpret=interpret,
+        has_up=has_up, has_down=has_down,
+        has_adcph=bool(np.asarray(params["aph"]).any()),
+        has_sat=bool(params.get("has_sat")))
     return {"__c_re": re, "__c_im": im}
 
 

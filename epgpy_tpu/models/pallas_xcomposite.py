@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: composite EPG-X stage trains (MT-/exchange-
+prepared arbitrary gradient-echo schedules).
+
+The exact-pattern EPG-X kernel (models/pallas_xgre) covers the
+canonical per-TR train ``[R?, T, X?, Adc, X?, S(1)?] * N`` with the
+same structure every TR.  Segmented / prepared multi-compartment
+schedules -- MT-prepped GRE (periodic saturation blocks + readout
+segments + recovery delays), IR-MT (MP2RAGE-style inversions over a
+bound pool), sat-recovery MT mapping -- change structure between
+blocks and fall to the scan planner there.  This kernel generalizes
+the composite-GRE stage grammar (models/pallas_composite) to C
+exchanging compartments:
+
+    stage = [ R(sat)?, T(alpha_c, phi_c)?, X(tau_a)*, Adc?,
+              X(tau_b)*, S(+-1)? ]
+
+with every element optional and per-stage host-known scalars in SMEM.
+Relaxation/exchange/precession all live in the X mixing matrices; a
+small TABLE of per-atom stage matrices (one per DISTINCT accumulated
+tau; entry 0 is the identity) is precomputed by the closed-form
+spectral expm (pallas_xgre._exchange_mats) and streamed in as packed
+coefficient rows -- each stage indexes its pre-/post-ADC matrix by an
+SMEM integer, so arbitrary prep/readout/recovery structure costs
+nothing extra per stage.
+
+State: one folded half-ladder plane set (A=F+(k), B=F+(-k), Z; re/im)
+PER COMPARTMENT in VMEM (6C planes); outputs are per-compartment k=0
+transverse states at each ADC row.
+
+Reference semantics: epgpy applies R/T/X/S op-by-op
+(/root/reference/epgpy/exchange.py:89-120, evolution.py, shift.py);
+the reference has no fused path and crashes on its own batched
+exchange_matrix output (see ops/exchange.py notes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
+                            _shift_store, _store_set)
+from .pallas_composite import _shift_sel
+
+__all__ = ["xcomposite_pallas"]
+
+
+def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
+                  adci_ref, shf_ref, aph_ref, mia_ref, mib_ref, dens_ref,
+                  b1_ref, coef_ref, *refs, nstages, nstate, ncomp,
+                  has_up, has_down, has_adcph, has_sat):
+    """One atom tile: all stages with 6C planes VMEM-resident.
+
+    coef_ref rows: ``mat*3CC + part*CC + i*C + j`` with part 0/1/2 =
+    mT_re / mT_im / mL; mat 0 is the identity (stages without an X
+    stage index it, so there is no in-kernel branch).
+    """
+    from jax.experimental import pallas as pl
+
+    C = ncomp
+    CC = C * C
+    f32 = jnp.float32
+    out_refs = refs[:2 * C]
+    st_ref = refs[2 * C]
+    H = nstate + 1
+    btile = st_ref.shape[2]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0
+               ).astype(f32)
+
+    st_ref[...] = jnp.zeros_like(st_ref)
+    ones = jnp.ones((btile,), f32)
+    for c in range(C):
+        st_ref[6 * c + 4, 0, :] = ones          # Z_c(0) = 1
+
+    B1 = b1_ref[0, :]
+    rad = jnp.pi / 180.0
+
+    def mix(mat, sets):
+        return _mix_planes(
+            sets,
+            lambda part, i, j: coef_ref[mat * 3 * CC + part * CC
+                                        + i * C + j, :],
+            lambda j: dens_ref[0, j], rowmask, C)
+
+    def step(i, _):
+        sets = []
+        for c in range(C):
+            s = tuple(st_ref[6 * c + j] for j in range(6))
+            if has_sat:
+                # saturation diag: F+ states (A and B planes) scale by
+                # conj(e^{-rT}), Z by e^{-rL} (identity rows = 1+0j)
+                sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
+                szr, szi = szr_ref[i, c], szi_ref[i, c]
+                ar, ai = _cmul(sfr, sfi, s[0], s[1])
+                br, bi = _cmul(sfr, sfi, s[2], s[3])
+                zr, zi = _cmul(szr, szi, s[4], s[5])
+                s = (ar, ai, br, bi, zr, zi)
+            rc = _rot_coeffs(alpha_ref[i, c] * rad * B1,
+                             phi_ref[i, c] * rad)
+            sets.append(_apply_rot(rc, s))
+
+        sets = mix(mia_ref[0, i], sets)
+
+        idx = adci_ref[0, i]
+        if has_adcph:
+            aph = aph_ref[0, i]
+            pc_, ps_ = jnp.cos(aph), jnp.sin(aph)
+
+        @pl.when(idx >= 0)
+        def _write():
+            for c in range(C):
+                er, ei = sets[c][0][0, :], sets[c][1][0, :]
+                if has_adcph:
+                    er, ei = _cmul(pc_, ps_, er, ei)
+                out_refs[2 * c][idx, :] = er
+                out_refs[2 * c + 1][idx, :] = ei
+
+        sets = mix(mib_ref[0, i], sets)
+        s_dir = shf_ref[0, i]
+        for c in range(C):
+            sh = _shift_sel(sets[c], s_dir, has_up, has_down)
+            for j in range(6):
+                st_ref[6 * c + j] = sh[j]
+        return 0
+
+    jax.lax.fori_loop(0, nstages, step, 0)
+
+
+@partial(jax.jit, static_argnames=("nadc", "nstate", "btile",
+                                   "interpret", "has_up", "has_down",
+                                   "has_adcph", "has_sat"))
+def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
+                      adci, shift, aph, mia, mib, dens, taus,
+                      khi, T1, T2, g, b1=None, *, nadc, nstate,
+                      btile=512, interpret=False, has_up=True,
+                      has_down=False, has_adcph=False, has_sat=False):
+    """Composite EPG-X stage train via the fused kernel.
+
+    Args:
+        alpha, phi: (N, C) per-stage per-compartment flips / phases
+            (degrees).
+        satf_re/im, satz_re/im: (N, C) saturation factors applied
+            before the pulse (1+0j rows when absent).
+        adci: (N,) int32 output-row index per stage (-1 = no readout).
+        shift: (N,) int32 unit-shift direction in {-1, 0, +1}.
+        aph: (N,) ADC phasor angle (rad; 0 when absent).
+        mia, mib: (N,) int32 stage-matrix table indices for the pre- /
+            post-ADC exchange stages (0 = identity).
+        dens: (C,) equilibrium densities.
+        taus: (nmat,) mixing times (ms); taus[0] MUST be 0 (identity).
+        khi: (C, C) kinetic matrix; T1/T2/g: (C, B) per-compartment
+            per-atom parameters shared by every X stage (the
+            distinct-tau table assumes one generator).
+        b1: optional (B,) per-atom flip scale.
+        nadc, nstate: static output rows / ladder capacity.
+
+    Returns (re, im): (nadc, C, B) float32 per-compartment F0 trains.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_xgre import _exchange_mats
+
+    f32 = jnp.float32
+    alpha = jnp.asarray(alpha, f32)
+    N, C = alpha.shape
+    T1 = jnp.asarray(T1, f32)
+    B = T1.shape[1]
+    CC = C * C
+    taus = jnp.asarray(taus, f32)
+    nmat = taus.shape[0]
+
+    Bp = -(-B // btile) * btile
+    if Bp > B:
+        padv = jnp.ones((C, Bp - B), f32)
+        T1 = jnp.concatenate([T1, padv], axis=1)
+        T2 = jnp.concatenate([jnp.asarray(T2, f32), padv], axis=1)
+        g = jnp.concatenate([jnp.asarray(g, f32),
+                             jnp.zeros((C, Bp - B), f32)], axis=1)
+    else:
+        T2 = jnp.asarray(T2, f32)
+        g = jnp.asarray(g, f32)
+    khi = jnp.asarray(khi, f32)
+
+    def pack(tau):
+        _, mr, mi, ml = _exchange_mats(khi, T1, T2, g, tau)
+        to_rows = lambda m: jnp.moveaxis(m, 0, -1).reshape(CC, Bp)
+        return jnp.concatenate([to_rows(mr), to_rows(mi), to_rows(ml)],
+                               axis=0)
+
+    # one packed (3CC, Bp) block per distinct tau; nmat is small
+    # (static) so a python-level stack is fine
+    coef = jnp.concatenate([pack(taus[m]) for m in range(nmat)], axis=0)
+
+    b1 = jnp.ones(B, f32) if b1 is None else jnp.asarray(b1, f32)
+    if Bp > B:
+        b1 = jnp.concatenate([b1, jnp.ones(Bp - B, f32)])
+
+    row = lambda x: jnp.asarray(x, f32).reshape(1, N)
+    irow = lambda x: jnp.asarray(x, jnp.int32).reshape(1, N)
+    nc = lambda x: jnp.broadcast_to(jnp.asarray(x, f32), (N, C))
+    inputs = [
+        nc(alpha), nc(phi), nc(satf_re), nc(satf_im), nc(satz_re),
+        nc(satz_im), irow(adci), irow(shift), row(aph), irow(mia),
+        irow(mib), jnp.asarray(dens, f32).reshape(1, C),
+        b1.reshape(1, Bp), coef,
+    ]
+    kernel = partial(_kernel_xcomp, nstages=N, nstate=nstate, ncomp=C,
+                     has_up=has_up, has_down=has_down,
+                     has_adcph=has_adcph, has_sat=has_sat)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 12 + [
+            pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
+            pl.BlockSpec((nmat * 3 * CC, btile), lambda b: (0, b)),
+        ],
+        out_specs=[pl.BlockSpec((nadc, btile), lambda b: (0, b))] * (2 * C),
+        out_shape=[jax.ShapeDtypeStruct((nadc, Bp), f32)] * (2 * C),
+        scratch_shapes=[pltpu.VMEM((6 * C, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
+    im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
+    return re, im

@@ -1,0 +1,168 @@
+"""Composite EPG-X stage trains -> fused kernel (match_xcomposite).
+
+MT-/exchange-prepared segmented schedules -- saturation prep blocks,
+IR-MT inversions, recovery delays between readout segments -- break
+the per-TR periodicity match_xgre requires; the composite-X family
+folds them into per-stage SMEM rows + a distinct-tau stage-matrix
+table.  Oracle: the f64 scan planner (itself golden-pinned for X in
+tests/test_exchange_ops.py / test_xgre_dispatch.py).
+"""
+
+import numpy as np
+import pytest
+
+import epgpy_tpu as epg
+from epgpy_tpu import fisp_dispatch
+
+
+def _pools(B=4, C=2):
+    dens = np.asarray([0.85, 0.15][:C])
+    dens = dens / dens.sum()
+    khi = epg.exchange_matrix(0.005, ncomp=C, densities=dens)
+    T2f = np.linspace(40.0, 120.0, B)
+    T2 = np.stack([T2f] + [np.full(B, 0.012 * (c + 1))
+                           for c in range(C - 1)], axis=0)
+    T1 = np.linspace(800.0, 1200.0, C)
+    return dens, khi, T1, T2
+
+
+def _mt_prep_train(nseg=3, nread=5, B=4, *, balanced=False, ir=False,
+                   seed=11):
+    """Segmented MT-GRE: per segment an off-resonant saturation block
+    (R on the bound pool + recovery X), nread spoiled readouts, and an
+    inter-segment recovery delay -- the structure match_xgre rejects."""
+    dens, khi, T1, T2 = _pools(B)
+    C = 2
+    rng = np.random.default_rng(seed)
+    Xte = epg.X(3.0, khi, axis=0, T1=T1, T2=T2)
+    Xtr = epg.X(7.0, khi, axis=0, T1=T1, T2=T2)
+    Xrec = epg.X(120.0, khi, axis=0, T1=T1, T2=T2)
+    seq = []
+    for s in range(nseg):
+        if ir:
+            seq += [epg.T(np.asarray([180.0, 0.0]), 0.0), Xrec]
+        else:
+            # MT saturation: raw bound-pool rate, then recovery
+            seq += [epg.R(0, rL=np.asarray([0.0, 0.3 + 0.05 * s]),
+                          r0=None), Xrec]
+        for i in range(nread):
+            seq += [epg.T(np.asarray([float(rng.uniform(8, 15)), 0.0]),
+                          0.0), Xte, epg.ADC, Xtr]
+            if not balanced:
+                seq.append(epg.S(1))
+        seq += [Xrec]
+    return seq, dens
+
+
+def _parity(seq, dens, *, max_nstate=5, tol=2e-6, shape=None):
+    # guard: the fused path must actually ENGAGE (a non-match would
+    # make force-vs-planner parity trivially true)
+    if shape is not None:
+        assert fisp_dispatch.match_xcomposite(
+            list(seq), shape, list(dens)) is not None
+    kw = dict(max_nstate=max_nstate, density=list(dens))
+    ref = np.asarray(epg.simulate(list(seq), fisp_kernel=False, **kw))
+    out = np.asarray(epg.simulate(list(seq), fisp_kernel="force", **kw))
+    assert out.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-12)
+    err = np.abs(out - ref).max() / scale
+    assert err < tol, err
+    return ref
+
+
+def test_match_extracts_params():
+    seq, dens = _mt_prep_train()
+    shape = (2, 4)
+    params = fisp_dispatch.match_xcomposite(list(seq), shape,
+                                            list(dens))
+    assert params is not None
+    assert params["C"] == 2
+    assert params["nadc"] == 15
+    # distinct taus: 0 (identity), 120 (recovery), 3 (te), 7 (tr-te)
+    assert sorted(params["taus"]) == [0.0, 3.0, 7.0, 120.0]
+    assert params["has_sat"]
+    # the exact-pattern xgre matcher must REJECT this train
+    assert fisp_dispatch.match_xgre(list(seq), shape,
+                                    list(dens)) is None
+
+
+def test_mt_prep_parity():
+    seq, dens = _mt_prep_train(nseg=3, nread=5, B=4)
+    _parity(seq, dens, shape=(2, 4))
+
+
+def test_ir_mt_parity():
+    """IR-MT: the inversion flips the free pool only (per-compartment
+    alpha [180, 0]); recovery through exchange during TI."""
+    seq, dens = _mt_prep_train(nseg=2, nread=6, B=3, ir=True)
+    _parity(seq, dens, shape=(2, 3))
+
+
+def test_balanced_mt_prep_parity():
+    """Shiftless (balanced) prepared train: whole ladder at k=0."""
+    seq, dens = _mt_prep_train(nseg=2, nread=5, B=3, balanced=True)
+    _parity(seq, dens, max_nstate=1, shape=(2, 3))
+
+
+def test_sat_effect_is_real():
+    """The saturation stages must change the signal (guard against a
+    silently ignored has_sat path)."""
+    seq, dens = _mt_prep_train(nseg=2, nread=5, B=3)
+    nosat = [op for op in seq if not isinstance(op, type(epg.R(0)))]
+    kw = dict(max_nstate=5, density=list(dens))
+    a = np.asarray(epg.simulate(list(seq), fisp_kernel="force", **kw))
+    b = np.asarray(epg.simulate(list(nosat), fisp_kernel="force", **kw))
+    assert np.abs(a - b).max() > 1e-4
+
+
+@pytest.mark.parametrize("mutate", [
+    "mixed_generator",    # X ops with different khi leaves
+    "weights_adc",        # exotic probe
+    "batched_tau",        # non-scalar tau
+])
+def test_fall_through(mutate):
+    seq, dens = _mt_prep_train(nseg=2, nread=4, B=3)
+    shape = (2, 3)
+    if mutate == "mixed_generator":
+        _, khi2, T1, T2 = _pools(3)
+        khi2 = epg.exchange_matrix(0.004, ncomp=2,
+                                   densities=list(dens))
+        i = next(j for j, op in enumerate(seq) if type(op) is epg.X)
+        x = seq[i]
+        seq[i] = epg.X(float(np.asarray(x.tau)), khi2, axis=0,
+                       T1=np.asarray([800.0, 1200.0]), T2=x.T2)
+    elif mutate == "weights_adc":
+        i = next(j for j, op in enumerate(seq)
+                 if isinstance(op, epg.Adc))
+        seq[i] = epg.Adc(attr="Z0")
+    elif mutate == "batched_tau":
+        i = next(j for j, op in enumerate(seq) if type(op) is epg.X)
+        x = seq[i]
+        seq[i] = epg.X(np.asarray([3.0, 3.0]), x.khi, axis=0,
+                       T1=x.T1, T2=x.T2)
+        assert fisp_dispatch.match_xcomposite(list(seq), shape,
+                                              list(dens)) is None
+        return      # batched tau also trips the planner shape checks
+    assert fisp_dispatch.match_xcomposite(list(seq), shape,
+                                          list(dens)) is None
+    # and the planner still handles the rejected train
+    _ = np.asarray(epg.simulate(list(seq), fisp_kernel=False,
+                                max_nstate=4, density=list(dens)))
+
+
+def test_exact_xgre_still_wins():
+    """A canonical per-TR EPG-X train keeps routing through the
+    exact-pattern xgre family (dispatch priority), and the composite-X
+    matcher agrees with it."""
+    dens, khi, T1, T2 = _pools(3)
+    X2 = epg.X(10.0, khi, axis=0, T1=T1, T2=T2)
+    seq = []
+    for i in range(6):
+        seq += [epg.T(np.asarray([12.0, 0.0]), 0.0), epg.ADC, X2,
+                epg.S(1)]
+    shape = (2, 3)
+    assert fisp_dispatch.match_xgre(list(seq), shape,
+                                    list(dens)) is not None
+    assert fisp_dispatch.match_xcomposite(list(seq), shape,
+                                          list(dens)) is not None
+    _parity(seq, dens)
