@@ -96,7 +96,27 @@ def _stages(rng, n):
     return seq
 
 
-FAMS = [_fisp, _mse, _bssfp, _dess, _megre, _stages]
+def _dw_stages(rng, n):
+    """Composite stage soup with D stages (r4): ramp crushers after
+    readout spoilers, constant-k diffusion inside recovery delays."""
+    d_cr = epg.D(5.0, 1.3e-3, k=1)
+    d_free = epg.D(25.0, 1.3e-3)
+    seq = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.3:
+            seq += [epg.T(180.0, 0.0),
+                    epg.E(float(rng.uniform(30, 120)), T1, T2), d_free]
+        else:
+            seq += [epg.T(float(rng.uniform(6, 16)), 0.0),
+                    epg.E(2.5, T1, T2), epg.Adc(),
+                    epg.E(4.0, T1, T2), epg.S(1)]
+            if rng.random() < 0.7:
+                seq.append(d_cr)
+    return seq
+
+
+FAMS = [_fisp, _mse, _bssfp, _dess, _megre, _stages, _dw_stages]
 
 
 def _salt(rng, seq):
@@ -125,7 +145,9 @@ def test_dispatch_parity_any_train(case):
     seq = _salt(rng, seq)
     if not any(isinstance(op, (epg.Adc,)) for op in seq):
         seq.append(epg.ADC)
-    kw = {"max_nstate": 16}
+    # physical kvalue so the D-stage b-values are non-trivial (other
+    # families' matchers are kvalue-independent)
+    kw = {"max_nstate": 16, "kvalue": 2 * np.pi / 1e-3}
     got = np.asarray(epg.simulate(list(seq), fisp_kernel="force", **kw))
     ref = np.asarray(epg.simulate(list(seq), fisp_kernel=False, **kw))
     assert got.shape == ref.shape
@@ -147,7 +169,47 @@ def test_fuzzer_exercises_kernels():
         matchers = [fd.match_fisp, lambda s: fd.match_mse(s, 1.0),
                     fd.match_bssfp, fd.match_dess, fd.match_megre,
                     lambda s: fd.match_dwfisp(s, 1.0),
-                    fd.match_composite]
+                    lambda s: fd.match_composite(s, 1.0)]
         if any(m(list(seq)) is not None for m in matchers):
             claimed += 1
     assert claimed >= 12, claimed
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_dispatch_parity_xstage_trains(case):
+    """Composite EPG-X grammar rows (r4): random prepared/segmented
+    two-pool schedules -- saturation or inversion preps, variable
+    readout-block lengths, recovery delays, optional balanced blocks
+    -- parity vs the planner whichever matcher claims them."""
+    rng = np.random.default_rng(7000 + case)
+    dens = np.asarray([0.85, 0.15])
+    khi = epg.exchange_matrix(0.005, ncomp=2, densities=dens)
+    T2x = np.stack([T2, np.full(B, 0.012)], axis=0)
+    T1x = np.asarray([900.0, 1100.0])
+    Xte = epg.X(3.0, khi, axis=0, T1=T1x, T2=T2x)
+    Xtr = epg.X(float(rng.uniform(5, 9)), khi, axis=0, T1=T1x, T2=T2x)
+    Xrec = epg.X(float(rng.uniform(80, 200)), khi, axis=0, T1=T1x,
+                 T2=T2x)
+    balanced = bool(rng.random() < 0.3)
+    seq = []
+    for seg in range(int(rng.integers(2, 4))):
+        r = rng.random()
+        if r < 0.4:
+            seq += [epg.R(0, rL=np.asarray([0.0,
+                                            float(rng.uniform(0.1, 0.5))]),
+                          r0=None), Xrec]
+        elif r < 0.7:
+            seq += [epg.T(np.asarray([180.0, 0.0]), 0.0), Xrec]
+        for i in range(int(rng.integers(2, 6))):
+            seq += [epg.T(np.asarray([float(rng.uniform(8, 16)), 0.0]),
+                          0.0), Xte, epg.ADC, Xtr]
+            if not balanced:
+                seq.append(epg.S(1))
+        seq += [Xrec]
+    kw = {"max_nstate": 1 if balanced else 6, "density": list(dens)}
+    got = np.asarray(epg.simulate(list(seq), fisp_kernel="force", **kw))
+    ref = np.asarray(epg.simulate(list(seq), fisp_kernel=False, **kw))
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-9)
+    assert np.abs(got - ref).max() / scale < 3e-5, (
+        case, np.abs(got - ref).max() / scale)
