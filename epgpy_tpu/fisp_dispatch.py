@@ -1731,9 +1731,13 @@ def _assemble_jac_outputs(re, im, dre, dim, specs, bshape, cols=None):
     families at once.
     """
     P = re.shape[1]
-    col = {"magnitude": (re, im),
-           "T1": (dre[..., 0], dim[..., 0]),
-           "T2": (dre[..., 1], dim[..., 1])}
+    col = {"magnitude": (re, im)}
+    # default T1/T2 slots, guarded: group-selectable kernels may pass
+    # fewer columns (a magnitude-only spec has a zero-width tangent
+    # axis, where eager indexing raises)
+    for j, name in enumerate(("T1", "T2")):
+        if dre.shape[-1] > j:
+            col[name] = (dre[..., j], dim[..., j])
     for name, j in (cols or {}).items():
         col[name] = (dre[..., j], dim[..., j])
     outs = []

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from .pallas_common import (_cmul, _rot_coeffs, _rot_A, _rot_B, _rot_Z)
 
-__all__ = ["composite_pallas", "composite_jacobian_pallas"]
+__all__ = ["composite_pallas", "composite_jacobian_pallas",
+           "composite_jacobian_pallas_sharded"]
 
 
 def _datten(btd_ref, rdir_ref, dc_ref, i, H):
@@ -626,6 +627,56 @@ def composite_jacobian_pallas(FA, phi, ta, tb, adci, shift, aph, b1u,
     )(*inputs)
     o = [x[:, :B] for x in outs]
     re, im = o[0], o[1]
-    jre = jnp.stack(o[2::2], axis=-1)               # (nadc, B, ng)
-    jim = jnp.stack(o[3::2], axis=-1)
+    if ng:
+        jre = jnp.stack(o[2::2], axis=-1)           # (nadc, B, ng)
+        jim = jnp.stack(o[3::2], axis=-1)
+    else:
+        # magnitude-only probes: zero-width tangent axis (jnp.stack
+        # of an empty list raises)
+        jre = jim = jnp.zeros(re.shape + (0,), f32)
     return (re, im), (jre, jim)
+
+
+def composite_jacobian_pallas_sharded(FA, phi, ta, tb, adci, shift, aph,
+                                      b1u, T1s, T2s, B1s, dfs=None, *,
+                                      mesh, axis="atoms", **kw):
+    """Atom-sharded composite Jacobian over a device mesh.
+
+    GSPMD cannot partition a `pallas_call`, so the kernel runs under
+    `jax.shard_map`: each device propagates its local atom shard
+    (embarrassingly parallel; per-stage SMEM rows replicate).  The atom
+    count must divide the mesh's `axis` size.  A per-atom diffusion
+    coefficient (B,) shards WITH the atoms; scalar Dc replicates.
+    Call under jit on the axon TPU backend (eager shard_map is
+    UNIMPLEMENTED there).  kw forwards to
+    :func:`composite_jacobian_pallas` (nadc, nstate, groups, ...).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    use_df = dfs is not None
+    diffusion = kw.pop("diffusion", None)
+    dshard = (diffusion is not None
+              and getattr(jnp.asarray(diffusion[2]), "ndim", 0) == 1)
+
+    def local(t1, t2, b1, df, dc):
+        diff = ((diffusion[0], diffusion[1], dc) if dshard
+                else diffusion)
+        return composite_jacobian_pallas(
+            FA, phi, ta, tb, adci, shift, aph, b1u, t1, t2, b1,
+            df if use_df else None, diffusion=diff, **kw)
+
+    spec = PS(axis)
+    cspec = PS(None, axis)
+    jspec = PS(None, axis, None)
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(spec,) * 5,
+                      out_specs=((cspec, cspec), (jspec, jspec)),
+                      check_vma=False)
+    T1s = jnp.asarray(T1s, jnp.float32)
+    dfz = (jnp.zeros_like(T1s) if dfs is None
+           else jnp.broadcast_to(jnp.asarray(dfs, jnp.float32),
+                                 T1s.shape))
+    dcz = (jnp.asarray(diffusion[2], jnp.float32) if dshard
+           else jnp.zeros_like(T1s))
+    B1b = jnp.broadcast_to(jnp.asarray(B1s, jnp.float32), T1s.shape)
+    return f(T1s, jnp.asarray(T2s, jnp.float32), B1b, dfz, dcz)

@@ -44,7 +44,7 @@ from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
                             _shift_store, _store_set)
 from .pallas_composite import _shift_sel
 
-__all__ = ["xcomposite_pallas"]
+__all__ = ["xcomposite_pallas", "xcomposite_pallas_sharded"]
 
 
 def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
@@ -227,3 +227,38 @@ def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
     re = jnp.stack([outs[2 * c][:, :B] for c in range(C)], axis=1)
     im = jnp.stack([outs[2 * c + 1][:, :B] for c in range(C)], axis=1)
     return re, im
+
+
+def xcomposite_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,
+                              satz_im, adci, shift, aph, mia, mib, dens,
+                              taus, khi, T1, T2, g, b1=None, *, mesh,
+                              axis="atoms", **kw):
+    """Atom-sharded composite EPG-X kernel over a device mesh.
+
+    shard_map over the atom axis (axis 1 of the (C, B) parameter
+    planes): each device runs the full VMEM-resident kernel on its
+    local shard; per-stage SMEM rows, the kinetic matrix and the
+    distinct-tau table replicate.  Call under jit on the axon TPU
+    backend (eager shard_map is UNIMPLEMENTED there).  kw forwards to
+    :func:`xcomposite_pallas`.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def local(t1, t2, gg, b1l):
+        return xcomposite_pallas(
+            alpha, phi, satf_re, satf_im, satz_re, satz_im, adci,
+            shift, aph, mia, mib, dens, taus, khi, t1, t2, gg, b1l,
+            **kw)
+
+    cspec = PS(None, axis)
+    ospec = PS(None, None, axis)
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(cspec, cspec, cspec, PS(axis)),
+                      out_specs=(ospec, ospec), check_vma=False)
+    T1 = jnp.asarray(T1, jnp.float32)
+    B = T1.shape[1]
+    g = (jnp.zeros_like(T1) if g is None
+         else jnp.broadcast_to(jnp.asarray(g, jnp.float32), T1.shape))
+    b1 = (jnp.ones(B, jnp.float32) if b1 is None
+          else jnp.asarray(b1, jnp.float32))
+    return f(T1, jnp.asarray(T2, jnp.float32), g, b1)

@@ -330,3 +330,17 @@ def test_dw_composite_fall_through(mutate):
     sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
                          fisp_kernel=False)
     assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-7
+
+
+def test_magnitude_only_jacobian_dispatch():
+    """Jacobian(["magnitude"]) needs NO tangent groups: the kernel must
+    run with an empty group set (r4 regression: jnp.stack([]) raised)."""
+    B, NS = 2, 8
+    seq, *_ = _mprage_ops(nseg=2, nread=4, B=B, track=["T1", "T2"])
+    probes = [epg.Jacobian(["magnitude"])]
+    jac_k = epg.simulate(list(seq), max_nstate=NS, probe=probes,
+                         fisp_kernel="force")
+    jac_e = epg.simulate(list(seq), max_nstate=NS, probe=probes,
+                         fisp_kernel=False)
+    assert jac_k.shape == jac_e.shape == (8, B, 1)
+    assert np.abs(np.asarray(jac_k) - np.asarray(jac_e)).max() < 2e-5
