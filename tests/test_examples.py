@@ -264,6 +264,15 @@ def test_slice_profile_mrf_smoke(monkeypatch, tmp_path):
     _run("slice_profile_mrf.py", monkeypatch, tmp_path)
 
 
+def test_mt_prep_gre_smoke(monkeypatch, tmp_path):
+    """MT-prepped segmented GRE (composite EPG-X family): MTR
+    monotonicity + zero-exchange control asserted inside."""
+    monkeypatch.setenv("MTPREP_NSEG", "3")
+    monkeypatch.setenv("MTPREP_NREAD", "8")
+    monkeypatch.setenv("MTPREP_NVOX", "8")
+    _run("mt_prep_gre.py", monkeypatch, tmp_path)
+
+
 def test_mwf_mapping_smoke(monkeypatch, tmp_path):
     """EPG-NNLS myelin-water mapping: per-tissue MWF recovery within
     0.06 absolute asserted inside the example."""
