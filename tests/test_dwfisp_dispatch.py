@@ -109,7 +109,12 @@ def test_no_match_off_pattern(mutate):
                          fisp_kernel="force")
     sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=KV,
                          fisp_kernel=False)
-    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-10
+    # r4: the generic composite family may legitimately claim some of
+    # these trains (its D stages cover equal-value per-TR instances) --
+    # then parity holds at f32 kernel tolerance, else bit-level
+    tol = (2e-5 if fisp_dispatch.match_composite(list(seq), KV)
+           is not None else 1e-10)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < tol
 
 
 def test_fuzz_parity_or_fallthrough():
@@ -136,7 +141,8 @@ def test_fuzz_parity_or_fallthrough():
                              fisp_kernel="force")
         sig_e = epg.simulate(list(seq), max_nstate=6, kvalue=kv,
                              fisp_kernel=False)
-        matched = fisp_dispatch.match_dwfisp(list(seq), kv) is not None
+        matched = (fisp_dispatch.match_dwfisp(list(seq), kv) is not None
+                   or fisp_dispatch.match_composite(list(seq), kv) is not None)
         tol = 2e-5 if matched else 1e-10
         err = np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max()
         assert err < tol, (trial, matched, err)

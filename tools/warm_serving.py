@@ -139,9 +139,17 @@ def warm_serving(natoms=102400, npulse=1000, nstate=10, nvox=8192,
         _sync(comp["cdict_re"][0, 0])
         out["compress"] = {"cold_seconds":
                            round(time.perf_counter() - t0, 2)}
+        # the serving idiom (docs/serving.md): ONE jitted entry with
+        # the dictionary + compression as ARGUMENTS -- eager recon
+        # would materialize the (V, B) correlation planes un-fused
+        # (RESOURCE_EXHAUSTED at serving sizes), and closure-captured
+        # dictionaries explode the remote-compile payload
+        keys = tuple(sorted(comp))
+        serve = jax.jit(lambda a, b, dr, di, *cv: mrf_reconstruct(
+            a, b, dr, di, compression=dict(zip(keys, cv))))
         stage("recon",
-              lambda: mrf_reconstruct(sre, sim, dre, dim,
-                                      compression=comp),
+              lambda: serve(sre, sim, dre, dim,
+                            *(comp[kk] for kk in keys)),
               lambda r: _sync(r["index"][-1]))
     return out
 
