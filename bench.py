@@ -1344,15 +1344,16 @@ def efficiency_fracs(engine, headline_best, headline_atoms, npulse,
       (V, B) correlation plane (two matmul writes re/im + the fused
       |corr|^2 argmax read) = 4*V*B*4 bytes per call.
 
-    The FLOP fractions are against ``roofline_vmem_madd_tflops`` --
-    the madd rate with loop-carried VMEM operands -- because the EPG
-    kernels' state planes are VMEM arrays by construction; raw fma
-    peak (registers) is ~5-7x higher and unreachable for this work
-    shape.  See docs/performance.md "Roofline".
+    The FLOP fractions are against ``roofline_vpu_f32_tflops`` (the
+    register-resident fma peak).  The plane-resident kernels sit
+    BETWEEN the two measured ceilings: well above the naive
+    1-madd-per-VMEM-roundtrip chain rate (they do ~8 madds per loaded
+    plane element -- operand reuse inside each TR step) but below raw
+    fma peak (every TR still streams all planes through VMEM).  See
+    docs/performance.md "Roofline" for the interpretation.
     """
     fr = {}
-    vpu = engine.get("roofline_vmem_madd_tflops") or engine.get(
-        "roofline_vpu_f32_tflops")
+    vpu = engine.get("roofline_vpu_f32_tflops")
     hbm = engine.get("roofline_hbm_gbps")
     H = nstate + 1
     if vpu:
