@@ -44,7 +44,8 @@ from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
                             _shift_store, _store_set)
 from .pallas_composite import _shift_sel
 
-__all__ = ["xcomposite_pallas", "xcomposite_pallas_sharded"]
+__all__ = ["xcomposite_pallas", "xcomposite_pallas_sharded",
+           "xcomposite_jacobian_pallas", "xcomposite_stage_mat_tables"]
 
 
 def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
@@ -262,3 +263,293 @@ def xcomposite_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,
     b1 = (jnp.ones(B, jnp.float32) if b1 is None
           else jnp.asarray(b1, jnp.float32))
     return f(T1, jnp.asarray(T2, jnp.float32), g, b1)
+
+
+def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
+                      szi_ref, adci_ref, shf_ref, aph_ref, mia_ref,
+                      mib_ref, dens_ref, b1_ref, coef_ref, *refs,
+                      nstages, nstate, ncomp, nmat, nvar, has_up,
+                      has_down, has_adcph, has_sat):
+    """Fused composite EPG-X primal + tangent propagation.
+
+    Plane groups g = 0 (primal), 1..nvar (one per fit variable), each
+    holding the 6C planes of :func:`_kernel_xcomp`.  Saturation,
+    rotation and the ladder shift are variable-independent (variables
+    enter ONLY through the exchange stage matrices and the equilibrium
+    densities -- the xgre_jacobian contract), so tangents ride the
+    same per-stage operator; each exchange stage adds the product-rule
+    term ``M (t - de) + dM (x - e) + de`` with the PER-VARIABLE
+    distinct-tau matrix tables streamed in coef_ref (rows
+    ``g*nmat*3CC + mat*3CC + part*CC + i*C + j``) and per-variable
+    density tangents in dens_ref (rows ``g*C + c``).
+    """
+    from jax.experimental import pallas as pl
+
+    C = ncomp
+    CC = C * C
+    G = nvar + 1
+    f32 = jnp.float32
+    out_refs = refs[:2 * C * G]
+    st_ref = refs[2 * C * G]
+    H = nstate + 1
+    btile = st_ref.shape[2]
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == 0
+               ).astype(f32)
+
+    st_ref[...] = jnp.zeros_like(st_ref)
+    ones = jnp.ones((btile,), f32)
+    for c in range(C):
+        st_ref[6 * c + 4, 0, :] = ones    # primal Z_c(0) = 1
+
+    B1 = b1_ref[0, :]
+    rad = jnp.pi / 180.0
+
+    def m(g, mat, part, i, j):
+        return coef_ref[(g * nmat + mat) * 3 * CC + part * CC
+                        + i * C + j, :]
+
+    def dens(g, c):
+        return dens_ref[g * C + c, :]
+
+    def mix_primal(mat, sets):
+        return _mix_planes(sets,
+                           lambda part, i, j: m(0, mat, part, i, j),
+                           lambda j: dens(0, j), rowmask, C)
+
+    def mix_tangent(mat, g, tsets, xsets):
+        """t'_i = sum_j [ M_ij (t_j - de_j) + dM_ij (x_j - e_j) ]
+        + de_i (equilibrium on the k=0 Z row only)."""
+        xdevs = [(xsets[j][4] - dens(0, j) * rowmask, xsets[j][5])
+                 for j in range(C)]
+        tdevs = [(tsets[j][4] - dens(g, j) * rowmask, tsets[j][5])
+                 for j in range(C)]
+        out = []
+        for i in range(C):
+            nAR = nAI = nBR = nBI = nZR = nZI = None
+            for j in range(C):
+                mr, mi = m(0, mat, 0, i, j), m(0, mat, 1, i, j)
+                ml = m(0, mat, 2, i, j)
+                dmr, dmi = m(g, mat, 0, i, j), m(g, mat, 1, i, j)
+                dml = m(g, mat, 2, i, j)
+                tAR, tAI, tBR, tBI, _, _ = tsets[j]
+                xAR, xAI, xBR, xBI, _, _ = xsets[j]
+                ar, ai = _cmul(mr, mi, tAR, tAI)
+                dar, dai = _cmul(dmr, dmi, xAR, xAI)
+                br, bi = _cmul(mr, mi, tBR, tBI)
+                dbr, dbi = _cmul(dmr, dmi, xBR, xBI)
+                zr = ml * tdevs[j][0] + dml * xdevs[j][0]
+                zi = ml * tdevs[j][1] + dml * xdevs[j][1]
+                ar, ai = ar + dar, ai + dai
+                br, bi = br + dbr, bi + dbi
+                if j == 0:
+                    nAR, nAI, nBR, nBI, nZR, nZI = ar, ai, br, bi, zr, zi
+                else:
+                    nAR, nAI = nAR + ar, nAI + ai
+                    nBR, nBI = nBR + br, nBI + bi
+                    nZR, nZI = nZR + zr, nZI + zi
+            out.append((nAR, nAI, nBR, nBI,
+                        nZR + dens(g, i) * rowmask, nZI))
+        return out
+
+    def step(i, _):
+        rotc = [_rot_coeffs(alpha_ref[i, c] * rad * B1,
+                            phi_ref[i, c] * rad) for c in range(C)]
+        groups = []
+        for g in range(G):
+            sets = []
+            for c in range(C):
+                s = tuple(st_ref[6 * (g * C + c) + j] for j in range(6))
+                if has_sat:
+                    sfr, sfi = sfr_ref[i, c], sfi_ref[i, c]
+                    szr, szi = szr_ref[i, c], szi_ref[i, c]
+                    ar, ai = _cmul(sfr, sfi, s[0], s[1])
+                    br, bi = _cmul(sfr, sfi, s[2], s[3])
+                    zr, zi = _cmul(szr, szi, s[4], s[5])
+                    s = (ar, ai, br, bi, zr, zi)
+                sets.append(_apply_rot(rotc[c], s))
+            groups.append(sets)
+
+        mia = mia_ref[0, i]
+        groups = ([mix_primal(mia, groups[0])]
+                  + [mix_tangent(mia, g, groups[g], groups[0])
+                     for g in range(1, G)])
+
+        idx = adci_ref[0, i]
+        if has_adcph:
+            aph = aph_ref[0, i]
+            pc_, ps_ = jnp.cos(aph), jnp.sin(aph)
+
+        @pl.when(idx >= 0)
+        def _write():
+            for g in range(G):
+                for c in range(C):
+                    er = groups[g][c][0][0, :]
+                    ei = groups[g][c][1][0, :]
+                    if has_adcph:
+                        er, ei = _cmul(pc_, ps_, er, ei)
+                    out_refs[2 * (g * C + c)][idx, :] = er
+                    out_refs[2 * (g * C + c) + 1][idx, :] = ei
+
+        mib = mib_ref[0, i]
+        groups = ([mix_primal(mib, groups[0])]
+                  + [mix_tangent(mib, g, groups[g], groups[0])
+                     for g in range(1, G)])
+        s_dir = shf_ref[0, i]
+        for g in range(G):
+            for c in range(C):
+                sh = _shift_sel(groups[g][c], s_dir, has_up, has_down)
+                for j in range(6):
+                    st_ref[6 * (g * C + c) + j] = sh[j]
+        return 0
+
+    jax.lax.fori_loop(0, nstages, step, 0)
+
+
+def xcomposite_stage_mat_tables(khi, T1, T2, g, taus):
+    """Differentiable distinct-tau stage-matrix tables.
+
+    The map from physical parameters to the kernel's matrix table:
+    run ``jax.jvp(lambda p: xcomposite_stage_mat_tables(...), ...)``
+    once per fit variable to obtain the tangent tables for
+    :func:`xcomposite_jacobian_pallas` (the xgre_jacobian pattern --
+    variables may enter through khi, T1, T2, g; taus are host-static).
+
+    Args:
+        khi: (C, C) shared or (C, C, B) per-atom kinetic matrix.
+        T1, T2: (C, B); g: (C, B) or None; taus: (nmat,) host array
+            (taus[0] must be 0 -- the identity entry).
+
+    Returns (mr, mi, ml): each (nmat, B, C, C) float32.
+
+    NOTE: complex intermediates -- call inside jit on TPU (fact 1).
+    """
+    from .pallas_xgre import exchange_stage_mats
+
+    outs = [exchange_stage_mats(khi, T1, T2, g, float(t)) for t in taus]
+    return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
+
+
+@partial(jax.jit, static_argnames=("nadc", "nstate", "btile",
+                                   "interpret", "has_up", "has_down",
+                                   "has_adcph", "has_sat"))
+def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
+                               satz_im, adci, shift, aph, mia, mib,
+                               dens, mats, dmats, ddens, b1=None, *,
+                               nadc, nstate, btile=512, interpret=False,
+                               has_up=True, has_down=False,
+                               has_adcph=False, has_sat=False):
+    """Composite EPG-X stage train + per-variable tangents, one pass.
+
+    BEYOND the reference: epgpy's X operator has no derivatives at
+    all; here per-voxel qMT Gauss-Newton fits (bound-pool fraction,
+    free-pool T2, exchange rate, ...) over arbitrary MT-prepped
+    schedules run as one VMEM-resident pass.
+
+    Args:
+        alpha .. taus-less prefix: as :func:`xcomposite_pallas`.
+        dens: (C, B) per-atom equilibrium densities (or (C,) shared).
+        mats: ``(mr, mi, ml)`` distinct-tau tables, each
+            (nmat, B, C, C) -- from :func:`xcomposite_stage_mat_tables`.
+        dmats: per-variable tangent tables, each element a 3-tuple of
+            (nmat, B, C, C) (jax.jvp of the table build).
+        ddens: per-variable density tangents, (V, C, B) (zeros when
+            the variable does not move the equilibrium).
+        b1: optional (B,) flip scale.
+
+    Returns ``(re, im)``: (nadc, G, C, B) float32 with G = 1 + nvar
+    (primal first, then one tangent column per variable).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    alpha = jnp.asarray(alpha, f32)
+    N, C = alpha.shape
+    CC = C * C
+    mr0 = jnp.asarray(mats[0], f32)
+    nmat, B = mr0.shape[0], mr0.shape[1]
+    nvar = len(dmats)
+    G = nvar + 1
+
+    Bp = -(-B // btile) * btile
+
+    def padb(x, fill=0.0):
+        x = jnp.asarray(x, f32)
+        if Bp > B:
+            pad = jnp.full(x.shape[:1] + (Bp - B,) + x.shape[2:], fill,
+                           f32)
+            x = jnp.concatenate([x, pad], axis=1)
+        return x
+
+    def pack_tables(tabs, identity=False):
+        mr, mi, ml = (jnp.asarray(t, f32) for t in tabs)
+        if Bp > B:
+            eye = (jnp.eye(C, dtype=f32) if identity
+                   else jnp.zeros((C, C), f32))
+            padm = jnp.broadcast_to(eye, (nmat, Bp - B, C, C))
+            mr = jnp.concatenate([mr, padm], axis=1)
+            mi = jnp.concatenate([mi, jnp.zeros_like(padm)], axis=1)
+            ml = jnp.concatenate([ml, padm], axis=1)
+
+        # rows per mat: [part0 CC rows, part1, part2] -> regroup
+        def rows(t):
+            # (nmat, Bp, C, C) -> per-mat (CC, Bp) blocks
+            return jnp.moveaxis(t, 1, -1).reshape(nmat, CC, Bp)
+        r_, i_, l_ = rows(mr), rows(mi), rows(ml)
+        # concat parts per mat: (nmat, 3CC, Bp) -> (nmat*3CC, Bp)
+        return jnp.concatenate([r_, i_, l_], axis=1).reshape(
+            nmat * 3 * CC, Bp)
+
+    coef = jnp.concatenate(
+        [pack_tables(mats, identity=True)]
+        + [pack_tables(dt) for dt in dmats], axis=0)
+
+    dens = jnp.asarray(dens, f32)
+    if dens.ndim == 1:
+        dens = jnp.broadcast_to(dens[:, None], (C, B))
+    dens_rows = [padb(dens, 1.0)]
+    for v in range(nvar):
+        dens_rows.append(padb(jnp.broadcast_to(
+            jnp.asarray(ddens[v], f32), (C, B))))
+    dens_all = jnp.concatenate(dens_rows, axis=0)        # (G*C, Bp)
+
+    b1 = jnp.ones(B, f32) if b1 is None else jnp.asarray(b1, f32)
+    if Bp > B:
+        b1 = jnp.concatenate([b1, jnp.ones(Bp - B, f32)])
+
+    row = lambda x: jnp.asarray(x, f32).reshape(1, N)
+    irow = lambda x: jnp.asarray(x, jnp.int32).reshape(1, N)
+    nc = lambda x: jnp.broadcast_to(jnp.asarray(x, f32), (N, C))
+    inputs = [
+        nc(alpha), nc(phi), nc(satf_re), nc(satf_im), nc(satz_re),
+        nc(satz_im), irow(adci), irow(shift), row(aph), irow(mia),
+        irow(mib), dens_all, b1.reshape(1, Bp), coef,
+    ]
+    kernel = partial(_kernel_xcomp_jac, nstages=N, nstate=nstate,
+                     ncomp=C, nmat=nmat, nvar=nvar, has_up=has_up,
+                     has_down=has_down, has_adcph=has_adcph,
+                     has_sat=has_sat)
+    nout = 2 * C * G
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // btile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11 + [
+            pl.BlockSpec((G * C, btile), lambda b: (0, b)),      # dens
+            pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
+            pl.BlockSpec((G * nmat * 3 * CC, btile), lambda b: (0, b)),
+        ],
+        out_specs=[pl.BlockSpec((nadc, btile), lambda b: (0, b))] * nout,
+        out_shape=[jax.ShapeDtypeStruct((nadc, Bp), f32)] * nout,
+        scratch_shapes=[pltpu.VMEM((6 * C * G, nstate + 1, btile), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    re = jnp.stack([jnp.stack([outs[2 * (g * C + c)][:, :B]
+                               for c in range(C)], axis=1)
+                    for g in range(G)], axis=1)       # (nadc, G, C, B)
+    im = jnp.stack([jnp.stack([outs[2 * (g * C + c) + 1][:, :B]
+                               for c in range(C)], axis=1)
+                    for g in range(G)], axis=1)
+    return re, im

@@ -166,3 +166,95 @@ def test_exact_xgre_still_wins():
     assert fisp_dispatch.match_xcomposite(list(seq), shape,
                                           list(dens)) is not None
     _parity(seq, dens)
+
+
+def test_xcomposite_jacobian_fd():
+    """Fused composite-X Jacobian (xcomposite_jacobian_pallas) vs f64
+    planner finite differences, for per-atom free-pool T2 and the
+    global exchange rate k.  BEYOND the reference: epgpy's X operator
+    has no derivatives at all.  Variables enter only through the
+    distinct-tau stage-matrix tables (tangents via jax.jvp of the
+    table build -- the xgre_jacobian contract)."""
+    import jax
+    import jax.numpy as jnp
+    from epgpy_tpu.models.pallas_xcomposite import (
+        xcomposite_jacobian_pallas, xcomposite_stage_mat_tables)
+
+    B = 5
+    seq, dens = _mt_prep_train(nseg=2, nread=4, B=B)
+    shape = (2, B)
+    params = fisp_dispatch.match_xcomposite(list(seq), shape,
+                                            list(dens))
+    assert params is not None
+    taus = params["taus"]
+    T1c = np.asarray([800.0, 1200.0])
+    T2f0 = np.linspace(40.0, 120.0, B)
+    k0 = 0.005
+    d = np.asarray(dens)
+    kron = np.asarray([[1.0, -1.0], [-1.0, 1.0]]) / d   # col j / dens_j
+
+    def tables(t2f, k):
+        khi = k * jnp.asarray(kron)
+        T2 = jnp.stack([jnp.asarray(t2f),
+                        jnp.full((B,), 0.012)])
+        T1m = jnp.broadcast_to(jnp.asarray(T1c)[:, None], (2, B))
+        return xcomposite_stage_mat_tables(khi, T1m, T2, None, taus)
+
+    mats = jax.jit(lambda: tables(T2f0, k0))()
+    _, dm_t2 = jax.jvp(lambda t: tables(t, k0),
+                       (jnp.asarray(T2f0, jnp.float32),),
+                       (jnp.ones(B, jnp.float32),))
+    _, dm_k = jax.jvp(lambda k: tables(T2f0, k),
+                      (jnp.float32(k0),), (jnp.float32(1.0),))
+    zeros_d = np.zeros((2, B), np.float32)
+
+    args = (params["alpha"], params["phi"], params["satf_re"],
+            params["satf_im"], params["satz_re"], params["satz_im"],
+            params["adci"], params["shift"], params["aph"],
+            params["mia"], params["mib"])
+    kw = dict(nadc=int(params["nadc"]), nstate=5, btile=64,
+              interpret=True, has_up=True, has_down=False,
+              has_adcph=False, has_sat=bool(params["has_sat"]))
+    re, im = xcomposite_jacobian_pallas(
+        *args, d, mats, [dm_t2, dm_k], [zeros_d, zeros_d], **kw)
+    assert re.shape == (params["nadc"], 3, 2, B)
+
+    # oracle: f64 planner finite differences over the SAME op train
+    def planner(t2f, k):
+        khi = (np.zeros((2, 2)) if k == 0 else k * kron)
+        T2 = np.stack([np.asarray(t2f, float), np.full(B, 0.012)])
+        T1 = T1c
+        Xte = epg.X(3.0, khi, axis=0, T1=T1, T2=T2)
+        Xtr = epg.X(7.0, khi, axis=0, T1=T1, T2=T2)
+        Xrec = epg.X(120.0, khi, axis=0, T1=T1, T2=T2)
+        rng = np.random.default_rng(11)
+        s2 = []
+        for s in range(2):
+            s2 += [epg.R(0, rL=np.asarray([0.0, 0.3 + 0.05 * s]),
+                         r0=None), Xrec]
+            for i in range(4):
+                s2 += [epg.T(np.asarray([float(rng.uniform(8, 15)),
+                                         0.0]), 0.0), Xte, epg.ADC,
+                       Xtr, epg.S(1)]
+            s2 += [Xrec]
+        return np.asarray(epg.simulate(s2, max_nstate=5,
+                                       density=list(dens),
+                                       fisp_kernel=False))
+
+    base = planner(T2f0, k0)
+    prim = np.asarray(re[:, 0]) + 1j * np.asarray(im[:, 0])
+    assert np.abs(prim - base).max() < 2e-6
+
+    h = 1e-2
+    fd_t2 = (planner(T2f0 + h, k0) - planner(T2f0 - h, k0)) / (2 * h)
+    got_t2 = np.asarray(re[:, 1]) + 1j * np.asarray(im[:, 1])
+    scale = max(np.abs(fd_t2).max(), 1e-12)
+    assert np.abs(got_t2 - fd_t2).max() / scale < 2e-2, (
+        np.abs(got_t2 - fd_t2).max() / scale)
+
+    hk = 2e-4
+    fd_k = (planner(T2f0, k0 + hk) - planner(T2f0, k0 - hk)) / (2 * hk)
+    got_k = np.asarray(re[:, 2]) + 1j * np.asarray(im[:, 2])
+    scale = max(np.abs(fd_k).max(), 1e-12)
+    assert np.abs(got_k - fd_k).max() / scale < 2e-2, (
+        np.abs(got_k - fd_k).max() / scale)
