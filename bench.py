@@ -1383,7 +1383,12 @@ def efficiency_fracs(engine, headline_best, headline_atoms, npulse,
         "recon_best_seconds")
     if hbm and rb:
         v = engine.get("recon_nvox", 8192)
+        # 4-pass model is an UPPER bound on the (V, B) plane traffic
+        # (2 matmul writes + the fused |corr|^2 argmax reads); XLA
+        # output-fusion can eliminate passes, so frac > 1 means the
+        # match moves FEWER bytes than the model, not a violation
         bytes_ = 4.0 * v * headline_atoms * 4
+        fr["match_apparent_gbps"] = round(bytes_ / rb / 1e9, 1)
         fr["match_bw_frac"] = round(bytes_ / rb / (hbm * 1e9), 3)
     return fr
 

@@ -42,10 +42,10 @@ def _datten(btd_ref, rdir_ref, dc_ref, i, H):
     """Per-stage diffusion attenuation planes (aA, aB, aZ).
 
     Stage grammar: an optional ``D`` op closes a stage (placed after
-    its shift).  SMEM carries the b-value base ``bt = tau_D [s] *
-    (2 pi kvalue [rad/mm])^2 / (2 pi)^2``-style per squared state
-    index (same convention as fisp_dispatch._dw_bvalue: tau[s] *
-    k[rad/mm]^2) and the ramp direction ``rd`` in {-1, 0, +1}: rd = 0
+    its shift).  SMEM carries the b-value base per squared state index
+    ``bt = tau_D [s] * (kvalue [rad/mm])^2`` (the
+    fisp_dispatch._dw_bvalue convention) and the ramp direction ``rd``
+    in {-1, 0, +1}: rd = 0
     is constant-k attenuation exp(-bt k^2 D); rd = +-1 the
     Stejskal-Tanner gradient-ramp form -- A(k) was ramped (k-rd) -> k,
     B(k) = F+(-k) was ramped -(k+rd) -> -k, so
