@@ -315,3 +315,24 @@ def test_diff_path_sharding_propagates(cpu_devices):
     sig, jac = epg.simulate(seq_sh, probe=probes)
     assert np.abs(sig - ref_sig).max() < 1e-12
     assert np.abs(jac - ref_jac).max() < 1e-12
+
+
+def test_warm_serving_tool_dictionary_stage():
+    """tools/warm_serving must stay importable and runnable at toy
+    shapes (the dictionary stage is backend-agnostic; the Pallas
+    stages are TPU-only and exercised by the serving docs flow)."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "warm_serving.py")
+    spec = importlib.util.spec_from_file_location("warm_serving_t", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["warm_serving_t"] = mod
+    spec.loader.exec_module(mod)
+    out = mod.warm_serving(natoms=64, npulse=16, nstate=4, nvox=32,
+                           rank=4, stages=("dictionary", "recon"),
+                           steady_repeats=1)
+    assert set(out) == {"dictionary", "compress", "recon"}
+    assert out["dictionary"]["cold_seconds"] > 0
