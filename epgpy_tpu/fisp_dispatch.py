@@ -679,8 +679,11 @@ def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
         interpret=interpret, demodulate=demod,
         inversion=TI if use_inv else None, track_df=track_df)
     bshape = (re.shape[0],) if bshape is None else bshape
-    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
-                                 cols={"g": 3} if track_df else None)
+    # cols is EXCLUSIVE when given (see _assemble_jac_outputs): name
+    # every column
+    return _assemble_jac_outputs(
+        re, im, dre, dim, specs, bshape,
+        cols={"T1": 0, "T2": 1, "g": 3} if track_df else None)
 
 
 def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
@@ -1732,14 +1735,16 @@ def _assemble_jac_outputs(re, im, dre, dim, specs, bshape, cols=None):
     """
     P = re.shape[1]
     col = {"magnitude": (re, im)}
-    # default T1/T2 slots, guarded: group-selectable kernels may pass
-    # fewer columns (a magnitude-only spec has a zero-width tangent
-    # axis, where eager indexing raises)
-    for j, name in enumerate(("T1", "T2")):
-        if dre.shape[-1] > j:
+    if cols is not None:
+        # group-selectable callers name EVERY column explicitly --
+        # the fixed T1/T2 defaults below would mislabel reordered
+        # subsets (e.g. groups=("T2","df"))
+        for name, j in cols.items():
             col[name] = (dre[..., j], dim[..., j])
-    for name, j in (cols or {}).items():
-        col[name] = (dre[..., j], dim[..., j])
+    else:
+        for j, name in enumerate(("T1", "T2")):
+            if dre.shape[-1] > j:
+                col[name] = (dre[..., j], dim[..., j])
     outs = []
     for spec in specs:
         if spec[0] == "sig":

@@ -40,8 +40,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pallas_common import (_cmul, _rot_coeffs, _apply_rot, _mix_planes,
-                            _shift_store, _store_set)
+from .pallas_common import (_cmul, _rot_coeffs, _apply_rot,
+                            _mix_planes)
 from .pallas_composite import _shift_sel
 
 __all__ = ["xcomposite_pallas", "xcomposite_pallas_sharded",

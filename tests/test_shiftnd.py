@@ -325,7 +325,6 @@ def test_press_golden():
     assert np.abs(images - g["images"]).max() < 1e-10
 
 
-@pytest.mark.slow
 def test_gre2d_golden():
     """2-D spatially-resolved gradient-echo imaging (reference
     isochromats_vs_epg_2d_vec.py structure): per-line phase encodes,

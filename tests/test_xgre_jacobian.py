@@ -86,7 +86,6 @@ def kernel_jacobian(f, T2f, g=None):
         nstate=NSTATE, btile=128, interpret=True)
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("g", [None, "offres"])
 def test_xgre_jacobian_fd_parity(g):
     rng = np.random.default_rng(5)

@@ -127,9 +127,9 @@ def warm_serving(natoms=102400, npulse=1000, nstate=10, nvox=8192,
         # synthetic dictionary with the right shape (the compile keys
         # depend on shapes, not values)
         import jax
-        k = jax.random.PRNGKey(1)
-        dre = jax.random.normal(k, (natoms, npulse), jnp.float32)
-        dim = jax.random.normal(k, (natoms, npulse), jnp.float32)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        dre = jax.random.normal(k1, (natoms, npulse), jnp.float32)
+        dim = jax.random.normal(k2, (natoms, npulse), jnp.float32)
         sre = np.asarray(rng.standard_normal((nvox, npulse)), np.float32)
         sim = np.asarray(rng.standard_normal((nvox, npulse)), np.float32)
         t0 = time.perf_counter()
