@@ -77,12 +77,17 @@ def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
 
     B1 = b1_ref[0, :]
     rad = jnp.pi / 180.0
+    MB = -(-3 * CC // 8) * 8      # 8-aligned per-mat block rows
 
     def mix(mat, sets):
+        # ONE aligned dynamic-slice load of the stage's whole matrix
+        # block; per-coefficient rows then index a loaded VALUE.
+        # (24 separate dynamic-row reads per stage measured ~75x
+        # slower than the equivalent static-row xgre kernel.)
+        blk = coef_ref[pl.ds(mat * MB, MB), :]
         return _mix_planes(
             sets,
-            lambda part, i, j: coef_ref[mat * 3 * CC + part * CC
-                                        + i * C + j, :],
+            lambda part, i, j: blk[part * CC + i * C + j, :],
             lambda j: dens_ref[0, j], rowmask, C)
 
     def step(i, _):
@@ -184,13 +189,21 @@ def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
         g = jnp.asarray(g, f32)
     khi = jnp.asarray(khi, f32)
 
+    MB = -(-3 * CC // 8) * 8      # 8-aligned per-mat block rows
+
     def pack(tau):
         _, mr, mi, ml = _exchange_mats(khi, T1, T2, g, tau)
         to_rows = lambda m: jnp.moveaxis(m, 0, -1).reshape(CC, Bp)
-        return jnp.concatenate([to_rows(mr), to_rows(mi), to_rows(ml)],
-                               axis=0)
+        blk = jnp.concatenate([to_rows(mr), to_rows(mi), to_rows(ml)],
+                              axis=0)
+        # pad each block to MB rows so the kernel's dynamic-slice load
+        # starts on an 8-aligned sublane offset (mat * MB)
+        if MB > 3 * CC:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((MB - 3 * CC, Bp), f32)], axis=0)
+        return blk
 
-    # one packed (3CC, Bp) block per distinct tau; nmat is small
+    # one packed (MB, Bp) block per distinct tau; nmat is small
     # (static) so a python-level stack is fine
     coef = jnp.concatenate([pack(taus[m]) for m in range(nmat)], axis=0)
 
@@ -215,7 +228,7 @@ def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
         grid=(Bp // btile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 12 + [
             pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
-            pl.BlockSpec((nmat * 3 * CC, btile), lambda b: (0, b)),
+            pl.BlockSpec((nmat * MB, btile), lambda b: (0, b)),
         ],
         out_specs=[pl.BlockSpec((nadc, btile), lambda b: (0, b))] * (2 * C),
         out_shape=[jax.ShapeDtypeStruct((nadc, Bp), f32)] * (2 * C),
@@ -303,22 +316,29 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
 
     B1 = b1_ref[0, :]
     rad = jnp.pi / 180.0
+    MB = -(-3 * CC // 8) * 8      # 8-aligned per-mat block rows
 
-    def m(g, mat, part, i, j):
-        return coef_ref[(g * nmat + mat) * 3 * CC + part * CC
-                        + i * C + j, :]
+    def _blk(g, mat):
+        # one aligned dynamic-slice load per (group, stage-matrix):
+        # per-coefficient rows then index a loaded VALUE (separate
+        # dynamic-row reads are ~75x slower -- see _kernel_xcomp)
+        return coef_ref[pl.ds((g * nmat + mat) * MB, MB), :]
 
     def dens(g, c):
         return dens_ref[g * C + c, :]
 
     def mix_primal(mat, sets):
-        return _mix_planes(sets,
-                           lambda part, i, j: m(0, mat, part, i, j),
-                           lambda j: dens(0, j), rowmask, C)
+        blk = _blk(0, mat)
+        return _mix_planes(
+            sets,
+            lambda part, i, j: blk[part * CC + i * C + j, :],
+            lambda j: dens(0, j), rowmask, C)
 
     def mix_tangent(mat, g, tsets, xsets):
         """t'_i = sum_j [ M_ij (t_j - de_j) + dM_ij (x_j - e_j) ]
         + de_i (equilibrium on the k=0 Z row only)."""
+        pblk = _blk(0, mat)
+        gblk = _blk(g, mat)
         xdevs = [(xsets[j][4] - dens(0, j) * rowmask, xsets[j][5])
                  for j in range(C)]
         tdevs = [(tsets[j][4] - dens(g, j) * rowmask, tsets[j][5])
@@ -327,10 +347,12 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
         for i in range(C):
             nAR = nAI = nBR = nBI = nZR = nZI = None
             for j in range(C):
-                mr, mi = m(0, mat, 0, i, j), m(0, mat, 1, i, j)
-                ml = m(0, mat, 2, i, j)
-                dmr, dmi = m(g, mat, 0, i, j), m(g, mat, 1, i, j)
-                dml = m(g, mat, 2, i, j)
+                mr, mi = pblk[0 * CC + i * C + j, :], \
+                    pblk[1 * CC + i * C + j, :]
+                ml = pblk[2 * CC + i * C + j, :]
+                dmr, dmi = gblk[0 * CC + i * C + j, :], \
+                    gblk[1 * CC + i * C + j, :]
+                dml = gblk[2 * CC + i * C + j, :]
                 tAR, tAI, tBR, tBI, _, _ = tsets[j]
                 xAR, xAI, xBR, xBI, _, _ = xsets[j]
                 ar, ai = _cmul(mr, mi, tAR, tAI)
@@ -470,6 +492,7 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
     nmat, B = mr0.shape[0], mr0.shape[1]
     nvar = len(dmats)
     G = nvar + 1
+    MB = -(-3 * CC // 8) * 8      # 8-aligned per-mat block rows
 
     Bp = -(-B // btile) * btile
 
@@ -496,9 +519,13 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
             # (nmat, Bp, C, C) -> per-mat (CC, Bp) blocks
             return jnp.moveaxis(t, 1, -1).reshape(nmat, CC, Bp)
         r_, i_, l_ = rows(mr), rows(mi), rows(ml)
-        # concat parts per mat: (nmat, 3CC, Bp) -> (nmat*3CC, Bp)
-        return jnp.concatenate([r_, i_, l_], axis=1).reshape(
-            nmat * 3 * CC, Bp)
+        # concat parts per mat + pad each block to MB rows (8-aligned
+        # dynamic-slice starts in the kernel): (nmat*MB, Bp)
+        blk = jnp.concatenate([r_, i_, l_], axis=1)
+        if MB > 3 * CC:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((nmat, MB - 3 * CC, Bp), f32)], axis=1)
+        return blk.reshape(nmat * MB, Bp)
 
     coef = jnp.concatenate(
         [pack_tables(mats, identity=True)]
@@ -536,7 +563,7 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11 + [
             pl.BlockSpec((G * C, btile), lambda b: (0, b)),      # dens
             pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
-            pl.BlockSpec((G * nmat * 3 * CC, btile), lambda b: (0, b)),
+            pl.BlockSpec((G * nmat * MB, btile), lambda b: (0, b)),
         ],
         out_specs=[pl.BlockSpec((nadc, btile), lambda b: (0, b))] * nout,
         out_shape=[jax.ShapeDtypeStruct((nadc, Bp), f32)] * nout,
