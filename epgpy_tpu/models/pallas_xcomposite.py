@@ -327,17 +327,18 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
     def dens(g, c):
         return dens_ref[g * C + c, :]
 
-    def mix_primal(mat, sets):
-        blk = _blk(0, mat)
+    def mix_primal(mat, sets, pblk=None):
+        blk = _blk(0, mat) if pblk is None else pblk
         return _mix_planes(
             sets,
             lambda part, i, j: blk[part * CC + i * C + j, :],
             lambda j: dens(0, j), rowmask, C)
 
-    def mix_tangent(mat, g, tsets, xsets):
+    def mix_tangent(mat, g, tsets, xsets, pblk=None):
         """t'_i = sum_j [ M_ij (t_j - de_j) + dM_ij (x_j - e_j) ]
         + de_i (equilibrium on the k=0 Z row only)."""
-        pblk = _blk(0, mat)
+        if pblk is None:
+            pblk = _blk(0, mat)
         gblk = _blk(g, mat)
         xdevs = [(xsets[j][4] - dens(0, j) * rowmask, xsets[j][5])
                  for j in range(C)]
@@ -392,8 +393,9 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
             groups.append(sets)
 
         mia = mia_ref[0, i]
-        groups = ([mix_primal(mia, groups[0])]
-                  + [mix_tangent(mia, g, groups[g], groups[0])
+        pblk = _blk(0, mia)       # hoisted across all tangent groups
+        groups = ([mix_primal(mia, groups[0], pblk)]
+                  + [mix_tangent(mia, g, groups[g], groups[0], pblk)
                      for g in range(1, G)])
 
         idx = adci_ref[0, i]
@@ -413,8 +415,9 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
                     out_refs[2 * (g * C + c) + 1][idx, :] = ei
 
         mib = mib_ref[0, i]
-        groups = ([mix_primal(mib, groups[0])]
-                  + [mix_tangent(mib, g, groups[g], groups[0])
+        pblk = _blk(0, mib)
+        groups = ([mix_primal(mib, groups[0], pblk)]
+                  + [mix_tangent(mib, g, groups[g], groups[0], pblk)
                      for g in range(1, G)])
         s_dir = shf_ref[0, i]
         for g in range(G):
@@ -493,6 +496,20 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
     nvar = len(dmats)
     G = nvar + 1
     MB = -(-3 * CC // 8) * 8      # 8-aligned per-mat block rows
+
+    # explicit VMEM guard (this entry point is model-level, with no
+    # engine dispatch gate in front of it): 6CG persistent planes +
+    # double-buffered output windows must fit with headroom, else
+    # Mosaic fails with an opaque allocation error
+    persist = 4 * 6 * C * G * (nstate + 1) * btile
+    outwin = 2 * 2 * C * G * nadc * btile * 4
+    if persist + outwin > 80 * 1024 * 1024:
+        raise ValueError(
+            f"xcomposite_jacobian_pallas VMEM budget exceeded: "
+            f"{(persist + outwin) / 2**20:.0f} MiB of planes+windows "
+            f"(C={C}, vars={nvar}, nstate={nstate}, nadc={nadc}, "
+            f"btile={btile}); reduce nstate/btile or fit fewer "
+            f"variables per pass")
 
     Bp = -(-B // btile) * btile
 
