@@ -2345,9 +2345,19 @@ def _match_xcomposite_impl(sequence, shape, density):
         elif type(op) is T:
             if not _no_diff(op) or getattr(op, "axes", None) is not None:
                 return None
-            a = _comp_vec(op.alpha, C)
+            # flips: host per-compartment scalars (C,) or a rank-1
+            # ``outer(alpha_c, B1)`` per-atom batch (the B1-corrected
+            # MT-MRF idiom; factored once below, like match_xgre) --
+            # the compartment axis LEADS (append rule)
+            a = _host_nd(op.alpha)
             p = _comp_vec(op.phi, C)
             if a is None or p is None:
+                return None
+            if a.ndim == 0 or a.size == 1:
+                a = np.full((C,), float(a.reshape(-1)[0]))
+            if a.shape[0] == 1:
+                a = np.broadcast_to(a, (C,) + a.shape[1:])
+            if a.shape[0] != C:
                 return None
             if cur is None or have_pulse or cur["ta"] or cur["tb"] \
                     or cur["adc"] or cur["shift"]:
@@ -2470,8 +2480,24 @@ def _match_xcomposite_impl(sequence, shape, density):
             aph[i] = s["aph"]
         shift[i] = s["shift"]
 
+    # rank-1 flip factorization over all (stage, compartment) rows
+    # (scalar-only trains skip it; B1 broadcasts into the atom dims)
+    ahs = [s["alpha"] for s in stages]
+    if all(all(d == 1 for d in a.shape[1:]) for a in ahs):
+        alphas = np.stack([np.asarray(a).reshape(C) for a in ahs])
+        B1 = None
+    else:
+        rows = [np.atleast_1d(a[c]) for a in ahs for c in range(C)]
+        fab = _rank1_factor(rows)
+        if fab is None:
+            return None
+        coefs, B1 = fab
+        alphas = coefs.reshape(N, C)
+        if not common.broadcastable(B1.shape, tuple(shape[1:])):
+            return None
+
     return {
-        "alpha": np.stack([s["alpha"] for s in stages]),
+        "alpha": alphas, "B1": B1,
         "phi": np.stack([s["phi"] for s in stages]),
         "satf_re": satf.real, "satf_im": satf.imag,
         "satz_re": satz.real, "satz_im": satz.imag,
@@ -2488,17 +2514,22 @@ def _match_xcomposite_impl(sequence, shape, density):
     "nadc", "nstate", "bshape", "interpret", "has_up", "has_down",
     "has_adcph", "has_sat"))
 def _run_xcomp_jit(alpha, phi, sfr, sfi, szr, szi, adci, shift, aph,
-                   mia, mib, dens, taus, khi, T1, T2, g, *, nadc,
+                   mia, mib, dens, taus, khi, T1, T2, g, b1, *, nadc,
                    nstate, bshape, interpret, has_up, has_down,
                    has_adcph, has_sat):
     from .models.pallas_xcomposite import xcomposite_pallas
 
+    if b1 is not None:
+        rest = bshape[1:]
+        b1 = jnp.asarray(b1, jnp.float32)
+        b1 = b1.reshape(b1.shape + (1,) * (len(rest) - b1.ndim))
+        b1 = jnp.broadcast_to(b1, rest).reshape(-1)
     re, im = xcomposite_pallas(
         alpha, phi, sfr, sfi, szr, szi, adci, shift, aph, mia, mib,
         dens, taus, khi,
         _prep_comp_atoms(T1, bshape, np.inf),
         _prep_comp_atoms(T2, bshape, np.inf),
-        _prep_comp_atoms(g, bshape, 0.0),
+        _prep_comp_atoms(g, bshape, 0.0), b1,
         nadc=nadc, nstate=nstate, interpret=interpret, has_up=has_up,
         has_down=has_down, has_adcph=has_adcph, has_sat=has_sat)
     return (re.reshape((nadc,) + bshape), im.reshape((nadc,) + bshape))
@@ -2518,7 +2549,9 @@ def _xcomp_device_params(params):
                  np.asarray(params["dens"], f32),
                  np.asarray(params["taus"], f32),
                  np.asarray(params["khi"], f32),
-                 params["T1"], params["T2"], params["g"])
+                 params["T1"], params["T2"], params["g"],
+                 None if params.get("B1") is None
+                 else np.asarray(params["B1"], f32))
         return host
 
     return _cached_device(params, build)

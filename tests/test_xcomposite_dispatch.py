@@ -258,3 +258,38 @@ def test_xcomposite_jacobian_fd():
     scale = max(np.abs(fd_k).max(), 1e-12)
     assert np.abs(got_k - fd_k).max() / scale < 2e-2, (
         np.abs(got_k - fd_k).max() / scale)
+
+
+def test_rank1_b1_flip_batch():
+    """B1-corrected MT train: every pulse's free-pool flip scales with
+    a per-atom B1 row (rank-1 ``outer(alpha_c, B1)``); the matcher
+    factors it and the kernel applies the per-atom scale."""
+    B = 4
+    dens, khi, T1, T2 = _pools(B)
+    B1 = np.linspace(0.85, 1.15, B)
+    Xte = epg.X(3.0, khi, axis=0, T1=T1, T2=T2)
+    Xtr = epg.X(7.0, khi, axis=0, T1=T1, T2=T2)
+    Xrec = epg.X(120.0, khi, axis=0, T1=T1, T2=T2)
+    rng = np.random.default_rng(2)
+    seq = []
+    for s in range(2):
+        seq += [epg.R(0, rL=np.asarray([0.0, 0.3]), r0=None), Xrec]
+        for i in range(4):
+            fa = float(rng.uniform(8, 15))
+            alpha = np.stack([fa * B1, np.zeros(B)])   # (C, B)
+            seq += [epg.T(alpha, 0.0), Xte, epg.ADC, Xtr, epg.S(1)]
+        seq += [Xrec]
+    shape = (2, B)
+    params = fisp_dispatch.match_xcomposite(list(seq), shape,
+                                            list(dens))
+    assert params is not None and params["B1"] is not None
+    _parity(seq, dens, shape=shape)
+
+    # NON-rank-1 flips (independent per-atom rows) must fall through
+    seq2 = list(seq)
+    i = next(j for j, op in enumerate(seq2) if type(op) is epg.T
+             and np.asarray(op.alpha).size > 2)
+    bad = np.stack([np.asarray([9.0, 11.0, 8.0, 14.0]), np.zeros(B)])
+    seq2[i] = epg.T(bad, 0.0)
+    assert fisp_dispatch.match_xcomposite(list(seq2), shape,
+                                          list(dens)) is None
