@@ -914,11 +914,13 @@ def simulate(
             if tag == "xcomp":
                 # 6 planes per compartment + the un-chunked output
                 # windows (2C arrays, double-buffered) + the stage-
-                # matrix table block, as plane-equivalents
+                # matrix table block (MB-padded rows per mat for the
+                # aligned dynamic-slice loads), as plane-equivalents
                 _C = int(fparams["C"])
+                _mb = -(-3 * _C * _C // 8) * 8
                 _nm = len(fparams["taus"])
                 nplanes = 6 * _C + -(
-                    -(4 * _C * fparams["nadc"] + 2 * _nm * 3 * _C * _C)
+                    -(4 * _C * fparams["nadc"] + 2 * _nm * _mb)
                     // (ncap + 1))
             if tag == "comp":
                 # the composite kernel's un-chunked (nadc, btile) output
