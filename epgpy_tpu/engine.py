@@ -934,6 +934,7 @@ def simulate(
                     "simulate: %s train -> fused Pallas kernel "
                     "(%s-kernel engine, %d TR, nstate=%d)", family, tag,
                     len(fparams.get("FA", fparams.get("alpha", ()))), ncap)
+            _fd.count_dispatch(tag)
             enc = runner(fparams, ncap,
                          interpret=_fisp_force and not _fisp_tpu)
             break
@@ -1025,6 +1026,7 @@ def simulate(
                             "Pallas Hessian kernel (%d TR, nstate=%d, "
                             "order=%d)", len(hparams["FA"]),
                             _preamble_ncap, 2 if second else 1)
+                    fisp_dispatch.count_dispatch("hessian")
                     values = fisp_dispatch.run_fisp_hessian(
                         hparams, _preamble_ncap, hspecs, second,
                         interpret=_fisp_force and not _fisp_tpu)
@@ -1108,6 +1110,14 @@ def simulate(
                         "Jacobian kernel (%d pulses, nstate=%d)",
                         _fam.get(runner, "FISP"), len(fparams["FA"]),
                         _preamble_ncap)
+                fisp_dispatch.count_dispatch("jac:" + {
+                    fisp_dispatch.run_mse_jacobian: "mse",
+                    fisp_dispatch.run_bssfp_jacobian: "bssfp",
+                    fisp_dispatch.run_dess_jacobian: "dess",
+                    fisp_dispatch.run_megre_jacobian: "megre",
+                    fisp_dispatch.run_dwfisp_jacobian: "dw",
+                    fisp_dispatch.run_composite_jacobian: "comp",
+                }.get(runner, "fisp"))
                 values = runner(
                     fparams, _preamble_ncap, specs,
                     interpret=_fisp_force and not _fisp_tpu)

@@ -68,6 +68,19 @@ def clear_cache():
     _MATCH_CACHE.clear()
 
 
+#: Kernel-dispatch engagement counter (r5): the engine increments the
+#: matched family's tag ("fisp", "mse", ..., "hessian") each time a
+#: simulate() call actually routes to a fused kernel.  bench.py's
+#: per-family parity probes and the warm-path regression test read it
+#: to PROVE a measurement exercised the kernel rather than a silent
+#: planner fall-through.  Diagnostics only -- never branch on it.
+DISPATCH_COUNTS: dict = {}
+
+
+def count_dispatch(tag):
+    DISPATCH_COUNTS[tag] = DISPATCH_COUNTS.get(tag, 0) + 1
+
+
 _KERNEL_VMEM_BUDGET = 80 * 1024 * 1024
 
 
@@ -2246,6 +2259,15 @@ def match_xcomposite(sequence, shape, density=None):
 
     Reference anchor: /root/reference/epgpy/exchange.py:89-120,
     evolution.py R -- applied op-by-op; no fused path exists there.
+
+    Known coverage limitation (ADVICE r4): unlike ``match_composite``,
+    there is no per-stage B1-sensitivity bypass -- EVERY flip row
+    (including scalar adiabatic 180s) enters the joint rank-1
+    ``outer(alpha_c, B1)`` factorization, so an MT train mixing an
+    adiabatic inversion with B1-batched readouts is not rank-1 and
+    falls through to the planner (correct result, slower path).  Give
+    the inversion the same B1 batch, or keep the train B1-free, to
+    stay on the fused kernel.
     """
     if len(sequence) < 6:
         return None
@@ -2326,14 +2348,20 @@ def _match_xcomposite_impl(sequence, shape, density):
             stages.append(cur)
             cur = None
 
-    _tau_cache = {}
+    # prefetch every distinct instance's tau with ONE batched d2h
+    # (ADVICE r4: per-op np.asarray reads are ~25 ms tunnel round-trips
+    # each -- a 64-instance train paid them serially before the
+    # distinct-tau table cap below could reject it; one jax.device_get
+    # of the whole leaf list costs a single round-trip)
+    _distinct = {}
+    for x in xops:
+        _distinct.setdefault(id(x), x)
+    _tau_vals = jax.device_get([x.tau for x in _distinct.values()])
+    _tau_cache = {xid: float(np.asarray(t).reshape(()))
+                  for xid, t in zip(_distinct, _tau_vals)}
 
     def _xtau(op):
-        t = _tau_cache.get(id(op))
-        if t is None:
-            t = float(np.asarray(op.tau).reshape(()))   # one d2h per op
-            _tau_cache[id(op)] = t
-        return t
+        return _tau_cache[id(op)]
 
     have_pulse = False
     for op in sequence:

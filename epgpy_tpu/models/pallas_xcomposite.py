@@ -499,15 +499,21 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
 
     # explicit VMEM guard (this entry point is model-level, with no
     # engine dispatch gate in front of it): 6CG persistent planes +
-    # double-buffered output windows must fit with headroom, else
-    # Mosaic fails with an opaque allocation error
+    # double-buffered output windows + the streamed per-tile input
+    # blocks -- the (G*nmat*MB, btile) coefficient-table slab and the
+    # (G*C, btile) density rows, both double-buffered (ADVICE r4:
+    # omitting them let a large C/nmat/nvar config pass the guard yet
+    # still hit the opaque Mosaic allocation failure) -- must fit with
+    # headroom
     persist = 4 * 6 * C * G * (nstate + 1) * btile
     outwin = 2 * 2 * C * G * nadc * btile * 4
-    if persist + outwin > 80 * 1024 * 1024:
+    inwin = 2 * 4 * (G * nmat * MB + G * C + 2) * btile
+    if persist + outwin + inwin > 80 * 1024 * 1024:
         raise ValueError(
             f"xcomposite_jacobian_pallas VMEM budget exceeded: "
-            f"{(persist + outwin) / 2**20:.0f} MiB of planes+windows "
-            f"(C={C}, vars={nvar}, nstate={nstate}, nadc={nadc}, "
+            f"{(persist + outwin + inwin) / 2**20:.0f} MiB of planes+"
+            f"windows+table blocks (C={C}, vars={nvar}, "
+            f"nstate={nstate}, nadc={nadc}, nmat={nmat}, "
             f"btile={btile}); reduce nstate/btile or fit fewer "
             f"variables per pass")
 

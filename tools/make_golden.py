@@ -1076,8 +1076,62 @@ def cardiac_mrf():
     return {"signal": np.asarray(fun.simulate(seq)),
             "T1s": T1s, "T2s": T2s, "B1s": B1s}
 
+def xgre_parity():
+    """Spoiled MT-GRE at thermal equilibrium: the xgre kernel family's
+    exact pattern ([R(sat), T, ADC, X, S(1)] * N with density) -- the
+    exchange_gre golden uses a custom init, which the fused dispatch
+    rejects, so bench.py's per-family TPU parity probe needs this one
+    (reference anchor epgpy/exchange.py:89-120)."""
+    from epgpy import exchange as rexch
+    from epgpy import evolution as rev
+    NTR, B = 20, 4
+    T2f = np.linspace(40.0, 120.0, B)
+    T2 = np.stack([T2f, np.full(B, 0.012)], axis=0)
+    khi = rexch.exchange_matrix(0.005, densities=[0.8, 0.2])
+    X = rexch.X(10.0, khi, axis=0, T1=np.asarray([1000.0, 1000.0]),
+                T2=T2)
+    sat = rev.R(0, rL=np.asarray([0.0, 2.5]), r0=None)
+    seq = []
+    for _ in range(NTR):
+        seq += [sat, ops.T(np.asarray([10.0, 0.0]), 0), ops.ADC, X,
+                ops.S(1)]
+    sig = np.asarray(fun.simulate(seq, max_nstate=10,
+                                  density=[0.8, 0.2]))
+    return {"signal": sig}
+
+
+def xcomp_gre():
+    """Segmented MT-prepped spoiled GRE: the composite EPG-X
+    stage-train family's pattern ([R(sat), X(recovery)] preps +
+    [T, X, ADC, X, S(1)] readout segments + recovery delays) for
+    bench.py's xcomp parity probe."""
+    from epgpy import exchange as rexch
+    from epgpy import evolution as rev
+    B = 4
+    dens = [0.85, 0.15]
+    khi = rexch.exchange_matrix(0.005, ncomp=2, densities=dens)
+    T2f = np.linspace(50.0, 110.0, B)
+    T2 = np.stack([T2f, np.full(B, 0.012)], axis=0)
+    T1p = np.array([1000.0, 1100.0])
+    Xte = rexch.X(3.0, khi, axis=0, T1=T1p, T2=T2)
+    Xtr = rexch.X(7.0, khi, axis=0, T1=T1p, T2=T2)
+    Xrec = rexch.X(150.0, khi, axis=0, T1=T1p, T2=T2)
+    sat = rev.R(0, rL=np.asarray([0.0, 0.3]), r0=None)
+    seq = []
+    for seg in range(3):
+        seq += [sat, Xrec]
+        for i in range(6):
+            seq += [ops.T(np.asarray([8.0 + i + seg, 0.0]), 0.0),
+                    Xte, ops.ADC, Xtr, ops.S(1)]
+        seq += [Xrec]
+    sig = np.asarray(fun.simulate(seq, max_nstate=8, density=dens))
+    return {"signal": sig}
+
+
 CASES = {
     "mprage": mprage,
+    "xgre_parity": xgre_parity,
+    "xcomp_gre": xcomp_gre,
     "cardiac_mrf": cardiac_mrf,
     "bssfp": bssfp,
     "xbssfp": xbssfp,
