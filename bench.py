@@ -693,7 +693,7 @@ def measure_bssfp():
         return epg.simulate(seq, asarray=False)
 
     def bsync(out):
-        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+        return float(np.asarray(out["__c_re"][-1, 0]))
 
     t0 = time.perf_counter()
     bsync(run())
@@ -791,7 +791,9 @@ def measure_exchange():
                             asarray=False)
 
     def xsync(out):
-        return float(np.asarray(out["__c_re"][-1]).ravel()[0])
+        # one-element completion read (the [-1] row alone is (C, 32768)
+        # = 256 KB of d2h per sync)
+        return float(np.asarray(out["__c_re"].reshape(-1)[0]))
 
     t0 = time.perf_counter()
     xsync(run())
@@ -1213,7 +1215,7 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
     kread(pfn())                     # warm the planner side
     kb, pb, absprd = _ab_best(
         lambda: epg.simulate(seqcj, max_nstate=nstate, probe=probc,
-                             asarray=False), pfn, kread, 2, M=4)
+                             asarray=False), pfn, kread, 2, M=6)
     key = ("composite_jac_vs_planner" if kb >= 0.005 and absprd <= 3.0
            else "composite_jac_vs_planner_unreliable")
     out[key] = round(pb / kb, 1)
@@ -1236,21 +1238,28 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
             seqx += [epg.T(np.asarray([float(FA[i] / 3), 0.0]), 0.0),
                      Xte, epg.ADC, Xtr, epg.S(1)]
         seqx += [Xrec]
+    # NB read pattern: reshape(-1)[0] ON DEVICE, then transfer ONE
+    # element -- np.asarray(r["__c_re"]).reshape(...) transfers the whole
+    # (nadc, C, B) output (6.6 MB) and was the r4 artifact that made this
+    # kernel look 1.3x the planner (true in-window ratio: 4.2x; both sides
+    # of the A/B paid the same d2h, compressing the ratio toward 1)
     warm, best, sprd = timed(
         lambda: epg.simulate(seqx, max_nstate=nstate, density=dens2,
                              asarray=False),
-        lambda r: float(np.asarray(r["__c_re"]).reshape(-1)[0]))
+        lambda r: float(np.asarray(r["__c_re"].reshape(-1)[0])))
     out["xcomp_atoms_per_sec"] = round(natoms / best, 1)
     out["xcomp_best_seconds"] = round(float(best), 4)
     out["xcomp_warmup_seconds"] = round(float(warm), 2)
     out["xcomp_window_spread"] = sprd
-    xread = lambda r: float(np.asarray(r["__c_re"]).reshape(-1)[0])  # noqa: E731
+    xread = lambda r: float(np.asarray(r["__c_re"].reshape(-1)[0]))  # noqa: E731
     xpfn = lambda: epg.simulate(seqx, max_nstate=nstate, density=dens2,  # noqa: E731
                                 asarray=False, fisp_kernel=False)
     xread(xpfn())                    # warm the planner side
+    # M=8: the ~8 ms/pass launch+sync floor divides by M and biases the
+    # ratio toward 1 on a ~6 ms kernel side
     kb, pb, absprd = _ab_best(
         lambda: epg.simulate(seqx, max_nstate=nstate, density=dens2,
-                             asarray=False), xpfn, xread, 2, M=4)
+                             asarray=False), xpfn, xread, 2, M=8)
     key = ("xcomp_vs_planner" if kb >= 0.005 and absprd <= 3.0
            else "xcomp_vs_planner_unreliable")
     out[key] = round(pb / kb, 1)
