@@ -1041,9 +1041,11 @@ def simulate(
                     return values
             # cheap probe-shape pre-check against the maximal var set:
             # eval-string probes reject in O(#probes) without
-            # paying the host-side train factorization
+            # paying the host-side train factorization (r5: "B1"
+            # chain-rule-tracked flip trains and "D"/"Dcoef"
+            # diffusivity-tracked DW trains route fused too)
             specs = fisp_dispatch.match_jacobian_probes(
-                probes, ("T1", "T2", "g"))
+                probes, ("T1", "T2", "g", "B1", "D", "Dcoef"))
             runner = None
             if specs is not None:
                 fparams = fisp_dispatch.match_fisp(sequence)
@@ -1093,6 +1095,8 @@ def simulate(
                             // (_preamble_ncap + 1))
                     elif fparams.get("diffusion") is not None:
                         _njp = 30          # + 6 attenuation planes
+                        if fparams.get("d_var"):
+                            _njp = 36      # + dD tangent group (r5)
                     if not fisp_dispatch.kernel_fits_vmem(
                             _njp, _preamble_ncap):
                         specs = None

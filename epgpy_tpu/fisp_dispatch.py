@@ -195,6 +195,97 @@ def _canonical_order1(op, allowed=("T1", "T2")):
     return tuple(sorted(names))
 
 
+def _t_b1_order1(op):
+    """T-op order1 for B1 tracking (r5, VERDICT #5): no spec -> ``()``
+    (untracked); exactly ``order1={"B1": {"alpha": c}}`` with a host
+    scalar chain-rule coefficient c = d(alpha)/dB1 -> ``float(c)``;
+    anything else (other variables, order2, device/traced or
+    non-scalar coefficients) -> None (fall through to the planner).
+
+    Reference semantics: B1 enters only as the flip attenuation
+    (``att`` in /root/reference/epgpy/functions.py:316-347, applied as
+    ``T(alpha*att, phi)``), so dS/dB1 = sum_i c_i dS/dalpha_i with
+    c_i the nominal flip -- the chain-rule-coefficient order1 form."""
+    if getattr(op, "order2", None):
+        return None
+    o1 = getattr(op, "order1", None)
+    if not o1:
+        return ()
+    if set(o1) != {"B1"}:
+        return None
+    cfs = o1["B1"]
+    if not isinstance(cfs, dict) or set(cfs) != {"alpha"}:
+        return None
+    c = cfs["alpha"]
+    if _is_device(c) or np.ndim(c) != 0:
+        return None
+    try:
+        return float(c)
+    except (TypeError, ValueError):
+        return None
+
+
+def _b1_scale_from_coeffs(FA, coeffs, sens=None):
+    """Shared-ratio validation for B1-tracked trains.
+
+    The kernels' dB1 column is w.r.t. their internally factored B1
+    (``_rank1_factor`` absorbs the physical scale into FA), with
+    per-stage coefficient d(a_i)/dB1_kernel = FA_i.  The user's spec
+    says d(alpha_i)/dB1_phys = c_i, so consistency requires ONE shared
+    ratio s = FA_i / c_i across every B1-sensitive stage -- then
+    dS/dB1_phys = dS/dB1_kernel / s.  ``sens`` optionally marks which
+    stages the kernel's dB1 group actually sums (default: all);
+    sensitive stages must be tracked and insensitive ones untracked,
+    else the kernel's summed column is not the requested derivative.
+    Returns s (nonzero float) or None.
+    """
+    n = len(coeffs)
+    if sens is None:
+        sens = [abs(float(f)) > 1e-12 for f in FA[:n]]
+    s = None
+    for i in range(n):
+        c = coeffs[i]
+        if sens[i]:
+            if c == () or c == 0.0:
+                return None
+            r = float(FA[i]) / c
+            if s is None:
+                s = r
+            elif abs(r - s) > 1e-5 * max(abs(s), 1e-30):
+                return None
+        elif c != () and c != 0.0:
+            return None
+    return s
+
+
+def _d_order1(op):
+    """D-op order1 for diffusivity tracking (r5, VERDICT #6): no spec
+    -> ``()`` (untracked); canonical ``order1=["Dcoef"]`` or the alias
+    ``order1={"D": "Dcoef"}`` (unit coefficient) -> the tracked var
+    name; anything else -> None (planner).  Beyond reference: epgpy's
+    D op has no derivatives at all."""
+    if getattr(op, "order2", None):
+        return None
+    o1 = getattr(op, "order1", None)
+    if not o1:
+        return ()
+    if len(o1) != 1:
+        return None
+    (var, cfs), = o1.items()
+    if var not in ("D", "Dcoef") or not isinstance(cfs, dict) \
+            or set(cfs) != {"Dcoef"}:
+        return None
+    c = cfs["Dcoef"]
+    if _is_device(c) or np.ndim(c) != 0:
+        return None
+    try:
+        if float(c) != 1.0:
+            return None
+    except (TypeError, ValueError):
+        return None
+    return var
+
+
 def _append_rows(arrs, bshape):
     """Right-pad (append-broadcast rule) and broadcast each array to
     `bshape`, flattened -- views, no copies."""
@@ -298,7 +389,9 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     N = len(sequence) // group
 
     alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
+    b1_coeffs = []
     d_ops = []
+    d_var = ()
     T1 = T2 = DF = None
     tracked = None
     for i in range(N):
@@ -307,10 +400,15 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
             if (type(e2) is not E or type(s) is not S
                     or type(d) is not Dop):
                 return None
-            if not _no_diff(s) or not _no_diff(d):
+            # D ops may carry canonical diffusivity tracking (r5); all
+            # instances are the same op (enforced by _dw_bvalue), so
+            # the spec is shared by construction
+            dvar = _d_order1(d)
+            if not _no_diff(s) or dvar is None:
                 return None
             if getattr(d, "axes", None) is not None:
                 return None
+            d_var = dvar or d_var
             d_ops.append(d)
         elif spoiled:
             t_op, e1, adc, e2, s = sequence[5 * i:5 * i + 5]
@@ -325,8 +423,12 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         if (type(t_op) is not T or type(e1) is not E
                 or type(adc) is not Adc):
             return None
-        if not _no_diff(t_op) or not _no_diff(adc):
+        # T ops may carry the B1-tracking chain-rule spec (r5); any
+        # other differentiation spec falls through
+        b1c = _t_b1_order1(t_op)
+        if b1c is None or not _no_diff(adc):
             return None
+        b1_coeffs.append(b1c)
         # E ops may carry canonical T1/T2 order1 tracking (the Jacobian
         # dispatch consumes it; it is value-neutral for the primal) --
         # but the spec must be IDENTICAL on every E, incl. the prep
@@ -408,6 +510,19 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         return None
     FA, B1 = fab
 
+    # B1-tracked trains (r5): every pulse must carry a consistent
+    # d(alpha)/dB1 coefficient; the kernel's fused dB1 column covers
+    # the train pulses AND the inversion prep's 180*B1, so prep'd
+    # trains with an untracked prep fall through (the prep op is
+    # required diff-free above)
+    b1_scale = None
+    if any(c != () for c in b1_coeffs):
+        if prep is not None:
+            return None
+        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs)
+        if b1_scale is None:
+            return None
+
     TI = None
     inv_df = False
     if prep is not None:
@@ -467,10 +582,14 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
     if dw:
         if not isinstance(kvalue, (int, float)):
             return None
-        f = _dw_bvalue(d_ops, kvalue)
+        f = _dw_bvalue(d_ops, kvalue, allow_diff=bool(d_var))
         if f is None:
             return None
         bbase, ramp, dcoef = f
+        if d_var and getattr(dcoef, "ndim", 0) != 0:
+            # tracked diffusivity: the kernel's dD column is the
+            # SCALAR-diffusivity tangent; tensor-D tracking -> planner
+            return None
         diffusion = {"bT": bbase, "bL": bbase, "Dcoef": dcoef,
                      "ramp": ramp}
 
@@ -481,17 +600,24 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         return None
     bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
     T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
+    out_vars = tuple(tracked)
+    if b1_scale is not None:
+        out_vars = out_vars + ("B1",)
+    if d_var:
+        out_vars = out_vars + (d_var,)
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
         "T1": T1f, "T2": T2f,
-        "B1": B1f, "TI": TI, "inv_df": inv_df, "vars": tracked,
+        "B1": B1f, "TI": TI, "inv_df": inv_df,
+        "vars": tuple(sorted(out_vars)),
+        "b1_scale": b1_scale, "d_var": d_var or None,
         "demod": demod, "shape": bshape,
         "df": DFf if DFf.any() else None,
         "diffusion": diffusion,
     }
 
 
-def _dw_bvalue(dops, kvalue):
+def _dw_bvalue(dops, kvalue, allow_diff=False):
     """Shared D-op validation + b-value base for the DW matchers
     (DW-FISP per-TR list / DW-TSE per-half list).
 
@@ -515,7 +641,8 @@ def _dw_bvalue(dops, kvalue):
         return 0.0, True, np.float32(0.0)
     if not isinstance(d0.tau, float):
         return None
-    if not _no_diff(d0) or getattr(d0, "axes", None) is not None:
+    if (not allow_diff and not _no_diff(d0)) \
+            or getattr(d0, "axes", None) is not None:
         return None
     if isinstance(d0.Dcoef, jax.core.Tracer) or isinstance(
             d0.kshift, jax.core.Tracer):
@@ -579,10 +706,12 @@ def _run_dw_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "specs", "demod",
                                              "use_df", "bshape", "ramp",
-                                             "inv_df"))
-def _run_dw_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
-                    nstate, interpret, use_inv, specs, demod=False,
-                    use_df=False, bshape=None, ramp=True, inv_df=False):
+                                             "inv_df", "use_b1",
+                                             "d_name"))
+def _run_dw_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco,
+                    B1S, *, nstate, interpret, use_inv, specs,
+                    demod=False, use_df=False, bshape=None, ramp=True,
+                    inv_df=False, use_b1=False, d_name=None):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     Dc = Dco if Dco.ndim == 0 else jnp.sum(Dco, axis=(-2, -1))
@@ -591,29 +720,49 @@ def _run_dw_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, bT, bL, Dco, *,
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         nstate=nstate, interpret=interpret, demodulate=demod,
         inversion=TI if use_inv else None, inversion_df=inv_df,
-        diffusion=(bT, bL, Dc), diff_ramp=ramp)
+        diffusion=(bT, bL, Dc), diff_ramp=ramp,
+        track_diffusivity=d_name is not None)
     bshape = (re.shape[0],) if bshape is None else bshape
-    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
+    cols = None
+    if use_b1 or d_name is not None:
+        nv = dre.shape[-1]
+        cols = {"T1": 0, "T2": 1}
+        scale = [jnp.float32(1.0)] * nv
+        if use_b1:
+            # attenuation is B1-independent, so the dB1 column rides
+            # through it; rescale to physical-B1 units (_run_jac_jit)
+            scale[2] = 1.0 / B1S
+            cols["B1"] = 2
+        if d_name is not None:
+            cols[d_name] = 3       # kernel column order (T1,T2,B1,D)
+        dre = dre * jnp.stack(scale)
+        dim = dim * jnp.stack(scale)
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
+                                 cols=cols)
 
 
 def run_dwfisp_jacobian(params, nstate, specs, *, interpret=False):
     """Fused DW-FISP primal+tangent kernel for matched diff probes
-    (tracked T1/T2; the diffusion attenuation is parameter-independent
-    for those, so the tangent groups just ride through it.  The dD
-    column exists at model level only: the D op carries no order1,
-    matching the reference)."""
+    (tracked T1/T2/B1/D; the diffusion attenuation is parameter-
+    independent for T1/T2/B1, so those tangent groups ride through it;
+    a canonically tracked D op adds the kernel's dD column — beyond
+    reference, r5)."""
     dev = _device_params(params)
     diff = params["diffusion"]
+    b1s = params.get("b1_scale")
     return _run_dw_jac_jit(*dev, np.float32(diff["bT"]),
                            np.float32(diff["bL"]),
                            jnp.asarray(diff["Dcoef"], jnp.float32),
+                           np.float32(1.0 if b1s is None else b1s),
                            nstate=max(int(nstate), 1), interpret=interpret,
                            use_inv=params.get("TI") is not None,
                            specs=specs, demod=bool(params.get("demod")),
                            use_df=params.get("df") is not None,
                            bshape=tuple(params["shape"]),
                            ramp=diff["ramp"],
-                           inv_df=bool(params.get("inv_df")))
+                           inv_df=bool(params.get("inv_df")),
+                           use_b1=b1s is not None,
+                           d_name=params.get("d_var"))
 
 
 def run_dwfisp_kernel(params, nstate, *, interpret=False):
@@ -681,10 +830,12 @@ def run_bssfp_kernel(params, nstate=None, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "use_inv",
                                              "specs", "demod", "use_df",
-                                             "bshape", "track_df"))
-def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
-                       use_inv, specs, demod=False, use_df=False,
-                       bshape=None, track_df=False):
+                                             "bshape", "track_df",
+                                             "use_b1"))
+def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, B1S, *,
+                       interpret, use_inv, specs, demod=False,
+                       use_df=False, bshape=None, track_df=False,
+                       use_b1=False):
     from .models.pallas_bssfp import bssfp_jacobian_pallas
 
     (re, im), (dre, dim) = bssfp_jacobian_pallas(
@@ -694,22 +845,38 @@ def _run_bssfp_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, interpret,
     bshape = (re.shape[0],) if bshape is None else bshape
     # cols is EXCLUSIVE when given (see _assemble_jac_outputs): name
     # every column
-    return _assemble_jac_outputs(
-        re, im, dre, dim, specs, bshape,
-        cols={"T1": 0, "T2": 1, "g": 3} if track_df else None)
+    cols = {"T1": 0, "T2": 1, "g": 3} if track_df else None
+    if use_b1:
+        # rescale the kernel's (normalized-B1) column to the user's
+        # physical B1 units (matcher ratio s; see _run_jac_jit)
+        nv = 4 if track_df else 3
+        scale = jnp.stack([1.0 / B1S if j == 2 else jnp.float32(1.0)
+                           for j in range(nv)])
+        dre = dre * scale
+        dim = dim * scale
+        cols = dict(cols or {"T1": 0, "T2": 1})
+        cols["B1"] = 2
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
+                                 cols=cols)
 
 
 def run_bssfp_jacobian(params, nstate, specs, *, interpret=False):
     """Fused bSSFP Jacobian runner (simulate_diff output format;
     `nstate` ignored — no ladder).  A tracked ``g`` variable turns on
-    the kernel's ddf tangent group (bSSFP resolves off-resonance)."""
+    the kernel's ddf tangent group (bSSFP resolves off-resonance);
+    B1-tracked flip trains (r5) expose the dB1 column in physical
+    units."""
     dev = _device_params(params)
-    return _run_bssfp_jac_jit(*dev, interpret=interpret,
+    b1s = params.get("b1_scale")
+    return _run_bssfp_jac_jit(*dev,
+                              np.float32(1.0 if b1s is None else b1s),
+                              interpret=interpret,
                               use_inv=params.get("TI") is not None,
                               specs=specs, demod=bool(params.get("demod")),
                               use_df=params.get("df") is not None,
                               bshape=tuple(params["shape"]),
-                              track_df="g" in (params.get("vars") or ()))
+                              track_df="g" in (params.get("vars") or ()),
+                              use_b1=b1s is not None)
 
 
 def match_dess(sequence):
@@ -1202,6 +1369,7 @@ def _match_mse_impl(sequence, kvalue=1.0):
 
     n = len(sequence)
     alphas, phis, tau1s, tau2s = [], [], [], []
+    b1_coeffs = []
     d1_ops, d2_ops = [], []
     T1 = T2 = None
     tracked = None
@@ -1238,8 +1406,13 @@ def _match_mse_impl(sequence, kvalue=1.0):
                 or adc.phase is not None or adc.weights is not None
                 or adc.reduce not in (None, False) or not _no_diff(adc)):
             return None
-        if not _no_diff(t_op) or t_op.axes is not None:
+        # refocusing pulses may carry the B1-tracking chain-rule spec
+        # (r5); the kernel's dB1 covers exactly the refocusing flips
+        # (the scalar excitation is B1-exact, tangents start at zero)
+        b1c = _t_b1_order1(t_op)
+        if b1c is None or t_op.axes is not None:
             return None
+        b1_coeffs.append(b1c)
         ph = _scalar(t_op.phi)
         t1v1, t2v1 = _scalar(e1.tau), _scalar(e2.tau)
         if ph is None or t1v1 is None or t2v1 is None:
@@ -1267,6 +1440,12 @@ def _match_mse_impl(sequence, kvalue=1.0):
         return None
     FA, B1 = fab
 
+    b1_scale = None
+    if any(c != () for c in b1_coeffs):
+        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs)
+        if b1_scale is None:
+            return None
+
     # DW-TSE: per-half D validation shared with match_dwfisp
     # (_dw_bvalue: same-op idiom, host-scalar tau, unit-ramp or
     # constant-k, scalar/tensor Dcoef)
@@ -1289,7 +1468,10 @@ def _match_mse_impl(sequence, kvalue=1.0):
     return {
         "exc": (exc_a, exc_p), "FA": FA, "phi": np.asarray(phis),
         "tau1": np.asarray(tau1s), "tau2": np.asarray(tau2s),
-        "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape, "vars": tracked,
+        "T1": T1f, "T2": T2f, "B1": B1f, "shape": bshape,
+        "vars": tracked if b1_scale is None
+        else tuple(sorted(tracked + ("B1",))),
+        "b1_scale": b1_scale,
         "diffusion": diffusion,
     }
 
@@ -1369,10 +1551,11 @@ def run_mse_kernel(params, nstate, *, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("nstate", "bshape", "specs",
-                                             "interpret", "ramps"))
-def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
-                     nstate, bshape, specs, interpret, diffusion=None,
-                     ramps=(True, True)):
+                                             "interpret", "ramps",
+                                             "use_b1"))
+def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, B1S,
+                     *, nstate, bshape, specs, interpret, diffusion=None,
+                     ramps=(True, True), use_b1=False):
     from .models.pallas_mse import cpmg_jacobian_pallas
 
     diff = None if diffusion is None else _mse_diff_planes(diffusion, T1)
@@ -1382,7 +1565,15 @@ def _run_mse_jac_jit(exc_a, exc_p, FA, phi, tau1, tau2, T1, T2, B1, *,
         diff_ramp=ramps)
     # re/im: (B, E); dre/dim: (B, E, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
-    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
+    cols = None
+    if use_b1:
+        scale = jnp.stack([jnp.float32(1.0), jnp.float32(1.0),
+                           1.0 / B1S])
+        dre = dre * scale
+        dim = dim * scale
+        cols = {"T1": 0, "T2": 1, "B1": 2}
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
+                                 cols=cols)
 
 
 def run_mse_jacobian(params, nstate, specs, *, interpret=False):
@@ -1390,16 +1581,20 @@ def run_mse_jacobian(params, nstate, specs, *, interpret=False):
 
     DW-TSE trains ride through: the attenuation is parameter-
     independent for (T1, T2, B1), so it multiplies primal and tangent
-    planes identically.  Returns the simulate_diff-format tuple over
-    probes of ``{"__c_re", "__c_im"}`` device dicts (signal:
-    (E, *batch); Jacobian: (E, *batch, nvars) in probe-variable
-    order)."""
+    planes identically.  B1-tracked refocusing trains (r5) expose the
+    kernel's dB1 column rescaled to the user's physical B1 units.
+    Returns the simulate_diff-format tuple over probes of
+    ``{"__c_re", "__c_im"}`` device dicts (signal: (E, *batch);
+    Jacobian: (E, *batch, nvars) in probe-variable order)."""
     dev = _mse_device_params(params)
     diff, ramps = _mse_diffusion_args(params)
-    return _run_mse_jac_jit(*dev, nstate=max(int(nstate), 1),
+    b1s = params.get("b1_scale")
+    return _run_mse_jac_jit(*dev,
+                            np.float32(1.0 if b1s is None else b1s),
+                            nstate=max(int(nstate), 1),
                             bshape=tuple(params["shape"]), specs=specs,
                             interpret=interpret, diffusion=diff,
-                            ramps=ramps)
+                            ramps=ramps, use_b1=b1s is not None)
 
 
 def match_fisp_hessian(sequence):
@@ -1812,10 +2007,11 @@ def match_jacobian_probes(probes, tracked):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "use_inv", "specs", "demod",
-                                             "use_df", "bshape", "inv_df"))
-def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
-                 use_inv, specs, demod=False, use_df=False, bshape=None,
-                 inv_df=False):
+                                             "use_df", "bshape", "inv_df",
+                                             "use_b1"))
+def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, B1S, *, nstate,
+                 interpret, use_inv, specs, demod=False, use_df=False,
+                 bshape=None, inv_df=False, use_b1=False):
     from .models.pallas_fisp import fisp_jacobian_pallas
 
     (re, im), (dre, dim) = fisp_jacobian_pallas(
@@ -1825,7 +2021,18 @@ def _run_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate, interpret,
     # re/im: (B, P); dre/dim: (B, P, 3) ordered (T1, T2, B1); outputs
     # carry the ADC axis first with the append-broadcast batch restored
     bshape = (re.shape[0],) if bshape is None else bshape
-    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape)
+    cols = None
+    if use_b1:
+        # kernel dB1 is w.r.t. its internally factored (scale-absorbed)
+        # B1; divide by the matcher's shared ratio s = FA_kernel / c to
+        # express it in the user's physical B1 units
+        scale = jnp.stack([jnp.float32(1.0), jnp.float32(1.0),
+                           1.0 / B1S])
+        dre = dre * scale
+        dim = dim * scale
+        cols = {"T1": 0, "T2": 1, "B1": 2}
+    return _assemble_jac_outputs(re, im, dre, dim, specs, bshape,
+                                 cols=cols)
 
 
 def _device_params(params):
@@ -1851,13 +2058,16 @@ def run_fisp_jacobian(params, nstate, specs, *, interpret=False):
     ``{"__c_re", "__c_im"}`` device dicts (signal: (N, B); Jacobian:
     (N, B, nvars) with columns in probe-variable order)."""
     dev = _device_params(params)
-    return _run_jac_jit(*dev, nstate=max(int(nstate), 1),
+    b1s = params.get("b1_scale")
+    return _run_jac_jit(*dev, np.float32(1.0 if b1s is None else b1s),
+                        nstate=max(int(nstate), 1),
                         interpret=interpret,
                         use_inv=params.get("TI") is not None, specs=specs,
                         demod=bool(params.get("demod")),
                         use_df=params.get("df") is not None,
                         bshape=tuple(params["shape"]),
-                        inv_df=bool(params.get("inv_df")))
+                        inv_df=bool(params.get("inv_df")),
+                        use_b1=b1s is not None)
 
 
 @functools.partial(jax.jit,
@@ -2660,9 +2870,10 @@ def _match_composite_impl(sequence, kvalue=1.0):
     stages = []
     cur = None
 
-    def new_stage(fa, ph):
+    def new_stage(fa, ph, b1c=()):
         return {"fa": fa, "phi": ph, "ta": 0.0, "tb": 0.0,
-                "adc": False, "aph": 0.0, "shift": 0, "d": None}
+                "adc": False, "aph": 0.0, "shift": 0, "d": None,
+                "b1c": b1c}
 
     def neutral():
         return new_stage(np.zeros(1), 0.0)
@@ -2677,14 +2888,17 @@ def _match_composite_impl(sequence, kvalue=1.0):
     tracked = None
     for op in sequence:
         if type(op) is T:
-            if not _no_diff(op) or getattr(op, "axes", None) is not None:
+            # T ops may carry the B1-tracking chain-rule spec (r5);
+            # validated against the per-stage b1u sensitivity below
+            b1c = _t_b1_order1(op)
+            if b1c is None or getattr(op, "axes", None) is not None:
                 return None
             a = _host_nd(op.alpha)
             ph = _scalar(op.phi)
             if a is None or ph is None:
                 return None
             close()
-            cur = new_stage(a, ph)
+            cur = new_stage(a, ph, b1c)
         elif type(op) is E:
             # composite E ops may carry canonical (T1, T2, g) tracking:
             # the fused Jacobian kernel propagates a df tangent group
@@ -2780,6 +2994,18 @@ def _match_composite_impl(sequence, kvalue=1.0):
         for i, s in enumerate(stages):
             FA[i] = float(s["fa"].reshape(-1)[0])
 
+    # B1-tracked stages (r5): the kernel's dB1 group sums d(a)/dB1 =
+    # FA_i over the B1-sensitive stages (b1u=1; b1u=0 adiabatic preps
+    # contribute zero) -- the user's tracked set must match exactly
+    b1_coeffs = [s["b1c"] for s in stages]
+    b1_scale = None
+    if any(c != () for c in b1_coeffs):
+        sens = [(b1u[i] != 0.0) and abs(FA[i]) > 1e-12
+                for i in range(N)]
+        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs, sens)
+        if b1_scale is None:
+            return None
+
     adci = np.full(N, -1, np.int64)
     aph = np.zeros(N)
     shift = np.zeros(N, np.int64)
@@ -2851,7 +3077,10 @@ def _match_composite_impl(sequence, kvalue=1.0):
         "adci": adci, "shift": shift, "aph": aph, "b1u": b1u,
         "T1": T1f, "T2": T2f, "B1": B1f,
         "df": DFf if DFf.any() else None,
-        "nadc": int(nadc), "shape": bshape, "vars": tracked,
+        "nadc": int(nadc), "shape": bshape,
+        "vars": (tracked or ()) if b1_scale is None
+        else tuple(sorted((tracked or ()) + ("B1",))),
+        "b1_scale": b1_scale,
         "diffusion": diffusion,
     }
 
@@ -2923,15 +3152,16 @@ def run_composite_kernel(params, nstate, *, interpret=False):
 
 
 def composite_jac_groups(specs):
-    """Kernel tangent groups needed by the matched probe specs, in
-    canonical order ("T1", "T2", "df").  Dispatch specs name the df
-    column "g" (the E-op parameter); the B1 group is never requested
-    through probes (model-level only, like the CPMG family)."""
+    """Kernel tangent groups needed by the matched probe specs, in the
+    kernel's canonical group order ("T1", "T2", "B1", "df").  Dispatch
+    specs name the df column "g" (the E-op parameter); "B1" routes
+    through probes when the matcher validated a B1-tracked train
+    (r5)."""
     want = set()
     for spec in specs:
         if spec[0] == "jac":
             want.update(n for n in spec[1] if n != "magnitude")
-    return tuple(g for g in ("T1", "T2", "df")
+    return tuple(g for g in ("T1", "T2", "B1", "df")
                  if (("g" if g == "df" else g) in want))
 
 
@@ -2939,9 +3169,9 @@ def composite_jac_groups(specs):
     "nstate", "nadc", "interpret", "use_df", "bshape", "has_up",
     "has_down", "has_adcph", "has_b1u", "has_d", "specs", "groups"))
 def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, btd, rdir,
-                      T1, T2, B1, DF, DC, *, nstate, nadc, interpret,
-                      use_df, bshape, has_up, has_down, has_adcph,
-                      has_b1u, has_d, specs, groups):
+                      T1, T2, B1, DF, DC, B1S, *, nstate, nadc,
+                      interpret, use_df, bshape, has_up, has_down,
+                      has_adcph, has_b1u, has_d, specs, groups):
     from .models.pallas_composite import composite_jacobian_pallas
 
     (re, im), (jre, jim) = composite_jacobian_pallas(
@@ -2950,6 +3180,13 @@ def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, btd, rdir,
         diffusion=(btd, rdir, DC) if has_d else None,
         has_up=has_up, has_down=has_down, has_adcph=has_adcph,
         has_b1u=has_b1u, interpret=interpret)
+    if "B1" in groups:
+        # rescale the kernel's (normalized-B1) column to the user's
+        # physical B1 units (matcher ratio s; see _run_jac_jit)
+        scale = jnp.stack([1.0 / B1S if g == "B1" else jnp.float32(1.0)
+                           for g in groups])
+        jre = jre * scale
+        jim = jim * scale
     # kernel layout is (nadc, B); the shared assembler expects (B, P).
     # The tangent columns follow `groups` order, so map every name
     # explicitly (the assembler's T1/T2 defaults assume fixed slots).
@@ -2961,10 +3198,10 @@ def _run_comp_jac_jit(FA, phi, ta, tb, adci, shift, aph, b1u, btd, rdir,
 
 def run_composite_jacobian(params, nstate, specs, *, interpret=False):
     """Fused composite-GRE primal+tangent kernel for matched diff
-    probes (tracked vars from {T1, T2, g}; "g" is the df/B0 column).
+    probes (tracked vars from {T1, T2, g, B1}; "g" is the df/B0
+    column, "B1" requires the matcher-validated B1-tracked train, r5).
     Only the requested tangent groups are propagated (the MPRAGE
-    T1-fit spec pays 18 planes, not 30); the dB1 column is computed on
-    request at model level only (same convention as the CPMG family)."""
+    T1-fit spec pays 18 planes, not 30)."""
     dev = _comp_device_params(params)
     shift = np.asarray(params["shift"])
     has_up = bool((shift == 1).any())
@@ -2972,8 +3209,10 @@ def run_composite_jacobian(params, nstate, specs, *, interpret=False):
     ns = int(nstate)
     if (has_up or has_down) and ns < 1:
         ns = 1
+    b1s = params.get("b1_scale")
     return _run_comp_jac_jit(
-        *dev, nstate=ns, nadc=int(params["nadc"]), interpret=interpret,
+        *dev, np.float32(1.0 if b1s is None else b1s),
+        nstate=ns, nadc=int(params["nadc"]), interpret=interpret,
         use_df=params.get("df") is not None,
         bshape=tuple(params["shape"]), has_up=has_up, has_down=has_down,
         has_adcph=bool(np.asarray(params["aph"]).any()),

@@ -79,6 +79,11 @@ class D(base.Operator):
     """
 
     PARAMS = ("tau", "Dcoef", "kshift")
+    #: r5 (beyond reference: epgpy's D has no derivatives): the
+    #: diffusivity is differentiable -- order1=["Dcoef"] (or the alias
+    #: {"D": "Dcoef"}) tracks dS/dD for ADC-mapping fits; the DW-FISP
+    #: Jacobian kernel's dD column routes such trains fused
+    PARAMETERS_ORDER1 = frozenset({"Dcoef"})
 
     def __init__(self, tau, D, k=None, *, name=None, duration=None, **kwargs):
         self.tau = jnp.asarray(tau, dtype=float) if not np.isscalar(tau) else float(tau)
@@ -100,7 +105,9 @@ class D(base.Operator):
                                         [".1f", "", ""])
         if duration is True:
             duration = tau
-        super().__init__(name=name, duration=duration)
+        # order1/order2 pass through (previously **kwargs silently
+        # swallowed a differentiation spec)
+        super().__init__(name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):
