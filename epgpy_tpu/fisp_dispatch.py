@@ -2470,14 +2470,10 @@ def match_xcomposite(sequence, shape, density=None):
     Reference anchor: /root/reference/epgpy/exchange.py:89-120,
     evolution.py R -- applied op-by-op; no fused path exists there.
 
-    Known coverage limitation (ADVICE r4): unlike ``match_composite``,
-    there is no per-stage B1-sensitivity bypass -- EVERY flip row
-    (including scalar adiabatic 180s) enters the joint rank-1
-    ``outer(alpha_c, B1)`` factorization, so an MT train mixing an
-    adiabatic inversion with B1-batched readouts is not rank-1 and
-    falls through to the planner (correct result, slower path).  Give
-    the inversion the same B1 batch, or keep the train B1-free, to
-    stay on the fused kernel.
+    Per-stage B1 sensitivity (r5, closing ADVICE r4): scalar-flip
+    stages (adiabatic 180s) bypass the per-atom B1 scale via b1u=0 --
+    the composite-GRE convention -- so MT trains mixing an adiabatic
+    inversion with B1-batched readouts stay on the fused kernel.
     """
     if len(sequence) < 6:
         return None
@@ -2718,19 +2714,36 @@ def _match_xcomposite_impl(sequence, shape, density):
             aph[i] = s["aph"]
         shift[i] = s["shift"]
 
-    # rank-1 flip factorization over all (stage, compartment) rows
-    # (scalar-only trains skip it; B1 broadcasts into the atom dims)
+    # rank-1 flip factorization over the VECTOR (stage, compartment)
+    # rows only (r5, ADVICE r4 closed): scalar-flip stages -- adiabatic
+    # preps/inversions -- bypass the per-atom B1 scale via a per-stage
+    # b1u flag (the composite-GRE convention), so MT trains mixing an
+    # adiabatic 180 with B1-batched readouts stay on the fused kernel
     ahs = [s["alpha"] for s in stages]
-    if all(all(d == 1 for d in a.shape[1:]) for a in ahs):
+    b1u = np.ones(N)
+    vec = [i for i, a in enumerate(ahs)
+           if not all(d == 1 for d in a.shape[1:])]
+    if not vec:
         alphas = np.stack([np.asarray(a).reshape(C) for a in ahs])
         B1 = None
     else:
-        rows = [np.atleast_1d(a[c]) for a in ahs for c in range(C)]
+        rows = [np.atleast_1d(ahs[i][c]) for i in vec for c in range(C)]
         fab = _rank1_factor(rows)
         if fab is None:
             return None
         coefs, B1 = fab
-        alphas = coefs.reshape(N, C)
+        alphas = np.zeros((N, C))
+        vset = set(vec)
+        k = 0
+        for i in range(N):
+            if i in vset:
+                alphas[i] = coefs[k:k + C]
+                k += C
+            else:
+                alphas[i] = np.asarray(ahs[i]).reshape(C)
+                b1u[i] = 0.0
+        if np.all(B1 == 1.0):
+            b1u[:] = 1.0
         if not common.broadcastable(B1.shape, tuple(shape[1:])):
             return None
 
@@ -2739,7 +2752,7 @@ def _match_xcomposite_impl(sequence, shape, density):
         "phi": np.stack([s["phi"] for s in stages]),
         "satf_re": satf.real, "satf_im": satf.imag,
         "satz_re": satz.real, "satz_im": satz.imag,
-        "adci": adci, "shift": shift, "aph": aph,
+        "adci": adci, "shift": shift, "aph": aph, "b1u": b1u,
         "mia": mia, "mib": mib, "taus": np.asarray(taus),
         "dens": dens, "khi": khi_h,
         "T1": x0.T1, "T2": x0.T2, "g": x0.g,
@@ -2750,11 +2763,11 @@ def _match_xcomposite_impl(sequence, shape, density):
 
 @functools.partial(jax.jit, static_argnames=(
     "nadc", "nstate", "bshape", "interpret", "has_up", "has_down",
-    "has_adcph", "has_sat"))
+    "has_adcph", "has_sat", "has_b1u"))
 def _run_xcomp_jit(alpha, phi, sfr, sfi, szr, szi, adci, shift, aph,
-                   mia, mib, dens, taus, khi, T1, T2, g, b1, *, nadc,
-                   nstate, bshape, interpret, has_up, has_down,
-                   has_adcph, has_sat):
+                   b1u, mia, mib, dens, taus, khi, T1, T2, g, b1, *,
+                   nadc, nstate, bshape, interpret, has_up, has_down,
+                   has_adcph, has_sat, has_b1u=False):
     from .models.pallas_xcomposite import xcomposite_pallas
 
     if b1 is not None:
@@ -2767,9 +2780,10 @@ def _run_xcomp_jit(alpha, phi, sfr, sfi, szr, szi, adci, shift, aph,
         dens, taus, khi,
         _prep_comp_atoms(T1, bshape, np.inf),
         _prep_comp_atoms(T2, bshape, np.inf),
-        _prep_comp_atoms(g, bshape, 0.0), b1,
+        _prep_comp_atoms(g, bshape, 0.0), b1, b1u,
         nadc=nadc, nstate=nstate, interpret=interpret, has_up=has_up,
-        has_down=has_down, has_adcph=has_adcph, has_sat=has_sat)
+        has_down=has_down, has_adcph=has_adcph, has_sat=has_sat,
+        has_b1u=has_b1u)
     return (re.reshape((nadc,) + bshape), im.reshape((nadc,) + bshape))
 
 
@@ -2782,6 +2796,8 @@ def _xcomp_device_params(params):
         host += (np.asarray(params["adci"], np.int32),
                  np.asarray(params["shift"], np.int32),
                  np.asarray(params["aph"], f32),
+                 np.asarray(params.get("b1u", np.ones_like(
+                     params["aph"])), f32),
                  np.asarray(params["mia"], np.int32),
                  np.asarray(params["mib"], np.int32),
                  np.asarray(params["dens"], f32),
@@ -2805,12 +2821,14 @@ def run_xcomposite_kernel(params, nstate, *, interpret=False):
     ns = int(nstate)
     if (has_up or has_down) and ns < 1:
         ns = 1
+    b1u = np.asarray(params.get("b1u", np.ones(1)))
     re, im = _run_xcomp_jit(
         *dev, nadc=int(params["nadc"]), nstate=ns,
         bshape=tuple(params["shape"]), interpret=interpret,
         has_up=has_up, has_down=has_down,
         has_adcph=bool(np.asarray(params["aph"]).any()),
-        has_sat=bool(params.get("has_sat")))
+        has_sat=bool(params.get("has_sat")),
+        has_b1u=not bool(b1u.all()))
     return {"__c_re": re, "__c_im": im}
 
 

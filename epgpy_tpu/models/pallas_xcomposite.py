@@ -49,9 +49,10 @@ __all__ = ["xcomposite_pallas", "xcomposite_pallas_sharded",
 
 
 def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
-                  adci_ref, shf_ref, aph_ref, mia_ref, mib_ref, dens_ref,
-                  b1_ref, coef_ref, *refs, nstages, nstate, ncomp,
-                  has_up, has_down, has_adcph, has_sat):
+                  adci_ref, shf_ref, aph_ref, mia_ref, mib_ref, b1u_ref,
+                  dens_ref, b1_ref, coef_ref, *refs, nstages, nstate,
+                  ncomp, has_up, has_down, has_adcph, has_sat,
+                  has_b1u=False):
     """One atom tile: all stages with 6C planes VMEM-resident.
 
     coef_ref rows: ``mat*3CC + part*CC + i*C + j`` with part 0/1/2 =
@@ -103,7 +104,13 @@ def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
                 br, bi = _cmul(sfr, sfi, s[2], s[3])
                 zr, zi = _cmul(szr, szi, s[4], s[5])
                 s = (ar, ai, br, bi, zr, zi)
-            rc = _rot_coeffs(alpha_ref[i, c] * rad * B1,
+            if has_b1u:
+                # per-stage B1 sensitivity (r5, composite convention):
+                # b1u=0 stages (scalar adiabatic preps) bypass B1
+                eff = 1.0 + b1u_ref[0, i] * (B1 - 1.0)
+            else:
+                eff = B1
+            rc = _rot_coeffs(alpha_ref[i, c] * rad * eff,
                              phi_ref[i, c] * rad)
             sets.append(_apply_rot(rc, s))
 
@@ -136,12 +143,13 @@ def _kernel_xcomp(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref, szi_ref,
 
 @partial(jax.jit, static_argnames=("nadc", "nstate", "btile",
                                    "interpret", "has_up", "has_down",
-                                   "has_adcph", "has_sat"))
+                                   "has_adcph", "has_sat", "has_b1u"))
 def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
                       adci, shift, aph, mia, mib, dens, taus,
-                      khi, T1, T2, g, b1=None, *, nadc, nstate,
+                      khi, T1, T2, g, b1=None, b1u=None, *, nadc, nstate,
                       btile=512, interpret=False, has_up=True,
-                      has_down=False, has_adcph=False, has_sat=False):
+                      has_down=False, has_adcph=False, has_sat=False,
+                      has_b1u=False):
     """Composite EPG-X stage train via the fused kernel.
 
     Args:
@@ -214,19 +222,22 @@ def xcomposite_pallas(alpha, phi, satf_re, satf_im, satz_re, satz_im,
     row = lambda x: jnp.asarray(x, f32).reshape(1, N)
     irow = lambda x: jnp.asarray(x, jnp.int32).reshape(1, N)
     nc = lambda x: jnp.broadcast_to(jnp.asarray(x, f32), (N, C))
+    b1u_row = (jnp.ones((1, N), f32) if b1u is None
+               else jnp.asarray(b1u, f32).reshape(1, N))
     inputs = [
         nc(alpha), nc(phi), nc(satf_re), nc(satf_im), nc(satz_re),
         nc(satz_im), irow(adci), irow(shift), row(aph), irow(mia),
-        irow(mib), jnp.asarray(dens, f32).reshape(1, C),
+        irow(mib), b1u_row, jnp.asarray(dens, f32).reshape(1, C),
         b1.reshape(1, Bp), coef,
     ]
     kernel = partial(_kernel_xcomp, nstages=N, nstate=nstate, ncomp=C,
                      has_up=has_up, has_down=has_down,
-                     has_adcph=has_adcph, has_sat=has_sat)
+                     has_adcph=has_adcph, has_sat=has_sat,
+                     has_b1u=has_b1u)
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 12 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 13 + [
             pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
             pl.BlockSpec((nmat * MB, btile), lambda b: (0, b)),
         ],
@@ -280,9 +291,9 @@ def xcomposite_pallas_sharded(alpha, phi, satf_re, satf_im, satz_re,
 
 def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
                       szi_ref, adci_ref, shf_ref, aph_ref, mia_ref,
-                      mib_ref, dens_ref, b1_ref, coef_ref, *refs,
-                      nstages, nstate, ncomp, nmat, nvar, has_up,
-                      has_down, has_adcph, has_sat):
+                      mib_ref, b1u_ref, dens_ref, b1_ref, coef_ref,
+                      *refs, nstages, nstate, ncomp, nmat, nvar, has_up,
+                      has_down, has_adcph, has_sat, has_b1u=False):
     """Fused composite EPG-X primal + tangent propagation.
 
     Plane groups g = 0 (primal), 1..nvar (one per fit variable), each
@@ -375,7 +386,11 @@ def _kernel_xcomp_jac(alpha_ref, phi_ref, sfr_ref, sfi_ref, szr_ref,
         return out
 
     def step(i, _):
-        rotc = [_rot_coeffs(alpha_ref[i, c] * rad * B1,
+        if has_b1u:
+            eff = 1.0 + b1u_ref[0, i] * (B1 - 1.0)
+        else:
+            eff = B1
+        rotc = [_rot_coeffs(alpha_ref[i, c] * rad * eff,
                             phi_ref[i, c] * rad) for c in range(C)]
         groups = []
         for g in range(G):
@@ -456,13 +471,14 @@ def xcomposite_stage_mat_tables(khi, T1, T2, g, taus):
 
 @partial(jax.jit, static_argnames=("nadc", "nstate", "btile",
                                    "interpret", "has_up", "has_down",
-                                   "has_adcph", "has_sat"))
+                                   "has_adcph", "has_sat", "has_b1u"))
 def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
                                satz_im, adci, shift, aph, mia, mib,
-                               dens, mats, dmats, ddens, b1=None, *,
-                               nadc, nstate, btile=512, interpret=False,
-                               has_up=True, has_down=False,
-                               has_adcph=False, has_sat=False):
+                               dens, mats, dmats, ddens, b1=None,
+                               b1u=None, *, nadc, nstate, btile=512,
+                               interpret=False, has_up=True,
+                               has_down=False, has_adcph=False,
+                               has_sat=False, has_b1u=False):
     """Composite EPG-X stage train + per-variable tangents, one pass.
 
     BEYOND the reference: epgpy's X operator has no derivatives at
@@ -570,20 +586,22 @@ def xcomposite_jacobian_pallas(alpha, phi, satf_re, satf_im, satz_re,
     row = lambda x: jnp.asarray(x, f32).reshape(1, N)
     irow = lambda x: jnp.asarray(x, jnp.int32).reshape(1, N)
     nc = lambda x: jnp.broadcast_to(jnp.asarray(x, f32), (N, C))
+    b1u_row = (jnp.ones((1, N), f32) if b1u is None
+               else jnp.asarray(b1u, f32).reshape(1, N))
     inputs = [
         nc(alpha), nc(phi), nc(satf_re), nc(satf_im), nc(satz_re),
         nc(satz_im), irow(adci), irow(shift), row(aph), irow(mia),
-        irow(mib), dens_all, b1.reshape(1, Bp), coef,
+        irow(mib), b1u_row, dens_all, b1.reshape(1, Bp), coef,
     ]
     kernel = partial(_kernel_xcomp_jac, nstages=N, nstate=nstate,
                      ncomp=C, nmat=nmat, nvar=nvar, has_up=has_up,
                      has_down=has_down, has_adcph=has_adcph,
-                     has_sat=has_sat)
+                     has_sat=has_sat, has_b1u=has_b1u)
     nout = 2 * C * G
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // btile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 12 + [
             pl.BlockSpec((G * C, btile), lambda b: (0, b)),      # dens
             pl.BlockSpec((1, btile), lambda b: (0, b)),          # b1
             pl.BlockSpec((G * nmat * MB, btile), lambda b: (0, b)),

@@ -293,3 +293,44 @@ def test_rank1_b1_flip_batch():
     seq2[i] = epg.T(bad, 0.0)
     assert fisp_dispatch.match_xcomposite(list(seq2), shape,
                                           list(dens)) is None
+
+
+def test_adiabatic_prep_with_b1_batched_readout():
+    """r5 (ADVICE r4 closed): scalar adiabatic 180 inversions bypass
+    B1 (b1u=0) while the readout pulses carry a per-atom B1 batch --
+    previously the joint rank-1 factorization failed and the train
+    fell to the planner."""
+    B = 4
+    dens, khi, T1, T2 = _pools(B)
+    rng = np.random.default_rng(5)
+    B1 = np.linspace(0.85, 1.15, B)
+    Xte = epg.X(3.0, khi, axis=0, T1=T1, T2=T2)
+    Xtr = epg.X(7.0, khi, axis=0, T1=T1, T2=T2)
+    Xrec = epg.X(120.0, khi, axis=0, T1=T1, T2=T2)
+    seq = []
+    for s in range(2):
+        # scalar per-compartment adiabatic inversion (no B1 batch)
+        seq += [epg.T(np.asarray([180.0, 0.0]), 0.0), Xrec]
+        for i in range(5):
+            fa = float(rng.uniform(8, 15))
+            # (C, B) flips: free pool B1-scaled, bound pool untouched
+            al = np.stack([fa * B1, np.zeros(B)], axis=0)
+            seq += [epg.T(al, 0.0), Xte, epg.ADC, Xtr, epg.S(1)]
+        seq += [Xrec]
+    params = fisp_dispatch.match_xcomposite(list(seq), (2, B),
+                                            list(dens))
+    assert params is not None
+    b1u = np.asarray(params["b1u"])
+    assert (b1u == 0.0).sum() >= 2      # the two adiabatic stages
+    assert params["B1"] is not None
+    _parity(seq, dens, shape=(2, B))
+
+
+def test_all_scalar_train_keeps_b1u_ones():
+    """Scalar-only trains must not regress: b1u stays all-ones and the
+    kernel's has_b1u path stays off."""
+    seq, dens = _mt_prep_train(nseg=2, nread=4, B=3)
+    params = fisp_dispatch.match_xcomposite(list(seq), (2, 3),
+                                            list(dens))
+    assert params is not None
+    assert np.all(np.asarray(params["b1u"]) == 1.0)
