@@ -376,7 +376,8 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         t0, e0 = sequence[0], sequence[1]
         if type(t0) is not T or type(e0) is not E:
             return None
-        if not _no_diff(t0) or _canonical_order1(e0, allowed) is None:
+        if _t_b1_order1(t0) is None \
+                or _canonical_order1(e0, allowed) is None:
             return None
         if t0.axes is not None or e0.axes is not None:
             return None
@@ -510,19 +511,6 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
         return None
     FA, B1 = fab
 
-    # B1-tracked trains (r5): every pulse must carry a consistent
-    # d(alpha)/dB1 coefficient; the kernel's fused dB1 column covers
-    # the train pulses AND the inversion prep's 180*B1, so prep'd
-    # trains with an untracked prep fall through (the prep op is
-    # required diff-free above)
-    b1_scale = None
-    if any(c != () for c in b1_coeffs):
-        if prep is not None:
-            return None
-        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs)
-        if b1_scale is None:
-            return None
-
     TI = None
     inv_df = False
     if prep is not None:
@@ -576,6 +564,26 @@ def _match_fisp_impl(sequence, spoiled=True, dw=False, kvalue=1.0):
             B1 = (c * B1b).reshape(bs0)
             FA = FA / c
         else:
+            return None
+
+    # B1-tracked trains (r5): every pulse must carry a consistent
+    # d(alpha)/dB1 coefficient (one shared ratio s = FA_kernel/c
+    # against the FINAL post-prep-renormalization factorization).  The
+    # kernel's fused dB1 column covers the train pulses AND the
+    # inversion prep's 180*B1, so a prep'd train routes only when the
+    # prep pulse is tracked too -- as a pseudo-stage with kernel
+    # coefficient 180 (d(180*B1n)/dB1n).
+    b1_scale = None
+    prep_b1c = () if prep is None else _t_b1_order1(prep[0])
+    if any(c != () for c in b1_coeffs) or prep_b1c != ():
+        fa_ext, cf_ext = list(FA), list(b1_coeffs)
+        if prep is not None:
+            if prep_b1c == ():
+                return None      # untracked prep: kernel dB1 mismatch
+            fa_ext.append(180.0)
+            cf_ext.append(prep_b1c)
+        b1_scale = _b1_scale_from_coeffs(np.asarray(fa_ext), cf_ext)
+        if b1_scale is None:
             return None
 
     diffusion = None
@@ -906,6 +914,7 @@ def _match_dess_impl(sequence):
 
     N = len(sequence) // 7
     alphas, phis, te_taus, tr_taus, adc_phases = [], [], [], [], []
+    b1_coeffs = []
     T1 = T2 = DF = None
     tracked = None
     for i in range(N):
@@ -914,8 +923,10 @@ def _match_dess_impl(sequence):
                 or type(e2) is not E or type(s) is not S
                 or type(e3) is not E or type(a2) is not Adc):
             return None
-        if not all(map(_no_diff, (t_op, a1, a2, s))):
+        b1c = _t_b1_order1(t_op)        # B1-tracked flips route (r5)
+        if b1c is None or not all(map(_no_diff, (a1, a2, s))):
             return None
+        b1_coeffs.append(b1c)
         if getattr(s, "_kint", None) != 1:
             return None
         cs = [_canonical_order1(e) for e in (e1, e2, e3)]
@@ -987,13 +998,22 @@ def _match_dess_impl(sequence):
         return None
     FA, B1 = fab
 
+    b1_scale = None
+    if any(c != () for c in b1_coeffs):
+        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs)
+        if b1_scale is None:
+            return None
+
     if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
         return None
     bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
     T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
-        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None, "vars": tracked,
+        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None,
+        "vars": tracked if b1_scale is None
+        else tuple(sorted(tracked + ("B1",))),
+        "b1_scale": b1_scale,
         "demod": demod, "shape": bshape,
         "df": DFf if DFf.any() else None,
     }
@@ -1030,10 +1050,10 @@ def run_dess_kernel(params, nstate, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "specs", "demod", "use_df",
-                                             "bshape"))
-def _run_dess_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
-                      interpret, specs, demod=False, use_df=False,
-                      bshape=None):
+                                             "bshape", "use_b1"))
+def _run_dess_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, B1S, *,
+                      nstate, interpret, specs, demod=False,
+                      use_df=False, bshape=None, use_b1=False):
     from .models.pallas_dess import dess_jacobian_pallas
 
     ((r1, i1), (r2, i2)), ((j1r, j1i), (j2r, j2i)) = dess_jacobian_pallas(
@@ -1053,6 +1073,11 @@ def _run_dess_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
     col = {"magnitude": (r1, i1, r2, i2),
            "T1": (j1r[..., 0], j1i[..., 0], j2r[..., 0], j2i[..., 0]),
            "T2": (j1r[..., 1], j1i[..., 1], j2r[..., 1], j2i[..., 1])}
+    if use_b1:
+        # physical-B1 rescale of the kernels' normalized-B1 column
+        col["B1"] = tuple(x / B1S for x in
+                          (j1r[..., 2], j1i[..., 2],
+                           j2r[..., 2], j2i[..., 2]))
     outs = []
     for spec in specs:
         if spec[0] == "sig":
@@ -1071,13 +1096,18 @@ def _run_dess_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
 
 def run_dess_jacobian(params, nstate, specs, *, interpret=False):
     """Fused DESS primal+tangent kernel for matched diff probes: both
-    echoes' signal/Jacobian rows interleaved on the ADC axis."""
+    echoes' signal/Jacobian rows interleaved on the ADC axis.
+    B1-tracked trains (r5) expose the dB1 columns of BOTH echoes."""
     dev = _device_params(params)
-    return _run_dess_jac_jit(*dev, nstate=max(int(nstate), 1),
+    b1s = params.get("b1_scale")
+    return _run_dess_jac_jit(*dev,
+                             np.float32(1.0 if b1s is None else b1s),
+                             nstate=max(int(nstate), 1),
                              interpret=interpret, specs=specs,
                              demod=bool(params.get("demod")),
                              use_df=params.get("df") is not None,
-                             bshape=tuple(params["shape"]))
+                             bshape=tuple(params["shape"]),
+                             use_b1=b1s is not None)
 
 
 def match_megre(sequence):
@@ -1124,6 +1154,7 @@ def _match_megre_impl(sequence):
 
     N = len(sequence) // L
     alphas, phis, adc_phases, te_rows, tr_taus = [], [], [], [], []
+    b1_coeffs = []
     T1 = T2 = DF = None
     tracked = None
     for b in range(N):
@@ -1135,8 +1166,10 @@ def _match_megre_impl(sequence):
                 or any(type(e) is not E for e in e_ops)
                 or any(type(a) is not Adc for a in adcs)):
             return None
-        if not all(map(_no_diff, [t_op, s_op] + adcs)):
+        b1c = _t_b1_order1(t_op)        # B1-tracked flips route (r5)
+        if b1c is None or not all(map(_no_diff, [s_op] + adcs)):
             return None
+        b1_coeffs.append(b1c)
         if getattr(s_op, "_kint", None) != 1:
             return None
         cs = [_canonical_order1(e, allowed=("T1", "T2", "g"))
@@ -1204,13 +1237,22 @@ def _match_megre_impl(sequence):
         return None
     FA, B1 = fab
 
+    b1_scale = None
+    if any(c != () for c in b1_coeffs):
+        b1_scale = _b1_scale_from_coeffs(FA, b1_coeffs)
+        if b1_scale is None:
+            return None
+
     if not common.broadcastable(T1.shape, T2.shape, B1.shape, DF.shape):
         return None
     bshape = common.broadcast_shapes(T1.shape, T2.shape, B1.shape, DF.shape)
     T1f, T2f, B1f, DFf = _append_rows((T1, T2, B1, DF), bshape)
     return {
         "FA": FA, "phi": np.asarray(phis), "TR": TR, "TE": TE,
-        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None, "vars": tracked,
+        "T1": T1f, "T2": T2f, "B1": B1f, "TI": None,
+        "vars": tracked if b1_scale is None
+        else tuple(sorted(tracked + ("B1",))),
+        "b1_scale": b1_scale,
         "demod": demod, "shape": bshape, "nechoes": m,
         "df": DFf if DFf.any() else None,
     }
@@ -1246,15 +1288,21 @@ def run_megre_kernel(params, nstate, *, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("nstate", "interpret",
                                              "specs", "demod", "use_df",
-                                             "bshape"))
-def _run_megre_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
-                       interpret, specs, demod=False, use_df=False,
-                       bshape=None):
+                                             "bshape", "use_b1"))
+def _run_megre_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, B1S, *,
+                       nstate, interpret, specs, demod=False,
+                       use_df=False, bshape=None, use_b1=False):
     from .models.pallas_megre import megre_jacobian_pallas
 
     (re, im), (jre, jim) = megre_jacobian_pallas(
         FA, phi, TR, TE, T1, T2, B1, DF if use_df else None,
         nstate=nstate, interpret=interpret, demodulate=demod)
+    if use_b1:
+        # physical-B1 rescale of the kernel's normalized-B1 column
+        scale = jnp.stack([1.0 / B1S if j == 2 else jnp.float32(1.0)
+                           for j in range(jre.shape[-1])])
+        jre = jre * scale
+        jim = jim * scale
     B, P, m = re.shape
     bshape = (B,) if bshape is None else bshape
 
@@ -1266,7 +1314,7 @@ def _run_megre_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
 
     sre, sim_ = flat(re), flat(im)
     jre_f, jim_f = flat(jre), flat(jim)            # (Pm,)+bshape+(4,)
-    cols = {"T1": 0, "T2": 1, "g": 3}
+    cols = {"T1": 0, "T2": 1, "B1": 2, "g": 3}
     outs = []
     for spec in specs:
         if spec[0] == "sig":
@@ -1284,13 +1332,18 @@ def _run_megre_jac_jit(FA, phi, TR, TE, T1, T2, B1, TI, DF, *, nstate,
 
 def run_megre_jacobian(params, nstate, specs, *, interpret=False):
     """Fused ME-GRE primal+tangent kernel for matched diff probes
-    (tracked vars from {T1, T2, g}; "g" is the df/B0 column)."""
+    (tracked vars from {T1, T2, g, B1}; "g" is the df/B0 column, "B1"
+    requires the matcher-validated B1-tracked train, r5)."""
     dev = _device_params(params)
-    return _run_megre_jac_jit(*dev, nstate=max(int(nstate), 1),
+    b1s = params.get("b1_scale")
+    return _run_megre_jac_jit(*dev,
+                              np.float32(1.0 if b1s is None else b1s),
+                              nstate=max(int(nstate), 1),
                               interpret=interpret, specs=specs,
                               demod=bool(params.get("demod")),
                               use_df=params.get("df") is not None,
-                              bshape=tuple(params["shape"]))
+                              bshape=tuple(params["shape"]),
+                              use_b1=b1s is not None)
 
 
 def match_mse(sequence, kvalue=1.0):

@@ -77,7 +77,12 @@ def main():
 
     # --- off-grid refinement: joint (T1, T2, D) Gauss-Newton with the
     # 4-column DW Jacobian kernel (dS/dD is a kernel tangent group; the
-    # reference's D op has no derivatives at all) ---
+    # reference's D op has no derivatives at all).  The same columns
+    # are reachable from the operator level (r5): a DW train whose D
+    # op carries order1=["Dcoef"] routes simulate() Jacobian probes to
+    # this kernel (tests/test_d_dispatch.py); the direct model call is
+    # kept here because GN iterations rebuild the op list every step,
+    # and the model entry skips the per-iteration host-side matching.
     from epgpy_tpu.models.pallas_fisp import fisp_jacobian_pallas
 
     # IR prep: constant-TR FISP without inversion encodes T1 weakly

@@ -23,6 +23,9 @@ from epgpy_tpu import fisp_dispatch
 
 def _b1_fisp_train(P=20, B=4, *, track=("T1", "T2"), coeff=None,
                    untrack_some=False, prep=False):
+    """prep: False, "untracked" (vector 180*B1 prep, no B1 spec -- must
+    fall through: the kernel's dB1 includes the prep) or "tracked"
+    (order1={"B1": {"alpha": 180}} on the prep -> routes)."""
     rng = np.random.default_rng(11)
     FA = rng.uniform(10, 60, P)
     TRs = rng.uniform(11, 16, P)
@@ -31,7 +34,9 @@ def _b1_fisp_train(P=20, B=4, *, track=("T1", "T2"), coeff=None,
     B1 = np.linspace(0.85, 1.15, B)
     seq = []
     if prep:
-        seq += [epg.T(180, 90), epg.E(18.0, T1, T2, order1=list(track))]
+        o1p = ({"B1": {"alpha": 180.0}} if prep == "tracked" else None)
+        seq += [epg.T(180 * B1, 0, order1=o1p),
+                epg.E(18.0, T1, T2, order1=list(track))]
     for i in range(P):
         c = float(FA[i]) if coeff is None else coeff(i, FA)
         o1 = {"B1": {"alpha": c}}
@@ -195,9 +200,9 @@ def test_b1_fall_through_rows():
     # (b) inconsistent coefficients (not proportional to the flips)
     seq_b, _ = _b1_fisp_train(coeff=lambda i, FA: float(FA[i]) * (1 + 0.1 * i))
     assert fisp_dispatch.match_fisp(list(seq_b)) is None
-    # (c) B1-tracked + inversion prep: the kernel's dB1 includes the
-    # 180*B1 prep the user did not track
-    seq_c, _ = _b1_fisp_train(prep=True)
+    # (c) B1-tracked + UNTRACKED inversion prep: the kernel's dB1
+    # includes the 180*B1 prep the user did not track
+    seq_c, _ = _b1_fisp_train(prep="untracked")
     assert fisp_dispatch.match_fisp(list(seq_c)) is None
     # (d) aliased/other-parameter specs on T disqualify
     T1 = np.linspace(300, 1500, 3)
@@ -252,3 +257,81 @@ def test_b1_scale_invariance():
     # d alpha/dB1_phys halves when B1_phys doubles at fixed alpha:
     # column w.r.t. the SCALED physical B1 is 1/scale of the original
     assert np.abs(j2 * 2.0 - j1).max() / np.abs(j1).max() < 2e-5
+
+
+def test_fisp_b1_tracked_with_tracked_prep():
+    """IR-prepped B1-tracked train routes when the prep pulse carries
+    its own consistent spec (kernel pseudo-stage coefficient 180)."""
+    seq, _ = _b1_fisp_train(prep="tracked")
+    params = fisp_dispatch.match_fisp(list(seq))
+    assert params is not None and "B1" in params["vars"]
+    assert params["TI"] == 18.0
+    names = ["magnitude", "T1", "T2", "B1"]
+    probes = [epg.ADC, epg.Jacobian(names)]
+    sig_k, jac_k = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel="force")
+    sig_e, jac_e = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    _cols_match(jac_k, jac_e, names)
+
+
+def test_dess_b1_tracked_routes_and_matches_planner():
+    P, B = 14, 4
+    rng = np.random.default_rng(6)
+    FA = rng.uniform(15, 40, P)
+    T1 = np.linspace(500, 1600, B)
+    T2 = np.linspace(40, 140, B)
+    B1 = np.linspace(0.9, 1.1, B)
+    seq = []
+    for i in range(P):
+        seq += [epg.T(FA[i] * B1, 0,
+                      order1={"B1": {"alpha": float(FA[i])}}),
+                epg.E(5.0, T1, T2, order1=["T1", "T2"]), epg.ADC,
+                epg.E(10.0, T1, T2, order1=["T1", "T2"]), epg.S(1),
+                epg.E(5.0, T1, T2, order1=["T1", "T2"]), epg.ADC]
+    params = fisp_dispatch.match_dess(list(seq))
+    assert params is not None and "B1" in params["vars"]
+    names = ["magnitude", "T1", "T2", "B1"]
+    probes = [epg.ADC, epg.Jacobian(names)]
+    before = fisp_dispatch.DISPATCH_COUNTS.get("jac:dess", 0)
+    sig_k, jac_k = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel="force")
+    assert fisp_dispatch.DISPATCH_COUNTS.get("jac:dess", 0) > before
+    sig_e, jac_e = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    _cols_match(jac_k, jac_e, names)
+
+
+def test_megre_b1_tracked_routes_and_matches_planner():
+    P, B = 10, 4
+    rng = np.random.default_rng(8)
+    FA = rng.uniform(10, 30, P)
+    T1 = np.linspace(500, 1600, B)
+    T2 = np.linspace(40, 140, B)
+    dfs = np.linspace(-0.02, 0.02, B)
+    B1 = np.linspace(0.9, 1.1, B)
+    tes = (3.0, 7.0, 11.0)
+    o1 = ["T2", "g"]
+    seq = []
+    for i in range(P):
+        seq.append(epg.T(FA[i] * B1, 0.0,
+                         order1={"B1": {"alpha": float(FA[i])}}))
+        prev = 0.0
+        for te in tes:
+            seq += [epg.E(te - prev, T1, T2, dfs, order1=o1), epg.ADC]
+            prev = te
+        seq += [epg.E(5.0, T1, T2, dfs, order1=o1), epg.S(1)]
+    params = fisp_dispatch.match_megre(list(seq))
+    assert params is not None and "B1" in params["vars"]
+    names = ["magnitude", "T2", "g", "B1"]
+    probes = [epg.ADC, epg.Jacobian(names)]
+    before = fisp_dispatch.DISPATCH_COUNTS.get("jac:megre", 0)
+    sig_k, jac_k = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel="force")
+    assert fisp_dispatch.DISPATCH_COUNTS.get("jac:megre", 0) > before
+    sig_e, jac_e = epg.simulate(seq, max_nstate=8, probe=probes,
+                                fisp_kernel=False)
+    assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
+    _cols_match(jac_k, jac_e, names)
