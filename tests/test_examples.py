@@ -290,3 +290,11 @@ def test_mse_t2_b1_mapping_smoke(monkeypatch, tmp_path):
     monkeypatch.setenv("MSE_NVOX", "16")
     monkeypatch.setenv("MSE_ITERS", "12")
     _run("mse_t2_b1_mapping.py", monkeypatch, tmp_path)
+
+
+def test_b1_mapping_dispatch_smoke(monkeypatch, tmp_path):
+    """Operator-level (T2, B1) GN mapping via the r5 B1-tracked
+    Jacobian dispatch (assertions inside: dispatch engaged + RMSEs)."""
+    monkeypatch.setenv("B1MAP_NECHO", "10")
+    monkeypatch.setenv("B1MAP_NVOX", "24")
+    _run("b1_mapping_dispatch.py", monkeypatch, tmp_path)
