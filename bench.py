@@ -666,9 +666,11 @@ def measure_bssfp():
     a small batch and scaled)."""
     import epgpy_tpu as epg
 
-    # B=131072 (r5): the kernel ran 65536 x 500 in 4.8 ms -- just under
-    # the 5 ms minimum-work bar, leaving bssfp_flops_frac flagged
-    N, B = 500, 131072
+    # B=262144 (r5): the kernel ran 65536 x 500 in 4.8 ms -- under the
+    # 5 ms minimum-work bar -- and the r5 wide-tile kernel is another
+    # ~2.2x faster, so the batch doubles twice to keep the measured
+    # call comfortably above launch-floor territory
+    N, B = 500, 262144
     rng = np.random.default_rng(5)
     FA = 10 + 50 * np.abs(np.sin(np.arange(N) * 2 * np.pi / 100))
     TRv = 12.0 + 2.0 * np.sin(np.arange(N) / 17.0)
