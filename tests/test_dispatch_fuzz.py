@@ -213,3 +213,95 @@ def test_dispatch_parity_xstage_trains(case):
     scale = max(np.abs(ref).max(), 1e-9)
     assert np.abs(got - ref).max() / scale < 3e-5, (
         case, np.abs(got - ref).max() / scale)
+
+
+def _tracked_train(rng, fam, n, *, track_b1, skew, track_d):
+    """Random TRACKED train: (T1, T2) canonical E tracking everywhere,
+    optional B1 chain-rule specs on the flips (``skew`` perturbs one
+    coefficient so the shared-ratio validation must fall through), and
+    optional canonical D tracking (dw family)."""
+    B1v = np.linspace(0.85, 1.15, B)
+    skew_i = int(rng.integers(0, n)) if skew else -1
+
+    def tb1(i, fa):
+        if not track_b1:
+            return None
+        c = float(fa) * (1.07 if i == skew_i else 1.0)
+        return {"B1": {"alpha": c}}
+
+    o1 = ["T1", "T2"]
+    seq = []
+    if fam == 0:                # FISP
+        for i in range(n):
+            fa = float(rng.uniform(10, 60))
+            seq += [epg.T(fa * B1v, 90.0, order1=tb1(i, fa)),
+                    epg.E(5.0, T1, T2, order1=o1), epg.ADC,
+                    epg.E(7.0, T1, T2, order1=o1), epg.S(1)]
+    elif fam == 1:              # CPMG/MSE
+        seq = [epg.T(90, 90)]
+        for i in range(n):
+            fa = float(rng.uniform(100, 175))
+            seq += [epg.E(4.0, T1, T2, order1=o1), epg.S(1),
+                    epg.T(fa * B1v, 0.0, order1=tb1(i, fa)),
+                    epg.E(4.0, T1, T2, order1=o1), epg.S(1), epg.ADC]
+    elif fam == 2:              # bSSFP
+        for i in range(n):
+            fa = float(rng.uniform(20, 70))
+            seq += [epg.T(fa * B1v, 180.0 * (i % 2), order1=tb1(i, fa)),
+                    epg.E(6.0, T1, T2, -0.01, order1=o1), epg.ADC,
+                    epg.E(6.0, T1, T2, -0.01, order1=o1)]
+    else:                       # DW-FISP
+        d = epg.D(4.0, 1.2e-3, k=1,
+                  order1=["Dcoef"] if track_d else False)
+        for i in range(n):
+            fa = float(rng.uniform(10, 60))
+            seq += [epg.T(fa * B1v, 90.0, order1=tb1(i, fa)),
+                    epg.E(5.0, T1, T2, order1=o1), epg.ADC,
+                    epg.E(7.0, T1, T2, order1=o1), epg.S(1), d]
+    return seq
+
+
+@pytest.mark.parametrize("case", range(16))
+def test_jacobian_dispatch_parity_fuzz(case):
+    """r5 B1/D tracked routing under fuzz: random tracked trains with
+    Jacobian probes must give identical columns through the forced
+    kernel dispatch and the planner -- including trains whose B1
+    coefficients are deliberately skewed (shared-ratio validation must
+    fall through to the planner, never mis-route)."""
+    rng = np.random.default_rng(7000 + case)
+    fam = case % 4
+    n = int(rng.integers(5, 10))
+    track_b1 = rng.random() < 0.7
+    skew = track_b1 and rng.random() < 0.35
+    track_d = fam == 3 and rng.random() < 0.7
+    seq = _tracked_train(rng, fam, n, track_b1=track_b1, skew=skew,
+                         track_d=track_d)
+    from epgpy_tpu import fisp_dispatch
+    names = ["magnitude", "T1", "T2"]
+    if track_b1 and not skew:
+        names.append("B1")
+    if track_d:
+        names.append("Dcoef")
+    probes = [epg.ADC, epg.Jacobian(names)]
+    kw = {"max_nstate": 10, "kvalue": 2 * np.pi / 1e-3}
+    got = epg.simulate(list(seq), probe=probes, fisp_kernel="force",
+                       **kw)
+    ref = epg.simulate(list(seq), probe=probes, fisp_kernel=False, **kw)
+    for out_k, out_r in zip(got, ref):
+        a, b = np.asarray(out_k), np.asarray(out_r)
+        assert a.shape == b.shape
+        if a.ndim == 3:         # per-column tolerance (scales differ)
+            for c in range(a.shape[-1]):
+                scale = max(np.abs(b[..., c]).max(), 1e-12)
+                assert np.abs(a[..., c] - b[..., c]).max() / scale \
+                    < 3e-5, (case, names[c] if c < len(names) else c)
+        else:
+            scale = max(np.abs(b).max(), 1e-9)
+            assert np.abs(a - b).max() / scale < 3e-5, case
+    if skew:
+        # the skewed train must NOT have matched with a B1 var
+        for m, args in ((fisp_dispatch.match_fisp, (list(seq),)),
+                        (fisp_dispatch.match_mse, (list(seq), 1.0)),
+                        (fisp_dispatch.match_bssfp, (list(seq),))):
+            p = m(*args)
+            assert p is None or "B1" not in (p.get("vars") or ()), case
