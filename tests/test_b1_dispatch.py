@@ -335,3 +335,29 @@ def test_megre_b1_tracked_routes_and_matches_planner():
                                 fisp_kernel=False)
     assert np.abs(np.asarray(sig_k) - np.asarray(sig_e)).max() < 1e-5
     _cols_match(jac_k, jac_e, names)
+
+
+def test_composite_b1_only_probe():
+    """Probing ONLY B1 (untracked E ops) routes with a single tangent
+    group -- the group-selectable composite kernel's smallest config."""
+    T1 = np.array([400.0, 800.0, 1200.0])
+    T2 = np.array([40.0, 70.0, 100.0])
+    B1 = np.array([0.85, 0.95, 1.05])
+    seq = []
+    for seg in range(2):
+        seq += [epg.T(180, 0), epg.E(120.0, T1, T2)]
+        for i in range(5):
+            fa = 9.0 + 0.5 * i + seg
+            seq += [epg.T(fa * B1, 30.0 * i,
+                          order1={"B1": {"alpha": fa}}),
+                    epg.E(3.0, T1, T2), epg.ADC,
+                    epg.E(5.5, T1, T2), epg.S(1)]
+        seq += [epg.E(250.0, T1, T2)]
+    params = fisp_dispatch.match_composite(list(seq))
+    assert params is not None and params["vars"] == ("B1",)
+    probes = [epg.Jacobian(["B1"])]
+    before = fisp_dispatch.DISPATCH_COUNTS.get("jac:comp", 0)
+    jac_k = epg.simulate(seq, probe=probes, fisp_kernel="force")
+    assert fisp_dispatch.DISPATCH_COUNTS.get("jac:comp", 0) > before
+    jac_e = epg.simulate(seq, probe=probes, fisp_kernel=False)
+    _cols_match(jac_k, jac_e, ["B1"])
