@@ -1240,7 +1240,12 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
     # match_xcomposite; the structure match_xgre rejects
     dens2 = [0.85, 0.15]
     khi2 = epg.exchange_matrix(0.005, ncomp=2, densities=dens2)
-    T2p = np.stack([T2, np.full(natoms, 0.012, np.float32)], axis=0)
+    # 2x atoms for this family: the r5 measurement-fixed kernel runs
+    # the 8192-atom train in ~4.9 ms -- under the 5 ms minimum-work
+    # bar that keeps the planner A/B honest
+    natx = 2 * natoms
+    T2x2f = np.concatenate([T2, T2])
+    T2p = np.stack([T2x2f, np.full(natx, 0.012, np.float32)], axis=0)
     T1p = np.array([1000.0, 1100.0])
     Xte = epg.X(3.0, khi2, axis=0, T1=T1p, T2=T2p)
     Xtr = epg.X(7.0, khi2, axis=0, T1=T1p, T2=T2p)
@@ -1262,7 +1267,7 @@ def measure_families(ntr=200, natoms=8192, nstate=8):
         lambda: epg.simulate(seqx, max_nstate=nstate, density=dens2,
                              asarray=False),
         lambda r: float(np.asarray(r["__c_re"].reshape(-1)[0])))
-    out["xcomp_atoms_per_sec"] = round(natoms / best, 1)
+    out["xcomp_atoms_per_sec"] = round(natx / best, 1)
     out["xcomp_best_seconds"] = round(float(best), 4)
     out["xcomp_warmup_seconds"] = round(float(warm), 2)
     out["xcomp_window_spread"] = sprd
