@@ -187,9 +187,18 @@ class X(base.Operator):
     """
 
     PARAMS = ("tau", "khi", "T1", "T2", "g")
+    #: r5 (beyond reference: epgpy's X raises on _derive1): exchange
+    #: parameters are differentiable through the planner's generic
+    #: epsilon substitution.  Fit-relevant directions are STRUCTURED
+    #: perturbations expressed as array chain-rule coefficients, e.g.
+    #: ``order1={"k": {"khi": kron}}`` (d khi/dk for rate k with
+    #: khi = k*kron) or ``order1={"T2f": {"T2": e0}}`` (free-pool T2
+    #: with e0 the compartment-0 one-hot).  Unit-coefficient specs
+    #: perturb the WHOLE leaf (all compartments together).
+    PARAMETERS_ORDER1 = frozenset({"tau", "khi", "T1", "T2", "g"})
 
     def __init__(self, tau, khi, *, axis=-1, T1=None, T2=None, g=None,
-                 name=None, duration=None):
+                 name=None, duration=None, **kwargs):
         if np.isscalar(khi):
             khi = exchange_matrix(khi, axis=axis, ncomp=2)
         else:
@@ -213,7 +222,7 @@ class X(base.Operator):
             name = common.repr_operator("X", ["tau", "khi"], [tau, khi])
         if duration is True:
             duration = tau
-        super().__init__(name=name, duration=duration)
+        super().__init__(name=name, duration=duration, **kwargs)
 
     @property
     def shape(self):

@@ -96,3 +96,73 @@ def test_expm2_large_common_magnitude():
         got64 = np.asarray(_expm2(jnp.asarray(m, jnp.complex128)))
         rel = np.abs(got64 - truth).max() / np.abs(truth).max()
         assert rel < 1e-10, (mu_im, delta, rel)
+
+
+class TestXDerivatives:
+    """r5 (beyond reference: epgpy's X raises on _derive1): exchange
+    parameters differentiate through the planner's generic epsilon
+    substitution.  Fit-relevant directions are structured array
+    chain-rule coefficients: order1={"k": {"khi": kron}} for the
+    exchange rate (khi = k*kron), {"T2f": {"T2": e0}} for the
+    free-pool T2 (compartment one-hot).  FD is the oracle."""
+
+    B, NTR = 3, 12
+    dens = [0.8, 0.2]
+    kron = np.array([[-0.2, 0.8], [0.2, -0.8]])
+    k0 = 0.005
+    T2f = np.linspace(40.0, 120.0, B)
+    T1 = np.array([1000.0, 1100.0])
+
+    def _train(self, k, dT2f=0.0, track=False):
+        T2 = np.stack([self.T2f + dT2f, np.full(self.B, 0.012)], axis=0)
+        e0 = np.array([[1.0], [0.0]])
+        o1 = ({"k": {"khi": self.kron}, "T2f": {"T2": e0}}
+              if track else False)
+        X = epg.X(10.0, k * self.kron, axis=0, T1=self.T1, T2=T2,
+                  order1=o1)
+        seq = []
+        for _ in range(self.NTR):
+            seq += [epg.T(np.asarray([10.0, 0.0]), 0), epg.ADC, X,
+                    epg.S(1)]
+        return seq
+
+    def _sim(self, seq, probe=None):
+        return np.asarray(epg.simulate(seq, max_nstate=8,
+                                       density=self.dens, probe=probe,
+                                       fisp_kernel=False))
+
+    def test_fd_parity(self):
+        jac = self._sim(self._train(self.k0, track=True),
+                        probe=[epg.Jacobian(["k", "T2f"])])
+        eps = 1e-7
+        fd_k = (self._sim(self._train(self.k0 + eps))
+                - self._sim(self._train(self.k0 - eps))) / (2 * eps)
+        assert np.abs(jac[..., 0] - fd_k).max() \
+            / max(np.abs(fd_k).max(), 1e-12) < 1e-7
+        eps2 = 1e-5
+        fd_t = (self._sim(self._train(self.k0, dT2f=eps2))
+                - self._sim(self._train(self.k0, dT2f=-eps2))) / (2 * eps2)
+        assert np.abs(jac[..., 1] - fd_t).max() \
+            / max(np.abs(fd_t).max(), 1e-12) < 1e-6
+
+    def test_tracked_x_falls_through_fused_dispatch(self):
+        """Tracked X ops must not be claimed by the fused primal
+        matchers (their kernels ignore order1); forced dispatch must
+        still produce planner-identical signals."""
+        from epgpy_tpu import fisp_dispatch
+        seq = self._train(self.k0, track=True)
+        shape = (2, self.B)
+        assert fisp_dispatch.match_xgre(list(seq), shape,
+                                        list(self.dens)) is None
+        assert fisp_dispatch.match_xcomposite(list(seq), shape,
+                                              list(self.dens)) is None
+        got = np.asarray(epg.simulate(list(seq), max_nstate=8,
+                                      density=self.dens,
+                                      fisp_kernel="force"))
+        ref = self._sim(self._train(self.k0))
+        assert np.abs(got - ref).max() < 1e-10
+
+    def test_probe_untracked_raises(self):
+        with pytest.raises(ValueError, match="not tracked"):
+            self._sim(self._train(self.k0),
+                      probe=epg.Jacobian(["k"]))
