@@ -31,7 +31,8 @@ _LOWER = ("_seconds", "_parity", "_err_ms", "_spread")
 #: purely descriptive keys: never classified
 _INFO = ("natoms", "npulse", "nstate", "_ntr", "_nvars", "_nvox",
          "_rank", "_nsig", "_capacity", "_kernel", "n", "rc",
-         "_ref_per_atom_vs_64")
+         "_ref_per_atom_vs_64", "_warmup_seconds", "_compress_seconds",
+         "wall_seconds")
 
 #: minimum noise band when no window_spread is available: tunnel
 #: contention alone swings in-window bests by ~±30-40%
