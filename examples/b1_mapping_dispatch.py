@@ -23,8 +23,17 @@ import os
 
 import numpy as np
 
+import jax
+
 import epgpy_tpu as epg
 from epgpy_tpu import fisp_dispatch
+
+# on TPU/f32 the dispatch engages by itself; on CPU "force" runs the
+# same kernels in Pallas interpret mode so the route is demonstrable
+# anywhere (tests run this example on the CPU backend)
+_DEV = jax.config.jax_default_device or jax.devices()[0]
+_KERNEL = ("force" if getattr(_DEV, "platform", _DEV) == "cpu"
+           else "auto")
 
 NECHO = int(os.environ.get("B1MAP_NECHO", 18))
 NVOX = int(os.environ.get("B1MAP_NVOX", 64))
@@ -58,7 +67,8 @@ def main():
     B1_true = rng.uniform(0.65, 0.95, NVOX)
 
     # "acquired" echo trains (+ noise)
-    meas = np.asarray(epg.simulate(build_train(T2_true, B1_true)))
+    meas = np.asarray(epg.simulate(build_train(T2_true, B1_true),
+                                   fisp_kernel=_KERNEL))
     meas = meas + 2e-4 * (rng.standard_normal(meas.shape)
                           + 1j * rng.standard_normal(meas.shape))
 
@@ -73,7 +83,8 @@ def main():
     def signal_and_jac(theta):
         seq = build_train(theta[0], theta[1], track=True)
         before = fisp_dispatch.DISPATCH_COUNTS.get("jac:mse", 0)
-        sig, jac = epg.simulate(seq, probe=probes, asarray=False)
+        sig, jac = epg.simulate(seq, probe=probes, asarray=False,
+                                fisp_kernel=_KERNEL)
         routed.append(
             fisp_dispatch.DISPATCH_COUNTS.get("jac:mse", 0) > before)
         # dS/d(T2, B1) columns; magnitude col 0 is the signal itself
@@ -89,13 +100,14 @@ def main():
     t2_init = np.clip(-1.0 / np.minimum(slope, -1e-6), 20.0, 200.0)
     theta0 = np.stack([t2_init, np.full(NVOX, 0.8)])
     theta = gauss_newton_refine(
-        signal_and_jac, theta0, meas.real, meas.imag, iters=16,
+        signal_and_jac, theta0, meas.real, meas.imag, iters=22,
         bounds=[(15.0, 250.0), (0.4, 1.0)], solve_scale=True)
 
     t2_rms = float(np.sqrt(np.mean((theta[0] - T2_true) ** 2)))
     b1_rms = float(np.sqrt(np.mean((theta[1] - B1_true) ** 2)))
     print(f"dispatch engaged: {all(routed)}; "
           f"T2 RMSE {t2_rms:.3f} ms, B1 RMSE {b1_rms:.4f}")
+    assert all(routed), "B1-tracked train fell off the fused dispatch"
     assert t2_rms < 0.5 and b1_rms < 5e-3, (t2_rms, b1_rms)
 
 
