@@ -18,10 +18,27 @@ Env overrides: BENCH_NATOMS, BENCH_NPULSE, BENCH_NSTATE, BENCH_REPEATS.
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+#: Best-effort result accumulator (r5): sections fill this in as they
+#: complete, and a SIGTERM handler prints it before dying -- a driver
+#: timeout then records a PARTIAL JSON line (tagged bench_partial)
+#: instead of nothing at all.  A fully collapsed tunnel window once ran
+#: a single bench past a 30-minute kill with zero output.
+_RESULT: dict = {"metric": "mrf_fisp_atoms_per_sec", "value": None,
+                 "unit": "atoms/s", "vs_baseline": None}
+
+
+def _emit_partial(signum=None, frame=None):
+    _RESULT["bench_partial"] = True
+    try:
+        print(json.dumps(_RESULT), flush=True)
+    finally:
+        os._exit(0)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
@@ -1764,6 +1781,13 @@ def main():
     from epgpy_tpu.models.mrf import fisp_mrf_dictionary
 
     t_main = time.perf_counter()
+    # a driver kill (SIGTERM via `timeout`) must not eat the whole
+    # record: print what has been measured so far, flagged partial
+    try:
+        signal.signal(signal.SIGTERM, _emit_partial)
+        signal.signal(signal.SIGINT, _emit_partial)
+    except (ValueError, OSError):
+        pass                      # non-main thread / exotic platform
 
     FA = make_train(NPULSE)
     T1, T2, B1 = make_atoms(NATOMS)
@@ -1798,6 +1822,11 @@ def main():
         if dt < best:
             best, best_kernel, out, spread = dt, name, o, dsprd
     atoms_per_sec = NATOMS / best
+    _RESULT.update({"value": round(float(atoms_per_sec), 1),
+                    "natoms": NATOMS, "npulse": NPULSE,
+                    "best_seconds": round(float(best), 4),
+                    "window_spread": spread, "kernel": best_kernel,
+                    "device": str(jax.devices()[0])})
 
     # baseline throughput + c64 parity probe on the 8 leading atoms
     # (full float64 parity <= 1e-10 is asserted in tests/test_mrf.py)
@@ -1806,6 +1835,7 @@ def main():
     parity = None
     if baseline:
         vs_baseline = atoms_per_sec / baseline["atoms_per_sec"]
+        _RESULT["vs_baseline"] = round(float(vs_baseline), 1)
         if "probe_re" in baseline and baseline["npulse"] == NPULSE:
             ref8 = (np.asarray(baseline["probe_re"])
                     + 1j * np.asarray(baseline["probe_im"])).T  # (8, P)
@@ -1813,8 +1843,12 @@ def main():
             ours = np.asarray(re[:8]) + 1j * np.asarray(im[:8])
             parity = float(np.abs(ours - ref8).max())
 
-    engine = {}
-    t_sections = time.perf_counter()
+    engine = _RESULT            # sections accumulate into the shared
+    t_sections = time.perf_counter()   # partial-emission dict (r5)
+    # global wall deadline: a collapsed tunnel window can stretch ONE
+    # section arbitrarily; past this, remaining sections are skipped so
+    # the JSON line lands before any external kill
+    deadline = float(os.environ.get("BENCH_WALL_DEADLINE", 1200))
     # 270 s default (r5, was 360): the budget is checked BEFORE each
     # section, so the worst case is budget + one contended section
     # (~2-3 min) + the parity probes (own 150 s budget) + roofline.
@@ -1827,7 +1861,12 @@ def main():
         # sections stop once the cumulative budget is spent (tunnel
         # contention can triple section times -- better a JSON line
         # with a few sections marked skipped than a killed process
-        # that records nothing)
+        # that records nothing).  The wall deadline additionally
+        # covers the collapsed-window case where a single section
+        # overruns the whole budget.
+        if time.perf_counter() - t_main > deadline:
+            engine[name + "_skipped"] = "wall deadline"
+            return False
         if time.perf_counter() - t_sections <= budget:
             return True
         engine[name + "_skipped"] = "time budget"
@@ -1914,7 +1953,8 @@ def main():
     # r5: per-family TPU parity probes -- correctness evidence, so they
     # run even when the time budget is spent (tiny shapes; the cost is
     # a handful of cached kernel compiles)
-    if os.environ.get("BENCH_PARITY", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_PARITY", "1") not in ("0", "false") \
+            and time.perf_counter() - t_main < deadline:
         try:
             engine.update(measure_family_parity())
         except Exception as exc:
@@ -1923,7 +1963,8 @@ def main():
     # r4: measured roofline + absolute-efficiency fractions (cheap:
     # ~4 pipelined microbenchmarks; runs even when the budget is spent
     # so BENCH always states absolute efficiency)
-    if os.environ.get("BENCH_ROOFLINE", "1") not in ("0", "false"):
+    if os.environ.get("BENCH_ROOFLINE", "1") not in ("0", "false") \
+            and time.perf_counter() - t_main < deadline + 120:
         try:
             engine.update(measure_roofline())
             engine.update(efficiency_fracs(
@@ -1943,7 +1984,10 @@ def main():
         "kernel": best_kernel,
         "device": str(jax.devices()[0]),
         "parity_c64_vs_ref": parity,
-        **engine,
+        **{k: v for k, v in engine.items()
+           if k not in ("metric", "value", "unit", "vs_baseline",
+                        "natoms", "npulse", "best_seconds",
+                        "window_spread", "kernel", "device")},
     }
     result["bench_wall_seconds"] = round(time.perf_counter() - t_main, 1)
     # tail-robust duplicate of the north-star keys (r5, VERDICT #6):
