@@ -600,10 +600,11 @@ def measure_mse():
     # measured mse_jac_vs_planner = 0.9 from two contention-saturated
     # ~0.11 s samples).  Scale the signal count until the KERNEL side
     # carries >= 5 ms per call; the frac and the A/B use these configs.
-    # 200 x 1600 = 320k signals: the fused CPMG kernel ran the r5 trial
-    # 64k config in 2.3 ms (27.8M signals/s) -- still under the 5 ms bar
+    # 200 x 3200 = 640k signals: the fused CPMG kernel kept outrunning
+    # the 5 ms minimum-work bar (64k in 2.3 ms, then 320k in ~4.6 ms in
+    # a fast window); outputs stay small (18 echoes x B)
     big_t2 = np.linspace(20, 60, 200)
-    big_att = np.linspace(0.2, 1, 1600)
+    big_att = np.linspace(0.2, 1, 3200)
     bseq = [epg.T(90, 90)] + [
         epg.S(1), epg.E(TE / 2, T1v, [big_t2]), epg.T(180 * big_att, 0),
         epg.S(1), epg.E(TE / 2, T1v, [big_t2]), epg.ADC] * necho
