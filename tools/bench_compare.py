@@ -13,6 +13,12 @@ Usage:
     python tools/bench_compare.py BENCH_r04.json BENCH_r05.json
     python tools/bench_compare.py old.json new.json --all   # incl. noise
 
+Caveat: the in-window spread is a LOWER bound on true dispersion --
+cross-window contention can exceed it 2-3x on sub-30 ms metrics (the
+table-path prune/diff3d numbers swing that much between same-code runs
+an hour apart).  Treat a "REGRESSION" on those as suspect unless the
+underlying code changed.
+
 Accepts either a raw bench.py JSON line or the driver's wrapper format
 ({"n": ..., "cmd": ..., "rc": ..., "tail": "<stdout tail>"}); clipped
 tails are salvaged by regex-extracting "key": number pairs from the
